@@ -1,0 +1,65 @@
+"""Frozen pipeline configuration.
+
+Re-expresses the reference's ~60 mutable module-level constants
+(reference config.py:15-148) as one immutable dataclass passed into
+actor constructors — the reference mutates config globals during
+remediation (master_extractor.py:639-684); we forbid that by design
+and pass altered copies instead.
+
+All thresholds that govern EXTRACTION SEMANTICS are pinned here and
+must never drift from the committed fixture goldens (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # ---- PDF word-geometry path (reference config.py:15-35) ----
+    column_gap_threshold: float = 50.0   # px gap that starts a new column (config.py:16)
+    line_height_threshold: float = 15.0  # words within this Y-delta share a line (config.py:17)
+    header_zone_frac: float = 0.10       # top 10% of page = header zone (extractor.py:137)
+    footer_zone_frac: float = 0.10       # bottom 10% = footer zone (extractor.py:141)
+    repeat_min_frac: float = 0.80        # text on >=80% of sampled pages is header/footer (extractor.py:152)
+    repeat_sample_pages: int = 5         # sample first min(5, n) pages (extractor.py:128)
+    footnote_zone_frac: float = 0.20     # bottom 20% scanned for footnote definitions (footnote_extractor.py)
+    isolated_dist: float = 50.0          # no neighbor within 50pt => isolated (extractor.py:398-413)
+    jp_space_gap: float = 10.0           # JP<->JP words: space only if gap > 10 (extractor.py:578-610)
+    latin_space_gap: float = 3.0         # latin words: space if gap > 3 (extractor.py:578-610)
+    script_size_ratio: float = 0.70      # < 70% of avg font size => candidate super/subscript (extractor.py:629-755)
+    script_attach_dist: float = 5.0      # max horizontal px to attach a script to its base
+    script_band: float = 15.0            # Y band around baseline for script candidates (extractor.py:665-689)
+    trimmed_mean_frac: float = 0.10      # trim 10% each side for avg font size (superscript_detector.py:171-177)
+
+    # ---- HTML boilerplate-strip path (public trafilatura/jusText heuristics) ----
+    max_link_density: float = 0.40       # block with > 40% link chars = boilerplate
+    min_paragraph_chars: int = 25        # shorter paragraphs = boilerplate
+    min_list_item_chars: int = 10        # shorter list items = boilerplate
+    min_heading_chars: int = 3
+
+    # ---- cleanup (reference extractor.py:876-994) ----
+    squeeze_blank_lines: int = 3         # runs of >= 3 newlines collapse to 2
+
+    # ---- quality scoring (reference quality_scorer.py:81-162) ----
+    qs_w_completeness: float = 0.30
+    qs_w_structure: float = 0.25
+    qs_w_accuracy: float = 0.20
+    qs_w_footnotes: float = 0.15
+    qs_w_readability: float = 0.10
+
+    # ---- Ray execution knobs (NOT semantic; safe to tune per run) ----
+    batch_size: int = 32                 # rows per extraction batch (docs are multi-KB..MB blobs)
+    concurrency: int = 8                 # extraction actor-pool size
+    num_cpus_per_actor: float = 1.0
+    big_blob_bytes: int = 4 * 1024 * 1024  # rows above this route to the big-blob pool
+    big_blob_batch_size: int = 2
+    rows_per_output_file: int = 4096     # output partition granularity (resume unit)
+
+    def with_overrides(self, **kw: Any) -> "PipelineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

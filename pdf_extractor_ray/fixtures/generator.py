@@ -1,0 +1,394 @@
+"""Deterministic fixture-corpus generator (FIXTURES.md F1-F3).
+
+Produces the `pages` input table (url, warc_ts, html, text, lang) and
+the `golden` oracle table (url, golden_text, n_blocks, n_words). The
+reference ships no fixtures (SURVEY.md §5), so this corpus DEFINES the
+byte-identity contract: goldens are computed from the generator's
+*intent* (which blocks it planted as main content, which as
+boilerplate/furniture) using only the fixed rendering conventions —
+never by running the extractor — so pytest's
+``extracted_text == golden_text`` is a real independent check.
+
+Everything is seeded (seed=42 by default); same (n_rows, seed) =>
+byte-identical parquet content. No wall clock, no machine state.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import random
+
+import pyarrow as pa
+
+from pdf_extractor_ray.functions.pdf_words import FIXTURE_MAGIC
+
+_LANGS = ["en", "ja", "de", "fr", "es"]
+_LANG_W = [40, 25, 15, 10, 10]
+
+_VOCAB = {
+    "en": (
+        "the quick brown fox jumps over a lazy dog while distributed systems "
+        "process large volumes of web data using streaming execution and careful "
+        "memory management across many worker nodes every single day without fail "
+        "extraction pipelines must remain deterministic reproducible and efficient"
+    ).split(),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund während verteilte "
+        "systeme große datenmengen mit sorgfältiger speicherverwaltung verarbeiten "
+        "und jeden tag zuverlässig deterministische ergebnisse liefern müssen"
+    ).split(),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux pendant que les "
+        "systèmes distribués traitent de grands volumes de données avec une "
+        "exécution en continu et une gestion prudente de la mémoire chaque jour"
+    ).split(),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso mientras los "
+        "sistemas distribuidos procesan grandes volúmenes de datos con ejecución "
+        "continua y una gestión cuidadosa de la memoria todos los días sin falta"
+    ).split(),
+}
+_JP_CHARS = list(
+    "日本語の文章は空白を含まない形で書かれることが多く抽出処理では文字種の判定が重要になる"
+    "データ処理基盤は大規模な計算資源を効率的に使い決定的な結果を返す必要がある"
+)
+_NAV_WORDS = "Home About Products Services Contact Blog Careers Support Login Register".split()
+
+
+def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
+    if lang == "ja":
+        n_chars = n_words * 3
+        return "".join(rng.choice(_JP_CHARS) for _ in range(n_chars)) + "。"
+    vocab = _VOCAB[lang]
+    ws = [rng.choice(vocab) for _ in range(n_words)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def _paragraph(rng: random.Random, lang: str, n_sents: int) -> str:
+    if lang == "ja":
+        return "".join(_sentence(rng, lang, rng.randint(6, 14)) for _ in range(n_sents))
+    return " ".join(_sentence(rng, lang, rng.randint(8, 16)) for _ in range(n_sents))
+
+
+# ---------------------------------------------------------------------------
+# HTML templates — each returns (html, golden_text, n_blocks, visible_text)
+# ---------------------------------------------------------------------------
+
+
+def _nav_html(rng: random.Random) -> str:
+    links = "".join(f'<a href="/{w.lower()}">{w}</a> ' for w in _NAV_WORDS[: rng.randint(5, 9)])
+    return f"<nav>{links}</nav>"
+
+
+def _sidebar_html(rng: random.Random) -> str:
+    items = "".join(
+        f'<li><a href="/p/{i}">{rng.choice(_NAV_WORDS)} {i}</a></li>' for i in range(rng.randint(4, 8))
+    )
+    return f"<aside><ul>{items}</ul></aside>"
+
+
+def _tpl_article(rng: random.Random, lang: str, n_paras: int) -> tuple[str, str, int, str]:
+    title = _sentence(rng, lang, 5).rstrip(".。")
+    paras = [_paragraph(rng, lang, rng.randint(2, 4)) for _ in range(n_paras)]
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    html = (
+        "<html><head><title>Site</title></head><body>"
+        + _nav_html(rng)
+        + "<header><h1>Example Site</h1></header>"
+        + f"<main><article><h1>{title}</h1>{body}</article></main>"
+        + _sidebar_html(rng)
+        + "<footer>© 2024 Example</footer></body></html>"
+    )
+    golden = "\n\n".join([title] + paras)
+    return html, golden, 1 + len(paras), title + " " + " ".join(paras)
+
+
+def _tpl_columns(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
+    left = [_paragraph(rng, lang, 2) for _ in range(2)]
+    right = [_paragraph(rng, lang, 2) for _ in range(2)]
+    html = (
+        "<html><body>"
+        + _nav_html(rng)
+        + '<div class="row"><div class="col">'
+        + "".join(f"<p>{p}</p>" for p in left)
+        + '</div><div class="col">'
+        + "".join(f"<p>{p}</p>" for p in right)
+        + "</div></div>"
+        + "<footer>contact us</footer></body></html>"
+    )
+    paras = left + right
+    return html, "\n\n".join(paras), len(paras), " ".join(paras)
+
+
+def _tpl_table(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
+    title = _sentence(rng, lang, 4).rstrip(".。")
+    intro = _paragraph(rng, lang, 2)
+    outro = _paragraph(rng, lang, 2)
+    nrows, ncols = rng.randint(2, 4), rng.randint(2, 4)
+    cells = [[f"v{r}{c}" for c in range(ncols)] for r in range(nrows)]
+    rows_html = "".join("<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in cells)
+    html = (
+        "<html><body>"
+        + _nav_html(rng)
+        + f"<main><h2>{title}</h2><p>{intro}</p><table>{rows_html}</table><p>{outro}</p></main>"
+        + "<footer>fine print</footer></body></html>"
+    )
+    tbl_lines = [f"[TABLE: {nrows}x{ncols}]"]
+    for row in cells:
+        tbl_lines.append("| " + " | ".join(row) + " |")
+    tbl_lines.append("[TABLE END]")
+    golden = "\n\n".join([title, intro, "\n".join(tbl_lines), outro])
+    visible = " ".join([title, intro, " ".join(c for row in cells for c in row), outro])
+    return html, golden, 4, visible
+
+
+def _tpl_list(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
+    title = _sentence(rng, lang, 4).rstrip(".。")
+    items = [_sentence(rng, lang, rng.randint(5, 9)) for _ in range(rng.randint(3, 5))]
+    html = (
+        "<html><body>"
+        + _nav_html(rng)
+        + f"<main><h3>{title}</h3><ul>"
+        + "".join(f"<li>{i}</li>" for i in items)
+        + "</ul></main>"
+        + _sidebar_html(rng)
+        + "</body></html>"
+    )
+    golden = "\n\n".join([title] + ["- " + i for i in items])
+    return html, golden, 1 + len(items), title + " " + " ".join(items)
+
+
+def _tpl_boilerplate_only(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
+    html = (
+        "<html><body>"
+        + _nav_html(rng)
+        + '<div role="navigation"><a href="/x">more links</a> <a href="/y">here too</a></div>'
+        + "<footer>© 2024 nothing to see</footer></body></html>"
+    )
+    return html, "", 0, "more links here too"
+
+
+# ---------------------------------------------------------------------------
+# PDF word-geometry payloads (F3) — layout engine + intent-derived golden
+# ---------------------------------------------------------------------------
+
+_PAGE_W, _PAGE_H = 612.0, 792.0
+_LATIN_CW, _LATIN_GAP = 6.0, 4.0
+_JP_CW, _JP_GAP = 11.0, 2.0
+
+
+def _lay_line(text: str, top: float, x0: float, jp: bool, size: float = 10.0) -> list[dict]:
+    """Lay out one line of text as word boxes. Latin: split on spaces,
+    4pt gaps (> latin_space_gap => spaces reproduced). JP: 1-3 char
+    chunks, 2pt gaps (<= jp_space_gap => no spaces reproduced)."""
+    words = []
+    x = x0
+    if jp:
+        chunks, i, rng_step = [], 0, (3, 2, 1, 2, 3, 1)
+        k = 0
+        while i < len(text):
+            step = rng_step[k % len(rng_step)]
+            chunks.append(text[i : i + step])
+            i += step
+            k += 1
+        for ch in chunks:
+            w = len(ch) * _JP_CW
+            words.append({"text": ch, "x0": x, "x1": x + w, "top": top, "bottom": top + 12.0, "size": size, "fontname": "F0"})
+            x += w + _JP_GAP
+    else:
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            w = len(tok) * _LATIN_CW
+            words.append({"text": tok, "x0": x, "x1": x + w, "top": top, "bottom": top + 12.0, "size": size, "fontname": "F0"})
+            x += w + _LATIN_GAP
+    return words
+
+
+def _tpl_pdf(rng: random.Random, lang: str) -> tuple[bytes, str, int, str]:
+    """Multi-page PDF-geometry doc: repeated header (dropped), body
+    lines (kept), one superscript attach, isolated page numbers
+    (dropped), a footnote definition line (kept), and a table on the
+    last page. Golden derived from intent."""
+    jp = lang == "ja"
+    n_pages = rng.randint(2, 3)
+    header = "ACMEREPORT"  # single word, top zone, every page -> dropped
+    pages, golden_pages, visible = [], [], []
+    for pno in range(n_pages):
+        words: list[dict] = []
+        tables: list[dict] = []
+        golden_lines: list[str] = []
+        words += _lay_line(header, 20.0, 72.0, False)
+        visible.append(header)
+        if pno == n_pages - 1:
+            # inline footnote marker in a body line (kept; matched to the def)
+            mline = "Refer to note *1"
+            words += _lay_line(mline, 92.0, 72.0, False)
+            golden_lines.append(mline)
+            visible.append(mline)
+        top = 110.0
+        n_lines = rng.randint(3, 5)
+        for _ in range(n_lines):
+            line = _sentence(rng, lang, rng.randint(6, 10)).rstrip(".。")
+            words += _lay_line(line, top, 72.0, jp)
+            golden_lines.append(line.replace(" ", "") if jp else line)
+            visible.append(line)
+            top += 20.0
+        if pno == 0 and not jp:
+            # superscript: "E = mc" + small raised "2" -> "E = mc²"
+            base_line = "E = mc"
+            lw = _lay_line(base_line, top, 72.0, False)
+            last = lw[-1]
+            lw.append(
+                {
+                    "text": "2",
+                    "x0": last["x1"] + 1.0,
+                    "x1": last["x1"] + 5.0,
+                    "top": top - 4.0,
+                    "bottom": top + 2.0,
+                    "size": 6.0,
+                    "fontname": "F0",
+                }
+            )
+            words += lw
+            golden_lines.append("E = mc²")
+            visible.append("E = mc 2")
+            top += 20.0
+        if pno == n_pages - 1:
+            # footnote definition line in the bottom zone (kept; matched)
+            def_text = "See appendix for details" if not jp else "付録を参照のこと"
+            fwords = _lay_line("*1:", 700.0, 72.0, False)
+            fx = fwords[-1]["x1"] + _LATIN_GAP
+            fwords += _lay_line(def_text, 700.0, fx, jp)
+            words += fwords
+            golden_lines.append("*1: " + (def_text.replace(" ", "") if jp else def_text))
+            visible.append("*1: " + def_text)
+        if pno == 1:
+            nrows, ncols = 2, 3
+            cells = [[f"t{r}{c}" for c in range(ncols)] for r in range(nrows)]
+            bbox = [320.0, 400.0, 560.0, 460.0]
+            tables.append({"bbox": bbox, "rows": nrows, "cols": ncols, "cells": cells})
+            # words inside the bbox (excluded from text flow)
+            ty = 405.0
+            for row in cells:
+                tx = 325.0
+                for c in row:
+                    words.append({"text": c, "x0": tx, "x1": tx + 18.0, "top": ty, "bottom": ty + 10.0, "size": 10.0, "fontname": "F0"})
+                    tx += 80.0
+                ty += 25.0
+            tbl_lines = [f"[TABLE: {nrows}x{ncols}]"]
+            for row in cells:
+                tbl_lines.append("| " + " | ".join(row) + " |")
+            tbl_lines.append("[TABLE END]")
+            golden_lines.append("")  # blank line before table block
+            golden_lines.append("\n".join(tbl_lines))
+            visible.append(" ".join(c for row in cells for c in row))
+        # isolated page number (single word, bottom center) -> dropped
+        words += _lay_line(f"-{pno + 1}-", 768.0, 290.0, False)
+        visible.append(f"-{pno + 1}-")
+        pages.append({"width": _PAGE_W, "height": _PAGE_H, "words": words, "tables": tables})
+        golden_pages.append("\n".join(golden_lines).replace("\n\n\n", "\n\n"))
+    payload = FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False, sort_keys=True).encode("utf-8")
+    golden = "\n\n".join(golden_pages)
+    # cleanup squeezes >=3 newlines; our construction produces at most 2
+    n_words = len(golden.split())
+    return payload, golden, n_pages, " ".join(visible)
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly (F1 + F2)
+# ---------------------------------------------------------------------------
+
+
+def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True) -> tuple[pa.Table, pa.Table]:
+    """Build (pages, golden) Arrow tables. ~90% HTML / ~10% PDF-geometry
+    payloads; 1% big-blob rows; 2 duplicate urls per 250 rows; one empty
+    and one malformed payload (FIXTURES.md F1 skew knobs)."""
+    rng = random.Random(seed)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    g_urls, g_texts, g_blocks, g_words = [], [], [], []
+    base_ts = _dt.datetime(2024, 1, 1)
+    lang_cycle = rng.choices(_LANGS, weights=_LANG_W, k=n_rows)
+
+    def add(i: int, lang: str, payload: bytes, golden: str, n_blocks: int, visible: str) -> str:
+        url = f"https://site{i % 37}.example/{lang}/doc{i:06d}"
+        urls.append(url)
+        tss.append(base_ts + _dt.timedelta(seconds=137 * i))
+        htmls.append(payload)
+        texts.append(visible)
+        langs.append(lang)
+        g_urls.append(url)
+        g_texts.append(golden)
+        g_blocks.append(n_blocks)
+        g_words.append(len(golden.split()))
+        return url
+
+    for i in range(n_rows):
+        lang = lang_cycle[i]
+        roll = rng.random()
+        if roll < 0.10:
+            payload, golden, n_blocks, visible = _tpl_pdf(rng, lang)
+            add(i, lang, payload, golden, n_blocks, visible)
+            continue
+        if roll < 0.28:
+            html, golden, n_blocks, visible = _tpl_columns(rng, lang)
+        elif roll < 0.46:
+            html, golden, n_blocks, visible = _tpl_table(rng, lang)
+        elif roll < 0.60:
+            html, golden, n_blocks, visible = _tpl_list(rng, lang)
+        elif roll < 0.66:
+            html, golden, n_blocks, visible = _tpl_boilerplate_only(rng, lang)
+        else:
+            big = skew and rng.random() < 0.012
+            n_paras = rng.randint(120, 240) if big else rng.randint(3, 8)
+            html, golden, n_blocks, visible = _tpl_article(rng, lang, n_paras)
+        add(i, lang, html.encode("utf-8"), golden, n_blocks, visible)
+
+    if skew and n_rows >= 20:
+        # duplicate urls (exact-dedup knob): re-emit rows 3 and 7 verbatim
+        for j in (3, 7):
+            urls.append(urls[j]); tss.append(tss[j]); htmls.append(htmls[j])
+            texts.append(texts[j]); langs.append(langs[j])
+        # one empty and one malformed payload (error-column knob)
+        u = f"https://site0.example/en/doc{n_rows:06d}-empty"
+        urls.append(u); tss.append(base_ts); htmls.append(b""); texts.append(""); langs.append("en")
+        g_urls.append(u); g_texts.append(""); g_blocks.append(0); g_words.append(0)
+        u = f"https://site0.example/en/doc{n_rows + 1:06d}-malformed"
+        urls.append(u); tss.append(base_ts); htmls.append(FIXTURE_MAGIC + b"{not json")
+        texts.append(""); langs.append("en")
+        g_urls.append(u); g_texts.append(""); g_blocks.append(0); g_words.append(0)
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    golden = pa.table(
+        {
+            "url": pa.array(g_urls, pa.string()),
+            "golden_text": pa.array(g_texts, pa.large_string()),
+            "n_blocks": pa.array(g_blocks, pa.int32()),
+            "n_words": pa.array(g_words, pa.int64()),
+        }
+    )
+    return pages, golden
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = 42, skew: bool = True) -> tuple[str, str]:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages, golden = generate_corpus(n_rows, seed=seed, skew=skew)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    golden_path = os.path.join(out_dir, "golden.parquet")
+    pq.write_table(pages, pages_path)
+    pq.write_table(golden, golden_path)
+    return pages_path, golden_path

@@ -1,0 +1,297 @@
+"""HTML main-content extraction: DOM-tree boilerplate stripping.
+
+The reference implements only a PDF path; this module supplies the
+HTML payload path the north rule demands, designed from public
+boilerplate-removal literature (trafilatura / boilerpipe / jusText:
+block segmentation at block-level tags, then per-block classification
+by container role, text-to-link ratio ("link density") and text
+length). Shares the reference's determinism contract
+(reference extractor.py:3-9): pure function of the input bytes,
+no normalization beyond whitespace collapsing, no wall clock.
+
+Classification rules (fixed; changing any invalidates the committed
+golden corpus, see FIXTURES.md):
+
+  R-skip      : content under script/style/noscript/template/head/svg/
+                iframe/form/button/select is never emitted.
+  R-container : a block with any nav/header/footer/aside ancestor (or
+                role="navigation|banner|contentinfo|complementary")
+                is boilerplate.
+  R-link      : link_density = non-ws chars inside <a> / non-ws chars
+                of the block; > cfg.max_link_density => boilerplate.
+  R-short     : paragraphs shorter than cfg.min_paragraph_chars,
+                list items shorter than cfg.min_list_item_chars and
+                headings shorter than cfg.min_heading_chars are
+                boilerplate.
+  R-table     : <table> outside boilerplate containers is rendered as
+                a pipe-formatted block framed by "[TABLE: RxC]" /
+                "[TABLE END]" markers — same output style as the PDF
+                path's table insertion (reference extractor.py:844-874,
+                layout_analyzer.py:70-103).
+
+Kept blocks render in document order, joined by a blank line;
+headings verbatim, list items prefixed "- ", whitespace inside a
+block collapsed to single spaces.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+_SKIP_TAGS = frozenset(
+    "script style noscript template head svg iframe form button select option textarea".split()
+)
+_BOILER_TAGS = frozenset("nav header footer aside".split())
+_BOILER_ROLES = frozenset("navigation banner contentinfo complementary".split())
+# Tags whose open/close delimits a text block.
+_BLOCK_TAGS = frozenset(
+    "p div article section main li h1 h2 h3 h4 h5 h6 blockquote pre figure "
+    "figcaption ul ol dl dt dd tr td th thead tbody table body html "
+    "nav header footer aside address".split()
+)
+_HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+_WS_RE = re.compile(r"\s+")
+_NONWS_RE = re.compile(r"\S")
+
+
+@dataclass
+class _Block:
+    kind: str  # "p" | "heading" | "li" | "table"
+    text: str
+    link_chars: int
+    total_chars: int
+    boiler: bool
+
+
+def _nonws_len(s: str) -> int:
+    return len(_NONWS_RE.findall(s))
+
+
+class _BlockParser(HTMLParser):
+    """Single-pass segmentation of an HTML document into text blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._stack: list[str] = []
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._kind_stack: list[str] = []
+        self._buf: list[str] = []
+        self._buf_link_chars = 0
+        # table capture state
+        self._table_depth = 0
+        self._table_rows: list[list[str]] = []
+        self._cell_buf: list[str] | None = None
+        self._table_boiler = False
+
+    # -- block buffer ------------------------------------------------
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        self._buf = []
+        link_chars = self._buf_link_chars
+        self._buf_link_chars = 0
+        text = _WS_RE.sub(" ", raw).strip()
+        if not text:
+            return
+        kind = self._kind_stack[-1] if self._kind_stack else "p"
+        self.blocks.append(
+            _Block(
+                kind=kind,
+                text=text,
+                link_chars=link_chars,
+                total_chars=_nonws_len(raw),
+                boiler=self._boiler_depth > 0,
+            )
+        )
+
+    # -- tag events --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag in ("br", "hr"):  # void elements: br = soft space, hr = block break
+            if not self._skip_depth and not self._table_depth:
+                if tag == "br":
+                    self._buf.append(" ")
+                else:
+                    self._flush()
+            return
+        role = next((v for k, v in attrs if k == "role" and v), "")
+        boiler = tag in _BOILER_TAGS or role.lower() in _BOILER_ROLES
+        if tag == "table" and self._table_depth == 0:
+            self._flush()
+            self._table_depth = 1
+            self._table_rows = []
+            self._cell_buf = None
+            self._table_boiler = self._boiler_depth > 0 or boiler
+            self._stack.append("table")
+            if boiler:
+                self._boiler_depth += 1
+                self._stack.append("\x00boiler")
+            return
+        if self._table_depth:
+            if tag == "table":
+                self._table_depth += 1
+            elif tag == "tr":
+                self._table_rows.append([])
+            elif tag in ("td", "th"):
+                self._cell_buf = []
+            return
+        if tag == "a":
+            self._link_depth += 1
+            self._stack.append(tag)
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _HEADINGS:
+                self._kind_stack.append("heading")
+            elif tag == "li":
+                self._kind_stack.append("li")
+            elif tag in ("p", "blockquote", "pre", "figcaption", "dd", "dt", "address"):
+                self._kind_stack.append("p")
+            else:
+                self._kind_stack.append("")  # transparent container
+        if boiler:
+            self._boiler_depth += 1
+            self._stack.append("\x00boiler:" + tag)
+        else:
+            self._stack.append(tag)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag == "br" and not self._skip_depth and not self._table_depth:
+            self._buf.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._table_depth:
+            if tag in ("td", "th") and self._cell_buf is not None:
+                cell = _WS_RE.sub(" ", "".join(self._cell_buf)).strip()
+                if not self._table_rows:
+                    self._table_rows.append([])
+                self._table_rows[-1].append(cell)
+                self._cell_buf = None
+                return
+            if tag == "table":
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    self._end_table()
+                return
+            if tag in ("tr", "thead", "tbody", "th"):
+                return
+            return
+        if tag == "a":
+            if self._link_depth:
+                self._link_depth -= 1
+            if self._stack and self._stack[-1] == "a":
+                self._stack.pop()
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if self._kind_stack:
+                self._kind_stack.pop()
+        # unwind stack entry (tolerate malformed nesting)
+        for i in range(len(self._stack) - 1, -1, -1):
+            s = self._stack[i]
+            if s == tag or s == "\x00boiler:" + tag:
+                if s.startswith("\x00boiler"):
+                    self._boiler_depth = max(0, self._boiler_depth - 1)
+                del self._stack[i]
+                break
+
+    def _end_table(self) -> None:
+        # pop table stack entries
+        for i in range(len(self._stack) - 1, -1, -1):
+            s = self._stack[i]
+            if s == "\x00boiler":
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+                del self._stack[i]
+            elif s == "table":
+                del self._stack[i]
+                break
+        rows = [r for r in self._table_rows if any(c for c in r)]
+        if not rows:
+            return
+        ncols = max(len(r) for r in rows)
+        lines = [f"[TABLE: {len(rows)}x{ncols}]"]
+        for r in rows:
+            padded = list(r) + [""] * (ncols - len(r))
+            lines.append("| " + " | ".join(padded) + " |")
+        lines.append("[TABLE END]")
+        text = "\n".join(lines)
+        self.blocks.append(
+            _Block(
+                kind="table",
+                text=text,
+                link_chars=0,
+                total_chars=sum(_nonws_len(c) for r in rows for c in r) or 1,
+                boiler=self._table_boiler,
+            )
+        )
+
+    # -- text --------------------------------------------------------
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._table_depth:
+            if self._cell_buf is not None:
+                self._cell_buf.append(data)
+            return
+        self._buf.append(data)
+        if self._link_depth:
+            self._buf_link_chars += _nonws_len(data)
+
+    def close(self) -> None:  # flush trailing text
+        super().close()
+        self._flush()
+
+
+def segment_html(html: str) -> list[_Block]:
+    """Parse HTML into classified text blocks (document order)."""
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # malformed beyond the parser's tolerance: keep whatever blocks
+        # were produced (never raise — per-row error policy lives above)
+        pass
+    return p.blocks
+
+
+def classify_block(b: _Block, cfg: PipelineConfig) -> bool:
+    """True if the block is main content (rules R-container/R-link/R-short)."""
+    if b.boiler or not b.text:
+        return False
+    if b.kind != "table":
+        density = b.link_chars / b.total_chars if b.total_chars else 1.0
+        if density > cfg.max_link_density:
+            return False
+    n = len(b.text)
+    if b.kind == "heading":
+        return n >= cfg.min_heading_chars
+    if b.kind == "li":
+        return n >= cfg.min_list_item_chars
+    if b.kind == "table":
+        return True
+    return n >= cfg.min_paragraph_chars
+
+
+def render_block(b: _Block) -> str:
+    if b.kind == "li":
+        return "- " + b.text
+    return b.text
+
+
+def extract_html(html: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> tuple[str, int]:
+    """bytes-of-HTML -> (main content text, n_kept_blocks). Deterministic."""
+    blocks = segment_html(html)
+    kept = [render_block(b) for b in blocks if classify_block(b, cfg)]
+    return "\n\n".join(kept), len(kept)

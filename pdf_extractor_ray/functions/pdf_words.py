@@ -1,0 +1,508 @@
+"""PDF layout extraction over word geometry.
+
+Re-implements, from scratch, the reference's per-document extraction
+semantics (reference extractor.py:91-994) as pure functions over the
+word-dict domain that pdfplumber's
+``page.extract_words(extra_attrs=['fontname','size','height'])``
+yields (reference extractor.py:163-169):
+
+    word = {text, x0, x1, top, bottom, size, fontname}
+
+Pipeline per document (reference extract_pdf, extractor.py:91-121):
+
+  1. detect repeating headers/footers over the first min(5, n) pages
+     (M2, extractor.py:123-159)
+  2. per page: exclude words inside table bboxes (M15,
+     extractor.py:819-842) -> integrate super/subscripts (M13,
+     extractor.py:629-755) -> smart metadata filter (M4-M8,
+     extractor.py:218-477) -> column detection (M9,
+     extractor.py:479-504) -> reading-order lines + gap/script-aware
+     spacing (M10-M12, extractor.py:506-627) -> append formatted
+     tables in Y order (M16, extractor.py:844-874)
+  3. join pages with a blank line; cleanup squeezes >=3 consecutive
+     newlines to 2 (M17, extractor.py:876-901)
+
+Determinism: every sort uses an explicit total key ((top, x0, text)),
+never relies on set iteration order, and uses no wall clock — the
+reference's contract (extractor.py:3-9) made explicit (SURVEY.md §7.4).
+
+Payload encoding (FIXTURES.md F3): fixtures carry
+``%PDF-FIXTURE\n`` + JSON {pages: [{width, height, words: [...],
+tables: [{bbox, rows, cols, cells}]}]}. Real ``%PDF-`` binaries go
+through pdfplumber into the same dicts when the library is available
+(it is not in this container — gated behind an import-try).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import Counter
+from typing import Any
+
+from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+FIXTURE_MAGIC = b"%PDF-FIXTURE\n"
+
+# ---------------------------------------------------------------------------
+# Pattern families (re-derived from reference extractor.py:56-85,
+# footnote_extractor.py:71-103 — compiled once per actor via Patterns()).
+# ---------------------------------------------------------------------------
+
+
+class Patterns:
+    """Compiled regex tables; build once per actor (reference holds them
+    on the extractor instance, extractor.py:56-85 / processor.py:32)."""
+
+    def __init__(self) -> None:
+        # R1 section numbers — KEEP (extractor.py:66-74, M5 :315-336)
+        self.section = [
+            re.compile(r"^\d+(\.\d+)+\.?$"),          # 1.2 / 3.4.5
+            re.compile(r"^\(\d+\)$"),                   # (1)
+            re.compile(r"^[①-⑳]$"),                    # circled digits
+            re.compile(r"^第\d+[章節条項]$"),           # 第1章
+            re.compile(r"^[一二三四五六七八九十]+[、.]$"),  # 一、
+            re.compile(r"^\d+[.)]$"),                  # 1.  1)
+        ]
+        # R2 footnote markers — KEEP (extractor.py:75-80)
+        self.footnote_marker = [
+            re.compile(r"^\*\d+$"),                     # *1
+            re.compile(r"^※\d*$"),                      # ※ / ※1
+            re.compile(r"^[†‡]$"),
+            re.compile(r"^[¹²³⁴⁵⁶⁷⁸⁹⁰]+$"),            # unicode superscripts
+            re.compile(r"^\(注\d*\)$"),
+        ]
+        # R3 strict page numbers — DROP when isolated in margin zones
+        # (extractor.py:56-65, M6 :338-383)
+        self.page_number = [
+            re.compile(r"^-?\s?\d{1,4}\s?-?$"),        # 5 / -5- / - 5 -
+            re.compile(r"^\d{1,4}\s*/\s*\d{1,4}$"),   # 5/20
+            re.compile(r"^[Pp]age\s*\d{1,4}$"),
+            re.compile(r"^\d{1,4}ページ$"),
+        ]
+        # footnote definition heads, e.g. "*1:" "※2." (footnote_extractor.py:71-103)
+        self.footnote_def = re.compile(r"^(\*\d+|※\d*|[†‡]|\(注\d*\))[::.．]?$")
+
+
+# ---------------------------------------------------------------------------
+# Character classes (M12, extractor.py:612-627)
+# ---------------------------------------------------------------------------
+
+_JP_RANGES = (
+    (0x3040, 0x309F),  # hiragana
+    (0x30A0, 0x30FF),  # katakana
+    (0x4E00, 0x9FFF),  # CJK unified
+    (0x3400, 0x4DBF),  # CJK ext A
+    (0xFF66, 0xFF9D),  # halfwidth katakana
+)
+_NO_SPACE_BEFORE = set(")]}>,.;:!?、。），．」』】〕〉》!?%")
+_NO_SPACE_AFTER = set("([{<（「『【〔〈《$")
+
+
+def is_japanese_char(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _JP_RANGES)
+
+
+def _should_add_space(prev: dict, cur: dict, cfg: PipelineConfig) -> bool:
+    """Gap- and script-aware spacing (M11, extractor.py:539-610)."""
+    a, b = prev["text"], cur["text"]
+    if not a or not b:
+        return False
+    if b[0] in _NO_SPACE_BEFORE or a[-1] in _NO_SPACE_AFTER:
+        return False
+    gap = cur["x0"] - prev["x1"]
+    if is_japanese_char(a[-1]) and is_japanese_char(b[0]):
+        return gap > cfg.jp_space_gap
+    return gap > cfg.latin_space_gap
+
+
+# ---------------------------------------------------------------------------
+# M2 — repeating header/footer detection (extractor.py:123-159)
+# ---------------------------------------------------------------------------
+
+
+def detect_repeating_elements(
+    pages: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG
+) -> tuple[frozenset[str], frozenset[str]]:
+    """Sample the first min(repeat_sample_pages, n) pages; any word text
+    present in the header (top 10%) / footer (bottom 10%) zone of >=80%
+    of sampled pages is a repeating element."""
+    sample = pages[: min(cfg.repeat_sample_pages, len(pages))]
+    if not sample:
+        return frozenset(), frozenset()
+    head_counts: Counter[str] = Counter()
+    foot_counts: Counter[str] = Counter()
+    for page in sample:
+        h = page["height"]
+        heads = {w["text"] for w in page["words"] if w["top"] < cfg.header_zone_frac * h}
+        foots = {w["text"] for w in page["words"] if w["bottom"] > (1 - cfg.footer_zone_frac) * h}
+        head_counts.update(heads)
+        foot_counts.update(foots)
+    need = cfg.repeat_min_frac * len(sample)
+    headers = frozenset(t for t, c in head_counts.items() if c >= need)
+    footers = frozenset(t for t, c in foot_counts.items() if c >= need)
+    return headers, footers
+
+
+# ---------------------------------------------------------------------------
+# M15 — table-region word exclusion (extractor.py:819-842)
+# ---------------------------------------------------------------------------
+
+
+def exclude_table_words(words: list[dict], tables: list[dict]) -> list[dict]:
+    if not tables:
+        return words
+    boxes = [t["bbox"] for t in tables]
+    out = []
+    for w in words:
+        cx = (w["x0"] + w["x1"]) / 2.0
+        cy = (w["top"] + w["bottom"]) / 2.0
+        inside = any(bx[0] <= cx <= bx[2] and bx[1] <= cy <= bx[3] for bx in boxes)
+        if not inside:
+            out.append(w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M13/M14 — super/subscript integration (extractor.py:629-792)
+# ---------------------------------------------------------------------------
+
+_SUP_MAP = str.maketrans("0123456789+-=()n", "⁰¹²³⁴⁵⁶⁷⁸⁹⁺⁻⁼⁽⁾ⁿ")
+_SUB_MAP = str.maketrans("0123456789+-=()aeoxn", "₀₁₂₃₄₅₆₇₈₉₊₋₌₍₎ₐₑₒₓₙ")
+
+
+def _trimmed_mean(values: list[float], frac: float) -> float:
+    """Trimmed mean of font sizes (A4, superscript_detector.py:161-177)."""
+    if not values:
+        return 0.0
+    vs = sorted(values)
+    k = int(len(vs) * frac)
+    core = vs[k : len(vs) - k] or vs
+    return sum(core) / len(core)
+
+
+def integrate_scripts(words: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
+    """Attach small raised/lowered glyphs to the word immediately to
+    their left as Unicode super/subscript where a char map exists;
+    otherwise keep the word unchanged (EXTRACT ONLY — never drop).
+
+    Two passes: words below script_size_ratio x trimmed-mean font size
+    are candidates; each attaches to the base word whose right edge is
+    nearest on the left within script_attach_dist horizontally and
+    script_band vertically. Raised vs lowered is judged against the
+    base's vertical midline (reference banding, extractor.py:665-689)."""
+    if len(words) < 2:
+        return words
+    avg = _trimmed_mean([w.get("size", 10.0) for w in words], cfg.trimmed_mean_frac)
+    if avg <= 0:
+        return words
+    threshold = cfg.script_size_ratio * avg
+    bases = [dict(w) for w in words if w.get("size", avg) >= threshold]
+    smalls = sorted(
+        (w for w in words if w.get("size", avg) < threshold),
+        key=lambda w: (w["x0"], w["top"], w["text"]),
+    )
+    leftovers: list[dict] = []
+    for s in smalls:
+        best = None
+        for b in bases:
+            hgap = s["x0"] - b["x1"]
+            if -1.0 <= hgap <= cfg.script_attach_dist and (
+                abs(s["top"] - b["top"]) <= cfg.script_band
+                or abs(s["bottom"] - b["bottom"]) <= cfg.script_band
+            ):
+                if best is None or b["x1"] > best["x1"]:
+                    best = b
+        if best is not None:
+            midline = (best["top"] + best["bottom"]) / 2.0
+            raised = s["bottom"] < midline
+            mapped = s["text"].translate(_SUP_MAP if raised else _SUB_MAP)
+            if mapped != s["text"]:
+                best["text"] = best["text"] + mapped
+                best["x1"] = s["x1"]
+                continue
+        leftovers.append(dict(s))
+    return bases + leftovers
+
+
+# ---------------------------------------------------------------------------
+# M4-M8 — smart metadata filter (extractor.py:218-477)
+# ---------------------------------------------------------------------------
+
+
+def _matches_any(pats: list[re.Pattern], text: str) -> bool:
+    return any(p.match(text) for p in pats)
+
+
+def _has_nearby_content(word: dict, words: list[dict], dist: float) -> bool:
+    """O(n) neighbor scan within `dist` points (M7, extractor.py:385-418)."""
+    cx = (word["x0"] + word["x1"]) / 2.0
+    cy = (word["top"] + word["bottom"]) / 2.0
+    for other in words:
+        if other is word:
+            continue
+        ox = (other["x0"] + other["x1"]) / 2.0
+        oy = (other["top"] + other["bottom"]) / 2.0
+        if ((cx - ox) ** 2 + (cy - oy) ** 2) ** 0.5 <= dist:
+            return True
+    return False
+
+
+def filter_metadata(
+    words: list[dict],
+    page_width: float,
+    page_height: float,
+    headers: frozenset[str],
+    footers: frozenset[str],
+    pats: Patterns,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> list[dict]:
+    """Keep content, drop page furniture. Rule order mirrors the
+    reference (extractor.py:218-313): R1 section numbers keep, R2
+    footnote markers keep, R4 repeated headers/footers drop, R3/R5
+    page-number patterns drop only when isolated in the margin zones,
+    include-by-default."""
+    out = []
+    top_zone = cfg.header_zone_frac * page_height
+    bot_zone = (1 - cfg.footer_zone_frac) * page_height
+    for w in words:
+        t = w["text"]
+        if _matches_any(pats.section, t):
+            out.append(w)
+            continue
+        if _matches_any(pats.footnote_marker, t) or pats.footnote_def.match(t):
+            out.append(w)
+            continue
+        in_header = w["top"] < top_zone
+        in_footer = w["bottom"] > bot_zone
+        if in_header and t in headers:
+            continue
+        if in_footer and t in footers:
+            continue
+        if (in_header or in_footer) and _matches_any(pats.page_number, t):
+            if not _has_nearby_content(w, words, cfg.isolated_dist):
+                continue
+        out.append(w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M9 — column detection (extractor.py:479-504)
+# ---------------------------------------------------------------------------
+
+
+def detect_columns(words: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> list[list[dict]]:
+    """Sort by x0; a horizontal whitespace gap > column_gap_threshold
+    between the running right edge and the next word starts a new
+    column (reference uses the same single-axis split, extractor.py:479-504)."""
+    if not words:
+        return []
+    ordered = sorted(words, key=lambda w: (w["x0"], w["top"], w["text"]))
+    columns: list[list[dict]] = [[ordered[0]]]
+    right = ordered[0]["x1"]
+    for w in ordered[1:]:
+        if w["x0"] - right > cfg.column_gap_threshold:
+            columns.append([w])
+        else:
+            columns[-1].append(w)
+        right = max(right, w["x1"])
+    return columns
+
+
+# ---------------------------------------------------------------------------
+# M10-M11 — reading-order lines + spacing (extractor.py:506-610)
+# ---------------------------------------------------------------------------
+
+
+def extract_column_text(column: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    """Reading-order sort (top, x0, text); group words into lines within
+    line_height_threshold of the line's anchor top; join words with the
+    smart spacing rule; join lines with newlines."""
+    ordered = sorted(column, key=lambda w: (w["top"], w["x0"], w["text"]))
+    lines: list[list[dict]] = []
+    for w in ordered:
+        if lines and abs(w["top"] - lines[-1][0]["top"]) <= cfg.line_height_threshold:
+            lines[-1].append(w)
+        else:
+            lines.append([w])
+    rendered = []
+    for line in lines:
+        line.sort(key=lambda w: (w["x0"], w["top"], w["text"]))
+        parts = [line[0]["text"]]
+        for prev, cur in zip(line, line[1:]):
+            if _should_add_space(prev, cur, cfg):
+                parts.append(" ")
+            parts.append(cur["text"])
+        rendered.append("".join(parts))
+    return "\n".join(rendered)
+
+
+# ---------------------------------------------------------------------------
+# M16 — table formatting/insertion (extractor.py:844-874, layout_analyzer.py:70-103)
+# ---------------------------------------------------------------------------
+
+
+def format_table(table: dict) -> str:
+    rows = table.get("cells", [])
+    nrows = table.get("rows", len(rows))
+    ncols = table.get("cols", max((len(r) for r in rows), default=0))
+    lines = [f"[TABLE: {nrows}x{ncols}]"]
+    for r in rows:
+        padded = [str(c) for c in r] + [""] * (ncols - len(r))
+        lines.append("| " + " | ".join(padded) + " |")
+    lines.append("[TABLE END]")
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# J1 — footnote marker <-> definition matching (footnote_extractor.py:303-371)
+# ---------------------------------------------------------------------------
+
+_MARKER_NORM = re.compile(r"[::.．\s]")
+
+
+def match_footnotes(
+    pages: list[dict], pats: Patterns, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> list[dict]:
+    """Greedy fuzzy 1:1 matching of body markers to bottom-zone
+    definitions. Confidence: exact 1.0 / normalized 0.95, +0.3 same
+    page, +0.2 same type, capped 1.0; accept > 0.5 — reference
+    footnote_extractor.py:303-371. Returns
+    [{marker, page, def_page, text, confidence}] sorted by (page, marker)."""
+    markers: list[tuple[str, int]] = []
+    defs: list[dict] = []
+    for pno, page in enumerate(pages):
+        h = page["height"]
+        bot = (1 - cfg.footnote_zone_frac) * h
+        words = sorted(page["words"], key=lambda w: (w["top"], w["x0"], w["text"]))
+        for i, w in enumerate(words):
+            t = w["text"]
+            if w["top"] < bot and _matches_any(pats.footnote_marker, t):
+                markers.append((t, pno))
+            elif w["top"] >= bot and pats.footnote_def.match(t):
+                line = [w2["text"] for w2 in words[i + 1 :] if abs(w2["top"] - w["top"]) <= cfg.line_height_threshold]
+                defs.append({"marker": t, "page": pno, "text": " ".join(line), "used": False})
+    out = []
+    for m_text, m_page in markers:
+        m_norm = _MARKER_NORM.sub("", m_text)
+        best, best_conf = None, 0.0
+        for d in defs:
+            if d["used"]:
+                continue
+            d_norm = _MARKER_NORM.sub("", d["marker"])
+            if d["marker"] == m_text:
+                conf = 1.0
+            elif d_norm == m_norm:
+                conf = 0.95
+            else:
+                continue
+            if d["page"] == m_page:
+                conf += 0.3
+            conf = min(conf, 1.0)
+            if conf > best_conf:
+                best, best_conf = d, conf
+        if best is not None and best_conf > 0.5:
+            best["used"] = True
+            out.append(
+                {
+                    "marker": m_text,
+                    "page": m_page,
+                    "def_page": best["page"],
+                    "text": best["text"],
+                    "confidence": best_conf,
+                }
+            )
+    out.sort(key=lambda r: (r["page"], r["marker"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M17 — cleanup (extractor.py:876-901)
+# ---------------------------------------------------------------------------
+
+_BLANKS_RE = re.compile(r"\n{3,}")
+_TRAIL_WS_RE = re.compile(r"[ \t]+\n")
+
+
+def cleanup_text(text: str) -> str:
+    text = _TRAIL_WS_RE.sub("\n", text)
+    text = _BLANKS_RE.sub("\n\n", text)
+    return text.strip()
+
+
+# ---------------------------------------------------------------------------
+# M1/M3 — document driver (extract_pdf, extractor.py:91-121 + _extract_page :161-216)
+# ---------------------------------------------------------------------------
+
+
+def extract_page(
+    page: dict,
+    headers: frozenset[str],
+    footers: frozenset[str],
+    pats: Patterns,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> str:
+    words = page.get("words", [])
+    tables = page.get("tables", [])
+    words = exclude_table_words(words, tables)
+    words = integrate_scripts(words, cfg)
+    words = filter_metadata(words, page["width"], page["height"], headers, footers, pats, cfg)
+    columns = detect_columns(words, cfg)
+    col_texts = [extract_column_text(c, cfg) for c in columns]
+    text = "\n".join(t for t in col_texts if t)
+    if tables:
+        for tb in sorted(tables, key=lambda t: (t["bbox"][1], t["bbox"][0])):
+            formatted = format_table(tb)
+            text = (text + "\n\n" + formatted) if text else formatted
+    return text
+
+
+def extract_pdf_pages(
+    pages: list[dict], pats: Patterns | None = None, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> dict[str, Any]:
+    """Full document extraction over parsed pages. Returns
+    {text, n_pages, n_words, footnotes} — single pass over the pages
+    (the reference re-parses the PDF 5-6 times per doc,
+    master_extractor.py:172-615; we fold all phases into one pass,
+    SURVEY.md §3.2)."""
+    pats = pats or Patterns()
+    headers, footers = detect_repeating_elements(pages, cfg)
+    page_texts = [extract_page(p, headers, footers, pats, cfg) for p in pages]
+    text = cleanup_text("\n\n".join(t for t in page_texts if t))
+    footnotes = match_footnotes(pages, pats, cfg)
+    return {
+        "text": text,
+        "n_pages": len(pages),
+        "n_words": len(text.split()),
+        "footnotes": footnotes,
+    }
+
+
+def parse_fixture_payload(payload: bytes) -> list[dict]:
+    """Decode the %PDF-FIXTURE word-geometry payload (FIXTURES.md F3)."""
+    doc = json.loads(payload[len(FIXTURE_MAGIC) :].decode("utf-8"))
+    return doc["pages"]
+
+
+def extract_pdf_bytes(payload: bytes, pats: Patterns | None = None, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
+    """Route a %PDF payload: fixture geometry parses directly; real PDF
+    binaries need pdfplumber (not installed in this container —
+    import-gated, same word-dict domain either way)."""
+    if payload.startswith(FIXTURE_MAGIC):
+        pages = parse_fixture_payload(payload)
+        return extract_pdf_pages(pages, pats, cfg)
+    try:
+        import io
+
+        import pdfplumber  # noqa: F401  (absent in this container)
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "real-PDF parsing requires pdfplumber; only %PDF-FIXTURE payloads are supported here"
+        ) from exc
+    pages = []
+    with pdfplumber.open(io.BytesIO(payload)) as pdf:  # pragma: no cover
+        for p in pdf.pages:
+            ws = p.extract_words(extra_attrs=["fontname", "size", "height"])
+            pages.append({"width": float(p.width), "height": float(p.height), "words": ws, "tables": []})
+    return extract_pdf_pages(pages, pats, cfg)  # pragma: no cover

@@ -1,0 +1,163 @@
+"""Text analysis scalar functions: quality scoring, language ID,
+token counting, fingerprinting.
+
+Quality scoring mirrors the reference's 5-dimension weighted score
+(reference quality_scorer.py:81-162: completeness .30, structure .25,
+accuracy .20, footnotes .15, readability .10; grades A>=90 B>=80 C>=70
+D>=60 F). Language ID / token counting / fingerprinting are the extra
+large-scale training-data-pipeline operators (no reference analog) —
+deterministic heuristics from public n-gram-profile literature.
+
+All functions are pure and deterministic; the vectorized entry points
+operate on lists/arrays for use inside map_batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish token split: word pieces, numbers, or single non-space symbols
+_TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
+_SENT_END = re.compile(r"[.!?。！?]")
+
+_STOPWORDS = {
+    "en": frozenset("the a an and or of to in is are was were for on with as by at it this that be".split()),
+    "de": frozenset("der die das und oder von zu in ist sind für auf mit als bei es ein eine".split()),
+    "fr": frozenset("le la les et ou de du des à en est sont pour sur avec un une ce que".split()),
+    "es": frozenset("el la los las y o de del a en es son para sobre con un una que este".split()),
+}
+
+_JP_RE = re.compile(r"[぀-ヿ一-鿿]")
+
+
+def token_count(text: str) -> int:
+    """BPE-ish token count (letters runs / digit runs / single symbols)."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def whitespace_token_count(text: str) -> int:
+    return len(text.split())
+
+
+def detect_lang(text: str) -> str:
+    """n-gram/stopword heuristic language ID over {en,ja,de,fr,es}.
+
+    Japanese wins if >=5% of chars are kana/CJK; otherwise the language
+    whose stopword list covers the most tokens (ties break by fixed
+    language order en,de,es,fr). Returns 'und' when nothing matches."""
+    if not text:
+        return "und"
+    jp = len(_JP_RE.findall(text))
+    if jp >= 0.05 * len(text):
+        return "ja"
+    toks = [t.lower() for t in _WORD_RE.findall(text)]
+    if not toks:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in ("en", "de", "es", "fr"):
+        hits = sum(1 for t in toks if t in _STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits == 0:
+        return "und"
+    return best_lang
+
+
+def quality_dimensions(text: str, n_footnote_matches: int = 0, n_footnote_markers: int = 0) -> dict:
+    """Per-document quality dimensions in [0, 100] (quality_scorer.py:100-162)."""
+    n = len(text)
+    words = text.split()
+    nw = len(words)
+    completeness = min(100.0, nw / 2.0)  # ~200 words saturates
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    structure = min(100.0, 20.0 * len(lines)) if n else 0.0
+    bad = text.count("�") + text.count("\x00")
+    accuracy = max(0.0, 100.0 - 25.0 * bad)
+    if n_footnote_markers:
+        footnotes = 100.0 * n_footnote_matches / n_footnote_markers
+    else:
+        footnotes = 100.0
+    sents = len(_SENT_END.findall(text))
+    avg_word = (sum(len(w) for w in words) / nw) if nw else 0.0
+    readability = 100.0 if (sents > 0 and 2.0 <= avg_word <= 12.0) else (50.0 if nw else 0.0)
+    return {
+        "completeness": completeness,
+        "structure": structure,
+        "accuracy": accuracy,
+        "footnotes": footnotes,
+        "readability": readability,
+    }
+
+
+def quality_score(text: str, n_footnote_matches: int = 0, n_footnote_markers: int = 0) -> float:
+    d = quality_dimensions(text, n_footnote_matches, n_footnote_markers)
+    return round(
+        0.30 * d["completeness"]
+        + 0.25 * d["structure"]
+        + 0.20 * d["accuracy"]
+        + 0.15 * d["footnotes"]
+        + 0.10 * d["readability"],
+        2,
+    )
+
+
+def grade(score: float) -> str:
+    """A>=90 B>=80 C>=70 D>=60 F (quality_scorer.py:19-25)."""
+    if score >= 90:
+        return "A"
+    if score >= 80:
+        return "B"
+    if score >= 70:
+        return "C"
+    if score >= 60:
+        return "D"
+    return "F"
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling hash) — training-data-pipeline extra
+# ---------------------------------------------------------------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def fingerprint(text: str, window: int = 64) -> int:
+    """Deterministic rolling-hash document fingerprint: min of Rabin-
+    Karp window hashes (winnowing-style, public MOSS literature); falls
+    back to the full-text hash for short docs."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        h = 0
+        for b in data:
+            h = (h * _BASE + b) % _MOD
+        return h
+    pw = pow(_BASE, window - 1, _MOD)
+    h = 0
+    for b in data[:window]:
+        h = (h * _BASE + b) % _MOD
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * _BASE + data[i]) % _MOD
+        if h < best:
+            best = h
+    return best
+
+
+def quality_signals(text: str) -> dict:
+    """Cheap quality-filter signals (length / punctuation / stopword
+    ratios) used by web-corpus cleaning pipelines (C4/Gopher-style
+    rules, public)."""
+    n = len(text)
+    words = text.split()
+    nw = len(words)
+    toks = [t.lower() for t in _WORD_RE.findall(text)]
+    stop_hits = sum(1 for t in toks if t in _STOPWORDS["en"])
+    return {
+        "n_chars": n,
+        "n_words": nw,
+        "avg_word_len": (sum(len(w) for w in words) / nw) if nw else 0.0,
+        "punct_ratio": (sum(1 for c in text if not c.isalnum() and not c.isspace()) / n) if n else 0.0,
+        "stopword_ratio": (stop_hits / len(toks)) if toks else 0.0,
+    }

@@ -1,0 +1,87 @@
+"""Generic relational operators over Ray Data Datasets, used by the
+driver-checked queries (TPC-H-ish tables; SURVEY.md §2.5-2.7).
+
+Scale patterns encoded here:
+- broadcast_join : small dimension side ray.put ONCE, pandas merge
+  per batch inside map_batches — no shuffle (ray_guide joins pattern).
+- pre_aggregate  : per-batch partial aggregation (combiner) before the
+  groupby so the shuffle moves one row per key per batch, not the
+  corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+import ray
+import ray.data
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small_df: pd.DataFrame,
+    on_big: str | Sequence[str],
+    on_small: str | Sequence[str] | None = None,
+    how: str = "inner",
+    small_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Join a Dataset against a small pandas dimension table without a
+    shuffle. The dimension table is ray.put once; each actor fetches it
+    once in __init__ (never per batch)."""
+    on_small = on_small or on_big
+    if small_cols:
+        keep = list(dict.fromkeys(list(small_cols) + ([on_small] if isinstance(on_small, str) else list(on_small))))
+        small_df = small_df[keep]
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self) -> None:
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, how=how, left_on=on_big, right_on=on_small)
+
+    return big.map_batches(Joiner, batch_format="pandas", batch_size=8192, concurrency=(1, 2))
+
+
+def pre_aggregate(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: bool = True,
+) -> ray.data.Dataset:
+    """Partial per-batch combine: emits one row per key per batch with
+    partial sums/counts. Follow with groupby(keys).aggregate(Sum(...))
+    over the (tiny) partials — the shuffle then moves K x B rows, not N."""
+    keys = list(keys)
+    sums = list(sums)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        agg: dict[str, tuple[str, str]] = {f"_sum_{c}": (c, "sum") for c in sums}
+        if counts:
+            agg["_partial_n"] = (keys[0], "size")
+        return batch.groupby(keys, as_index=False, sort=True).agg(**agg)
+
+    return ds.map_batches(combine, batch_format="pandas")
+
+
+def final_aggregate(
+    partials: ray.data.Dataset,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    counts: bool = True,
+) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(f"_sum_{c}", alias_name=f"sum_{c}") for c in sums]
+    if counts:
+        aggs.append(Sum("_partial_n", alias_name="n"))
+    return partials.groupby(list(keys)).aggregate(*aggs)
+
+
+def grouped_sum(
+    ds: ray.data.Dataset, keys: Sequence[str], sums: Sequence[str], counts: bool = True
+) -> ray.data.Dataset:
+    """Pre-aggregated grouped sum/count (the scalable groupby)."""
+    return final_aggregate(pre_aggregate(ds, keys, sums, counts), keys, sums, counts)

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk : exact cosine top-k — the query matrix is
+  broadcast ONCE via ray.put; each map_batches task does one numpy
+  matmul per batch against it (never re-shipped per batch); partial
+  per-batch top-k rows are merged by a final small sort. Oracle-able
+  in DuckDB via list_cosine_similarity.
+- ivf_topk : IVF-style scale path — k-means-ish centroids from a
+  deterministic sample, batches assign rows to their nearest centroid
+  (bucket column), and only buckets near the query are scanned. At
+  256-node scale the bucket column doubles as the partition key so a
+  query touches a fraction of blocks.
+- embedding_neardup_pairs : all pairs with cosine >= threshold
+  (embedding near-duplicate detection) via bucketed blocking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BatchTopK:
+    """Per-batch exact cosine scores against the broadcast query."""
+
+    def __init__(self, qref, k: int, id_col: str, vec_col: str) -> None:
+        q = ray.get(qref)  # fetched once per actor from the object store
+        self.q = _normalize_rows(np.atleast_2d(np.asarray(q, dtype=np.float32)))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch[self.vec_col].to_numpy())  # (B, D)
+        m = _normalize_rows(m.astype(np.float32))
+        scores = m @ self.q.T  # (B, Q)
+        s = scores[:, 0]
+        k = min(self.k, len(s))
+        idx = np.argpartition(-s, k - 1)[:k]
+        out = pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy()[idx],
+                "cos": s[idx].astype(np.float64),
+            }
+        )
+        return out
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k. Result: (id_col, cos) sorted by
+    (-cos, id_col) — deterministic tie-break."""
+    qref = ray.put(np.asarray(query, dtype=np.float32))
+    partial = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, k, id_col, vec_col),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+    allp = partial.to_pandas()
+    allp = allp.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
+    return allp.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    ds: ray.data.Dataset, n_centroids: int = 16, sample_rows: int = 2048, vec_col: str = "embedding", iters: int = 5
+) -> np.ndarray:
+    """Deterministic mini k-means on a prefix sample (limit(), not
+    random_sample — reproducible)."""
+    sample = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float32) for r in ds.limit(sample_rows).take_all()]
+    )
+    sample = _normalize_rows(sample)
+    cents = sample[:: max(1, len(sample) // n_centroids)][:n_centroids].copy()
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def assign_buckets(
+    ds: ray.data.Dataset, centroids: np.ndarray, vec_col: str = "embedding"
+) -> ray.data.Dataset:
+    cref = ray.put(centroids.astype(np.float32))
+
+    class Assign:
+        def __init__(self) -> None:
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+            batch = batch.copy()
+            batch["bucket"] = (m @ self.c.T).argmax(axis=1).astype(np.int32)
+            return batch
+
+    return ds.map_batches(Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 2))
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Approximate top-k: scan only the n_probe buckets nearest the
+    query. Recall < 1.0 by design; verified in tests against
+    brute_force_topk recall, not equality."""
+    cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    q = _normalize_rows(np.atleast_2d(np.asarray(query, dtype=np.float32)))[0]
+    probes = set(np.argsort(-(cents @ q))[:n_probe].tolist())
+    bucketed = assign_buckets(ds, cents, vec_col=vec_col)
+
+    def in_probes(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["bucket"].isin(probes)]
+
+    pruned = bucketed.map_batches(in_probes, batch_format="pandas")
+    return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_neardup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """All pairs with cosine >= threshold, blocked by IVF bucket (pairs
+    straddling buckets with cos >= threshold are overwhelmingly rare for
+    tight thresholds; the exact variant would multi-assign borderline
+    rows). Returns (a, b, cos), a < b, sorted."""
+    cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    bucketed = assign_buckets(ds, cents, vec_col=vec_col)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        m = _normalize_rows(np.stack(g[vec_col].to_numpy()).astype(np.float32))
+        s = m @ m.T
+        ii, jj = np.where(np.triu(s >= threshold, k=1))
+        order = np.argsort(ids)
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        del order
+        return pd.DataFrame({"a": a, "b": b, "cos": s[ii, jj].astype(np.float64)})
+
+    out = bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas").to_pandas()
+    return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)

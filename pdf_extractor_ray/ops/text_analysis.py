@@ -1,0 +1,56 @@
+"""Corpus text-analysis stages over the documents table
+(doc_id, text, lang, source, n_chars): language ID, quality signals,
+token counts, fingerprints — the training-data-pipeline operators
+(scored per row inside one actor-pool map_batches; no shuffle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from pdf_extractor_ray.functions import textstats
+
+
+class TextAnalyzer:
+    """One pass per batch producing all per-doc text metrics."""
+
+    def __init__(self, with_fingerprint: bool = True) -> None:
+        self.with_fingerprint = with_fingerprint
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].tolist()
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        out["detected_lang"] = [textstats.detect_lang(t) for t in texts]
+        out["n_tokens"] = [textstats.token_count(t) for t in texts]
+        out["n_ws_tokens"] = [textstats.whitespace_token_count(t) for t in texts]
+        sig = [textstats.quality_signals(t) for t in texts]
+        out["avg_word_len"] = [s["avg_word_len"] for s in sig]
+        out["punct_ratio"] = [s["punct_ratio"] for s in sig]
+        out["stopword_ratio"] = [s["stopword_ratio"] for s in sig]
+        out["quality_score"] = [textstats.quality_score(t) for t in texts]
+        if self.with_fingerprint:
+            out["fingerprint"] = [textstats.fingerprint(t) for t in texts]
+        return out
+
+
+def analyze(ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 512) -> ray.data.Dataset:
+    return ds.map_batches(
+        TextAnalyzer,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_ws_tokens) — whitespace tokenization, SQL-oracle-able."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_ws_tokens": [len(t.split()) for t in batch["text"]],
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,121 @@
+"""End-to-end extraction pipeline (the flagship; SURVEY.md §7.0).
+
+    read_parquet(pages)                # prune to url,warc_ts,html,lang
+      [resume filter: anti-join completed urls from the manifest]
+      .map_batches(Extractor, pyarrow, actor pool)
+      .map_batches(PartitionWriter)    # corpus -> partitioned parquet + lineage
+    corpus checks: groupby(lang) aggregates / sort(url) / dedup(url)
+
+Scale notes (designed for ~100 TB / 10^12 rows, tested single-node):
+- the read prunes columns; `override_num_blocks` keeps input blocks
+  small so one fat row-group can't serialize a stage;
+- the extraction stage is an actor pool (compiled patterns amortized);
+  batch_size is small because rows carry multi-KB..MB blobs;
+- the writer emits only tiny manifest rows downstream, so consuming
+  the pipeline materializes ~1 row per partition, never the corpus;
+- nothing here calls ray.init(); callers own the session.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
+from pdf_extractor_ray.stages.extractor import Extractor
+from pdf_extractor_ray.state.manifest import PartitionWriter, completed_urls
+
+INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def read_pages(path: str, num_blocks: int | None = None) -> ray.data.Dataset:
+    kw = {"columns": INPUT_COLUMNS}
+    if num_blocks:
+        kw["override_num_blocks"] = num_blocks
+    return ray.data.read_parquet(path, **kw)
+
+
+def extraction_dataset(
+    source: str | ray.data.Dataset,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Lazy Dataset of extraction results (RESULT_SCHEMA rows)."""
+    ds = read_pages(source, num_blocks) if isinstance(source, str) else source
+    return ds.map_batches(
+        Extractor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.concurrency),
+        num_cpus=cfg.num_cpus_per_actor,
+    )
+
+
+def run_extraction(
+    input_path: str,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+    num_blocks: int | None = None,
+) -> dict:
+    """Run the flagship pipeline to a partitioned parquet corpus with a
+    checkpoint manifest; returns run stats. Re-running after a crash
+    skips every url already recorded in the manifest (idempotent)."""
+    ds = read_pages(input_path, num_blocks)
+    n_skipped = 0
+    if resume:
+        done = completed_urls(out_dir)
+        if done:
+            import ray as _ray
+
+            done_ref = _ray.put(done)  # broadcast once, read per task
+
+            def _skip_done(batch):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                done_set = _ray.get(done_ref)
+                mask = pa.array([u not in done_set for u in batch.column("url").to_pylist()])
+                return batch.filter(mask)
+
+            n_skipped = len(done)
+            ds = ds.map_batches(_skip_done, batch_format="pyarrow")
+    results = extraction_dataset(ds, cfg)
+    manifest = results.map_batches(
+        PartitionWriter,
+        fn_constructor_args=(out_dir,),
+        batch_format="pyarrow",
+        batch_size=cfg.rows_per_output_file,
+        concurrency=(1, 2),
+        num_cpus=0.5,
+    )
+    rows = manifest.take_all()  # tiny: one row per output partition
+    return {
+        "partitions_written": len(rows),
+        "rows_written": int(sum(r["n_rows"] for r in rows)),
+        "urls_skipped_resume": n_skipped,
+        "out_dir": out_dir,
+    }
+
+
+def corpus_stats_by_lang(results: ray.data.Dataset) -> ray.data.Dataset:
+    """groupby-lang corpus aggregate (north rule; reference batch stats
+    processor.py:139-171 as a distributed groupby)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    return results.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_words", alias_name="total_words"),
+        Mean("quality_score", alias_name="avg_quality"),
+    )
+
+
+def dedup_by_url(results: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact corpus dedup on url: hash-partition groupby, first wins
+    (reference skip-existing D4 generalized; SURVEY.md §2.7 D-global)."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("warc_ts", kind="stable").head(1)
+
+    return results.groupby("url").map_groups(first, batch_format="pandas")

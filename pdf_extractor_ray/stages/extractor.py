@@ -1,0 +1,127 @@
+"""The extraction actor: one map_batches callable class for the whole
+per-document chain (HTML boilerplate strip | PDF word-geometry parse).
+
+Mirrors the reference's single shared extractor instance reused across
+files (reference processor.py:32) as an actor-pool stage: compiled
+pattern tables built ONCE per actor in __init__, per-batch work in
+__call__ over zero-copy Arrow record batches. The UDF never raises —
+per-row failures become the `error` column (reference's per-file
+try/except, processor.py:130-137, and 3-level page recovery ladder,
+error_handler.py:437-479, collapse into structured error emission;
+SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
+from pdf_extractor_ray.functions import textstats
+from pdf_extractor_ray.functions.html_extract import extract_html
+from pdf_extractor_ray.functions.pdf_words import (
+    FIXTURE_MAGIC,
+    Patterns,
+    extract_pdf_bytes,
+)
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("payload_kind", pa.string()),  # html | pdf | empty
+        ("extracted_text", pa.large_string()),
+        ("n_blocks", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("n_words", pa.int64()),
+        ("n_footnotes", pa.int32()),
+        ("quality_score", pa.float64()),
+        ("grade", pa.string()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class Extractor:
+    """map_batches(Extractor, batch_format="pyarrow", concurrency=N).
+
+    __init__ runs once per actor (compile regexes, freeze config);
+    __call__ once per Arrow batch. Output schema is RESULT_SCHEMA.
+    """
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+        self.cfg = cfg
+        self.pats = Patterns()
+
+    def extract_one(self, payload: bytes) -> dict:
+        """Route one payload and extract. Pure; may raise."""
+        if not payload:
+            return {"kind": "empty", "text": "", "n_blocks": 0, "n_pages": 0, "footnotes": []}
+        if payload.startswith(b"%PDF"):
+            res = extract_pdf_bytes(payload, self.pats, self.cfg)
+            return {
+                "kind": "pdf",
+                "text": res["text"],
+                "n_blocks": res["n_pages"],
+                "n_pages": res["n_pages"],
+                "footnotes": res["footnotes"],
+            }
+        html = payload.decode("utf-8", errors="replace")
+        text, n_blocks = extract_html(html, self.cfg)
+        return {"kind": "html", "text": text, "n_blocks": n_blocks, "n_pages": 0, "footnotes": []}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        tss = batch.column("warc_ts").to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
+
+        kinds, texts, n_blocks, n_pages, n_words, n_fns, scores, grades, errors = (
+            [], [], [], [], [], [], [], [], [],
+        )
+        for payload in payloads:
+            try:
+                r = self.extract_one(payload or b"")
+                text = r["text"]
+                fns = r["footnotes"]
+                score = textstats.quality_score(text, len(fns), len(fns))
+                kinds.append(r["kind"])
+                texts.append(text)
+                n_blocks.append(r["n_blocks"])
+                n_pages.append(r["n_pages"])
+                n_words.append(len(text.split()))
+                n_fns.append(len(fns))
+                scores.append(score)
+                grades.append(textstats.grade(score))
+                errors.append(None)
+            except Exception as exc:  # never raise: poison-blob guard
+                kinds.append("error")
+                texts.append("")
+                n_blocks.append(0)
+                n_pages.append(0)
+                n_words.append(0)
+                n_fns.append(0)
+                scores.append(0.0)
+                grades.append("F")
+                errors.append(f"{type(exc).__name__}: {exc}"[:500])
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, pa.timestamp("us")),
+                pa.array(langs, pa.string()),
+                pa.array(kinds, pa.string()),
+                pa.array(texts, pa.large_string()),
+                pa.array(n_blocks, pa.int32()),
+                pa.array(n_pages, pa.int32()),
+                pa.array(n_words, pa.int64()),
+                pa.array(n_fns, pa.int32()),
+                pa.array(scores, pa.float64()),
+                pa.array(grades, pa.string()),
+                pa.array(errors, pa.string()),
+            ],
+            schema=RESULT_SCHEMA,
+        )
+
+
+__all__ = ["Extractor", "RESULT_SCHEMA", "FIXTURE_MAGIC"]
