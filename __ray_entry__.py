@@ -104,8 +104,8 @@ def _q6_revenue(sf_dir: str) -> pd.DataFrame:
     def f(t: pa.Table) -> pa.Table:
         m = pc.and_(
             pc.and_(
-                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1994-01-01"))),
-                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-01-01"))),
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
             ),
             pc.and_(
                 pc.and_(
@@ -184,7 +184,10 @@ def _doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
     out = grouped_sum(ds, ["lang"], ["n_chars"]).to_pandas()
-    return out.rename(columns={"sum_n_chars": "total_chars", "n": "n_docs"})
+    out = out.rename(columns={"sum_n_chars": "total_chars", "n": "n_docs"})
+    out["total_chars"] = out["total_chars"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
 
 
 def _doc_token_counts(sf_dir: str) -> pd.DataFrame:
@@ -258,10 +261,13 @@ def _similarity_ivf_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Cosine pair detection; threshold 0.4 because the synthetic
+    embeddings top out near 0.51 pairwise — the operator is the point,
+    the threshold is data-dependent."""
     from pdf_extractor_ray.ops.similarity import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.95)
+    return embedding_neardup_pairs(ds, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +356,8 @@ def oracle_sql() -> dict[str, str]:
         "q6_revenue": """
             SELECT sum(l_extendedprice * l_discount) AS revenue
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-              AND l_shipdate < TIMESTAMP '1995-01-01'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
         """,
@@ -378,7 +384,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem",
         "doc_stats_by_lang": """
-            SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
         "doc_token_counts": r"""

@@ -105,9 +105,9 @@ def _tpl_article(rng: random.Random, lang: str, n_paras: int) -> tuple[str, str,
     return html, golden, 1 + len(paras), title + " " + " ".join(paras)
 
 
-def _tpl_columns(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
-    left = [_paragraph(rng, lang, 2) for _ in range(2)]
-    right = [_paragraph(rng, lang, 2) for _ in range(2)]
+def _tpl_columns(rng: random.Random, lang: str, fat: int = 1) -> tuple[str, str, int, str]:
+    left = [_paragraph(rng, lang, 2) for _ in range(2 * fat)]
+    right = [_paragraph(rng, lang, 2) for _ in range(2 * fat)]
     html = (
         "<html><body>"
         + _nav_html(rng)
@@ -122,11 +122,11 @@ def _tpl_columns(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
     return html, "\n\n".join(paras), len(paras), " ".join(paras)
 
 
-def _tpl_table(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
+def _tpl_table(rng: random.Random, lang: str, fat: int = 1) -> tuple[str, str, int, str]:
     title = _sentence(rng, lang, 4).rstrip(".。")
-    intro = _paragraph(rng, lang, 2)
-    outro = _paragraph(rng, lang, 2)
-    nrows, ncols = rng.randint(2, 4), rng.randint(2, 4)
+    intro = _paragraph(rng, lang, 2 * fat)
+    outro = _paragraph(rng, lang, 2 * fat)
+    nrows, ncols = rng.randint(2, 4) * fat, rng.randint(2, 4)
     cells = [[f"v{r}{c}" for c in range(ncols)] for r in range(nrows)]
     rows_html = "".join("<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in cells)
     html = (
@@ -144,9 +144,9 @@ def _tpl_table(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
     return html, golden, 4, visible
 
 
-def _tpl_list(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
+def _tpl_list(rng: random.Random, lang: str, fat: int = 1) -> tuple[str, str, int, str]:
     title = _sentence(rng, lang, 4).rstrip(".。")
-    items = [_sentence(rng, lang, rng.randint(5, 9)) for _ in range(rng.randint(3, 5))]
+    items = [_sentence(rng, lang, rng.randint(5, 9)) for _ in range(rng.randint(3, 5) * fat)]
     html = (
         "<html><body>"
         + _nav_html(rng)
@@ -207,7 +207,7 @@ def _lay_line(text: str, top: float, x0: float, jp: bool, size: float = 10.0) ->
     return words
 
 
-def _tpl_pdf(rng: random.Random, lang: str) -> tuple[bytes, str, int, str]:
+def _tpl_pdf(rng: random.Random, lang: str, fat: int = 1) -> tuple[bytes, str, int, str]:
     """Multi-page PDF-geometry doc: repeated header (dropped), body
     lines (kept), one superscript attach, isolated page numbers
     (dropped), a footnote definition line (kept), and a table on the
@@ -229,7 +229,7 @@ def _tpl_pdf(rng: random.Random, lang: str) -> tuple[bytes, str, int, str]:
             golden_lines.append(mline)
             visible.append(mline)
         top = 110.0
-        n_lines = rng.randint(3, 5)
+        n_lines = rng.randint(3, 5) * fat
         for _ in range(n_lines):
             line = _sentence(rng, lang, rng.randint(6, 10)).rstrip(".。")
             words += _lay_line(line, top, 72.0, jp)
@@ -302,7 +302,7 @@ def _tpl_pdf(rng: random.Random, lang: str) -> tuple[bytes, str, int, str]:
 # ---------------------------------------------------------------------------
 
 
-def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True) -> tuple[pa.Table, pa.Table]:
+def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1) -> tuple[pa.Table, pa.Table]:
     """Build (pages, golden) Arrow tables. ~90% HTML / ~10% PDF-geometry
     payloads; 1% big-blob rows; 2 duplicate urls per 250 rows; one empty
     and one malformed payload (FIXTURES.md F1 skew knobs)."""
@@ -329,20 +329,20 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True) -> tuple[pa.
         lang = lang_cycle[i]
         roll = rng.random()
         if roll < 0.10:
-            payload, golden, n_blocks, visible = _tpl_pdf(rng, lang)
+            payload, golden, n_blocks, visible = _tpl_pdf(rng, lang, fat)
             add(i, lang, payload, golden, n_blocks, visible)
             continue
         if roll < 0.28:
-            html, golden, n_blocks, visible = _tpl_columns(rng, lang)
+            html, golden, n_blocks, visible = _tpl_columns(rng, lang, fat)
         elif roll < 0.46:
-            html, golden, n_blocks, visible = _tpl_table(rng, lang)
+            html, golden, n_blocks, visible = _tpl_table(rng, lang, fat)
         elif roll < 0.60:
-            html, golden, n_blocks, visible = _tpl_list(rng, lang)
+            html, golden, n_blocks, visible = _tpl_list(rng, lang, fat)
         elif roll < 0.66:
             html, golden, n_blocks, visible = _tpl_boilerplate_only(rng, lang)
         else:
             big = skew and rng.random() < 0.012
-            n_paras = rng.randint(120, 240) if big else rng.randint(3, 8)
+            n_paras = (rng.randint(120, 240) if big else rng.randint(3, 8)) * fat
             html, golden, n_blocks, visible = _tpl_article(rng, lang, n_paras)
         add(i, lang, html.encode("utf-8"), golden, n_blocks, visible)
 
@@ -380,13 +380,13 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True) -> tuple[pa.
     return pages, golden
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42, skew: bool = True) -> tuple[str, str]:
+def write_corpus(out_dir: str, n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1) -> tuple[str, str]:
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    pages, golden = generate_corpus(n_rows, seed=seed, skew=skew)
+    pages, golden = generate_corpus(n_rows, seed=seed, skew=skew, fat=fat)
     pages_path = os.path.join(out_dir, "pages.parquet")
     golden_path = os.path.join(out_dir, "golden.parquet")
     pq.write_table(pages, pages_path)

@@ -171,4 +171,6 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"a": a, "b": b, "cos": s[ii, jj].astype(np.float64)})
 
     out = bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas").to_pandas()
+    if out.empty:  # zero pairs: preserve the schema
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
