@@ -56,7 +56,9 @@ class PipelineConfig:
     num_cpus_per_actor: float = 1.0
     big_blob_bytes: int = 4 * 1024 * 1024  # rows above this route to the big-blob pool
     big_blob_batch_size: int = 2
-    rows_per_output_file: int = 4096     # output partition granularity (resume unit)
+    rows_per_output_file: int = 512      # output partition granularity (resume unit;
+                                         # also the fused extract+write batch size —
+                                         # keep rows x median blob within ~64MB)
 
     def with_overrides(self, **kw: Any) -> "PipelineConfig":
         return replace(self, **kw)

@@ -380,15 +380,38 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
     return pages, golden
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1) -> tuple[str, str]:
+def write_corpus(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    skew: bool = True,
+    fat: int = 1,
+    n_shards: int = 1,
+) -> tuple[str, str]:
+    """Write the corpus. n_shards > 1 writes pages as a DIRECTORY of
+    shard files with small row groups — a single monolithic file with
+    one row group is read by ONE Ray task and serializes the whole
+    pipeline (measured: the read capped a 32-CPU run at ~2.3x of
+    8 CPUs). Real 100-TB inputs are always many shards."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     pages, golden = generate_corpus(n_rows, seed=seed, skew=skew, fat=fat)
-    pages_path = os.path.join(out_dir, "pages.parquet")
     golden_path = os.path.join(out_dir, "golden.parquet")
-    pq.write_table(pages, pages_path)
     pq.write_table(golden, golden_path)
+    if n_shards <= 1:
+        pages_path = os.path.join(out_dir, "pages.parquet")
+        pq.write_table(pages, pages_path, row_group_size=max(512, n_rows // 16 or 1))
+        return pages_path, golden_path
+    pages_path = os.path.join(out_dir, "pages")
+    os.makedirs(pages_path, exist_ok=True)
+    n = pages.num_rows
+    per = (n + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        shard = pages.slice(i * per, per)
+        if shard.num_rows == 0:
+            break
+        pq.write_table(shard, os.path.join(pages_path, f"shard-{i:04d}.parquet"), row_group_size=512)
     return pages_path, golden_path

@@ -1,0 +1,181 @@
+"""Tests for corpus operators: dedup families, similarity search,
+text analysis, multimodal plumbing, relational helpers."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again today",
+                "the quick brown fox jumps over the lazy dog again and again today",  # exact dup of 0
+                "the quick brown fox jumps over the lazy dog again and again tonight",  # near dup of 0
+                "completely different content about distributed data processing systems",
+                "streaming execution with backpressure across many worker nodes",
+                "yet another unique document with its own words and phrasing here",
+                "the quick brown fox jumps over the lazy dog again and again today!",  # near dup of 0
+                "final document closing out the tiny corpus for the dedup tests",
+            ],
+        }
+    )
+    return ray.data.from_pandas(rows)
+
+
+def test_exact_dedup(docs_ds):
+    from pdf_extractor_ray.ops.dedup import exact_dedup
+
+    kept = exact_dedup(docs_ds).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5, 6, 7]  # doc 1 == doc 0
+
+
+def test_minhash_dedup_drops_near_dups(docs_ds):
+    from pdf_extractor_ray.ops.dedup import minhash_dedup
+
+    kept = sorted(minhash_dedup(docs_ds, threshold=0.8).to_pandas()["doc_id"])
+    assert 0 in kept
+    assert 1 not in kept  # exact dup caught
+    assert 2 not in kept and 6 not in kept  # near dups caught
+    assert {3, 4, 5, 7} <= set(kept)
+
+
+def test_minhash_jaccard_function():
+    from pdf_extractor_ray.ops.dedup import jaccard
+
+    assert jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert jaccard("abcdefgh", "zyxwvuts") == 0.0
+
+
+def test_simhash_dedup(docs_ds):
+    from pdf_extractor_ray.ops.dedup import SimHasher, hamming64, simhash_dedup
+
+    h = SimHasher()
+    a = h.simhash("the quick brown fox jumps over the lazy dog again and again today")
+    b = h.simhash("the quick brown fox jumps over the lazy dog again and again tonight")
+    c = h.simhash("completely different content about distributed data processing")
+    assert hamming64(a, b) < hamming64(a, c)
+    kept = sorted(simhash_dedup(docs_ds, max_hamming=3).to_pandas()["doc_id"])
+    assert 1 not in kept and 0 in kept
+
+
+def test_determinism_of_signatures():
+    from pdf_extractor_ray.ops.dedup import MinHasher
+
+    m1, m2 = MinHasher(num_perm=32), MinHasher(num_perm=32)
+    s1 = m1.signature("some stable text for signatures")
+    s2 = m2.signature("some stable text for signatures")
+    assert (s1 == s2).all()
+
+
+@pytest.fixture()
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(16).astype(np.float32)  # near-dup of 0
+    return ray.data.from_pandas(
+        pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in base]})
+    ), base
+
+
+def test_brute_force_topk_matches_numpy(emb_ds):
+    from pdf_extractor_ray.ops.similarity import brute_force_topk
+
+    ds, base = emb_ds
+    q = base[0]
+    out = brute_force_topk(ds, q, k=5)
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    expect = np.argsort(-(bn @ qn), kind="stable")[:5]
+    assert out["vec_id"].tolist() == expect.tolist()
+    assert out["cos"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ivf_topk_recall(emb_ds):
+    from pdf_extractor_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    ds, base = emb_ds
+    q = base[0]
+    exact = set(brute_force_topk(ds, q, k=5)["vec_id"])
+    approx = set(ivf_topk(ds, q, k=5, n_probe=4, n_centroids=4)["vec_id"])
+    assert len(exact & approx) >= 3  # recall >= 0.6 on this tiny set
+
+
+def test_embedding_neardup_pairs(emb_ds):
+    from pdf_extractor_ray.ops.similarity import embedding_neardup_pairs
+
+    ds, _ = emb_ds
+    pairs = embedding_neardup_pairs(ds, threshold=0.99, n_centroids=4)
+    assert [(0, 1)] == list(zip(pairs["a"], pairs["b"]))
+
+
+def test_text_analysis(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import analyze
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "The quick brown fox and the lazy dog are in the yard.",
+                "日本語の文章はここにあります。データ処理の話です。",
+                "",
+            ],
+        }
+    )
+    out = analyze(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["detected_lang"].tolist() == ["en", "ja", "und"]
+    assert out["n_ws_tokens"].tolist() == [12, 1, 0]
+    assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[0]  # deterministic, not NaN
+
+
+def test_textstats_functions():
+    from pdf_extractor_ray.functions import textstats
+
+    assert textstats.grade(95) == "A" and textstats.grade(59) == "F"
+    assert textstats.token_count("ab 12 x!") == 4
+    assert textstats.detect_lang("der hund und die katze sind auf der straße") == "de"
+    f1 = textstats.fingerprint("stable text " * 20)
+    f2 = textstats.fingerprint("stable text " * 20)
+    assert f1 == f2 and f1 > 0
+
+
+def test_multimodal_featurize(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.multimodal import featurize_images
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([b"\x89PNG\r\n\x1a\n" + b"x" * 100, b"\xff\xd8\xffdata", b""], pa.binary()),
+        }
+    )
+    out = featurize_images(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
+    assert out["format"].tolist() == ["png", "jpeg", "unknown"]
+    assert all(len(f) == 8 for f in out["feature"])
+    # deterministic features
+    out2 = featurize_images(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
+    assert np.allclose(np.stack(out["feature"].to_numpy()), np.stack(out2["feature"].to_numpy()))
+
+
+def test_broadcast_join_and_grouped_sum(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import broadcast_join, grouped_sum
+
+    big = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 1, 3], "v": [10.0, 20.0, 30.0, 40.0]}))
+    dim = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    joined = broadcast_join(big, dim, on_big="k")
+    out = grouped_sum(joined, ["name"], ["v"]).to_pandas().sort_values("name")
+    assert out["sum_v"].tolist() == [40.0, 20.0, 40.0]
+    assert out["n"].tolist() == [2, 1, 1]
