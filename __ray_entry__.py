@@ -174,6 +174,84 @@ def _distinct_returnflag(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"l_returnflag": vals})
 
 
+def _join_priority_agg(sf_dir: str) -> pd.DataFrame:
+    """Big-big distributed hash join (Ray-native Dataset.join, both
+    sides shuffle on the order key) -> grouped revenue by priority."""
+    from pdf_extractor_ray.ops.relational import grouped_sum, hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+
+    def revenue(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rev"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["o_orderpriority", "rev"]]
+
+    out = grouped_sum(joined.map_batches(revenue, batch_format="pandas"), ["o_orderpriority"], ["rev"]).to_pandas()
+    return out.rename(columns={"sum_rev": "revenue", "n": "n_items"})
+
+
+def _asof_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior (or simultaneous) view — ONE co-shuffle on user_id, in-group
+    sort-merge (ops/windows.py; DuckDB ASOF LEFT JOIN oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.windows import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def typed(kind: str, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(cols)
+
+        return f
+
+    purchases = ev.map_batches(typed("purchase", ["event_id", "ts", "user_id"]), batch_format="pyarrow")
+    views = ev.map_batches(typed("view", ["user_id", "ts", "value"]), batch_format="pyarrow")
+    out = asof_join(purchases, views, key="user_id", ts_col="ts", right_cols=("value",), suffix="_view")
+    df = out.to_pandas().rename(columns={"ts_view": "view_ts", "value_view": "view_value"})
+    # left-side ints pick up NaN slots from the unified schema in
+    # pandas groups -> float64; restore exact int dtypes
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    return df[["event_id", "user_id", "ts", "view_ts", "view_value"]].sort_values("event_id").reset_index(drop=True)
+
+
+def _events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-min inactivity window) per user."""
+    from pdf_extractor_ray.ops.windows import sessionize
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = sessionize(ev, key="user_id", ts_col="ts", gap_minutes=30.0).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def _topk_orders_per_priority(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders by price per priority class — per-batch local
+    top-k pre-prune, then a tiny groupby (ops/windows.py)."""
+    from pdf_extractor_ray.ops.windows import topk_per_group
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = topk_per_group(orders, key="o_orderpriority", val="o_totalprice", k=3, tiebreak="o_orderkey").to_pandas()
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice"]].sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+def _distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT user_id) per event type, two-level combine."""
+    from pdf_extractor_ray.ops.windows import distinct_count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = distinct_count(ev, key="event_type", col="user_id", alias="n_users").to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # queries — documents / text analysis
 # ---------------------------------------------------------------------------
@@ -232,6 +310,47 @@ def _text_analysis_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return analyze(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    from pdf_extractor_ray.ops.dedup import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = ngram_jaccard_dedup(ds, threshold=0.8, n=3).to_pandas()
+    return kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    """n-gram/charset-heuristic language ID per document (rows-only:
+    the heuristic itself is the operator under test)."""
+    from pdf_extractor_ray.functions.textstats import detect_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id", "lang"]].copy()
+        out["detected_lang"] = [detect_lang(t) for t in b["text"]]
+        return out
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing-style rolling-hash fingerprints (deterministic)."""
+    from pdf_extractor_ray.functions.textstats import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "fingerprint": np.array([fingerprint(t) for t in b["text"]], dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -313,6 +432,49 @@ def _image_featurize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _audio_featurize(sf_dir: str) -> pd.DataFrame:
+    """Audio plumbing twin of _image_featurize (windowed features,
+    deterministic stubbed codec — ops/multimodal.py)."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops.multimodal import featurize_audio
+
+    docs = _read_pd(sf_dir, "documents", ["doc_id", "text"]).head(200)
+    tbl = pa.table(
+        {
+            "media_id": pa.array(docs["doc_id"].tolist(), pa.int64()),
+            "payload": pa.array([t.encode("utf-8") for t in docs["text"]], pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = featurize_audio(ds).drop_columns(["feature"]).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _extract_dedup_urls(sf_dir: str) -> pd.DataFrame:
+    """North-rule corpus dedup: hash-partition groupby(url) -> first
+    (pipelines/extract.dedup_by_url) over the fixture corpus."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.pipelines.extract import dedup_by_url, extraction_dataset
+
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=4)
+    ds = extraction_dataset(_fixture_pages(500), cfg)
+    out = dedup_by_url(ds).select_columns(["url", "n_words"]).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _extract_sorted_urls(sf_dir: str) -> pd.DataFrame:
+    """North-rule sort-by-url shuffle: a true distributed range-
+    partition sort over the extraction output (not a driver sort)."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.pipelines.extract import extraction_dataset
+
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=4)
+    ds = extraction_dataset(_fixture_pages(500), cfg)
+    rows = ds.select_columns(["url", "n_words"]).sort("url").limit(50).take_all()
+    return pd.DataFrame(rows)[["url", "n_words"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -327,19 +489,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_orders": _top10_orders,
         "events_hourly": _events_hourly,
         "distinct_returnflag": _distinct_returnflag,
+        "join_priority_agg": _join_priority_agg,
+        "asof_purchase_view": _asof_purchase_view,
+        "events_sessions": _events_sessions,
+        "topk_orders_per_priority": _topk_orders_per_priority,
+        "distinct_users_by_type": _distinct_users_by_type,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "top_docs_by_chars": _top_docs_by_chars,
         "exact_dedup_docs": _exact_dedup_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_dedup_docs": _simhash_dedup_docs,
+        "jaccard_dedup_docs": _jaccard_dedup_docs,
         "text_analysis_docs": _text_analysis_docs,
+        "lang_id_docs": _lang_id_docs,
+        "doc_fingerprints": _doc_fingerprints,
         "similarity_topk": _similarity_topk,
         "similarity_ivf_topk": _similarity_ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "extract_corpus": _extract_corpus,
         "extract_stats_by_lang": _extract_stats_by_lang,
+        "extract_dedup_urls": _extract_dedup_urls,
+        "extract_sorted_urls": _extract_sorted_urls,
         "image_featurize": _image_featurize,
+        "audio_featurize": _audio_featurize,
     }
 
 
@@ -383,6 +556,51 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem",
+        "join_priority_agg": """
+            SELECT o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "asof_purchase_view": """
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS view_ts, r.value AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, sess
+            ORDER BY user_id, session_start
+        """,
+        "topk_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+            ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "doc_stats_by_lang": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    count(*) AS n_docs

@@ -220,6 +220,92 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Word n-gram Jaccard near-dedup
+# ---------------------------------------------------------------------------
+
+
+def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """64-bit hashes of the word n-gram set (unique)."""
+    toks = _normalize(text).split(" ")
+    if len(toks) < n:
+        grams = {" ".join(toks)}
+    else:
+        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return np.fromiter((sha1_64(g) for g in grams), dtype=np.uint64, count=len(grams))
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    sa = set(_word_ngram_hashes(text_a, n).tolist())
+    sb = set(_word_ngram_hashes(text_b, n).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 16,
+    rows: int = 8,
+) -> ray.data.Dataset:
+    """Near-dedup on word n-gram Jaccard similarity: candidates via
+    minhash-LSH over the word-gram sets (token-level blocking, vs the
+    char-shingle blocking of `minhash_dedup`), verified with the EXACT
+    word-n-gram Jaccard, keep min-id per duplicate pair.
+
+    Word grams are robust to intra-word edits and much cheaper per doc
+    (|tokens| << |chars|); char shingles catch word-boundary edits —
+    the two operators are complementary, which is why both exist."""
+    import ray as _ray
+
+    hasher = MinHasher(num_perm=num_perm, seed=42)
+
+    class GramMinHasher:
+        def __init__(self) -> None:
+            self.h = hasher
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["doc_id"]].copy()
+            sigs = []
+            for t in batch["text"]:
+                g = _word_ngram_hashes(t, n)
+                vals = (np.outer(self.h.a, g) + self.h.b[:, None]) % _MERSENNE
+                sigs.append(vals.min(axis=1))
+            out["sig"] = sigs
+            return out
+
+    sigs = ds.map_batches(GramMinHasher, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    pairs = minhash_lsh_candidates(sigs, bands=bands, rows=rows).take_all()
+    if not pairs:
+        return ds
+    id_set = {int(p["a"]) for p in pairs} | {int(p["b"]) for p in pairs}
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"].isin(id_set)][["doc_id", "text"]]
+
+    texts = {
+        int(r["doc_id"]): r["text"]
+        for r in ds.map_batches(pick, batch_format="pandas").take_all()
+    }
+    drop: set[int] = set()
+    for p in sorted(pairs, key=lambda p: (int(p["a"]), int(p["b"]))):
+        a, b = int(p["a"]), int(p["b"])
+        if b in drop:
+            continue
+        if ngram_jaccard(texts[a], texts[b], n) >= threshold:
+            drop.add(b)
+    drop_ref = _ray.put(drop)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = _ray.get(drop_ref)
+        return batch[~batch["doc_id"].isin(d)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dedup (Charikar 2002)
 # ---------------------------------------------------------------------------
 

@@ -85,3 +85,27 @@ def grouped_sum(
 ) -> ray.data.Dataset:
     """Pre-aggregated grouped sum/count (the scalable groupby)."""
     return final_aggregate(pre_aggregate(ds, keys, sums, counts), keys, sums, counts)
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Big-big distributed hash join (both sides shuffle) via Ray
+    Data's native `Dataset.join` — use ONLY when neither side fits a
+    broadcast (`broadcast_join` is the no-shuffle fast path for
+    dimension tables). `num_partitions` sizes the hash exchange: at
+    cluster scale set it to ~(cluster cores), and pick the SAME
+    partitioning key across stages so consecutive joins/groupbys on
+    that key reuse co-location."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )

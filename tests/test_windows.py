@@ -1,0 +1,173 @@
+"""Tests for temporal/windowed operators (ops/windows.py) and the
+big-big hash join wrapper, plus the n-gram Jaccard dedup and the audio
+featurize stub."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def events_ds(ray_session):
+    import ray.data
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 1, 1, 1, 2, 2, 2, 3],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=10),  # same session
+                base + pd.Timedelta(minutes=60),  # gap 50m -> new session
+                base + pd.Timedelta(minutes=70),
+                base,
+                base + pd.Timedelta(minutes=31),  # gap 31m -> new session
+                base + pd.Timedelta(minutes=40),
+                base,
+            ],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    return ray.data.from_pandas(rows)
+
+
+def test_sessionize(events_ds):
+    from pdf_extractor_ray.ops.windows import sessionize
+
+    out = (
+        sessionize(events_ds, key="user_id", ts_col="ts", gap_minutes=30.0)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    per_user = out.groupby("user_id")["n_events"].apply(list).to_dict()
+    assert per_user == {1: [2, 2], 2: [1, 2], 3: [1]}
+    first = out.iloc[0]
+    assert first["session_start"] == pd.Timestamp("2024-01-01 00:00:00")
+    assert first["session_end"] == pd.Timestamp("2024-01-01 00:10:00")
+
+
+def test_asof_join(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "event_id": [0, 1, 2],
+                "user_id": [1, 1, 2],
+                "ts": [base + pd.Timedelta(minutes=m) for m in (5, 20, 5)],
+            }
+        )
+    )
+    right = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 2],
+                "ts": [base + pd.Timedelta(minutes=m) for m in (0, 10, 30)],
+                "value": [100.0, 200.0, 300.0],
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, key="user_id", ts_col="ts", right_cols=("value",))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 0 at t=5 matches right t=0; event 1 at t=20 matches t=10;
+    # event 2 (user 2) at t=5 has no prior right row -> nulls
+    assert out["value_right"].tolist()[:2] == [100.0, 200.0]
+    assert pd.isna(out["value_right"].iloc[2])
+    assert out["ts_right"].iloc[1] == base + pd.Timedelta(minutes=10)
+    assert pd.isna(out["ts_right"].iloc[2])
+
+
+def test_topk_per_group(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import topk_per_group
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "id": range(7),
+            "v": [5.0, 9.0, 9.0, 1.0, 2.0, 8.0, 3.0],
+        }
+    )
+    out = (
+        topk_per_group(ray.data.from_pandas(df), key="k", val="v", k=2, tiebreak="id")
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # group a: v=9 (id 1), v=9 (id 2) — tie broken by id; group b: 8, 3
+    assert out[out["k"] == "a"]["id"].tolist() == [1, 2]
+    assert out[out["k"] == "b"]["v"].tolist() == [8.0, 3.0]
+
+
+def test_distinct_count(events_ds):
+    from pdf_extractor_ray.ops.windows import distinct_count
+
+    out = distinct_count(events_ds, key="user_id", col="value", alias="n_vals").to_pandas()
+    got = dict(zip(out["user_id"], out["n_vals"]))
+    assert got == {1: 4, 2: 3, 3: 1}
+
+
+def test_hash_join(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 2, 3], "x": [10, 20, 21, 30]}))
+    right = ray.data.from_pandas(pd.DataFrame({"kk": [2, 3, 4], "y": ["b", "c", "d"]}))
+    out = hash_join(left, right, on="k", right_on="kk", num_partitions=2).to_pandas()
+    out = out.sort_values(["k", "x"]).reset_index(drop=True)
+    assert out["k"].tolist() == [2, 2, 3]
+    assert out["y"].tolist() == ["b", "b", "c"]
+
+
+def test_ngram_jaccard_dedup(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import ngram_jaccard, ngram_jaccard_dedup
+
+    assert ngram_jaccard("a b c d e", "a b c d e", n=2) == 1.0
+    assert ngram_jaccard("a b c d e", "v w x y z", n=2) == 0.0
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again",
+                "completely different words describing some other topic entirely",
+            ],
+        }
+    )
+    kept = sorted(
+        ngram_jaccard_dedup(ray.data.from_pandas(rows), threshold=0.8, n=3).to_pandas()["doc_id"]
+    )
+    assert kept == [0, 2]
+
+
+def test_audio_featurize(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.multimodal import featurize_audio
+
+    wav = b"RIFF\x00\x00\x00\x00WAVEdata" + b"\x01" * 64
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([wav, b"garbage"], pa.binary()),
+        }
+    )
+    out = featurize_audio(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
+    assert out["format"].tolist() == ["wav", "unknown"]
+    assert (out["sample_rate"] > 0).all() and (out["duration_s"] > 0).all()
+    out2 = featurize_audio(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
+    assert np.allclose(np.stack(out["feature"].to_numpy()), np.stack(out2["feature"].to_numpy()))
