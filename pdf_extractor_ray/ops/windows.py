@@ -28,31 +28,49 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     order_tiebreak: str | None = "event_id",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Session-level rows (key, session_start, session_end, n_events).
 
     A new session starts when the gap to the previous event of the same
     key exceeds `gap_minutes`. Events are ordered by (ts, tiebreak) so
-    the assignment is deterministic under equal timestamps."""
+    the assignment is deterministic under equal timestamps.
+
+    The shuffle key is hash(key) mod num_partitions, NOT the key
+    itself: each partition holds all events of its keys, and ONE
+    vectorized pandas pass sessionizes every key in the partition
+    (per-key map_groups would mean one Python call per user — hot at
+    10^8 users)."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def build(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([order_tiebreak] if order_tiebreak and order_tiebreak in g else [])
-        g = g.sort_values(order, kind="stable")
-        ts = g[ts_col].to_numpy()
-        new_sess = np.zeros(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new_sess[1:] = (np.diff(ts) > gap.to_timedelta64()).astype(np.int64)
-        sess = np.cumsum(new_sess)
-        out = pd.DataFrame({key: g[key].to_numpy(), "_sess": sess, ts_col: ts})
-        agg = out.groupby([key, "_sess"], as_index=False, sort=True).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
-        )
-        return agg.drop(columns=["_sess"])
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b[key].to_numpy()) % num_partitions).astype(np.int64)
+        return b
 
-    return ds.groupby(key).map_groups(build, batch_format="pandas")
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, ts_col] + (
+            [order_tiebreak] if order_tiebreak and order_tiebreak in g else []
+        )
+        g = g.sort_values(order, kind="stable")
+        new_key = (g[key] != g[key].shift()).to_numpy()
+        gap_break = ((g[ts_col] - g[ts_col].shift()) > gap).to_numpy()
+        sess = np.cumsum(new_key | gap_break)
+        agg = g.assign(_sess=sess).groupby("_sess", as_index=False, sort=True).agg(
+            **{
+                key: (key, "first"),
+                "session_start": (ts_col, "min"),
+                "session_end": (ts_col, "max"),
+                "n_events": (ts_col, "size"),
+            }
+        )
+        return agg[[key, "session_start", "session_end", "n_events"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(build, batch_format="pandas")
+    )
 
 
 def asof_join(
@@ -70,8 +88,11 @@ def asof_join(
 
     ONE co-shuffle: both sides are projected onto a unified schema
     (typed nulls for the other side's columns, pa.nulls — no object
-    dtype drift), tagged `_side`, unioned, and grouped by key once;
-    the per-key merge is vectorized (sort + np.searchsorted)."""
+    dtype drift), tagged `_side`, unioned, and shuffled ONCE on
+    hash(key) mod num_partitions; each partition then runs a single
+    vectorized `pd.merge_asof(..., by=key)` over all of its keys
+    (per-key map_groups would be one Python call per key)."""
+    num_partitions = 32
     import pyarrow as pa
 
     l_s, r_s = left.schema(), right.schema()
@@ -80,17 +101,23 @@ def asof_join(
     r_types = dict(zip(r_s.names, r_s.types))
     out_right = {c: f"{c}{suffix}" for c in (ts_col, *right_cols)}
 
+    import pyarrow.compute as pc
+
     unified = pa.schema(
         [pa.field(n, l_types[n]) for n in l_names]
         + [pa.field(out_right[c], r_types[c]) for c in (ts_col, *right_cols)]
-        + [pa.field("_side", pa.int8())]
+        + [pa.field("_side", pa.int8()), pa.field("_part", pa.int64())]
     )
+
+    def _part_col(keys: pa.ChunkedArray) -> pa.Array:
+        kh = pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
+        return pa.array((kh % num_partitions).astype(np.int64), pa.int64())
 
     def project_left(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = [t.column(name).cast(l_types[name]) for name in l_names]
         cols += [pa.nulls(n, r_types[c]) for c in (ts_col, *right_cols)]
-        cols += [pa.array([0] * n, pa.int8())]
+        cols += [pa.array([0] * n, pa.int8()), _part_col(t.column(key))]
         return pa.Table.from_arrays(cols, schema=unified)
 
     def project_right(t: pa.Table) -> pa.Table:
@@ -104,7 +131,7 @@ def asof_join(
             else:
                 cols.append(pa.nulls(n, l_types[name]))
         cols += [t.column(c).cast(r_types[c]) for c in (ts_col, *right_cols)]
-        cols += [pa.array([1] * n, pa.int8())]
+        cols += [pa.array([1] * n, pa.int8()), _part_col(t.column(key))]
         return pa.Table.from_arrays(cols, schema=unified)
 
     both = left.map_batches(project_left, batch_format="pyarrow").union(
@@ -112,25 +139,23 @@ def asof_join(
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
         lg = g[g["_side"] == 0].drop(columns=["_side"]).sort_values(ts_col, kind="stable")
         rg = g[g["_side"] == 1].sort_values(ts_col, kind="stable")
-        if lg.empty:
-            return lg
-        if rg.empty:
+        if lg.empty or rg.empty:
             return lg  # right-side columns stay all-null
-        r_ts = rg[ts_col].to_numpy()
-        idx = np.searchsorted(r_ts, lg[ts_col].to_numpy(), side="right") - 1
-        take = np.clip(idx, 0, None)
-        miss = idx < 0
-        for dst in out_right.values():
-            # right rows carry their payload under the suffixed names
-            s = pd.Series(rg[dst].to_numpy()[take], index=lg.index)
-            if miss.any():
-                s[miss] = None
-            lg[dst] = s
-        return lg
+        rg_payload = rg[[key, ts_col, *out_right.values()]]
+        merged = pd.merge_asof(
+            lg.drop(columns=list(out_right.values())),
+            rg_payload,
+            on=ts_col,
+            by=key,
+            direction="backward",
+        )
+        merged.index = lg.index
+        return merged[list(lg.columns)]
 
-    return both.groupby(key).map_groups(merge, batch_format="pandas")
+    return both.groupby("_part").map_groups(merge, batch_format="pandas")
 
 
 def topk_per_group(
