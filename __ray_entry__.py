@@ -463,6 +463,19 @@ def _extract_dedup_urls(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _extract_consensus(sf_dir: str) -> pd.DataFrame:
+    """Multi-engine consensus scoring (reference A9): primary +
+    remediation-variant extractions compared per document."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.ops.consensus import consensus_extract
+    from pdf_extractor_ray.pipelines.extract import read_pages
+
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=4)
+    ds = read_pages(_fixture_pages(500))
+    out = consensus_extract(ds, cfg).drop_columns(["error"]).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _extract_sorted_urls(sf_dir: str) -> pd.DataFrame:
     """North-rule sort-by-url shuffle: a true distributed range-
     partition sort over the extraction output (not a driver sort)."""
@@ -511,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_stats_by_lang": _extract_stats_by_lang,
         "extract_dedup_urls": _extract_dedup_urls,
         "extract_sorted_urls": _extract_sorted_urls,
+        "extract_consensus": _extract_consensus,
         "image_featurize": _image_featurize,
         "audio_featurize": _audio_featurize,
     }

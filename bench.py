@@ -178,7 +178,13 @@ def main() -> None:
 
 def scaling() -> None:
     """North-rule scaling evidence: same extraction job, fresh
-    processes, num_cpus=8 then 32."""
+    processes, num_cpus=8 then 32 (N and 4N parallelism levels).
+
+    Each level runs twice in ALTERNATION (8, 32, 8, 32) and the best
+    time per level is kept: single fresh-process runs vary +/-15% on
+    this shared host (page cache, turbo/thermal drift), and alternating
+    keeps slow host phases from landing on one level only. Each
+    subprocess additionally does its own untimed warm-up run."""
 
     def run(ncpu: int) -> dict:
         # a longer job than the plain bench: ramp-up/straggler tails
@@ -198,7 +204,14 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    best: dict[int, dict] = {}
+    for _ in range(reps):
+        for n in (lo, hi):
+            r = run(n)
+            if n not in best or r["sec"] < best[n]["sec"]:
+                best[n] = r
+    r_lo, r_hi = best[lo], best[hi]
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     print(
         json.dumps(
@@ -212,6 +225,7 @@ def scaling() -> None:
                 "docs_per_s_hi": round(r_hi["docs_per_s"], 1),
                 "scaling_efficiency": round(eff, 3),
                 "docs": r_lo["docs"],
+                "reps_per_level": reps,
             }
         )
     )

@@ -432,6 +432,49 @@ def cleanup_text(text: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# A2/A3 — element inventory + coverage verification
+# (reference element_inventory.py:85-202 counts by position region and
+#  font-size class; :204-269 expected-vs-extracted coverage rollup)
+# ---------------------------------------------------------------------------
+
+
+def _size_class(size: float) -> str:
+    if size > 18:
+        return "large"
+    if size >= 10:
+        return "normal"
+    if size >= 6:
+        return "small"
+    return "tiny"
+
+
+def element_inventory(pages: list[dict]) -> dict[str, int]:
+    """Per-document word counts keyed 'region_sizeclass' (regions:
+    top 15% / middle / bottom 15% of the page)."""
+    counts: dict[str, int] = {}
+    for p in pages:
+        h = p.get("height", 0.0) or 1.0
+        for w in p.get("words", []):
+            top = w.get("top", 0.0)
+            region = "top" if top < 0.15 * h else ("bottom" if top > 0.85 * h else "middle")
+            key = f"{region}_{_size_class(float(w.get('size', 10.0)))}"
+            counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def coverage_report(pages: list[dict], extracted_text: str) -> tuple[float, str]:
+    """Expected-vs-extracted word coverage with the reference's status
+    thresholds (GOOD >= 85, WARNING >= 70, else POOR)."""
+    expected = sum(len(p.get("words", [])) for p in pages)
+    if not expected:
+        return 100.0, "GOOD"
+    extracted = len(extracted_text.split())
+    pct = round(100.0 * min(extracted, expected) / expected, 2)
+    status = "GOOD" if pct >= 85.0 else ("WARNING" if pct >= 70.0 else "POOR")
+    return pct, status
+
+
+# ---------------------------------------------------------------------------
 # M1/M3 — document driver (extract_pdf, extractor.py:91-121 + _extract_page :161-216)
 # ---------------------------------------------------------------------------
 
@@ -471,11 +514,15 @@ def extract_pdf_pages(
     page_texts = [extract_page(p, headers, footers, pats, cfg) for p in pages]
     text = cleanup_text("\n\n".join(t for t in page_texts if t))
     footnotes = match_footnotes(pages, pats, cfg)
+    coverage_pct, coverage_status = coverage_report(pages, text)
     return {
         "text": text,
         "n_pages": len(pages),
         "n_words": len(text.split()),
         "footnotes": footnotes,
+        "inventory": element_inventory(pages),
+        "coverage_pct": coverage_pct,
+        "coverage_status": coverage_status,
     }
 
 

@@ -145,6 +145,52 @@ def fingerprint(text: str, window: int = 64) -> int:
     return best
 
 
+# ---------------------------------------------------------------------------
+# Anti-hallucination pattern scan (reference anti_hallucination.py:51-70
+# concept: extracted text must not contain generated-markup artifacts)
+# ---------------------------------------------------------------------------
+
+_HALLU_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("markdown_fence", re.compile(r"```")),
+    ("markdown_heading", re.compile(r"^#{1,6}\s", re.MULTILINE)),
+    ("markdown_bold", re.compile(r"\*\*[^*\n]+\*\*")),
+    ("markdown_link", re.compile(r"\[[^\]\n]+\]\([^)\n]+\)")),
+    ("html_tag", re.compile(r"</?(?:div|p|span|table|a|ul|li|h[1-6])\b[^>]*>", re.IGNORECASE)),
+    ("ai_phrase", re.compile(r"\b(?:as an ai|i cannot|here is a summary|in summary,)\b", re.IGNORECASE)),
+]
+
+
+def hallucination_flags(text: str) -> list[str]:
+    """Names of generated-markup patterns found in extracted text — an
+    extractor must only EXTRACT, so markdown/HTML artifacts or
+    assistant phrasing in the output indicate a transform leak."""
+    return [name for name, pat in _HALLU_PATTERNS if pat.search(text)]
+
+
+def repetition_ratio(text: str, window: int = 100) -> float:
+    """Distinct ratio of non-overlapping `window`-char shingles
+    (reference quality_scorer.py:342-345: ratio < 0.5 flags repeated
+    content). 1.0 = no repetition; short docs return 1.0."""
+    if len(text) < 2 * window:
+        return 1.0
+    shingles = [text[i : i + window] for i in range(0, len(text) - window + 1, window)]
+    return len(set(shingles)) / len(shingles)
+
+
+_HEX_ESCAPE = re.compile(r"\\x([0-9a-fA-F]{2})")
+
+
+def fix_encoding(text: str) -> str:
+    """Encoding repair (reference error_handler.py:509-540): drop NULs,
+    collapse replacement-char runs, decode literal \\xNN escape
+    sequences. NOT applied inside the extraction path — the byte-
+    identity contract forbids transforms — offered as an explicit
+    opt-in cleanup stage."""
+    text = text.replace("\x00", "")
+    text = re.sub("�{2,}", "�", text)
+    return _HEX_ESCAPE.sub(lambda m: chr(int(m.group(1), 16)), text)
+
+
 def quality_signals(text: str) -> dict:
     """Cheap quality-filter signals (length / punctuation / stopword
     ratios) used by web-corpus cleaning pipelines (C4/Gopher-style

@@ -37,6 +37,10 @@ RESULT_SCHEMA = pa.schema(
         ("n_footnotes", pa.int32()),
         ("quality_score", pa.float64()),
         ("grade", pa.string()),
+        ("coverage_pct", pa.float64()),      # A3: expected-vs-extracted (pdf path; 100 for html)
+        ("coverage_status", pa.string()),    # GOOD / WARNING / POOR
+        ("n_hallu_flags", pa.int32()),       # anti-hallucination pattern hits
+        ("repetition_ratio", pa.float64()),  # D6: distinct 100-char shingle ratio
         ("error", pa.string()),
     ]
 )
@@ -65,10 +69,20 @@ class Extractor:
                 "n_blocks": res["n_pages"],
                 "n_pages": res["n_pages"],
                 "footnotes": res["footnotes"],
+                "coverage_pct": res.get("coverage_pct", 100.0),
+                "coverage_status": res.get("coverage_status", "GOOD"),
             }
         html = payload.decode("utf-8", errors="replace")
         text, n_blocks = extract_html(html, self.cfg)
-        return {"kind": "html", "text": text, "n_blocks": n_blocks, "n_pages": 0, "footnotes": []}
+        return {
+            "kind": "html",
+            "text": text,
+            "n_blocks": n_blocks,
+            "n_pages": 0,
+            "footnotes": [],
+            "coverage_pct": 100.0,
+            "coverage_status": "GOOD",
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -79,6 +93,7 @@ class Extractor:
         kinds, texts, n_blocks, n_pages, n_words, n_fns, scores, grades, errors = (
             [], [], [], [], [], [], [], [], [],
         )
+        cov_pcts, cov_stats, hallu_ns, rep_ratios = [], [], [], []
         for payload in payloads:
             try:
                 r = self.extract_one(payload or b"")
@@ -93,6 +108,10 @@ class Extractor:
                 n_fns.append(len(fns))
                 scores.append(score)
                 grades.append(textstats.grade(score))
+                cov_pcts.append(r.get("coverage_pct", 100.0))
+                cov_stats.append(r.get("coverage_status", "GOOD"))
+                hallu_ns.append(len(textstats.hallucination_flags(text)))
+                rep_ratios.append(textstats.repetition_ratio(text))
                 errors.append(None)
             except Exception as exc:  # never raise: poison-blob guard
                 kinds.append("error")
@@ -103,6 +122,10 @@ class Extractor:
                 n_fns.append(0)
                 scores.append(0.0)
                 grades.append("F")
+                cov_pcts.append(0.0)
+                cov_stats.append("POOR")
+                hallu_ns.append(0)
+                rep_ratios.append(1.0)
                 errors.append(f"{type(exc).__name__}: {exc}"[:500])
 
         return pa.Table.from_arrays(
@@ -118,6 +141,10 @@ class Extractor:
                 pa.array(n_fns, pa.int32()),
                 pa.array(scores, pa.float64()),
                 pa.array(grades, pa.string()),
+                pa.array(cov_pcts, pa.float64()),
+                pa.array(cov_stats, pa.string()),
+                pa.array(hallu_ns, pa.int32()),
+                pa.array(rep_ratios, pa.float64()),
                 pa.array(errors, pa.string()),
             ],
             schema=RESULT_SCHEMA,

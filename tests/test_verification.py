@@ -1,0 +1,113 @@
+"""Tests for the self-verification operators: element inventory /
+coverage (A2/A3), anti-hallucination scan, repetition ratio (D6),
+encoding fixer (M18), and multi-engine consensus (A9)."""
+
+import pandas as pd
+import pytest
+
+
+def test_hallucination_flags():
+    from pdf_extractor_ray.functions.textstats import hallucination_flags
+
+    assert hallucination_flags("plain extracted text, no artifacts") == []
+    assert "markdown_fence" in hallucination_flags("text\n```python\ncode\n```")
+    assert "html_tag" in hallucination_flags("leaked <div class='x'>markup</div>")
+    assert "ai_phrase" in hallucination_flags("As an AI, I cannot do that")
+    assert "markdown_heading" in hallucination_flags("# Title\nbody")
+
+
+def test_repetition_ratio():
+    from pdf_extractor_ray.functions.textstats import repetition_ratio
+
+    assert repetition_ratio("short") == 1.0
+    repeated = ("x" * 100) * 10
+    assert repetition_ratio(repeated) < 0.5
+    varied = "".join(chr(97 + (i * 7) % 26) * 1 for i in range(1000))
+    assert repetition_ratio(varied) > 0.5
+
+
+def test_fix_encoding():
+    from pdf_extractor_ray.functions.textstats import fix_encoding
+
+    assert fix_encoding("a\x00b") == "ab"
+    assert fix_encoding("a����b") == "a�b"
+    assert fix_encoding(r"caf\xe9") == "café"
+
+
+def test_element_inventory_and_coverage():
+    from pdf_extractor_ray.functions.pdf_words import coverage_report, element_inventory
+
+    pages = [
+        {
+            "width": 600.0,
+            "height": 800.0,
+            "words": [
+                {"text": "Header", "top": 10.0, "size": 9.0},     # top region, small
+                {"text": "Body", "top": 400.0, "size": 12.0},     # middle, normal
+                {"text": "Title", "top": 200.0, "size": 20.0},    # middle, large
+                {"text": "Footer", "top": 790.0, "size": 5.0},    # bottom, tiny
+            ],
+            "tables": [],
+        }
+    ]
+    inv = element_inventory(pages)
+    assert inv == {"top_small": 1, "middle_normal": 1, "middle_large": 1, "bottom_tiny": 1}
+
+    pct, status = coverage_report(pages, "Body Title Header Footer")
+    assert pct == 100.0 and status == "GOOD"
+    pct, status = coverage_report(pages, "Body Title Header")
+    assert pct == 75.0 and status == "WARNING"
+    pct, status = coverage_report(pages, "Body")
+    assert status == "POOR"
+    pct, status = coverage_report([{"words": []}], "")
+    assert pct == 100.0 and status == "GOOD"
+
+
+def test_extractor_emits_verification_columns(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.pipelines.extract import extraction_dataset
+    from pdf_extractor_ray.fixtures.generator import write_corpus
+    import os, tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(), "pdfx_verif_fixture")
+    pages = os.path.join(out_dir, "pages.parquet")
+    if not os.path.exists(pages):
+        write_corpus(out_dir, 40)
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=2)
+    df = extraction_dataset(pages, cfg).to_pandas()
+    assert {"coverage_pct", "coverage_status", "n_hallu_flags", "repetition_ratio"} <= set(df.columns)
+    ok = df[df["error"].isna()]
+    assert (ok["coverage_pct"] >= 0).all() and (ok["coverage_pct"] <= 100).all()
+    assert set(ok["coverage_status"]) <= {"GOOD", "WARNING", "POOR"}
+    # extracted text must carry no generated-markup artifacts
+    assert (ok["n_hallu_flags"] == 0).all()
+    assert (ok["repetition_ratio"] > 0).all()
+
+
+def test_consensus_extract(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.ops.consensus import consensus_extract
+    from pdf_extractor_ray.fixtures.generator import write_corpus
+    import os, tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(), "pdfx_verif_fixture")
+    pages = os.path.join(out_dir, "pages.parquet")
+    if not os.path.exists(pages):
+        write_corpus(out_dir, 40)
+    ds = ray.data.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+    out = consensus_extract(ds, DEFAULT_CONFIG).to_pandas()
+    assert len(out) >= 40
+    # the corpus plants poison docs (url contains "malformed"); they
+    # must surface as error rows, never raise
+    bad = out[out["error"].notna()]
+    assert all("malformed" in u for u in bad["url"])
+    ok = out[out["error"].isna()]
+    assert (ok["consensus"] >= 0).all() and (ok["consensus"] <= 1).all()
+    assert (ok["n_variants"] == 3).all()
+    # variants only relax filters, so agreement should be high on the
+    # clean synthetic corpus
+    assert ok["consensus"].mean() > 0.5
