@@ -242,6 +242,17 @@ def _topk_orders_per_priority(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (60-min windows every 15 min)."""
+    from pdf_extractor_ray.ops.windows import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window_agg(ev, window_minutes=60, slide_minutes=15).to_pandas()
+    out = out.rename(columns={"sum_value": "sum_value", "n": "n_events"})
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
 def _distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     """COUNT(DISTINCT user_id) per event type, two-level combine."""
     from pdf_extractor_ray.ops.windows import distinct_count
@@ -505,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_agg": _join_priority_agg,
         "asof_purchase_view": _asof_purchase_view,
         "events_sessions": _events_sessions,
+        "events_sliding_window": _events_sliding_window,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "distinct_users_by_type": _distinct_users_by_type,
         "doc_stats_by_lang": _doc_stats_by_lang,
@@ -601,6 +613,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        "events_sliding_window": """
+            SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS window_start,
+                   event_type,
+                   sum(value) AS sum_value,
+                   count(*) AS n_events
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+            GROUP BY 1, event_type
+            ORDER BY 1, event_type
         """,
         "topk_orders_per_priority": """
             SELECT o_orderpriority, o_orderkey, o_totalprice FROM (

@@ -158,6 +158,50 @@ def asof_join(
     return both.groupby("_part").map_groups(merge, batch_format="pandas")
 
 
+def sliding_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    val: str = "value",
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> ray.data.Dataset:
+    """Sliding-window aggregate: sum/count of `val` per (window_start,
+    key) where windows are `window_minutes` long and start every
+    `slide_minutes`. Each event belongs to window/slide consecutive
+    windows, so the map stage replicates each row that many times with
+    its window_start (vectorized numpy repeat — the standard
+    window-assignment expansion) and a pre-aggregated groupby does the
+    rest; the shuffle moves one partial row per (window, key) per
+    batch, never the events."""
+    assert window_minutes % slide_minutes == 0, "window must be a multiple of slide"
+    k = window_minutes // slide_minutes
+    slide = np.timedelta64(slide_minutes, "m")
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b[ts_col].to_numpy()
+        base = ts.astype("datetime64[m]")  # truncate to minute
+        mins = base.astype("int64")
+        floor15 = (mins // slide_minutes) * slide_minutes
+        first = floor15.astype("datetime64[m]")
+        n = len(b)
+        offsets = (np.arange(k, dtype="int64") * slide)[None, :]  # (1,k)
+        starts = (first[:, None] - offsets).reshape(-1)  # (n*k,)
+        return pd.DataFrame(
+            {
+                "window_start": starts.astype("datetime64[us]"),
+                key: np.repeat(b[key].to_numpy(), k),
+                val: np.repeat(b[val].to_numpy(), k),
+            }
+        )
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    return grouped_sum(
+        ds.map_batches(expand, batch_format="pandas"), ["window_start", key], [val]
+    )
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key: str,

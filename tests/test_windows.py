@@ -87,6 +87,22 @@ def test_asof_join(ray_session):
     assert pd.isna(out["ts_right"].iloc[2])
 
 
+def test_sliding_window_agg(events_ds):
+    from pdf_extractor_ray.ops.windows import sliding_window_agg
+
+    out = sliding_window_agg(
+        events_ds, ts_col="ts", key="user_id", val="value", window_minutes=60, slide_minutes=15
+    ).to_pandas()
+    # every event lands in exactly 4 windows
+    assert out["n"].sum() == 8 * 4
+    # the event at 00:00 for user 3 appears in windows starting 23:15..00:00
+    u3 = out[out["user_id"] == 3].sort_values("window_start")
+    assert len(u3) == 4
+    assert u3["window_start"].iloc[-1] == pd.Timestamp("2024-01-01 00:00:00")
+    assert u3["window_start"].iloc[0] == pd.Timestamp("2023-12-31 23:15:00")
+    assert (u3["sum_value"] == 8.0).all()
+
+
 def test_topk_per_group(ray_session):
     import ray.data
 
