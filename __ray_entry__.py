@@ -242,6 +242,26 @@ def _topk_orders_per_priority(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _orders_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Range/interval join: orders banded by totalprice against a
+    broadcast band dimension (vectorized IntervalIndex lookup)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum, range_join
+
+    bands = pd.DataFrame(
+        {
+            "band": ["low", "mid", "high", "top"],
+            "lo": [0.0, 50_000.0, 150_000.0, 300_000.0],
+            "hi": [50_000.0, 150_000.0, 300_000.0, 1e12],
+        }
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    joined = range_join(orders, bands, value_col="o_totalprice")
+    out = grouped_sum(joined, ["band"], ["o_totalprice"]).to_pandas()
+    out = out.rename(columns={"sum_o_totalprice": "total_price", "n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("band").reset_index(drop=True)
+
+
 def _events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Sliding-window aggregate (60-min windows every 15 min)."""
     from pdf_extractor_ray.ops.windows import sliding_window_agg
@@ -517,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": _asof_purchase_view,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
+        "orders_price_bands": _orders_price_bands,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "distinct_users_by_type": _distinct_users_by_type,
         "doc_stats_by_lang": _doc_stats_by_lang,
@@ -613,6 +634,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        "orders_price_bands": """
+            SELECT b.band, sum(o.o_totalprice) AS total_price, count(*) AS n_orders
+            FROM orders o
+            JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                         ('high', 150000.0, 300000.0), ('top', 300000.0, 1e12))
+                 AS b(band, lo, hi)
+              ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+            GROUP BY b.band ORDER BY b.band
         """,
         "events_sliding_window": """
             SELECT time_bucket(INTERVAL '15 minutes', ts)

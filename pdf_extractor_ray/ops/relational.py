@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data
@@ -42,7 +43,43 @@ def broadcast_join(
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, how=how, left_on=on_big, right_on=on_small)
 
-    return big.map_batches(Joiner, batch_format="pandas", batch_size=8192, concurrency=(1, 2))
+    return big.map_batches(Joiner, batch_format="pandas", batch_size=8192, concurrency=(1, 8))
+
+
+def range_join(
+    big: ray.data.Dataset,
+    bands: pd.DataFrame,
+    value_col: str,
+    low_col: str = "lo",
+    high_col: str = "hi",
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Interval/band join: attach the band row whose [lo, hi) interval
+    contains `value_col`. The band table is small by definition
+    (broadcast once via ray.put); the per-batch lookup is a single
+    vectorized pd.IntervalIndex.get_indexer call — never a row loop,
+    never a shuffle. Bands must be non-overlapping."""
+    bands = bands.sort_values(low_col).reset_index(drop=True)
+    ref = ray.put(bands)
+
+    class BandJoiner:
+        def __init__(self) -> None:
+            b = ray.get(ref)
+            self.bands = b
+            self.idx = pd.IntervalIndex.from_arrays(b[low_col], b[high_col], closed="left")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            pos = self.idx.get_indexer(batch[value_col])
+            matched = self.bands.iloc[np.clip(pos, 0, None)].reset_index(drop=True)
+            matched.index = batch.index
+            out = pd.concat([batch, matched], axis=1)
+            if how == "inner":
+                return out[pos >= 0]
+            for c in self.bands.columns:  # left join: null out non-matches
+                out.loc[pos < 0, c] = None
+            return out
+
+    return big.map_batches(BandJoiner, batch_format="pandas", batch_size=8192, concurrency=(1, 8))
 
 
 def pre_aggregate(

@@ -147,6 +147,56 @@ def test_hash_join(ray_session):
     assert out["y"].tolist() == ["b", "b", "c"]
 
 
+def test_range_join(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import range_join
+
+    big = ray.data.from_pandas(
+        pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 15.0, 25.0, 99.0]})
+    )
+    bands = pd.DataFrame({"band": ["a", "b"], "lo": [0.0, 10.0], "hi": [10.0, 30.0]})
+    inner = range_join(big, bands, value_col="v").to_pandas().sort_values("id")
+    assert inner["id"].tolist() == [1, 2, 3]  # 99.0 has no band
+    assert inner["band"].tolist() == ["a", "b", "b"]
+    left = range_join(big, bands, value_col="v", how="left").to_pandas().sort_values("id")
+    assert len(left) == 4 and pd.isna(left[left["id"] == 4]["band"].iloc[0])
+    # boundary semantics: [lo, hi) — v == hi of band a goes to band b
+    edge = ray.data.from_pandas(pd.DataFrame({"id": [9], "v": [10.0]}))
+    assert range_join(edge, bands, value_col="v").to_pandas()["band"].iloc[0] == "b"
+
+
+def test_skewed_big_blob(ray_session):
+    """One multi-MB document among tiny ones must stream through the
+    extraction pool without poisoning the batch (SURVEY §7.4 #2)."""
+    import ray.data
+
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.pipelines.extract import extraction_dataset
+
+    big_html = ("<p>" + "word " * 200 + "</p>") * 5000  # ~5MB
+    rows = pd.DataFrame(
+        {
+            "url": [f"https://s.example/{i}" for i in range(20)],
+            "warc_ts": [pd.Timestamp("2024-01-01")] * 20,
+            # paragraphs must clear min_paragraph_chars (25) or the
+            # boilerplate filter correctly drops them
+            "html": [
+                big_html.encode() if i == 7 else b"<p>a small but real paragraph with enough content</p>"
+                for i in range(20)
+            ],
+            "lang": ["en"] * 20,
+        }
+    )
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=2, batch_size=4)
+    out = extraction_dataset(ray.data.from_pandas(rows), cfg).to_pandas()
+    assert len(out) == 20
+    assert out["error"].isna().all()
+    big_row = out[out["url"] == "https://s.example/7"].iloc[0]
+    assert big_row["n_words"] == 200 * 5000
+    assert (out[out["url"] != "https://s.example/7"]["n_words"] == 8).all()
+
+
 def test_ngram_jaccard_dedup(ray_session):
     import ray.data
 
