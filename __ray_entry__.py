@@ -343,6 +343,17 @@ def _text_analysis_docs(sf_dir: str) -> pd.DataFrame:
     return analyze(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Chunk long docs (2000 chars, 200 overlap) — flat-map expansion;
+    the oracle reproduces the chunk geometry with generate_series."""
+    from pdf_extractor_ray.ops.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, max_chars=2000, overlap=200).drop_columns(["chunk_text"]).to_pandas()
+    out["chunk_index"] = out["chunk_index"].astype("int64")
+    return out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
+
+
 def _jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from pdf_extractor_ray.ops.dedup import ngram_jaccard_dedup
 
@@ -494,6 +505,32 @@ def _extract_dedup_urls(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _extract_error_rollup(sf_dir: str) -> pd.DataFrame:
+    """Error/coverage report rollup (reference A8,
+    error_handler.py:354-416): corpus counts by payload kind x
+    coverage status x errored."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.pipelines.extract import extraction_dataset
+
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=4)
+    ds = extraction_dataset(_fixture_pages(500), cfg)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["errored"] = b["error"].notna()
+        return b[["payload_kind", "coverage_status", "errored"]]
+
+    out = grouped_sum(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["payload_kind", "coverage_status", "errored"],
+        [],
+    ).to_pandas()
+    out = out.rename(columns={"n": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["payload_kind", "coverage_status", "errored"]).reset_index(drop=True)
+
+
 def _extract_consensus(sf_dir: str) -> pd.DataFrame:
     """Multi-engine consensus scoring (reference A9): primary +
     remediation-variant extractions compared per document."""
@@ -547,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _minhash_dedup_docs,
         "simhash_dedup_docs": _simhash_dedup_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
+        "doc_chunks": _doc_chunks,
         "text_analysis_docs": _text_analysis_docs,
         "lang_id_docs": _lang_id_docs,
         "doc_fingerprints": _doc_fingerprints,
@@ -558,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_dedup_urls": _extract_dedup_urls,
         "extract_sorted_urls": _extract_sorted_urls,
         "extract_consensus": _extract_consensus,
+        "extract_error_rollup": _extract_error_rollup,
         "image_featurize": _image_featurize,
         "audio_featurize": _audio_featurize,
     }
@@ -685,6 +724,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "doc_chunks": """
+            WITH d AS (SELECT doc_id, length(text) AS L FROM documents),
+                 ks AS (SELECT unnest(range(0, 1000)) AS k)
+            SELECT d.doc_id, ks.k AS chunk_index,
+                   LEAST(2000, d.L - ks.k * 1800) AS n_chunk_chars
+            FROM d JOIN ks
+              ON ks.k <= CASE WHEN d.L <= 2000 THEN 0
+                              ELSE CAST(ceil((d.L - 200) / 1800.0) AS INT) - 1 END
+            ORDER BY d.doc_id, chunk_index
         """,
         "similarity_topk": """
             SELECT e.vec_id,

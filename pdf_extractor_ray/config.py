@@ -43,6 +43,13 @@ class PipelineConfig:
     # ---- cleanup (reference extractor.py:876-994) ----
     squeeze_blank_lines: int = 3         # runs of >= 3 newlines collapse to 2
 
+    # ---- remediation loop (reference master_extractor.py:497-570:
+    #      if score < 70, retry with altered configs, keep the best;
+    #      OFF by default — it changes low-quality outputs, so the
+    #      byte-identity goldens pin the non-remediated path) ----
+    enable_remediation: bool = False
+    remediation_threshold: float = 70.0
+
     # ---- quality scoring (reference quality_scorer.py:81-162) ----
     qs_w_completeness: float = 0.30
     qs_w_structure: float = 0.25

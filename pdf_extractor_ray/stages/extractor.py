@@ -56,13 +56,28 @@ class Extractor:
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
         self.cfg = cfg
         self.pats = Patterns()
+        # remediation variants (reference master_extractor.py:617-684):
+        # attempt 1 disables header/footer removal, attempt 2 widens
+        # the column gap / relaxes the HTML block filter
+        self.remediation_cfgs = (
+            [
+                cfg.with_overrides(repeat_min_frac=1.01, max_link_density=0.6),
+                cfg.with_overrides(
+                    column_gap_threshold=cfg.column_gap_threshold * 1.5,
+                    min_paragraph_chars=10,
+                ),
+            ]
+            if cfg.enable_remediation
+            else []
+        )
 
-    def extract_one(self, payload: bytes) -> dict:
+    def extract_one(self, payload: bytes, cfg: PipelineConfig | None = None) -> dict:
         """Route one payload and extract. Pure; may raise."""
+        cfg = cfg or self.cfg
         if not payload:
             return {"kind": "empty", "text": "", "n_blocks": 0, "n_pages": 0, "footnotes": []}
         if payload.startswith(b"%PDF"):
-            res = extract_pdf_bytes(payload, self.pats, self.cfg)
+            res = extract_pdf_bytes(payload, self.pats, cfg)
             return {
                 "kind": "pdf",
                 "text": res["text"],
@@ -73,7 +88,7 @@ class Extractor:
                 "coverage_status": res.get("coverage_status", "GOOD"),
             }
         html = payload.decode("utf-8", errors="replace")
-        text, n_blocks = extract_html(html, self.cfg)
+        text, n_blocks = extract_html(html, cfg)
         return {
             "kind": "html",
             "text": text,
@@ -97,9 +112,19 @@ class Extractor:
         for payload in payloads:
             try:
                 r = self.extract_one(payload or b"")
+                score = textstats.quality_score(r["text"], len(r["footnotes"]), len(r["footnotes"]))
+                if self.remediation_cfgs and score < self.cfg.remediation_threshold and r["kind"] != "empty":
+                    # in-UDF remediation loop (cheap, local — never a
+                    # dataset-level control flow, SURVEY §7.4 #7)
+                    best_s, best_r = score, r
+                    for vc in self.remediation_cfgs:
+                        r2 = self.extract_one(payload or b"", vc)
+                        s2 = textstats.quality_score(r2["text"], len(r2["footnotes"]), len(r2["footnotes"]))
+                        if s2 > best_s:
+                            best_s, best_r = s2, r2
+                    score, r = best_s, best_r
                 text = r["text"]
                 fns = r["footnotes"]
-                score = textstats.quality_score(text, len(fns), len(fns))
                 kinds.append(r["kind"])
                 texts.append(text)
                 n_blocks.append(r["n_blocks"])

@@ -1,0 +1,82 @@
+"""Tests for output-format markers (M20/M21 + inverses), document
+chunking (context-windows analog), and the opt-in remediation loop."""
+
+import pandas as pd
+import pytest
+
+
+def test_format_document_roundtrip():
+    from pdf_extractor_ray.functions.formatting import (
+        format_document,
+        parse_header_url,
+        remove_markers,
+        split_by_pages,
+    )
+
+    pages = ["First page text.\nwith two lines", "", "Third page."]
+    f = format_document("https://x.example/doc", pages)
+    assert f.startswith("[DOCUMENT URL: https://x.example/doc]")
+    assert "--- PAGE 1 START ---" in f and "--- PAGE 3 END ---" in f
+    assert parse_header_url(f) == "https://x.example/doc"
+    assert split_by_pages(f) == pages
+    clean = remove_markers(f)
+    assert "PAGE" not in clean and "DOCUMENT URL" not in clean
+    assert "First page text." in clean and "Third page." in clean
+
+
+def test_chunk_text_roundtrip():
+    from pdf_extractor_ray.ops.chunking import chunk_text, dechunk_texts
+
+    text = "abcdefghij" * 100  # 1000 chars
+    chunks = chunk_text(text, max_chars=300, overlap=50)
+    assert all(len(c) <= 300 for c in chunks)
+    # consecutive chunks share the overlap
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-50:] == b[:50]
+    assert dechunk_texts(chunks, overlap=50) == text
+    assert chunk_text("short", 300, 50) == ["short"]
+    with pytest.raises(ValueError):
+        chunk_text(text, max_chars=50, overlap=50)
+
+
+def test_chunk_documents(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.chunking import chunk_documents
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["x" * 5000, "tiny"]})
+    out = chunk_documents(ray.data.from_pandas(df), max_chars=2000, overlap=200).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_index")
+    # range(0, 5000-200, 1800) -> starts 0,1800,3600 -> 3 chunks
+    assert d1["chunk_index"].tolist() == [0, 1, 2]
+    assert d1["n_chunk_chars"].tolist() == [2000, 2000, 1400]
+    assert out[out["doc_id"] == 2]["n_chunk_chars"].tolist() == [4]
+
+
+def test_remediation_loop_improves_low_quality(ray_session):
+    """A doc whose paragraphs all fall under min_paragraph_chars
+    scores 0 normally; the remediation variant with
+    min_paragraph_chars=10 recovers the text."""
+    import ray.data
+
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.stages.extractor import Extractor
+    import pyarrow as pa
+
+    html = ("<p>short para here</p>" * 30).encode()  # 17 chars each: filtered by default
+    tbl = pa.table(
+        {
+            "url": pa.array(["https://r.example/1"], pa.string()),
+            "warc_ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
+            "html": pa.array([html], pa.binary()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    plain = Extractor(DEFAULT_CONFIG)(tbl).to_pandas().iloc[0]
+    remed = Extractor(DEFAULT_CONFIG.with_overrides(enable_remediation=True))(tbl).to_pandas().iloc[0]
+    assert plain["n_words"] == 0
+    assert remed["n_words"] == 90  # 30 paras x 3 words recovered
+    assert remed["quality_score"] > plain["quality_score"]
+    # default path is unchanged when remediation is off (byte contract)
+    plain2 = Extractor(DEFAULT_CONFIG)(tbl).to_pandas().iloc[0]
+    assert plain2["extracted_text"] == plain["extracted_text"]
