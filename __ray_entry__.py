@@ -242,6 +242,65 @@ def _topk_orders_per_priority(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _events_json_props(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar extraction (SURVEY §2.8): parse the props JSON
+    column, bucket the numeric field, count per (event_type, bucket).
+    Vectorized via pandas json loads per batch inside map_batches."""
+    import json
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        ks = [json.loads(p).get("k") for p in b["props"]]
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "k_decile": pd.array([(k // 10) * 10 for k in ks], dtype="int64"),
+            }
+        )
+
+    out = grouped_sum(ev.map_batches(parse, batch_format="pandas"), ["event_type", "k_decile"], []).to_pandas()
+    out = out.rename(columns={"n": "n_events"})
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "k_decile"]).reset_index(drop=True)
+
+
+def _promo_revenue_by_brand(sf_dir: str) -> pd.DataFrame:
+    """lineitem x part broadcast join + conditional aggregate
+    (TPC-H Q14-shaped: CASE inside the sum)."""
+    from pdf_extractor_ray.ops.relational import broadcast_join, grouped_sum
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part = _read_pd(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    joined = broadcast_join(li, part, on_big="l_partkey", on_small="p_partkey")
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        r = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["revenue"] = r
+        b["promo_revenue"] = r.where(b["p_type"] == "PROMO", 0.0)
+        return b[["p_brand", "revenue", "promo_revenue"]]
+
+    out = grouped_sum(joined.map_batches(rev, batch_format="pandas"), ["p_brand"], ["revenue", "promo_revenue"]).to_pandas()
+    out = out.rename(columns={"sum_revenue": "revenue", "sum_promo_revenue": "promo_revenue", "n": "n_items"})
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def _supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    from pdf_extractor_ray.ops.relational import broadcast_join, grouped_sum
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = broadcast_join(sup, nation, on_big="s_nationkey", on_small="n_nationkey")
+    out = grouped_sum(joined, ["n_name"], ["s_acctbal"]).to_pandas()
+    out = out.rename(columns={"sum_s_acctbal": "total_acctbal", "n": "n_suppliers"})
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def _orders_price_bands(sf_dir: str) -> pd.DataFrame:
     """Range/interval join: orders banded by totalprice against a
     broadcast band dimension (vectorized IntervalIndex lookup)."""
@@ -575,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
         "orders_price_bands": _orders_price_bands,
+        "events_json_props": _events_json_props,
+        "promo_revenue_by_brand": _promo_revenue_by_brand,
+        "supplier_balance_by_nation": _supplier_balance_by_nation,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "distinct_users_by_type": _distinct_users_by_type,
         "doc_stats_by_lang": _doc_stats_by_lang,
@@ -673,6 +735,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   (CAST(json_extract(props, '$.k') AS BIGINT) // 10) * 10 AS k_decile,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type, k_decile
+            ORDER BY event_type, k_decile
+        """,
+        "promo_revenue_by_brand": """
+            SELECT p_brand,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS promo_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "supplier_balance_by_nation": """
+            SELECT n_name, sum(s_acctbal) AS total_acctbal, count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "orders_price_bands": """
             SELECT b.band, sum(o.o_totalprice) AS total_price, count(*) AS n_orders
