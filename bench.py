@@ -110,16 +110,28 @@ def run_queries() -> dict[str, float]:
         "orders_by_segment",
         "customers_per_region",
         "top10_orders",
+        "join_priority_agg",
+        "promo_revenue_by_brand",
+        "orders_price_bands",
+        "topk_orders_per_priority",
         "events_hourly",
+        "events_sliding_window",
+        "events_sessions",
+        "asof_purchase_view",
+        "distinct_users_by_type",
+        "events_json_props",
         "doc_stats_by_lang",
         "doc_token_counts",
+        "doc_chunks",
         "exact_dedup_docs",
         "minhash_dedup_docs",
         "simhash_dedup_docs",
+        "jaccard_dedup_docs",
         "text_analysis_docs",
         "similarity_topk",
         "similarity_ivf_topk",
         "image_featurize",
+        "audio_featurize",
     ]
     qs = e.queries()
     # untimed warm-up of the pandas-task worker pool + shuffle path
