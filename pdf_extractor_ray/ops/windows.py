@@ -208,27 +208,38 @@ def topk_per_group(
     val: str,
     k: int,
     tiebreak: str | None = None,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Top-k rows per group by `val` desc (tie-broken by `tiebreak`
     asc for determinism). Per-batch pre-prune keeps only each batch's
-    local top-k per key before the shuffle, so the groupby moves at
-    most k rows per key per batch — not the corpus."""
+    local top-k per key before the shuffle, so the exchange moves at
+    most k rows per key per batch — and the shuffle key is hash(key)
+    mod num_partitions, so the final pass is one vectorized pandas
+    groupby per partition regardless of key cardinality."""
     order_cols = [val] + ([tiebreak] if tiebreak else [])
     asc = [False] + [True] * (1 if tiebreak else 0)
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
-        return (
+        out = (
             b.sort_values(order_cols, ascending=asc, kind="stable")
             .groupby(key, sort=False)
             .head(k)
+            .copy()
         )
+        out["_part"] = (pd.util.hash_array(out[key].to_numpy()) % num_partitions).astype(np.int64)
+        return out
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, ascending=asc, kind="stable").head(k)
+        out = (
+            g.sort_values(order_cols, ascending=asc, kind="stable")
+            .groupby(key, sort=False)
+            .head(k)
+        )
+        return out.drop(columns=["_part"])
 
     return (
         ds.map_batches(local_topk, batch_format="pandas")
-        .groupby(key)
+        .groupby("_part")
         .map_groups(final_topk, batch_format="pandas")
     )
 

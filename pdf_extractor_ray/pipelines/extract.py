@@ -154,12 +154,30 @@ def corpus_stats_by_lang(results: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def dedup_by_url(results: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact corpus dedup on url: hash-partition groupby, first wins
-    (reference skip-existing D4 generalized; SURVEY.md §2.7 D-global)."""
+def dedup_by_url(results: ray.data.Dataset, num_partitions: int = 32) -> ray.data.Dataset:
+    """Exact corpus dedup on url: earliest warc_ts wins (reference
+    skip-existing D4 generalized; SURVEY.md §2.7 D-global).
+
+    Shuffles on hash(url) mod num_partitions — NOT one Ray group per
+    url (10^9 urls would mean 10^9 Python calls) — then one vectorized
+    pandas pass per partition; a per-batch local pre-dedup keeps the
+    shuffle payload at one row per url per batch."""
+    import numpy as np
     import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("warc_ts", kind="stable").head(1)
+    def local_first(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["url", "warc_ts"], kind="stable").drop_duplicates("url", keep="first")
+        b = b.copy()
+        h = pd.util.hash_array(b["url"].to_numpy())
+        b["_part"] = (h % num_partitions).astype(np.int64)
+        return b
 
-    return results.groupby("url").map_groups(first, batch_format="pandas")
+    def part_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "warc_ts"], kind="stable").drop_duplicates("url", keep="first")
+        return g.drop(columns=["_part"])
+
+    return (
+        results.map_batches(local_first, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(part_first, batch_format="pandas")
+    )
