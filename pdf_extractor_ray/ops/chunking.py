@@ -34,19 +34,42 @@ def dechunk_texts(chunks: list[str], overlap: int) -> str:
     return chunks[0] + "".join(c[overlap:] for c in chunks[1:])
 
 
+def chunk_text_by_words(text: str, max_words: int, overlap_words: int) -> list[str]:
+    """Word-boundary variant (reference chunk_by='words',
+    context_windows.py:162-169): chunks of at most max_words tokens,
+    each after the first starting with the previous chunk's last
+    overlap_words tokens. Joining with single spaces normalizes intra-
+    chunk whitespace (same as the reference's token join)."""
+    if max_words <= overlap_words:
+        raise ValueError("max_words must exceed overlap_words")
+    words = text.split()
+    if len(words) <= max_words:
+        return [" ".join(words)] if words else [""]
+    stride = max_words - overlap_words
+    return [
+        " ".join(words[start : start + max_words])
+        for start in range(0, len(words) - overlap_words, stride)
+    ]
+
+
 def chunk_documents(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_chars: int = 2000,
     overlap: int = 200,
+    by: str = "chars",
 ) -> ray.data.Dataset:
-    """(id, chunk_index, chunk_text, n_chunk_chars) rows, one per chunk."""
+    """(id, chunk_index, chunk_text, n_chunk_chars) rows, one per
+    chunk. by='chars' | 'words' (units of max_chars/overlap follow)."""
+    if by not in ("chars", "words"):
+        raise ValueError(f"by must be 'chars' or 'words', got {by!r}")
+    split = chunk_text if by == "chars" else chunk_text_by_words
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
         ids, idxs, texts = [], [], []
         for did, t in zip(b[id_col], b[text_col]):
-            cs = chunk_text(t, max_chars, overlap)
+            cs = split(t, max_chars, overlap)
             ids.extend([did] * len(cs))
             idxs.extend(range(len(cs)))
             texts.extend(cs)

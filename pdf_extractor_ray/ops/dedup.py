@@ -151,13 +151,13 @@ class MinHasher:
 
 
 def minhash_signatures(
-    ds: ray.data.Dataset, num_perm: int = 128, k: int = 5, concurrency: int = 4
+    ds: ray.data.Dataset, num_perm: int = 128, k: int = 5, concurrency: int = 16
 ) -> ray.data.Dataset:
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "k": k},
         batch_format="pandas",
-        batch_size=256,
+        batch_size=128,
         concurrency=(1, concurrency),
     )
 
@@ -345,7 +345,7 @@ def ngram_jaccard_dedup(
             out["sig"] = sigs
             return out
 
-    sigs = ds.map_batches(GramMinHasher, batch_format="pandas", batch_size=256, concurrency=(1, 4))
+    sigs = ds.map_batches(GramMinHasher, batch_format="pandas", batch_size=128, concurrency=(1, 16))
     pairs = minhash_lsh_candidates(sigs, bands=bands, rows=rows).take_all()
     if not pairs:
         return ds
@@ -400,7 +400,7 @@ class SimHasher:
         return out
 
 
-def simhash_signatures(ds: ray.data.Dataset, ngram: int = 3, concurrency: int = 4) -> ray.data.Dataset:
+def simhash_signatures(ds: ray.data.Dataset, ngram: int = 3, concurrency: int = 16) -> ray.data.Dataset:
     return ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"ngram": ngram},

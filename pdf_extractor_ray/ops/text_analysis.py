@@ -33,7 +33,7 @@ class TextAnalyzer:
         return out
 
 
-def analyze(ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 512) -> ray.data.Dataset:
+def analyze(ds: ray.data.Dataset, concurrency: int = 16, batch_size: int = 256) -> ray.data.Dataset:
     return ds.map_batches(
         TextAnalyzer,
         batch_format="pandas",

@@ -39,6 +39,24 @@ def test_chunk_text_roundtrip():
         chunk_text(text, max_chars=50, overlap=50)
 
 
+def test_chunk_text_by_words():
+    from pdf_extractor_ray.ops.chunking import chunk_text_by_words
+
+    text = " ".join(f"w{i}" for i in range(100))
+    chunks = chunk_text_by_words(text, max_words=30, overlap_words=5)
+    assert all(len(c.split()) <= 30 for c in chunks)
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.split()[-5:] == b.split()[:5]
+    # reassembled words (minus overlaps) equal the original token stream
+    rebuilt = chunks[0].split()
+    for c in chunks[1:]:
+        rebuilt.extend(c.split()[5:])
+    assert rebuilt == text.split()
+    assert chunk_text_by_words("a b", 30, 5) == ["a b"]
+    with pytest.raises(ValueError):
+        chunk_text_by_words(text, 5, 5)
+
+
 def test_chunk_documents(ray_session):
     import ray.data
 
