@@ -596,6 +596,16 @@ def _extract_error_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["payload_kind", "coverage_status", "errored"]).reset_index(drop=True)
 
 
+def _extract_verify(sf_dir: str) -> pd.DataFrame:
+    """Verification actor pool with in-actor response cache
+    (reference ST3 plumbing; mock backend, SURVEY §2.3)."""
+    from pdf_extractor_ray.ops.verifier import verify_extractions
+
+    ds = _extraction_results(500)
+    out = verify_extractions(ds.select_columns(["url", "extracted_text"])).drop_columns(["cache_hit"]).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _extract_consensus(sf_dir: str) -> pd.DataFrame:
     """Multi-engine consensus scoring (reference A9): primary +
     remediation-variant extractions compared per document."""
@@ -661,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_sorted_urls": _extract_sorted_urls,
         "extract_consensus": _extract_consensus,
         "extract_error_rollup": _extract_error_rollup,
+        "extract_verify": _extract_verify,
         "image_featurize": _image_featurize,
         "audio_featurize": _audio_featurize,
     }

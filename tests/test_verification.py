@@ -86,6 +86,32 @@ def test_extractor_emits_verification_columns(ray_session):
     assert (ok["repetition_ratio"] > 0).all()
 
 
+def test_verifier_actor_cache_and_issues(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.verifier import MockBackend, VerifierActor, verify_extractions
+
+    issues, conf = MockBackend().verify("clean readable text here")
+    assert issues == [] and conf == 1.0
+    issues, _ = MockBackend().verify("damaged zzzzzzzzkqx text with ���� and aaaaaaaaaaaa")
+    assert "ocr_garble" in issues and "encoding_damage" in issues and "char_run" in issues
+
+    # in-actor cache: duplicate texts within one actor's stream hit it
+    actor = VerifierActor()
+    b = pd.DataFrame({"url": ["u1", "u2", "u3"], "extracted_text": ["same text", "same text", "other"]})
+    out = actor(b)
+    assert out["cache_hit"].tolist() == [False, True, False]
+    assert actor.hits == 1 and actor.misses == 2
+
+    # full stage over a Dataset
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"url": ["a", "b"], "extracted_text": ["fine text", "broken �������"]})
+    )
+    res = verify_extractions(ds).to_pandas().sort_values("url")
+    assert res["n_issues"].tolist() == [0, 1]
+    assert res["verifier_confidence"].iloc[0] == 1.0
+
+
 def test_consensus_extract(ray_session):
     import ray.data
 
