@@ -164,6 +164,29 @@ def exclude_table_words(words: list[dict], tables: list[dict]) -> list[dict]:
     return out
 
 
+def split_box_words(
+    words: list[dict], boxes: list[list[float]]
+) -> tuple[list[dict], list[list[dict]]]:
+    """J3 spatial join (reference layout_analyzer.py:509-532): words
+    whose center falls inside a textbox/sidebar rect are pulled out of
+    the main flow and returned per box (first matching box wins, boxes
+    in given order)."""
+    if not boxes:
+        return words, []
+    main: list[dict] = []
+    per_box: list[list[dict]] = [[] for _ in boxes]
+    for w in words:
+        cx = (w["x0"] + w["x1"]) / 2.0
+        cy = (w["top"] + w["bottom"]) / 2.0
+        for i, bx in enumerate(boxes):
+            if bx[0] <= cx <= bx[2] and bx[1] <= cy <= bx[3]:
+                per_box[i].append(w)
+                break
+        else:
+            main.append(w)
+    return main, per_box
+
+
 # ---------------------------------------------------------------------------
 # M13/M14 — super/subscript integration (extractor.py:629-792)
 # ---------------------------------------------------------------------------
@@ -488,7 +511,10 @@ def extract_page(
 ) -> str:
     words = page.get("words", [])
     tables = page.get("tables", [])
+    boxes = page.get("boxes", [])  # textbox/sidebar rects (LayoutRegion,
+    # reference layout_analyzer.py:144-171; integration master_extractor.py:364-390)
     words = exclude_table_words(words, tables)
+    words, box_words = split_box_words(words, boxes)
     words = integrate_scripts(words, cfg)
     words = filter_metadata(words, page["width"], page["height"], headers, footers, pats, cfg)
     columns = detect_columns(words, cfg)
@@ -498,6 +524,16 @@ def extract_page(
         for tb in sorted(tables, key=lambda t: (t["bbox"][1], t["bbox"][0])):
             formatted = format_table(tb)
             text = (text + "\n\n" + formatted) if text else formatted
+    # textbox sections append after tables, in (top, x0) order
+    order = sorted(range(len(boxes)), key=lambda i: (boxes[i][1], boxes[i][0]))
+    for i in order:
+        if not box_words[i]:
+            continue
+        body = "\n".join(
+            extract_column_text(c, cfg) for c in detect_columns(box_words[i], cfg)
+        )
+        section = f"[BOX]\n{body}\n[BOX END]"
+        text = (text + "\n\n" + section) if text else section
     return text
 
 

@@ -216,3 +216,41 @@ def test_extract_pdf_pages_end_to_end():
     assert res["text"] == "Title text\n\nMore"
     assert res["n_pages"] == 2
     assert res["n_words"] == 3
+
+
+def test_textbox_regions_extracted_separately():
+    """J3: words inside a textbox rect leave the main flow and come
+    back as a [BOX] section after tables (layout_analyzer.py:509-532,
+    master_extractor.py:364-390)."""
+    from pdf_extractor_ray.functions.pdf_words import extract_pdf_pages
+
+    def w(text, x0, top, size=12.0):
+        return {
+            "text": text, "x0": x0, "x1": x0 + 8.0 * len(text),
+            "top": top, "bottom": top + size, "size": size, "fontname": "F",
+            "height": size,
+        }
+
+    page = {
+        "width": 600.0,
+        "height": 800.0,
+        "words": [
+            w("Main", 50, 300), w("body", 100, 300), w("flows", 150, 300),
+            w("Sidebar", 460, 300), w("note", 460, 320),
+        ],
+        "tables": [],
+        "boxes": [[450.0, 290.0, 590.0, 340.0]],
+    }
+    res = extract_pdf_pages([page])
+    assert "Main body flows" in res["text"]
+    assert "[BOX]" in res["text"] and "[BOX END]" in res["text"]
+    box_part = res["text"].split("[BOX]")[1]
+    assert "Sidebar" in box_part and "note" in box_part
+    # main flow must not contain the sidebar words before the box marker
+    main_part = res["text"].split("[BOX]")[0]
+    assert "Sidebar" not in main_part
+
+    # no boxes key -> byte-identical to the old path
+    page2 = {k: v for k, v in page.items() if k != "boxes"}
+    res2 = extract_pdf_pages([page2])
+    assert "Sidebar" in res2["text"].split("\n")[0] or "Sidebar" in res2["text"]
