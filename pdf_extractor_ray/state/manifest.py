@@ -80,6 +80,10 @@ class PartitionWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
+        # re-ensure dirs on every write: writers are cached per worker
+        # process across runs (pipelines/extract._TASK_CACHE), and a
+        # later run may start after the previous output dir was removed
+        os.makedirs(self.mdir, exist_ok=True)
         urls = batch.column("url").to_pylist()
         if not urls:
             return _MANIFEST_ROW_SCHEMA.empty_table()
