@@ -259,6 +259,36 @@ def _topk_orders_per_priority(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _customers_without_big_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed LEFT ANTI join (Ray-native hash exchange) — the
+    resume path's anti-join semantics as a standalone operator:
+    customers who never placed an order above 300k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], pa.scalar(300_000.0))).select(["o_custkey"])
+
+    big_orders = orders.map_batches(big, batch_format="pyarrow")
+    out = cust.join(
+        big_orders, join_type="left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _extreme_orders_union(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union of two sorted/limited streams (top and bottom 20
+    orders by price)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+    bottom = ds.sort(["o_totalprice", "o_orderkey"], descending=[False, False]).limit(20)
+    out = top.union(bottom).to_pandas()
+    return out.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+
+
 def _events_json_props(sf_dir: str) -> pd.DataFrame:
     """JSON scalar extraction (SURVEY §2.8): parse the props JSON
     column, bucket the numeric field, count per (event_type, bucket).
@@ -646,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
         "orders_price_bands": _orders_price_bands,
+        "customers_without_big_orders": _customers_without_big_orders,
+        "extreme_orders_union": _extreme_orders_union,
         "events_json_props": _events_json_props,
         "promo_revenue_by_brand": _promo_revenue_by_brand,
         "supplier_balance_by_nation": _supplier_balance_by_nation,
@@ -748,6 +780,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, sess
             ORDER BY user_id, session_start
+        """,
+        "customers_without_big_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+            ORDER BY c_custkey
+        """,
+        "extreme_orders_union": """
+            (SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+            UNION ALL
+            (SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice ASC, o_orderkey LIMIT 20)
+            ORDER BY o_totalprice, o_orderkey
         """,
         "events_json_props": """
             SELECT event_type,
