@@ -150,15 +150,28 @@ class MinHasher:
         return batch
 
 
+# per-worker-process hasher cache (task-pool pattern, see
+# pipelines/extract.py: state is cheap + read-only, so prestarted
+# workers amortize construction with zero actor-spawn cost)
+_HASHER_CACHE: dict = {}
+
+
+def _minhash_task(batch: pd.DataFrame, num_perm: int, k: int) -> pd.DataFrame:
+    key = ("minhash", num_perm, k)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_perm=num_perm, k=k)
+    return h(batch)
+
+
 def minhash_signatures(
     ds: ray.data.Dataset, num_perm: int = 128, k: int = 5, concurrency: int = 16
 ) -> ray.data.Dataset:
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+        _minhash_task,
+        fn_kwargs={"num_perm": num_perm, "k": k},
         batch_format="pandas",
         batch_size=128,
-        concurrency=(1, concurrency),
     )
 
 
@@ -311,6 +324,21 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _gram_minhash_task(batch: pd.DataFrame, num_perm: int, n: int) -> pd.DataFrame:
+    key = ("gram-minhash", num_perm, n)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_perm=num_perm, seed=42)
+    out = batch[["doc_id"]].copy()
+    sigs = []
+    for t in batch["text"]:
+        g = _word_ngram_hashes(t, n)
+        vals = (np.outer(h.a, g) + h.b[:, None]) % _MERSENNE
+        sigs.append(vals.min(axis=1))
+    out["sig"] = sigs
+    return out
+
+
 def ngram_jaccard_dedup(
     ds: ray.data.Dataset,
     threshold: float = 0.8,
@@ -329,23 +357,9 @@ def ngram_jaccard_dedup(
     the two operators are complementary, which is why both exist."""
     import ray as _ray
 
-    hasher = MinHasher(num_perm=num_perm, seed=42)
-
-    class GramMinHasher:
-        def __init__(self) -> None:
-            self.h = hasher
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch[["doc_id"]].copy()
-            sigs = []
-            for t in batch["text"]:
-                g = _word_ngram_hashes(t, n)
-                vals = (np.outer(self.h.a, g) + self.h.b[:, None]) % _MERSENNE
-                sigs.append(vals.min(axis=1))
-            out["sig"] = sigs
-            return out
-
-    sigs = ds.map_batches(GramMinHasher, batch_format="pandas", batch_size=128, concurrency=(1, 16))
+    sigs = ds.map_batches(
+        _gram_minhash_task, fn_kwargs={"num_perm": num_perm, "n": n}, batch_format="pandas", batch_size=128
+    )
     pairs = minhash_lsh_candidates(sigs, bands=bands, rows=rows).take_all()
     if not pairs:
         return ds
@@ -400,13 +414,20 @@ class SimHasher:
         return out
 
 
+def _simhash_task(batch: pd.DataFrame, ngram: int) -> pd.DataFrame:
+    key = ("simhash", ngram)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = SimHasher(ngram=ngram)
+    return h(batch)
+
+
 def simhash_signatures(ds: ray.data.Dataset, ngram: int = 3, concurrency: int = 16) -> ray.data.Dataset:
     return ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"ngram": ngram},
+        _simhash_task,
+        fn_kwargs={"ngram": ngram},
         batch_format="pandas",
-        batch_size=512,
-        concurrency=(1, concurrency),
+        batch_size=256,
     )
 
 

@@ -33,12 +33,23 @@ class TextAnalyzer:
         return out
 
 
+_ANALYZER_CACHE: dict = {}
+
+
+def _analyze_task(batch: pd.DataFrame, with_fingerprint: bool) -> pd.DataFrame:
+    a = _ANALYZER_CACHE.get(with_fingerprint)
+    if a is None:
+        a = _ANALYZER_CACHE[with_fingerprint] = TextAnalyzer(with_fingerprint)
+    return a(batch)
+
+
 def analyze(ds: ray.data.Dataset, concurrency: int = 16, batch_size: int = 256) -> ray.data.Dataset:
+    # task pool with per-worker analyzer cache (see pipelines/extract.py)
     return ds.map_batches(
-        TextAnalyzer,
+        _analyze_task,
+        fn_kwargs={"with_fingerprint": True},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
     )
 
 
