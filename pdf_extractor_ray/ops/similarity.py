@@ -28,30 +28,28 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class _BatchTopK:
-    """Per-batch exact cosine scores against the broadcast query."""
+# per-worker cache of fetched+normalized query matrices, keyed by the
+# broadcast ObjectRef (task-pool pattern, see pipelines/extract.py —
+# ray.get hits the local object store after the first fetch anyway;
+# the cache also skips renormalization)
+_QUERY_CACHE: dict = {}
 
-    def __init__(self, qref, k: int, id_col: str, vec_col: str) -> None:
-        q = ray.get(qref)  # fetched once per actor from the object store
-        self.q = _normalize_rows(np.atleast_2d(np.asarray(q, dtype=np.float32)))
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(batch[self.vec_col].to_numpy())  # (B, D)
-        m = _normalize_rows(m.astype(np.float32))
-        scores = m @ self.q.T  # (B, Q)
-        s = scores[:, 0]
-        k = min(self.k, len(s))
-        idx = np.argpartition(-s, k - 1)[:k]
-        out = pd.DataFrame(
-            {
-                self.id_col: batch[self.id_col].to_numpy()[idx],
-                "cos": s[idx].astype(np.float64),
-            }
-        )
-        return out
+def _topk_task(batch: pd.DataFrame, qref, k: int, id_col: str, vec_col: str) -> pd.DataFrame:
+    q = _QUERY_CACHE.get(qref.hex())
+    if q is None:
+        q = _normalize_rows(np.atleast_2d(np.asarray(ray.get(qref), dtype=np.float32)))
+        _QUERY_CACHE[qref.hex()] = q
+    m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+    s = (m @ q.T)[:, 0]
+    k = min(k, len(s))
+    idx = np.argpartition(-s, k - 1)[:k]
+    return pd.DataFrame(
+        {
+            id_col: batch[id_col].to_numpy()[idx],
+            "cos": s[idx].astype(np.float64),
+        }
+    )
 
 
 def brute_force_topk(
@@ -65,11 +63,10 @@ def brute_force_topk(
     (-cos, id_col) — deterministic tie-break."""
     qref = ray.put(np.asarray(query, dtype=np.float32))
     partial = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_args=(qref, k, id_col, vec_col),
+        _topk_task,
+        fn_kwargs={"qref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 2),
     )
     allp = partial.to_pandas()
     allp = allp.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
@@ -103,22 +100,23 @@ def train_centroids(
     return cents
 
 
+def _assign_task(batch: pd.DataFrame, cref, vec_col: str) -> pd.DataFrame:
+    c = _QUERY_CACHE.get(cref.hex())
+    if c is None:
+        c = _QUERY_CACHE[cref.hex()] = ray.get(cref)
+    m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+    batch = batch.copy()
+    batch["bucket"] = (m @ c.T).argmax(axis=1).astype(np.int32)
+    return batch
+
+
 def assign_buckets(
     ds: ray.data.Dataset, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> ray.data.Dataset:
     cref = ray.put(centroids.astype(np.float32))
-
-    class Assign:
-        def __init__(self) -> None:
-            self.c = ray.get(cref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
-            batch = batch.copy()
-            batch["bucket"] = (m @ self.c.T).argmax(axis=1).astype(np.int32)
-            return batch
-
-    return ds.map_batches(Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 2))
+    return ds.map_batches(
+        _assign_task, fn_kwargs={"cref": cref, "vec_col": vec_col}, batch_format="pandas", batch_size=4096
+    )
 
 
 def ivf_topk(
