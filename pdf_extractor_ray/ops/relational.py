@@ -19,6 +19,24 @@ import ray
 import ray.data
 
 
+# per-worker cache of fetched broadcast tables keyed by ObjectRef
+# (task-pool pattern, see pipelines/extract.py: the fetch hits the
+# local object store after the first get; caching also skips the
+# per-batch deserialization)
+_BCAST_CACHE: dict = {}
+
+
+def _fetch_cached(ref) -> pd.DataFrame:
+    v = _BCAST_CACHE.get(ref.hex())
+    if v is None:
+        v = _BCAST_CACHE[ref.hex()] = ray.get(ref)
+    return v
+
+
+def _bcast_join_task(batch: pd.DataFrame, ref, on_big, on_small, how: str) -> pd.DataFrame:
+    return batch.merge(_fetch_cached(ref), how=how, left_on=on_big, right_on=on_small)
+
+
 def broadcast_join(
     big: ray.data.Dataset,
     small_df: pd.DataFrame,
@@ -28,22 +46,19 @@ def broadcast_join(
     small_cols: Sequence[str] | None = None,
 ) -> ray.data.Dataset:
     """Join a Dataset against a small pandas dimension table without a
-    shuffle. The dimension table is ray.put once; each actor fetches it
-    once in __init__ (never per batch)."""
+    shuffle. The dimension table is ray.put ONCE; each worker process
+    fetches and caches it on first use (never per batch)."""
     on_small = on_small or on_big
     if small_cols:
         keep = list(dict.fromkeys(list(small_cols) + ([on_small] if isinstance(on_small, str) else list(on_small))))
         small_df = small_df[keep]
     ref = ray.put(small_df)
-
-    class Joiner:
-        def __init__(self) -> None:
-            self.small = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, how=how, left_on=on_big, right_on=on_small)
-
-    return big.map_batches(Joiner, batch_format="pandas", batch_size=8192, concurrency=(1, 8))
+    return big.map_batches(
+        _bcast_join_task,
+        fn_kwargs={"ref": ref, "on_big": on_big, "on_small": on_small, "how": how},
+        batch_format="pandas",
+        batch_size=8192,
+    )
 
 
 def range_join(
@@ -62,24 +77,23 @@ def range_join(
     bands = bands.sort_values(low_col).reset_index(drop=True)
     ref = ray.put(bands)
 
-    class BandJoiner:
-        def __init__(self) -> None:
-            b = ray.get(ref)
-            self.bands = b
-            self.idx = pd.IntervalIndex.from_arrays(b[low_col], b[high_col], closed="left")
+    def band_join_task(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _fetch_cached(ref)
+        key = ("interval", ref.hex())
+        idx = _BCAST_CACHE.get(key)
+        if idx is None:
+            idx = _BCAST_CACHE[key] = pd.IntervalIndex.from_arrays(b[low_col], b[high_col], closed="left")
+        pos = idx.get_indexer(batch[value_col])
+        matched = b.iloc[np.clip(pos, 0, None)].reset_index(drop=True)
+        matched.index = batch.index
+        out = pd.concat([batch, matched], axis=1)
+        if how == "inner":
+            return out[pos >= 0]
+        for c in b.columns:  # left join: null out non-matches
+            out.loc[pos < 0, c] = None
+        return out
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            pos = self.idx.get_indexer(batch[value_col])
-            matched = self.bands.iloc[np.clip(pos, 0, None)].reset_index(drop=True)
-            matched.index = batch.index
-            out = pd.concat([batch, matched], axis=1)
-            if how == "inner":
-                return out[pos >= 0]
-            for c in self.bands.columns:  # left join: null out non-matches
-                out.loc[pos < 0, c] = None
-            return out
-
-    return big.map_batches(BandJoiner, batch_format="pandas", batch_size=8192, concurrency=(1, 8))
+    return big.map_batches(band_join_task, batch_format="pandas", batch_size=8192)
 
 
 def pre_aggregate(
