@@ -551,6 +551,12 @@ def extract_pdf_pages(
     text = cleanup_text("\n\n".join(t for t in page_texts if t))
     footnotes = match_footnotes(pages, pats, cfg)
     coverage_pct, coverage_status = coverage_report(pages, text)
+    # M19 rotated-text marker (reference error_handler.py:488-507):
+    # pdfplumber words carry upright=False when rotated; tag as a
+    # METRIC only — never transform the text
+    n_rotated = sum(
+        1 for p in pages for w in p.get("words", []) if w.get("upright", True) is False
+    )
     return {
         "text": text,
         "n_pages": len(pages),
@@ -559,6 +565,7 @@ def extract_pdf_pages(
         "inventory": element_inventory(pages),
         "coverage_pct": coverage_pct,
         "coverage_status": coverage_status,
+        "n_rotated_words": n_rotated,
     }
 
 

@@ -254,3 +254,24 @@ def test_textbox_regions_extracted_separately():
     page2 = {k: v for k, v in page.items() if k != "boxes"}
     res2 = extract_pdf_pages([page2])
     assert "Sidebar" in res2["text"].split("\n")[0] or "Sidebar" in res2["text"]
+
+
+def test_rotated_word_metric():
+    """M19: rotated words (upright=False) are counted, never removed
+    or transformed (error_handler.py:488-507 tags only)."""
+    from pdf_extractor_ray.functions.pdf_words import extract_pdf_pages
+
+    page = {
+        "width": 600.0,
+        "height": 800.0,
+        "words": [
+            {"text": "Normal", "x0": 50.0, "x1": 100.0, "top": 300.0, "bottom": 312.0,
+             "size": 12.0, "fontname": "F", "height": 12.0},
+            {"text": "Rotated", "x0": 150.0, "x1": 200.0, "top": 300.0, "bottom": 312.0,
+             "size": 12.0, "fontname": "F", "height": 12.0, "upright": False},
+        ],
+        "tables": [],
+    }
+    res = extract_pdf_pages([page])
+    assert res["n_rotated_words"] == 1
+    assert "Rotated" in res["text"]  # tagged, not dropped
