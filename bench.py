@@ -52,13 +52,31 @@ def bench_corpus_path() -> str:
     shards, and a monolithic single-row-group file would serialize the
     read into one task (measured 12s floor at 32 CPUs)."""
     n = int(os.environ.get("BENCH_DOCS", "0")) or _SF_DOCS.get(_sf_name(), 4000)
-    out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_bench_{n}_f{BENCH_FAT}_s")
+    # parallel-generated corpora have different (per-shard-seeded)
+    # content than sequential ones (template mix re-rolls per shard),
+    # so their throughput numbers are NOT comparable run-to-run with
+    # the canonical corpus. The canonical sequential corpus is the
+    # recorded-benchmark basis (matches the committed fixture
+    # semantics); opt into fast parallel generation for experiments
+    # with BENCH_PARALLEL_GEN=1.
+    parallel = n >= 100_000 and os.environ.get("BENCH_PARALLEL_GEN") == "1"
+    suffix = "_p" if parallel else "_s"
+    out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_bench_{n}_f{BENCH_FAT}{suffix}")
     marker = os.path.join(out_dir, ".complete")
     path = os.path.join(out_dir, "pages")
     if not os.path.exists(marker):
-        from pdf_extractor_ray.fixtures.generator import write_corpus
+        if parallel:
+            # Ray session already owned by main()/extract_only()
+            from pdf_extractor_ray.fixtures.generator import write_corpus_parallel
 
-        write_corpus(out_dir, n, fat=BENCH_FAT, n_shards=max(64, n // 160))
+            # small shards => read tasks produce many ~800-row blocks;
+            # 4000-row shards left the 32-CPU leg with ~5 ragged task
+            # waves (measured 11.2k docs/s vs 13.0k with fine blocks)
+            write_corpus_parallel(out_dir, n, fat=BENCH_FAT, rows_per_shard=800)
+        else:
+            from pdf_extractor_ray.fixtures.generator import write_corpus
+
+            write_corpus(out_dir, n, fat=BENCH_FAT, n_shards=max(64, n // 160))
         with open(marker, "w") as f:
             f.write("ok")
     return path

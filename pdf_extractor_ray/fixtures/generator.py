@@ -415,3 +415,68 @@ def write_corpus(
             break
         pq.write_table(shard, os.path.join(pages_path, f"shard-{i:04d}.parquet"), row_group_size=512)
     return pages_path, golden_path
+
+
+def write_corpus_parallel(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    skew: bool = True,
+    fat: int = 1,
+    rows_per_shard: int = 4000,
+) -> tuple[str, str]:
+    """Ray-parallel sharded generation for BENCH-SCALE corpora.
+
+    Each shard is generated independently with rng seed (seed, shard
+    index) — deterministic for the same (n_rows, seed, rows_per_shard)
+    but a DIFFERENT byte stream than the sequential `write_corpus`
+    (whose single rng threads through all rows). The committed test
+    fixtures therefore keep using `write_corpus`; this path exists so
+    a 640k-row scaling corpus takes ~30s of cluster time instead of
+    ~8 min of one core, and memory stays bounded per shard.
+
+    Requires an initialized Ray session (bench owns one)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages_path = os.path.join(out_dir, "pages")
+    os.makedirs(pages_path, exist_ok=True)
+    golden_dir = os.path.join(out_dir, "golden")
+    os.makedirs(golden_dir, exist_ok=True)
+
+    n_shards = (n_rows + rows_per_shard - 1) // rows_per_shard
+
+    @ray.remote(num_cpus=1)
+    def gen_shard(shard_idx: int, rows: int) -> int:
+        import pyarrow.parquet as _pq
+
+        pages_t, golden_t = generate_corpus(
+            rows, seed=seed * 1_000_003 + shard_idx, skew=skew, fat=fat
+        )
+        # re-key urls so they stay globally unique across shards
+        base = shard_idx * rows_per_shard
+        import pyarrow as _pa
+
+        urls = [
+            u.replace("/doc", f"/s{shard_idx:05d}doc") for u in pages_t["url"].to_pylist()
+        ]
+        pages_t = pages_t.set_column(0, "url", _pa.array(urls, _pa.string()))
+        golden_t = golden_t.set_column(0, "url", _pa.array(urls[: golden_t.num_rows], _pa.string()))
+        _pq.write_table(
+            pages_t, os.path.join(pages_path, f"shard-{shard_idx:05d}.parquet"), row_group_size=512
+        )
+        _pq.write_table(golden_t, os.path.join(golden_dir, f"shard-{shard_idx:05d}.parquet"))
+        del base
+        return pages_t.num_rows
+
+    refs = []
+    remaining = n_rows
+    for s in range(n_shards):
+        rows = min(rows_per_shard, remaining)
+        remaining -= rows
+        refs.append(gen_shard.remote(s, rows))
+    total = sum(ray.get(refs))
+    assert total >= n_rows, (total, n_rows)
+    return pages_path, golden_dir
