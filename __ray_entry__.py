@@ -99,7 +99,12 @@ def _q1_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         return b
 
     ds = ds.map_batches(add_disc, batch_format="pandas")
-    out = grouped_sum(ds, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice", "disc_price"]).to_pandas()
+    # decimal_scale=4: prices/quantities are 2-decimal, disc_price has
+    # <=4 true decimals -> scaled-int64 sums are EXACT and partition-
+    # order-deterministic (oracle uses matching DECIMAL(38,4) casts)
+    out = grouped_sum(
+        ds, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice", "disc_price"], decimal_scale=4
+    ).to_pandas()
     return out.rename(
         columns={
             "sum_l_quantity": "sum_qty",
@@ -133,10 +138,13 @@ def _q6_revenue(sf_dir: str) -> pd.DataFrame:
             ),
         )
         t = t.filter(m)
-        return pa.table({"part": pa.array([pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0], pa.float64())})
+        # exact fixed-point partial: rev has <=4 true decimals
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        scaled = pc.cast(pc.round(pc.multiply(rev, pa.scalar(1e4))), pa.int64())
+        return pa.table({"part": pa.array([pc.sum(scaled).as_py() or 0], pa.int64())})
 
     parts = ds.map_batches(f, batch_format="pyarrow").to_pandas()
-    return pd.DataFrame({"revenue": [float(parts["part"].sum())]})
+    return pd.DataFrame({"revenue": [float(int(parts["part"].sum())) / 1e4]})
 
 
 def _orders_by_segment(sf_dir: str) -> pd.DataFrame:
@@ -146,7 +154,7 @@ def _orders_by_segment(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = broadcast_join(orders, cust, on_big="o_custkey", on_small="c_custkey")
-    out = grouped_sum(joined, ["c_mktsegment"], ["o_totalprice"]).to_pandas()
+    out = grouped_sum(joined, ["c_mktsegment"], ["o_totalprice"], decimal_scale=4).to_pandas()
     return out.rename(columns={"sum_o_totalprice": "total_price", "n": "n_orders"})
 
 
@@ -181,7 +189,7 @@ def _events_hourly(sf_dir: str) -> pd.DataFrame:
         return b[["hour", "event_type", "value"]]
 
     ds = ds.map_batches(bucket, batch_format="pandas")
-    out = grouped_sum(ds, ["event_type", "hour"], ["value"]).to_pandas()
+    out = grouped_sum(ds, ["event_type", "hour"], ["value"], decimal_scale=4).to_pandas()
     return out.rename(columns={"sum_value": "sum_value", "n": "n_events"})
 
 
@@ -205,7 +213,9 @@ def _join_priority_agg(sf_dir: str) -> pd.DataFrame:
         b["rev"] = b["l_extendedprice"] * (1 - b["l_discount"])
         return b[["o_orderpriority", "rev"]]
 
-    out = grouped_sum(joined.map_batches(revenue, batch_format="pandas"), ["o_orderpriority"], ["rev"]).to_pandas()
+    out = grouped_sum(
+        joined.map_batches(revenue, batch_format="pandas"), ["o_orderpriority"], ["rev"], decimal_scale=4
+    ).to_pandas()
     return out.rename(columns={"sum_rev": "revenue", "n": "n_items"})
 
 
@@ -330,7 +340,9 @@ def _promo_revenue_by_brand(sf_dir: str) -> pd.DataFrame:
         b["promo_revenue"] = r.where(b["p_type"] == "PROMO", 0.0)
         return b[["p_brand", "revenue", "promo_revenue"]]
 
-    out = grouped_sum(joined.map_batches(rev, batch_format="pandas"), ["p_brand"], ["revenue", "promo_revenue"]).to_pandas()
+    out = grouped_sum(
+        joined.map_batches(rev, batch_format="pandas"), ["p_brand"], ["revenue", "promo_revenue"], decimal_scale=4
+    ).to_pandas()
     out = out.rename(columns={"sum_revenue": "revenue", "sum_promo_revenue": "promo_revenue", "n": "n_items"})
     out["n_items"] = out["n_items"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
@@ -342,7 +354,7 @@ def _supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
     sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     nation = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
     joined = broadcast_join(sup, nation, on_big="s_nationkey", on_small="n_nationkey")
-    out = grouped_sum(joined, ["n_name"], ["s_acctbal"]).to_pandas()
+    out = grouped_sum(joined, ["n_name"], ["s_acctbal"], decimal_scale=4).to_pandas()
     out = out.rename(columns={"sum_s_acctbal": "total_acctbal", "n": "n_suppliers"})
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out.sort_values("n_name").reset_index(drop=True)
@@ -362,7 +374,7 @@ def _orders_price_bands(sf_dir: str) -> pd.DataFrame:
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     joined = range_join(orders, bands, value_col="o_totalprice")
-    out = grouped_sum(joined, ["band"], ["o_totalprice"]).to_pandas()
+    out = grouped_sum(joined, ["band"], ["o_totalprice"], decimal_scale=4).to_pandas()
     out = out.rename(columns={"sum_o_totalprice": "total_price", "n": "n_orders"})
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("band").reset_index(drop=True)
@@ -711,16 +723,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # engine sums are exact scaled-int64 at 4 decimals; DECIMAL(38,4)
+        # casts here make the oracle's sums identically exact
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "q6_revenue": """
-            SELECT sum(l_extendedprice * l_discount) AS revenue
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -728,7 +742,9 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < 24
         """,
         "orders_by_segment": """
-            SELECT c_mktsegment, sum(o_totalprice) AS total_price, count(*) AS n_orders
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price,
+                   count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -745,13 +761,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
-                   sum(value) AS sum_value, count(*) AS n_events
+                   CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
+                   count(*) AS n_events
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "distinct_returnflag": "SELECT DISTINCT l_returnflag FROM lineitem",
         "join_priority_agg": """
             SELECT o_orderpriority,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
@@ -804,20 +821,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "promo_revenue_by_brand": """
             SELECT p_brand,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
-                   sum(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS promo_revenue,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS promo_revenue,
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
         """,
         "supplier_balance_by_nation": """
-            SELECT n_name, sum(s_acctbal) AS total_acctbal, count(*) AS n_suppliers
+            SELECT n_name,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total_acctbal,
+                   count(*) AS n_suppliers
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
         """,
         "orders_price_bands": """
-            SELECT b.band, sum(o.o_totalprice) AS total_price, count(*) AS n_orders
+            SELECT b.band,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price,
+                   count(*) AS n_orders
             FROM orders o
             JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
                          ('high', 150000.0, 300000.0), ('top', 300000.0, 1e12))
@@ -877,10 +898,12 @@ def oracle_sql() -> dict[str, str]:
                               ELSE CAST(ceil((d.L - 200) / 1800.0) AS INT) - 1 END
             ORDER BY d.doc_id, chunk_index
         """,
+        # DOUBLE[] casts: engine computes cosine in float64 end-to-end,
+        # so the oracle must too (FLOAT-list cosine drifts ~1e-6)
         "similarity_topk": """
             SELECT e.vec_id,
-                   list_cosine_similarity(e.embedding,
-                       (SELECT embedding FROM embeddings
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                         WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) AS cos
             FROM embeddings e
             ORDER BY cos DESC, e.vec_id LIMIT 10

@@ -89,8 +89,13 @@ def range_join(
         out = pd.concat([batch, matched], axis=1)
         if how == "inner":
             return out[pos >= 0]
-        for c in b.columns:  # left join: null out non-matches
-            out.loc[pos < 0, c] = None
+        if (pos < 0).any():  # left join: null out non-matches, NA-typed
+            miss = pos < 0
+            for c in b.columns:
+                col = out[c]
+                if pd.api.types.is_integer_dtype(col) or pd.api.types.is_bool_dtype(col):
+                    out[c] = col.astype("Int64" if pd.api.types.is_integer_dtype(col) else "boolean")
+                out.loc[miss, c] = pd.NA if not pd.api.types.is_float_dtype(out[c]) else np.nan
         return out
 
     return big.map_batches(band_join_task, batch_format="pandas", batch_size=8192)
@@ -101,14 +106,27 @@ def pre_aggregate(
     keys: Sequence[str],
     sums: Sequence[str] = (),
     counts: bool = True,
+    decimal_scale: int | None = None,
 ) -> ray.data.Dataset:
     """Partial per-batch combine: emits one row per key per batch with
     partial sums/counts. Follow with groupby(keys).aggregate(Sum(...))
-    over the (tiny) partials — the shuffle then moves K x B rows, not N."""
+    over the (tiny) partials — the shuffle then moves K x B rows, not N.
+
+    decimal_scale: when set, float sum columns are fixed-point values
+    with at most that many decimals (money etc.); each is scaled to
+    int64 per row and summed EXACTLY, making the grouped sum
+    bit-deterministic regardless of partition/batch order and equal to
+    a SQL `SUM(CAST(x AS DECIMAL(38, scale)))`. Sum columns must be
+    non-null and |sum| * 10**scale must stay below 2**53."""
     keys = list(keys)
     sums = list(sums)
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if decimal_scale is not None and sums:
+            batch = batch.copy()
+            f = 10.0**decimal_scale
+            for c in sums:
+                batch[c] = np.rint(batch[c].to_numpy(dtype=np.float64) * f).astype(np.int64)
         agg: dict[str, tuple[str, str]] = {f"_sum_{c}": (c, "sum") for c in sums}
         if counts:
             agg["_partial_n"] = (keys[0], "size")
@@ -124,6 +142,7 @@ def final_aggregate(
     sums: Sequence[str] = (),
     counts: bool = True,
     num_partitions: int = 64,
+    decimal_scale: int | None = None,
 ) -> ray.data.Dataset:
     """Sum the per-batch partials to final (keys, sum_*, n) rows.
 
@@ -132,7 +151,12 @@ def final_aggregate(
     aggregate — measured 5x faster at 90k partial rows / 7.5k keys
     (the native sort-based aggregate pays per-key overhead; the coarse
     partition pays P python calls regardless of key cardinality).
-    hash_pandas_object is deterministic across processes."""
+    hash_pandas_object is deterministic across processes.
+
+    decimal_scale: see pre_aggregate — partials arrive as exact scaled
+    int64, are summed exactly, and are converted back to float64 here
+    with ONE correctly-rounded division (identical to DuckDB's
+    DECIMAL -> DOUBLE cast while |sum|*10**scale < 2**53)."""
     keys = list(keys)
     agg_cols = [f"_sum_{c}" for c in sums] + (["_partial_n"] if counts else [])
     rename = {f"_sum_{c}": f"sum_{c}" for c in sums}
@@ -147,6 +171,10 @@ def final_aggregate(
 
     def agg_part(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(keys, as_index=False, sort=True, dropna=False)[agg_cols].sum()
+        if decimal_scale is not None:
+            f = float(10**decimal_scale)
+            for c in sums:
+                out[f"_sum_{c}"] = out[f"_sum_{c}"].to_numpy(dtype=np.int64).astype(np.float64) / f
         return out.rename(columns=rename)
 
     return (
@@ -157,10 +185,22 @@ def final_aggregate(
 
 
 def grouped_sum(
-    ds: ray.data.Dataset, keys: Sequence[str], sums: Sequence[str], counts: bool = True
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    sums: Sequence[str],
+    counts: bool = True,
+    decimal_scale: int | None = None,
 ) -> ray.data.Dataset:
-    """Pre-aggregated grouped sum/count (the scalable groupby)."""
-    return final_aggregate(pre_aggregate(ds, keys, sums, counts), keys, sums, counts)
+    """Pre-aggregated grouped sum/count (the scalable groupby). Pass
+    decimal_scale for fixed-point float columns to make the sums exact
+    and partition-order-deterministic (see pre_aggregate)."""
+    return final_aggregate(
+        pre_aggregate(ds, keys, sums, counts, decimal_scale=decimal_scale),
+        keys,
+        sums,
+        counts,
+        decimal_scale=decimal_scale,
+    )
 
 
 def hash_join(

@@ -36,18 +36,22 @@ _QUERY_CACHE: dict = {}
 
 
 def _topk_task(batch: pd.DataFrame, qref, k: int, id_col: str, vec_col: str) -> pd.DataFrame:
+    if len(batch) == 0:  # np.stack raises on empty sequences
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
     q = _QUERY_CACHE.get(qref.hex())
     if q is None:
-        q = _normalize_rows(np.atleast_2d(np.asarray(ray.get(qref), dtype=np.float32)))
+        q = _normalize_rows(np.atleast_2d(np.asarray(ray.get(qref), dtype=np.float64)))
         _QUERY_CACHE[qref.hex()] = q
-    m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+    # float64 end-to-end: float32 matmul drifted ~1e-6 vs the DuckDB
+    # oracle's double path, enough to flip 4-decimal rounding
+    m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
     s = (m @ q.T)[:, 0]
     k = min(k, len(s))
     idx = np.argpartition(-s, k - 1)[:k]
     return pd.DataFrame(
         {
             id_col: batch[id_col].to_numpy()[idx],
-            "cos": s[idx].astype(np.float64),
+            "cos": s[idx],
         }
     )
 
@@ -61,7 +65,7 @@ def brute_force_topk(
 ) -> pd.DataFrame:
     """Exact cosine top-k. Result: (id_col, cos) sorted by
     (-cos, id_col) — deterministic tie-break."""
-    qref = ray.put(np.asarray(query, dtype=np.float32))
+    qref = ray.put(np.asarray(query, dtype=np.float64))
     partial = ds.map_batches(
         _topk_task,
         fn_kwargs={"qref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
@@ -101,6 +105,10 @@ def train_centroids(
 
 
 def _assign_task(batch: pd.DataFrame, cref, vec_col: str) -> pd.DataFrame:
+    if len(batch) == 0:
+        batch = batch.copy()
+        batch["bucket"] = pd.Series(dtype="int32")
+        return batch
     c = _QUERY_CACHE.get(cref.hex())
     if c is None:
         c = _QUERY_CACHE[cref.hex()] = ray.get(cref)
@@ -149,24 +157,49 @@ def embedding_neardup_pairs(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> pd.DataFrame:
     """All pairs with cosine >= threshold, blocked by IVF bucket (pairs
     straddling buckets with cos >= threshold are overwhelmingly rare for
     tight thresholds; the exact variant would multi-assign borderline
-    rows). Returns (a, b, cos), a < b, sorted."""
+    rows). Returns (a, b, cos), a < b, sorted.
+
+    Per-bucket scoring is CHUNKED block-pair (block_rows x n_bucket
+    tiles) so memory per group is O(block_rows * n) instead of the
+    O(n^2) dense similarity matrix a hot bucket would otherwise
+    allocate — the tile loop scans only the upper triangle."""
     cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
     bucketed = assign_buckets(ds, cents, vec_col=vec_col)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")}
+        )
+        if len(g) < 2:
+            return empty
         ids = g[id_col].to_numpy()
         m = _normalize_rows(np.stack(g[vec_col].to_numpy()).astype(np.float32))
-        s = m @ m.T
-        ii, jj = np.where(np.triu(s >= threshold, k=1))
-        order = np.argsort(ids)
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
-        del order
-        return pd.DataFrame({"a": a, "b": b, "cos": s[ii, jj].astype(np.float64)})
+        frames = []
+        for i0 in range(0, len(m), block_rows):
+            i1 = min(i0 + block_rows, len(m))
+            # tile vs everything at-or-after the tile start: upper triangle only
+            s = m[i0:i1] @ m[i0:].T  # (block_rows, n - i0) — bounded
+            ii, jj = np.where(s >= threshold)
+            keep = (ii + i0) < (jj + i0)  # strict upper triangle
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            ga, gb = ids[ii + i0], ids[jj + i0]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "a": np.minimum(ga, gb),
+                        "b": np.maximum(ga, gb),
+                        "cos": s[ii, jj].astype(np.float64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     out = bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas").to_pandas()
     if out.empty:  # zero pairs: preserve the schema
