@@ -179,3 +179,86 @@ def test_broadcast_join_and_grouped_sum(ray_session):
     out = grouped_sum(joined, ["name"], ["v"]).to_pandas().sort_values("name")
     assert out["sum_v"].tolist() == [40.0, 20.0, 40.0]
     assert out["n"].tolist() == [2, 1, 1]
+
+
+def test_grouped_sum_decimal_exact(ray_session):
+    """decimal_scale makes float sums exact and independent of
+    partition/batch order: 0.1 * 30000 is NOT 3000.0 in naive float64
+    accumulation, but is exact in scaled-int64 space."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    n = 30_000
+    df = pd.DataFrame({"k": np.arange(n) % 3, "v": np.full(n, 0.1)})
+    out = grouped_sum(ray.data.from_pandas(df), ["k"], ["v"], decimal_scale=4).to_pandas().sort_values("k")
+    assert out["sum_v"].tolist() == [1000.0, 1000.0, 1000.0]
+    assert out["n"].tolist() == [10_000, 10_000, 10_000]
+
+
+def test_dedup_pairs_ds_exact_distinct(ray_session):
+    """Every duplicate pair collapses to exactly one row even when the
+    pair volume spans many batches/partitions (the old repartition(1)
+    + default-batch drop_duplicates silently kept dupes past 1024
+    rows)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import dedup_pairs_ds
+
+    a = np.repeat(np.arange(5000, dtype=np.int64), 3)  # each pair 3x
+    b = a + 1_000_000
+    pairs = ray.data.from_pandas(pd.DataFrame({"a": a, "b": b}))
+    out = dedup_pairs_ds(pairs, num_partitions=8).to_pandas()
+    assert len(out) == 5000
+    assert not out.duplicated(["a", "b"]).any()
+
+
+def _corpus_with_dups(n_unique: int, n_dups: int) -> pd.DataFrame:
+    """Deterministic corpus: n_unique distinct docs (pseudo-random
+    LETTER tokens — digit-heavy tokens share so many char 5-shingles
+    that unrelated docs genuinely exceed Jaccard 0.8) + n_dups exact
+    copies of the first n_dups docs under fresh ids."""
+
+    def tok(v: int) -> str:
+        out = []
+        for _ in range(8):
+            out.append(chr(97 + v % 26))
+            v //= 26
+        return "".join(out)
+
+    texts = [
+        " ".join(tok((i * 2654435761 + k * 97003) % (1 << 31)) for k in range(12))
+        for i in range(n_unique)
+    ]
+    all_texts = texts + texts[:n_dups]
+    return pd.DataFrame({"doc_id": np.arange(len(all_texts), dtype=np.int64), "text": all_texts})
+
+
+def test_minhash_dedup_50k_docs_distributed(ray_session):
+    """Scale shape test (VERDICT r1 item 2): 50k docs, 10% duplicate
+    rate, fully distributed verify — every duplicate (higher id of
+    each pair) must be dropped, no false drops of unique docs."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import minhash_dedup
+
+    n_unique, n_dups = 45_000, 5_000
+    df = _corpus_with_dups(n_unique, n_dups)
+    ds = ray.data.from_pandas(df).repartition(16)
+    kept = minhash_dedup(ds, threshold=0.8).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    # all duplicate ids (>= n_unique) dropped, all originals kept
+    assert len(kept) == n_unique
+    assert kept_ids == set(range(n_unique))
+
+
+def test_simhash_dedup_catches_exact_dups_at_volume(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import simhash_dedup
+
+    df = _corpus_with_dups(4_000, 400)
+    ds = ray.data.from_pandas(df).repartition(8)
+    kept = simhash_dedup(ds, max_hamming=3).to_pandas()
+    # exact copies share the simhash -> hamming 0 -> dropped
+    assert set(kept["doc_id"]) == set(range(4_000))
