@@ -556,7 +556,19 @@ def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
 
 def _extract_corpus(sf_dir: str) -> pd.DataFrame:
     ds = _extraction_results(500)
-    out = ds.select_columns(["url", "lang", "payload_kind", "n_blocks", "n_words", "quality_score", "grade"]).to_pandas()
+    out = ds.select_columns(
+        [
+            "url",
+            "lang",
+            "payload_kind",
+            "n_blocks",
+            "n_words",
+            "quality_score",
+            "grade",
+            "n_tables_detected",
+            "n_rotated_words",
+        ]
+    ).to_pandas()
     return out.sort_values("url").reset_index(drop=True)
 
 

@@ -34,6 +34,27 @@ class PipelineConfig:
     script_band: float = 15.0            # Y band around baseline for script candidates (extractor.py:665-689)
     trimmed_mean_frac: float = 0.10      # trim 10% each side for avg font size (superscript_detector.py:171-177)
 
+    # ---- geometry table/textbox detection (reference
+    #      layout_analyzer.py:200-330 + table_detector_enhanced.py:286-505;
+    #      alignment detection OFF mirrors the reference's production
+    #      default, layout_analyzer.py:222-223) ----
+    detect_line_tables: bool = True      # ruling-line grids
+    detect_text_tables: bool = False     # borderless alignment tables
+    detect_boxes: bool = True            # textbox/sidebar rects
+    table_line_tol: float = 3.0          # line/edge clustering tolerance (px)
+    table_align_tol: float = 3.0         # x0 alignment tolerance (alignment_tolerance)
+    table_row_tol: float = 15.0          # top clustering tolerance (min_row_gap * 3)
+    table_min_rows: int = 3              # layout_analyzer.py:213
+    table_min_cols: int = 3              # layout_analyzer.py:214
+    table_min_cells: int = 9             # layout_analyzer.py:215
+    table_min_fill: float = 0.5          # >=50% non-empty cells (layout_analyzer.py:424)
+    table_max_rows_text: int = 20        # text-based caps (layout_analyzer.py:429-431)
+    table_max_cols_text: int = 10
+    table_group_gap: float = 60.0        # y gap separating ruled tables on one page
+    textbox_min_words: int = 5           # layout_analyzer.py:209
+    textbox_min_w: float = 50.0          # layout_analyzer.py:494
+    textbox_min_h: float = 20.0
+
     # ---- HTML boilerplate-strip path (public trafilatura/jusText heuristics) ----
     max_link_density: float = 0.40       # block with > 40% link chars = boilerplate
     min_paragraph_chars: int = 25        # shorter paragraphs = boilerplate

@@ -207,6 +207,56 @@ def _lay_line(text: str, top: float, x0: float, jp: bool, size: float = 10.0) ->
     return words
 
 
+def _layout_detection_page(page_idx: int, header: str) -> tuple[dict, str, str]:
+    """A page exercising GEOMETRY DETECTION (functions/layout.py): a
+    ruled 3x3 grid carried as `lines` + cell words (NO `tables` hint —
+    the extractor must detect it) and a bordered textbox carried as a
+    `rects` entry with words inside (NO `boxes` hint). One grid word is
+    rotated (upright=False) to exercise the M19 metric. Deterministic:
+    no rng draws, so adding this page leaves the corpus rng stream —
+    and every other document's golden — untouched."""
+    words: list[dict] = []
+    lines: list[dict] = []
+    rects: list[dict] = []
+    words += _lay_line(header, 20.0, 72.0, False)
+    # ruled 3x3 grid: edges x 320/400/480/560, y 300/330/360/390
+    xs = [320.0, 400.0, 480.0, 560.0]
+    ys = [300.0, 330.0, 360.0, 390.0]
+    for y in ys:
+        lines.append({"x0": xs[0], "x1": xs[-1], "top": y, "bottom": y})
+    for x in xs:
+        lines.append({"x0": x, "x1": x, "top": ys[0], "bottom": ys[-1]})
+    cells = [[f"g{r}{c}" for c in range(3)] for r in range(3)]
+    for r in range(3):
+        for c in range(3):
+            w = {
+                "text": cells[r][c],
+                "x0": xs[c] + 5.0,
+                "x1": xs[c] + 23.0,
+                "top": ys[r] + 5.0,
+                "bottom": ys[r] + 15.0,
+                "size": 10.0,
+                "fontname": "F0",
+            }
+            if r == 1 and c == 1:
+                w["upright"] = False  # M19 rotated-word metric
+            words.append(w)
+    # bordered textbox (sidebar) with 6 words inside
+    rects.append({"x0": 72.0, "top": 500.0, "x1": 330.0, "bottom": 560.0})
+    box_text = "Side note content lives here too"
+    words += _lay_line(box_text, 510.0, 77.0, False)
+    # isolated page number -> dropped
+    words += _lay_line(f"-{page_idx + 1}-", 768.0, 290.0, False)
+    page = {"width": _PAGE_W, "height": _PAGE_H, "words": words, "lines": lines, "rects": rects}
+    tbl_lines = ["[TABLE: 3x3]"]
+    for row in cells:
+        tbl_lines.append("| " + " | ".join(row) + " |")
+    tbl_lines.append("[TABLE END]")
+    golden = "\n".join(tbl_lines) + "\n\n[BOX]\n" + box_text + "\n[BOX END]"
+    visible = " ".join([header] + [c for row in cells for c in row] + [box_text, f"-{page_idx + 1}-"])
+    return page, golden, visible
+
+
 def _tpl_pdf(rng: random.Random, lang: str, fat: int = 1) -> tuple[bytes, str, int, str]:
     """Multi-page PDF-geometry doc: repeated header (dropped), body
     lines (kept), one superscript attach, isolated page numbers
@@ -290,6 +340,11 @@ def _tpl_pdf(rng: random.Random, lang: str, fat: int = 1) -> tuple[bytes, str, i
         visible.append(f"-{pno + 1}-")
         pages.append({"width": _PAGE_W, "height": _PAGE_H, "words": words, "tables": tables})
         golden_pages.append("\n".join(golden_lines).replace("\n\n\n", "\n\n"))
+    layout_page, layout_golden, layout_visible = _layout_detection_page(n_pages, header)
+    pages.append(layout_page)
+    golden_pages.append(layout_golden)
+    visible.append(layout_visible)
+    n_pages += 1
     payload = FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False, sort_keys=True).encode("utf-8")
     golden = "\n\n".join(golden_pages)
     # cleanup squeezes >=3 newlines; our construction produces at most 2
@@ -459,11 +514,17 @@ def write_corpus_parallel(
         base = shard_idx * rows_per_shard
         import pyarrow as _pa
 
+        # re-key each table via ITS OWN url column: the pages url list
+        # carries appended duplicate rows the golden table lacks, so a
+        # positional slice would misalign the tail golden rows
         urls = [
             u.replace("/doc", f"/s{shard_idx:05d}doc") for u in pages_t["url"].to_pylist()
         ]
+        g_urls = [
+            u.replace("/doc", f"/s{shard_idx:05d}doc") for u in golden_t["url"].to_pylist()
+        ]
         pages_t = pages_t.set_column(0, "url", _pa.array(urls, _pa.string()))
-        golden_t = golden_t.set_column(0, "url", _pa.array(urls[: golden_t.num_rows], _pa.string()))
+        golden_t = golden_t.set_column(0, "url", _pa.array(g_urls, _pa.string()))
         _pq.write_table(
             pages_t, os.path.join(pages_path, f"shard-{shard_idx:05d}.parquet"), row_group_size=512
         )

@@ -502,16 +502,35 @@ def coverage_report(pages: list[dict], extracted_text: str) -> tuple[float, str]
 # ---------------------------------------------------------------------------
 
 
+def page_layout(page: dict, cfg: PipelineConfig = DEFAULT_CONFIG) -> tuple[list[dict], list[list[float]], int]:
+    """Resolve (tables, boxes, n_detected) for a page: explicit hints
+    win; otherwise DETECT tables from ruling lines / word alignment and
+    textboxes from border rects (functions/layout.py; reference
+    layout_analyzer.py:225-267 analyze_page)."""
+    from pdf_extractor_ray.functions import layout as _layout
+
+    tables = page.get("tables", [])
+    n_detected = 0
+    if not tables and (cfg.detect_line_tables or cfg.detect_text_tables):
+        tables = _layout.detect_tables(page.get("words", []), page.get("lines", []), cfg)
+        n_detected = len(tables)
+    boxes = page.get("boxes", [])
+    if not boxes and cfg.detect_boxes and page.get("rects"):
+        boxes = _layout.detect_textboxes(page.get("rects", []), page.get("words", []), tables, cfg)
+    return tables, boxes, n_detected
+
+
 def extract_page(
     page: dict,
     headers: frozenset[str],
     footers: frozenset[str],
     pats: Patterns,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    layout: tuple[list[dict], list[list[float]], int] | None = None,
 ) -> str:
     words = page.get("words", [])
-    tables = page.get("tables", [])
-    boxes = page.get("boxes", [])  # textbox/sidebar rects (LayoutRegion,
+    tables, boxes, _ = layout if layout is not None else page_layout(page, cfg)
+    # textbox/sidebar rects (LayoutRegion,
     # reference layout_analyzer.py:144-171; integration master_extractor.py:364-390)
     words = exclude_table_words(words, tables)
     words, box_words = split_box_words(words, boxes)
@@ -547,7 +566,10 @@ def extract_pdf_pages(
     SURVEY.md §3.2)."""
     pats = pats or Patterns()
     headers, footers = detect_repeating_elements(pages, cfg)
-    page_texts = [extract_page(p, headers, footers, pats, cfg) for p in pages]
+    layouts = [page_layout(p, cfg) for p in pages]
+    page_texts = [
+        extract_page(p, headers, footers, pats, cfg, layout=lay) for p, lay in zip(pages, layouts)
+    ]
     text = cleanup_text("\n\n".join(t for t in page_texts if t))
     footnotes = match_footnotes(pages, pats, cfg)
     coverage_pct, coverage_status = coverage_report(pages, text)
@@ -566,6 +588,7 @@ def extract_pdf_pages(
         "coverage_pct": coverage_pct,
         "coverage_status": coverage_status,
         "n_rotated_words": n_rotated,
+        "n_tables_detected": sum(lay[2] for lay in layouts),
     }
 
 
@@ -590,9 +613,27 @@ def extract_pdf_bytes(payload: bytes, pats: Patterns | None = None, cfg: Pipelin
         raise NotImplementedError(
             "real-PDF parsing requires pdfplumber; only %PDF-FIXTURE payloads are supported here"
         ) from exc
+    def seg(o: dict) -> dict:  # pragma: no cover
+        return {
+            "x0": float(o["x0"]),
+            "x1": float(o["x1"]),
+            "top": float(o["top"]),
+            "bottom": float(o["bottom"]),
+        }
+
     pages = []
     with pdfplumber.open(io.BytesIO(payload)) as pdf:  # pragma: no cover
         for p in pdf.pages:
             ws = p.extract_words(extra_attrs=["fontname", "size", "height"])
-            pages.append({"width": float(p.width), "height": float(p.height), "words": ws, "tables": []})
+            # no `tables` hint: ruling lines + border rects feed the
+            # geometry detectors (functions/layout.py) instead
+            pages.append(
+                {
+                    "width": float(p.width),
+                    "height": float(p.height),
+                    "words": ws,
+                    "lines": [seg(ln) for ln in (p.lines or [])],
+                    "rects": [seg(r) for r in (p.rects or [])],
+                }
+            )
     return extract_pdf_pages(pages, pats, cfg)  # pragma: no cover

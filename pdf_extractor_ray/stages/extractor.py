@@ -41,6 +41,8 @@ RESULT_SCHEMA = pa.schema(
         ("coverage_status", pa.string()),    # GOOD / WARNING / POOR
         ("n_hallu_flags", pa.int32()),       # anti-hallucination pattern hits
         ("repetition_ratio", pa.float64()),  # D6: distinct 100-char shingle ratio
+        ("n_tables_detected", pa.int32()),   # geometry-detected tables (functions/layout.py)
+        ("n_rotated_words", pa.int32()),     # M19 rotated-text metric (error_handler.py:488-507)
         ("error", pa.string()),
     ]
 )
@@ -86,6 +88,8 @@ class Extractor:
                 "footnotes": res["footnotes"],
                 "coverage_pct": res.get("coverage_pct", 100.0),
                 "coverage_status": res.get("coverage_status", "GOOD"),
+                "n_tables_detected": res.get("n_tables_detected", 0),
+                "n_rotated_words": res.get("n_rotated_words", 0),
             }
         html = payload.decode("utf-8", errors="replace")
         text, n_blocks = extract_html(html, cfg)
@@ -109,6 +113,7 @@ class Extractor:
             [], [], [], [], [], [], [], [], [],
         )
         cov_pcts, cov_stats, hallu_ns, rep_ratios = [], [], [], []
+        tbl_ns, rot_ns = [], []
         for payload in payloads:
             try:
                 r = self.extract_one(payload or b"")
@@ -137,6 +142,8 @@ class Extractor:
                 cov_stats.append(r.get("coverage_status", "GOOD"))
                 hallu_ns.append(len(textstats.hallucination_flags(text)))
                 rep_ratios.append(textstats.repetition_ratio(text))
+                tbl_ns.append(r.get("n_tables_detected", 0))
+                rot_ns.append(r.get("n_rotated_words", 0))
                 errors.append(None)
             except Exception as exc:  # never raise: poison-blob guard
                 kinds.append("error")
@@ -151,6 +158,8 @@ class Extractor:
                 cov_stats.append("POOR")
                 hallu_ns.append(0)
                 rep_ratios.append(1.0)
+                tbl_ns.append(0)
+                rot_ns.append(0)
                 errors.append(f"{type(exc).__name__}: {exc}"[:500])
 
         return pa.Table.from_arrays(
@@ -170,6 +179,8 @@ class Extractor:
                 pa.array(cov_stats, pa.string()),
                 pa.array(hallu_ns, pa.int32()),
                 pa.array(rep_ratios, pa.float64()),
+                pa.array(tbl_ns, pa.int32()),
+                pa.array(rot_ns, pa.int32()),
                 pa.array(errors, pa.string()),
             ],
             schema=RESULT_SCHEMA,
