@@ -30,14 +30,20 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _fixture_pages(n_rows: int = 500) -> str:
-    """Deterministic pages.parquet (generated once per (n_rows) into a
-    shared tmp dir; same bytes for the same n_rows — seed=42)."""
-    out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_fixture_{n_rows}")
+    """Deterministic pages.parquet (generated once per (n_rows,
+    generator-version) into a shared tmp dir; same bytes for the same
+    key — seed=42). The cache key hashes the generator source so a
+    semantics change invalidates stale /tmp corpora automatically."""
+    import hashlib
+
+    from pdf_extractor_ray.fixtures import generator as _gen
+
+    with open(_gen.__file__, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_fixture_{n_rows}_{tag}")
     path = os.path.join(out_dir, "pages.parquet")
     if not os.path.exists(path):
-        from pdf_extractor_ray.fixtures.generator import write_corpus
-
-        write_corpus(out_dir, n_rows)
+        _gen.write_corpus(out_dir, n_rows)
     return path
 
 

@@ -54,6 +54,7 @@ class PipelineConfig:
     textbox_min_words: int = 5           # layout_analyzer.py:209
     textbox_min_w: float = 50.0          # layout_analyzer.py:494
     textbox_min_h: float = 20.0
+    overlap_area_frac: float = 0.5       # J4 significant-overlap threshold (error_handler.py:310-312)
 
     # ---- HTML boilerplate-strip path (public trafilatura/jusText heuristics) ----
     max_link_density: float = 0.40       # block with > 40% link chars = boilerplate
@@ -63,6 +64,11 @@ class PipelineConfig:
 
     # ---- cleanup (reference extractor.py:876-994) ----
     squeeze_blank_lines: int = 3         # runs of >= 3 newlines collapse to 2
+    # M17 deep-cleanup ladder — OPT-IN (defaults pin the untransformed
+    # byte-identity goldens; reference extractor.py:903-994)
+    cleanup_fix_spacing: bool = False    # JP spacing regex table
+    cleanup_join_lines: bool = False     # particle/comma line joining
+    cleanup_fix_punctuation: bool = False  # dup 。、 squeeze + ellipsis normalize
 
     # ---- remediation loop (reference master_extractor.py:497-570:
     #      if score < 70, retry with altered configs, keep the best;

@@ -188,6 +188,53 @@ def split_box_words(
 
 
 # ---------------------------------------------------------------------------
+# D1 — exact word dedup at identical coordinates (error_handler.py:542-574)
+# J4 — overlapping-text detection / Z-order metric (error_handler.py:277-312)
+# ---------------------------------------------------------------------------
+
+
+def dedupe_overlapping_words(words: list[dict]) -> list[dict]:
+    """D1: layered/scanned PDFs often stamp the same word twice at the
+    same spot; keep the first of each (round(x0,1), round(top,1), text)
+    in (top, x0) order — exact reference semantics
+    (error_handler.py:542-574 deduplicate_overlapping)."""
+    seen: set[tuple[float, float, str]] = set()
+    out = []
+    for w in sorted(words, key=lambda w: (w["top"], w["x0"], w["text"])):
+        key = (round(w["x0"], 1), round(w["top"], 1), w["text"])
+        if key not in seen:
+            seen.add(key)
+            out.append(w)
+    return out
+
+
+def count_overlapping_words(words: list[dict], overlap_frac: float = 0.5) -> int:
+    """J4: number of word pairs whose bbox intersection exceeds
+    overlap_frac of the smaller box (Z-order rendering issues,
+    reference error_handler.py:277-312). Metric only — the text is
+    never transformed. Sorted sweep over `top` so only vertically
+    overlapping pairs are compared (the reference's O(n^2) double loop
+    over every pair doesn't survive dense pages)."""
+    ws = sorted(words, key=lambda w: (w["top"], w["x0"], w["text"]))
+    n = 0
+    for i, a in enumerate(ws):
+        for b in ws[i + 1 :]:
+            if b["top"] >= a["bottom"]:
+                break  # sweep: no later word can overlap `a` vertically
+            x_ov = min(a["x1"], b["x1"]) - max(a["x0"], b["x0"])
+            y_ov = min(a["bottom"], b["bottom"]) - max(a["top"], b["top"])
+            if x_ov <= 0 or y_ov <= 0:
+                continue
+            area_a = (a["x1"] - a["x0"]) * (a["bottom"] - a["top"])
+            area_b = (b["x1"] - b["x0"]) * (b["bottom"] - b["top"])
+            if area_a <= 0 or area_b <= 0:
+                continue
+            if x_ov * y_ov > min(area_a, area_b) * overlap_frac:
+                n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
 # M13/M14 — super/subscript integration (extractor.py:629-792)
 # ---------------------------------------------------------------------------
 
@@ -385,14 +432,10 @@ def format_table(table: dict) -> str:
 _MARKER_NORM = re.compile(r"[::.．\s]")
 
 
-def match_footnotes(
+def _scan_footnotes(
     pages: list[dict], pats: Patterns, cfg: PipelineConfig = DEFAULT_CONFIG
-) -> list[dict]:
-    """Greedy fuzzy 1:1 matching of body markers to bottom-zone
-    definitions. Confidence: exact 1.0 / normalized 0.95, +0.3 same
-    page, +0.2 same type, capped 1.0; accept > 0.5 — reference
-    footnote_extractor.py:303-371. Returns
-    [{marker, page, def_page, text, confidence}] sorted by (page, marker)."""
+) -> tuple[list[tuple[str, int]], list[dict]]:
+    """Collect body markers and bottom-zone definitions per page."""
     markers: list[tuple[str, int]] = []
     defs: list[dict] = []
     for pno, page in enumerate(pages):
@@ -406,6 +449,45 @@ def match_footnotes(
             elif w["top"] >= bot and pats.footnote_def.match(t):
                 line = [w2["text"] for w2 in words[i + 1 :] if abs(w2["top"] - w["top"]) <= cfg.line_height_threshold]
                 defs.append({"marker": t, "page": pno, "text": " ".join(line), "used": False})
+    return markers, defs
+
+
+def match_footnotes(
+    pages: list[dict], pats: Patterns, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> list[dict]:
+    """Greedy fuzzy 1:1 matching of body markers to bottom-zone
+    definitions. Confidence: exact 1.0 / normalized 0.95, +0.3 same
+    page, +0.2 same type, capped 1.0; accept > 0.5 — reference
+    footnote_extractor.py:303-371. Returns
+    [{marker, page, def_page, text, confidence}] sorted by (page, marker)."""
+    return match_footnotes_full(pages, pats, cfg)[0]
+
+
+def footnote_report(markers: list, defs: list[dict], matches: list[dict]) -> dict:
+    """A6 — completeness verification (reference
+    footnote_extractor.py:403-442 verify_completeness): match rate over
+    markers with COMPLETE (=100) / PARTIAL (>=80) / POOR status, plus
+    the D7 residue (unmatched definitions — set difference surfaced,
+    reference's unmatched_definitions list)."""
+    n_markers, n_defs, n_matches = len(markers), len(defs), len(matches)
+    rate = round(100.0 * n_matches / n_markers, 1) if n_markers else 100.0
+    status = "COMPLETE" if rate == 100.0 else ("PARTIAL" if rate >= 80.0 else "POOR")
+    return {
+        "n_markers": n_markers,
+        "n_definitions": n_defs,
+        "n_matches": n_matches,
+        "match_rate": rate,
+        "status": status,
+        "n_unmatched_markers": n_markers - n_matches,
+        "n_unmatched_defs": sum(1 for d in defs if not d["used"]),
+    }
+
+
+def match_footnotes_full(
+    pages: list[dict], pats: Patterns, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> tuple[list[dict], dict]:
+    """match_footnotes + the A6/D7 completeness report, one scan."""
+    markers, defs = _scan_footnotes(pages, pats, cfg)
     out = []
     for m_text, m_page in markers:
         m_norm = _MARKER_NORM.sub("", m_text)
@@ -437,20 +519,108 @@ def match_footnotes(
                 }
             )
     out.sort(key=lambda r: (r["page"], r["marker"]))
-    return out
+    return out, footnote_report(markers, defs, out)
 
 
 # ---------------------------------------------------------------------------
-# M17 — cleanup (extractor.py:876-901)
+# M17 — cleanup ladder (extractor.py:876-994)
 # ---------------------------------------------------------------------------
 
 _BLANKS_RE = re.compile(r"\n{3,}")
 _TRAIL_WS_RE = re.compile(r"[ \t]+\n")
 
+# _fix_spacing regex table (reference extractor.py:903-927)
+_JP_CLS = r"[぀-ゟ゠-ヿ一-鿿]"
+_FS_JP_JP = re.compile(rf"({_JP_CLS})\s+({_JP_CLS})")
+_FS_BEFORE_PUNCT = re.compile(r"\s+([。、！？）］】」』])")
+_FS_AFTER_OPEN = re.compile(r"([（［【「『])\s+")
+_FS_JP_ALNUM = re.compile(rf"({_JP_CLS})([a-zA-Z0-9])")
+_FS_ALNUM_JP = re.compile(rf"([a-zA-Z0-9])({_JP_CLS})")
 
-def cleanup_text(text: str) -> str:
+# _join_lines guards (reference extractor.py:957-982)
+_JL_TERMINATORS = set("。！？」』】）：；")
+_JL_PARTICLES = set("はがをにでとのへからもや")
+_JL_COMMAS = set("、，")
+_JL_BULLET = re.compile(r"^[・■□●○①-⑳\d]+[.．)）]\s*")
+_JL_SECTION = re.compile(r"^第?\d+[章条項節]")
+
+# _fix_punctuation table (reference extractor.py:984-994)
+_FP_DUP_MARU = re.compile(r"。+")
+_FP_DUP_TOUTEN = re.compile(r"、+")
+_FP_ASCII_ELLIPSIS = re.compile(r"\.\.\.+")
+_FP_JP_ELLIPSIS = re.compile(r"・・・+")
+
+
+def fix_spacing(text: str) -> str:
+    """M17 opt-in: JP<->JP space removal, punctuation-adjacent space
+    fixes, JP<->alnum space insertion (reference extractor.py:903-927
+    regex table, mirrored 1:1)."""
+    text = _FS_JP_JP.sub(r"\1\2", text)
+    text = _FS_BEFORE_PUNCT.sub(r"\1", text)
+    text = _FS_AFTER_OPEN.sub(r"\1", text)
+    text = _FS_JP_ALNUM.sub(r"\1 \2", text)
+    text = _FS_ALNUM_JP.sub(r"\1 \2", text)
+    return text
+
+
+def _should_join_lines(line: str, next_line: str) -> bool:
+    """Join-guard rules (reference extractor.py:957-982)."""
+    if not line or not next_line:
+        return False
+    if line[-1] in _JL_TERMINATORS:
+        return False
+    if _JL_BULLET.match(next_line) or _JL_SECTION.match(next_line):
+        return False
+    return line[-1] in _JL_PARTICLES or line[-1] in _JL_COMMAS
+
+
+def join_lines(text: str) -> str:
+    """M17 opt-in: merge a line into the next when it ends mid-clause
+    (JP particle or comma), never across terminators / bullets /
+    section heads (reference extractor.py:929-982)."""
+    lines = text.split("\n")
+    joined: list[str] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line:
+            joined.append("")
+            i += 1
+            continue
+        if i < len(lines) - 1 and _should_join_lines(line, lines[i + 1].strip()):
+            joined.append(line + lines[i + 1].strip())
+            i += 2
+            continue
+        joined.append(line)
+        i += 1
+    return "\n".join(joined)
+
+
+def fix_punctuation(text: str) -> str:
+    """M17 opt-in: squeeze duplicate 。/、 runs, normalize ASCII and
+    JP ellipsis runs to … (reference extractor.py:984-994)."""
+    text = _FP_DUP_MARU.sub("。", text)
+    text = _FP_DUP_TOUTEN.sub("、", text)
+    text = _FP_ASCII_ELLIPSIS.sub("…", text)
+    text = _FP_JP_ELLIPSIS.sub("…", text)
+    return text
+
+
+def cleanup_text(text: str, cfg: PipelineConfig | None = None) -> str:
+    """Always: trailing-whitespace strip + blank-line squeeze. The
+    reference's deeper ladder (_fix_spacing / _join_lines /
+    _fix_punctuation, extractor.py:903-994) is OPT-IN via config —
+    default-off so the byte-identity goldens pin the untransformed
+    path (CLAUDE.md determinism contract)."""
     text = _TRAIL_WS_RE.sub("\n", text)
     text = _BLANKS_RE.sub("\n\n", text)
+    if cfg is not None:
+        if cfg.cleanup_join_lines:
+            text = join_lines(text)
+        if cfg.cleanup_fix_spacing:
+            text = fix_spacing(text)
+        if cfg.cleanup_fix_punctuation:
+            text = fix_punctuation(text)
     return text.strip()
 
 
@@ -528,7 +698,7 @@ def extract_page(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     layout: tuple[list[dict], list[list[float]], int] | None = None,
 ) -> str:
-    words = page.get("words", [])
+    words = dedupe_overlapping_words(page.get("words", []))  # D1
     tables, boxes, _ = layout if layout is not None else page_layout(page, cfg)
     # textbox/sidebar rects (LayoutRegion,
     # reference layout_analyzer.py:144-171; integration master_extractor.py:364-390)
@@ -556,39 +726,127 @@ def extract_page(
     return text
 
 
+def _recover_page_text(page: dict) -> str | None:
+    """Per-page recovery strategies 2+3 (reference
+    error_handler.py:450-472): defensive reading-order word join, then
+    raw text concatenation. Returns None when both fail."""
+    try:
+        ws = [
+            w
+            for w in page.get("words", [])
+            if isinstance(w, dict) and isinstance(w.get("text"), str)
+        ]
+        ws = sorted(ws, key=lambda w: (float(w.get("top", 0.0)), float(w.get("x0", 0.0)), w["text"]))
+        if ws:
+            return " ".join(w["text"] for w in ws)
+    except Exception:
+        pass
+    try:
+        parts = [
+            w.get("text")
+            for w in page.get("words", [])
+            if isinstance(w, dict) and isinstance(w.get("text"), str)
+        ]
+        if parts:
+            return "".join(parts)
+    except Exception:
+        pass
+    return None
+
+
+_EMPTY_FN_REPORT = {
+    "n_markers": 0,
+    "n_definitions": 0,
+    "n_matches": 0,
+    "match_rate": 100.0,
+    "status": "COMPLETE",
+    "n_unmatched_markers": 0,
+    "n_unmatched_defs": 0,
+}
+
+
 def extract_pdf_pages(
     pages: list[dict], pats: Patterns | None = None, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> dict[str, Any]:
     """Full document extraction over parsed pages. Returns
-    {text, n_pages, n_words, footnotes} — single pass over the pages
-    (the reference re-parses the PDF 5-6 times per doc,
-    master_extractor.py:172-615; we fold all phases into one pass,
-    SURVEY.md §3.2)."""
+    {text, n_pages, n_words, footnotes, fn_report, ...metrics} —
+    single pass over the pages (the reference re-parses the PDF 5-6
+    times per doc, master_extractor.py:172-615; we fold all phases
+    into one pass, SURVEY.md §3.2).
+
+    Per-page recovery ladder (reference error_handler.py:437-479): a
+    page that fails full extraction is retried with (1) a relaxed
+    config (wider line band, no layout detection), then (2) a
+    defensive reading-order word join, then (3) raw concatenation;
+    only if all fail does the page yield an error marker. A single
+    poison page never costs the document; n_pages_recovered records
+    the ladder hits."""
     pats = pats or Patterns()
-    headers, footers = detect_repeating_elements(pages, cfg)
-    layouts = [page_layout(p, cfg) for p in pages]
-    page_texts = [
-        extract_page(p, headers, footers, pats, cfg, layout=lay) for p, lay in zip(pages, layouts)
-    ]
-    text = cleanup_text("\n\n".join(t for t in page_texts if t))
-    footnotes = match_footnotes(pages, pats, cfg)
+    try:
+        headers, footers = detect_repeating_elements(pages, cfg)
+    except Exception:  # poison sample page: fall back to no repeats
+        headers, footers = frozenset(), frozenset()
+    page_texts: list[str] = []
+    n_tables_detected = 0
+    n_recovered = 0
+    n_overlapping = 0
+    for pno, p in enumerate(pages):
+        try:
+            lay = page_layout(p, cfg)
+            n_tables_detected += lay[2]
+            page_texts.append(extract_page(p, headers, footers, pats, cfg, layout=lay))
+            continue
+        except Exception:
+            pass
+        text = None
+        try:  # strategy 1: relaxed re-extract, no layout detection
+            relaxed = cfg.with_overrides(
+                line_height_threshold=cfg.line_height_threshold * 2,
+                detect_line_tables=False,
+                detect_text_tables=False,
+                detect_boxes=False,
+            )
+            text = extract_page(p, headers, footers, pats, relaxed, layout=([], [], 0))
+        except Exception:
+            text = _recover_page_text(p)  # strategies 2 + 3
+        if text is None:
+            page_texts.append(f"[EXTRACTION ERROR: Page {pno + 1}]")
+        else:
+            n_recovered += 1
+            page_texts.append(text)
+    text = cleanup_text("\n\n".join(t for t in page_texts if t), cfg)
+    try:
+        footnotes, fn_report = match_footnotes_full(pages, pats, cfg)
+    except Exception:
+        footnotes, fn_report = [], dict(_EMPTY_FN_REPORT)
     coverage_pct, coverage_status = coverage_report(pages, text)
-    # M19 rotated-text marker (reference error_handler.py:488-507):
-    # pdfplumber words carry upright=False when rotated; tag as a
-    # METRIC only — never transform the text
-    n_rotated = sum(
-        1 for p in pages for w in p.get("words", []) if w.get("upright", True) is False
-    )
+    # M19 rotated-text marker + J4 overlap metric (reference
+    # error_handler.py:488-507, :277-312): METRICS only — the text is
+    # never transformed
+    n_rotated = 0
+    for p in pages:
+        try:
+            n_rotated += sum(1 for w in p.get("words", []) if w.get("upright", True) is False)
+            n_overlapping += count_overlapping_words(p.get("words", []), cfg.overlap_area_frac)
+        except Exception:
+            pass
+    try:
+        inventory = element_inventory(pages)
+    except Exception:
+        inventory = {}
     return {
         "text": text,
         "n_pages": len(pages),
         "n_words": len(text.split()),
         "footnotes": footnotes,
-        "inventory": element_inventory(pages),
+        "fn_report": fn_report,
+        "inventory": inventory,
         "coverage_pct": coverage_pct,
         "coverage_status": coverage_status,
         "n_rotated_words": n_rotated,
-        "n_tables_detected": sum(lay[2] for lay in layouts),
+        "n_tables_detected": n_tables_detected,
+        "n_overlapping_words": n_overlapping,
+        "n_pages_recovered": n_recovered,
     }
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 # BPE-ish token split: word pieces, numbers, or single non-space symbols
 _TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
@@ -102,6 +104,19 @@ def quality_score(text: str, n_footnote_matches: int = 0, n_footnote_markers: in
     )
 
 
+def quality_confidence(dims: dict) -> float:
+    """A10 — confidence in the quality assessment from dimension-score
+    variance: 1 - min(0.5, var/1000), clamped to [0.3, 1.0] (reference
+    quality_scorer.py:366-379). High spread between dimensions means
+    the single headline score is less trustworthy."""
+    scores = list(dims.values())
+    if not scores:
+        return 0.5
+    avg = sum(scores) / len(scores)
+    var = sum((s - avg) ** 2 for s in scores) / len(scores)
+    return round(max(0.3, min(1.0, 1.0 - min(0.5, var / 1000.0))), 4)
+
+
 def grade(score: float) -> str:
     """A>=90 B>=80 C>=70 D>=60 F (quality_scorer.py:19-25)."""
     if score >= 90:
@@ -119,30 +134,54 @@ def grade(score: float) -> str:
 # Document fingerprinting (rolling hash) — training-data-pipeline extra
 # ---------------------------------------------------------------------------
 
-_MOD = (1 << 61) - 1
-_BASE = 257
+_BASE = np.uint64(257)
+_BASE_INV = np.uint64(pow(257, -1, 1 << 64))  # 257 is odd -> invertible mod 2^64
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer (public domain) — same avalanche mix as
+    ops/dedup.py so the wrapping polynomial's low bits are usable."""
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(32)
+    return h
 
 
 def fingerprint(text: str, window: int = 64) -> int:
-    """Deterministic rolling-hash document fingerprint: min of Rabin-
-    Karp window hashes (winnowing-style, public MOSS literature); falls
-    back to the full-text hash for short docs."""
-    data = text.encode("utf-8")
-    if len(data) <= window:
-        h = 0
-        for b in data:
-            h = (h * _BASE + b) % _MOD
-        return h
-    pw = pow(_BASE, window - 1, _MOD)
-    h = 0
-    for b in data[:window]:
-        h = (h * _BASE + b) % _MOD
-    best = h
-    for i in range(window, len(data)):
-        h = ((h - data[i - window] * pw) * _BASE + data[i]) % _MOD
-        if h < best:
-            best = h
-    return best
+    """Deterministic rolling-hash document fingerprint: min of murmur-
+    finalized Rabin-Karp window hashes (winnowing-style, public MOSS
+    literature); full-text hash for short docs.
+
+    Fully vectorized O(n) (VERDICT r1 item 10 — the per-byte Python
+    loop was the slowest per-byte op in the suite): window sums come
+    from a wrapping-mod-2^64 prefix trick — with S_i = sum d_j*B^-j,
+    the window hash is B^(i+w-1) * (S_(i+w) - S_i); cumsum/cumprod
+    wrap exactly in uint64, and B is odd so B^-1 exists mod 2^64.
+    Returned as non-negative int of the uint64 value shifted into
+    int63 range (>> 1) for Arrow int64 friendliness."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n == 0:
+        return 0
+    w = min(window, n)
+    with np.errstate(over="ignore"):
+        neg_pows = np.empty(n, dtype=np.uint64)
+        neg_pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _BASE_INV, dtype=np.uint64), out=neg_pows[1:])
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(data * neg_pows, out=prefix[1:])
+        win_sums = prefix[w:] - prefix[:-w]  # (n - w + 1,)
+        pos_pows = np.empty(n - w + 1, dtype=np.uint64)
+        pos_pows[0] = _BASE ** np.uint64(w - 1)
+        if n - w > 0:
+            np.cumprod(np.full(n - w, _BASE, dtype=np.uint64), out=pos_pows[1:])
+            pos_pows[1:] *= pos_pows[0]
+        hashes = _mix64(pos_pows * win_sums)
+    return int(hashes.min() >> np.uint64(1))
 
 
 # ---------------------------------------------------------------------------

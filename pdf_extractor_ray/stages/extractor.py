@@ -43,6 +43,11 @@ RESULT_SCHEMA = pa.schema(
         ("repetition_ratio", pa.float64()),  # D6: distinct 100-char shingle ratio
         ("n_tables_detected", pa.int32()),   # geometry-detected tables (functions/layout.py)
         ("n_rotated_words", pa.int32()),     # M19 rotated-text metric (error_handler.py:488-507)
+        ("n_overlapping_words", pa.int32()), # J4 Z-order overlap pairs (error_handler.py:277-312)
+        ("n_pages_recovered", pa.int32()),   # recovery-ladder hits (error_handler.py:437-479)
+        ("footnote_match_rate", pa.float64()),  # A6 completeness (footnote_extractor.py:403-442)
+        ("footnote_status", pa.string()),    # COMPLETE / PARTIAL / POOR
+        ("quality_confidence", pa.float64()),  # A10 dimension-variance confidence (quality_scorer.py:366-379)
         ("error", pa.string()),
     ]
 )
@@ -90,6 +95,9 @@ class Extractor:
                 "coverage_status": res.get("coverage_status", "GOOD"),
                 "n_tables_detected": res.get("n_tables_detected", 0),
                 "n_rotated_words": res.get("n_rotated_words", 0),
+                "n_overlapping_words": res.get("n_overlapping_words", 0),
+                "n_pages_recovered": res.get("n_pages_recovered", 0),
+                "fn_report": res.get("fn_report", {}),
             }
         html = payload.decode("utf-8", errors="replace")
         text, n_blocks = extract_html(html, cfg)
@@ -113,18 +121,25 @@ class Extractor:
             [], [], [], [], [], [], [], [], [],
         )
         cov_pcts, cov_stats, hallu_ns, rep_ratios = [], [], [], []
-        tbl_ns, rot_ns = [], []
+        tbl_ns, rot_ns, ovl_ns, rec_ns, fn_rates, fn_stats, q_confs = [], [], [], [], [], [], []
+
+        def _score(r: dict) -> float:
+            rep = r.get("fn_report", {})
+            return textstats.quality_score(
+                r["text"], rep.get("n_matches", len(r["footnotes"])), rep.get("n_markers", len(r["footnotes"]))
+            )
+
         for payload in payloads:
             try:
                 r = self.extract_one(payload or b"")
-                score = textstats.quality_score(r["text"], len(r["footnotes"]), len(r["footnotes"]))
+                score = _score(r)
                 if self.remediation_cfgs and score < self.cfg.remediation_threshold and r["kind"] != "empty":
                     # in-UDF remediation loop (cheap, local — never a
                     # dataset-level control flow, SURVEY §7.4 #7)
                     best_s, best_r = score, r
                     for vc in self.remediation_cfgs:
                         r2 = self.extract_one(payload or b"", vc)
-                        s2 = textstats.quality_score(r2["text"], len(r2["footnotes"]), len(r2["footnotes"]))
+                        s2 = _score(r2)
                         if s2 > best_s:
                             best_s, best_r = s2, r2
                     score, r = best_s, best_r
@@ -144,6 +159,15 @@ class Extractor:
                 rep_ratios.append(textstats.repetition_ratio(text))
                 tbl_ns.append(r.get("n_tables_detected", 0))
                 rot_ns.append(r.get("n_rotated_words", 0))
+                ovl_ns.append(r.get("n_overlapping_words", 0))
+                rec_ns.append(r.get("n_pages_recovered", 0))
+                rep = r.get("fn_report", {})
+                fn_rates.append(rep.get("match_rate", 100.0))
+                fn_stats.append(rep.get("status", "COMPLETE"))
+                dims = textstats.quality_dimensions(
+                    text, rep.get("n_matches", len(fns)), rep.get("n_markers", len(fns))
+                )
+                q_confs.append(textstats.quality_confidence(dims))
                 errors.append(None)
             except Exception as exc:  # never raise: poison-blob guard
                 kinds.append("error")
@@ -160,6 +184,11 @@ class Extractor:
                 rep_ratios.append(1.0)
                 tbl_ns.append(0)
                 rot_ns.append(0)
+                ovl_ns.append(0)
+                rec_ns.append(0)
+                fn_rates.append(100.0)
+                fn_stats.append("COMPLETE")
+                q_confs.append(0.3)
                 errors.append(f"{type(exc).__name__}: {exc}"[:500])
 
         return pa.Table.from_arrays(
@@ -181,6 +210,11 @@ class Extractor:
                 pa.array(rep_ratios, pa.float64()),
                 pa.array(tbl_ns, pa.int32()),
                 pa.array(rot_ns, pa.int32()),
+                pa.array(ovl_ns, pa.int32()),
+                pa.array(rec_ns, pa.int32()),
+                pa.array(fn_rates, pa.float64()),
+                pa.array(fn_stats, pa.string()),
+                pa.array(q_confs, pa.float64()),
                 pa.array(errors, pa.string()),
             ],
             schema=RESULT_SCHEMA,
