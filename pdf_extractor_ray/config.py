@@ -88,7 +88,14 @@ class PipelineConfig:
     batch_size: int = 32                 # rows per extraction batch (docs are multi-KB..MB blobs)
     concurrency: int = 8                 # extraction actor-pool size
     num_cpus_per_actor: float = 1.0
-    big_blob_bytes: int = 4 * 1024 * 1024  # rows above this route to the big-blob pool
+    # two-tier blob routing (pipelines/extract.split_by_blob_size):
+    # rows with payloads >= big_blob_bytes run in a separate branch
+    # with batch_size = big_blob_batch_size so one multi-MB document
+    # never holds a full batch of siblings hostage. DEFAULT OFF (0):
+    # the split re-scans the pruned input per branch — measured 2x
+    # wall on a corpus with no big blobs — so enable it only when the
+    # corpus actually carries multi-MB payloads.
+    big_blob_bytes: int = 0
     big_blob_batch_size: int = 2
     rows_per_output_file: int = 512      # output partition granularity (resume unit;
                                          # also the fused extract+write batch size —

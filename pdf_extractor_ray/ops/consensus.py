@@ -24,6 +24,7 @@ from difflib import SequenceMatcher
 import pyarrow as pa
 import ray.data
 
+from pdf_extractor_ray.stages.pools import clamp_pool
 from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
 from pdf_extractor_ray.stages.extractor import Extractor
 
@@ -113,5 +114,5 @@ def consensus_extract(
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs
     )

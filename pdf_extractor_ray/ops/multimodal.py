@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from pdf_extractor_ray.stages.pools import clamp_pool
+
 IMAGE_META_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -116,7 +118,7 @@ def featurize_images(
         fn_constructor_kwargs={"feat_dim": feat_dim},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: blobs are big
-        concurrency=(1, concurrency),
+        concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs
     )
 
 
@@ -226,5 +228,5 @@ def featurize_audio(
         fn_constructor_kwargs={"feat_dim": feat_dim},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs
     )

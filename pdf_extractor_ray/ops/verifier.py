@@ -25,6 +25,8 @@ import re
 import pandas as pd
 import ray.data
 
+from pdf_extractor_ray.stages.pools import clamp_pool
+
 _ISSUE_PATTERNS: list[tuple[str, re.Pattern]] = [
     # OCR-garble: long consonant runs that occur in no natural language
     ("ocr_garble", re.compile(r"[bcdfghjklmnpqrstvwxz]{7,}", re.IGNORECASE)),
@@ -105,5 +107,5 @@ def verify_extractions(
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs
     )

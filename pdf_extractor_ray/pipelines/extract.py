@@ -34,36 +34,7 @@ def read_pages(path: str, num_blocks: int | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(path, **kw)
 
 
-def _pool_size(total: int) -> tuple[int, int]:
-    """Actor-pool (min, max) for a CPU budget: reserve ~1/8 of the
-    CPUs for the read tasks — a pool that reserves every CPU starves
-    the read stage (parquet decode is real CPU work; with one spare
-    slot a 740MB read floors the whole 32-CPU pipeline at ~12s).
-
-    The pool is FIXED size (min == max): the autoscaling ramp from
-    hi/2 left the pool ~2/3 utilized on 20s jobs (measured via
-    ds.stats(): 363s task CPU over 19.5s wall on 28 actors), and all
-    actors spawning at t0 overlaps their startup instead of
-    serializing scale-up decisions. The size is clamped to the LIVE
-    cluster CPU count — a fixed pool larger than the cluster would
-    wait forever for actors that can never schedule.
-
-    NOTE: the flagship extraction stage no longer uses an actor pool
-    at all — its state (compiled regexes) is cheap and read-only, so a
-    TASK pool with a per-worker-process cache gets the same
-    amortization from Ray's prestarted workers with zero actor-spawn
-    cost, no pool-size split against the read stage, and better load
-    balancing (measured: both 8- and 32-CPU legs faster). Keep actor
-    pools for stages with EXPENSIVE or mutable state (model weights,
-    response caches) — see ops/verifier.py."""
-    import ray as _ray
-
-    if _ray.is_initialized():
-        avail = int(_ray.cluster_resources().get("CPU", total))
-        total = min(total, avail)
-    reserve = max(1, total // 8)
-    hi = max(1, total - reserve)
-    return hi, hi
+from pdf_extractor_ray.stages.pools import clamp_pool  # noqa: F401  (public re-export)
 
 
 # per-worker-process caches: one Extractor / writer pair per (config,
@@ -88,20 +59,51 @@ def _extract_write_task(batch, cfg: PipelineConfig, out_dir: str):
     return ew(batch)
 
 
+def split_by_blob_size(
+    ds: ray.data.Dataset, threshold_bytes: int, blob_col: str = "html"
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Two-tier routing: (small, big) branches split on payload size.
+    Multi-MB blobs go to the big branch where a TINY batch size keeps
+    one huge document from holding hundreds of siblings hostage in its
+    batch (and keeps batch x concurrency within the worker heap).
+
+    Each branch re-scans the pruned input and filters — two passes
+    over the read, which is the documented cost of branch-level batch
+    sizing in a streaming Dataset; extraction dominates the read by
+    >10x, and at warehouse scale the blob-size split would move into
+    the writer so branches read disjoint files."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def small(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(pc.binary_length(t[blob_col]), threshold_bytes))
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(pc.binary_length(t[blob_col]), threshold_bytes))
+
+    return (
+        ds.map_batches(small, batch_format="pyarrow"),
+        ds.map_batches(big, batch_format="pyarrow"),
+    )
+
+
 def extraction_dataset(
     source: str | ray.data.Dataset,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     num_blocks: int | None = None,
 ) -> ray.data.Dataset:
-    """Lazy Dataset of extraction results (RESULT_SCHEMA rows)."""
+    """Lazy Dataset of extraction results (RESULT_SCHEMA rows). Rows
+    with blobs >= cfg.big_blob_bytes run in a separate branch with
+    batch_size = cfg.big_blob_batch_size (see split_by_blob_size);
+    set big_blob_bytes=0 to disable the split."""
     ds = read_pages(source, num_blocks) if isinstance(source, str) else source
-    return ds.map_batches(
-        _extract_task,
-        fn_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        num_cpus=cfg.num_cpus_per_actor,
-    )
+    kw = dict(fn_kwargs={"cfg": cfg}, batch_format="pyarrow", num_cpus=cfg.num_cpus_per_actor)
+    if cfg.big_blob_bytes:
+        small_ds, big_ds = split_by_blob_size(ds, cfg.big_blob_bytes)
+        return small_ds.map_batches(_extract_task, batch_size=cfg.batch_size, **kw).union(
+            big_ds.map_batches(_extract_task, batch_size=cfg.big_blob_batch_size, **kw)
+        )
+    return ds.map_batches(_extract_task, batch_size=cfg.batch_size, **kw)
 
 
 class ExtractWriter:
@@ -139,25 +141,35 @@ def run_extraction(
         if done:
             import ray as _ray
 
-            done_ref = _ray.put(done)  # broadcast once, read per task
+            done_ref = _ray.put(sorted(done))  # broadcast once, read per task
 
             def _skip_done(batch):
                 import pyarrow as pa
                 import pyarrow.compute as pc
 
-                done_set = _ray.get(done_ref)
-                mask = pa.array([u not in done_set for u in batch.column("url").to_pylist()])
+                key = ("done_arr", done_ref.hex())
+                arr = _TASK_CACHE.get(key)
+                if arr is None:  # build the Arrow value set once per worker
+                    arr = _TASK_CACHE[key] = pa.array(_ray.get(done_ref), pa.string())
+                mask = pc.invert(pc.is_in(batch.column("url"), value_set=arr))
                 return batch.filter(mask)
 
             n_skipped = len(done)
             ds = ds.map_batches(_skip_done, batch_format="pyarrow")
-    manifest = ds.map_batches(
-        _extract_write_task,
+    kw = dict(
         fn_kwargs={"cfg": cfg, "out_dir": out_dir},
         batch_format="pyarrow",
-        batch_size=cfg.rows_per_output_file,
         num_cpus=cfg.num_cpus_per_actor,
     )
+    if cfg.big_blob_bytes:
+        # two-tier sink: big blobs write in tiny partitions of their
+        # own (partition names are url-set hashes — no collisions)
+        small_ds, big_ds = split_by_blob_size(ds, cfg.big_blob_bytes)
+        manifest = small_ds.map_batches(
+            _extract_write_task, batch_size=cfg.rows_per_output_file, **kw
+        ).union(big_ds.map_batches(_extract_write_task, batch_size=cfg.big_blob_batch_size, **kw))
+    else:
+        manifest = ds.map_batches(_extract_write_task, batch_size=cfg.rows_per_output_file, **kw)
     rows = manifest.take_all()  # tiny: one row per output partition
     return {
         "partitions_written": len(rows),
