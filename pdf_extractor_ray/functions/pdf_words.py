@@ -212,26 +212,34 @@ def count_overlapping_words(words: list[dict], overlap_frac: float = 0.5) -> int
     """J4: number of word pairs whose bbox intersection exceeds
     overlap_frac of the smaller box (Z-order rendering issues,
     reference error_handler.py:277-312). Metric only — the text is
-    never transformed. Sorted sweep over `top` so only vertically
-    overlapping pairs are compared (the reference's O(n^2) double loop
-    over every pair doesn't survive dense pages)."""
+    never transformed. Fully vectorized: sort by top, cap each word's
+    candidate range at the first later word whose top clears its
+    bottom (searchsorted), then one numpy pass over the candidate
+    pairs — the reference's O(n^2) Python double loop costs ~10% of a
+    dense page's extraction time."""
+    import numpy as np
+
+    n = len(words)
+    if n < 2:
+        return 0
     ws = sorted(words, key=lambda w: (w["top"], w["x0"], w["text"]))
-    n = 0
-    for i, a in enumerate(ws):
-        for b in ws[i + 1 :]:
-            if b["top"] >= a["bottom"]:
-                break  # sweep: no later word can overlap `a` vertically
-            x_ov = min(a["x1"], b["x1"]) - max(a["x0"], b["x0"])
-            y_ov = min(a["bottom"], b["bottom"]) - max(a["top"], b["top"])
-            if x_ov <= 0 or y_ov <= 0:
-                continue
-            area_a = (a["x1"] - a["x0"]) * (a["bottom"] - a["top"])
-            area_b = (b["x1"] - b["x0"]) * (b["bottom"] - b["top"])
-            if area_a <= 0 or area_b <= 0:
-                continue
-            if x_ov * y_ov > min(area_a, area_b) * overlap_frac:
-                n += 1
-    return n
+    top = np.array([w["top"] for w in ws], dtype=np.float64)
+    bot = np.array([w["bottom"] for w in ws], dtype=np.float64)
+    x0 = np.array([w["x0"] for w in ws], dtype=np.float64)
+    x1 = np.array([w["x1"] for w in ws], dtype=np.float64)
+    hi = np.searchsorted(top, bot, side="left")  # first j with top_j >= bot_i
+    c = np.clip(hi - np.arange(n) - 1, 0, None)
+    total = int(c.sum())
+    if total == 0:
+        return 0
+    ii = np.repeat(np.arange(n), c)
+    offsets = np.cumsum(c) - c
+    jj = np.arange(total) - np.repeat(offsets, c) + ii + 1
+    x_ov = np.minimum(x1[ii], x1[jj]) - np.maximum(x0[ii], x0[jj])
+    y_ov = np.minimum(bot[ii], bot[jj]) - np.maximum(top[ii], top[jj])
+    areas = (x1 - x0) * (bot - top)
+    m = np.minimum(areas[ii], areas[jj])
+    return int(((x_ov > 0) & (y_ov > 0) & (m > 0) & (x_ov * y_ov > m * overlap_frac)).sum())
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +327,41 @@ def _has_nearby_content(word: dict, words: list[dict], dist: float) -> bool:
     return False
 
 
+def _is_page_number_position(w: dict, page_width: float) -> bool:
+    """M6 geometric predicate (reference extractor.py:372-380): page
+    numbers sit horizontally centered (within 20% of page center) or
+    in a left/right corner (outer 20%); a margin digit elsewhere is
+    probably content."""
+    cx = (w["x0"] + w["x1"]) / 2.0
+    centered = abs(cx - page_width / 2.0) < page_width * 0.2
+    in_left = w["x0"] < page_width * 0.2
+    in_right = w["x1"] > page_width * 0.8
+    return centered or in_left or in_right
+
+
+_FOOTNOTE_PHRASES = ("参照", "参考", "出典", "引用", "See ", "Ref.", "Note:", "Source:", "注記", "備考")
+
+
+def is_footnote_content(word: dict, words: list[dict], pats: Patterns, line_band: float = 20.0) -> bool:
+    """M8 footnote-content keep rules (reference extractor.py:420-477):
+    a bottom-region word is footnote content when it IS a marker/def,
+    sits on (about) the same line as one, contains a footnote phrase,
+    or carries substantial text (len > 10)."""
+    t = word["text"]
+    if _matches_any(pats.footnote_marker, t) or pats.footnote_def.match(t):
+        return True
+    for other in words:
+        if other is word:
+            continue
+        if abs(other["top"] - word["top"]) < line_band and (
+            _matches_any(pats.footnote_marker, other["text"]) or pats.footnote_def.match(other["text"])
+        ):
+            return True
+    if any(p in t for p in _FOOTNOTE_PHRASES):
+        return True
+    return len(t) > 10
+
+
 def filter_metadata(
     words: list[dict],
     page_width: float,
@@ -331,8 +374,9 @@ def filter_metadata(
     """Keep content, drop page furniture. Rule order mirrors the
     reference (extractor.py:218-313): R1 section numbers keep, R2
     footnote markers keep, R4 repeated headers/footers drop, R3/R5
-    page-number patterns drop only when isolated in the margin zones,
-    include-by-default."""
+    page-number patterns drop only when isolated in the margin zones
+    AND geometrically placed like a page number (M6) AND not footnote
+    content (M8) — include-by-default when in doubt."""
     out = []
     top_zone = cfg.header_zone_frac * page_height
     bot_zone = (1 - cfg.footer_zone_frac) * page_height
@@ -351,7 +395,11 @@ def filter_metadata(
         if in_footer and t in footers:
             continue
         if (in_header or in_footer) and _matches_any(pats.page_number, t):
-            if not _has_nearby_content(w, words, cfg.isolated_dist):
+            if (
+                not _has_nearby_content(w, words, cfg.isolated_dist)
+                and _is_page_number_position(w, page_width)
+                and not (in_footer and is_footnote_content(w, words, pats))
+            ):
                 continue
         out.append(w)
     return out

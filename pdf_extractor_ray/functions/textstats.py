@@ -92,8 +92,7 @@ def quality_dimensions(text: str, n_footnote_matches: int = 0, n_footnote_marker
     }
 
 
-def quality_score(text: str, n_footnote_matches: int = 0, n_footnote_markers: int = 0) -> float:
-    d = quality_dimensions(text, n_footnote_matches, n_footnote_markers)
+def quality_score_from_dims(d: dict) -> float:
     return round(
         0.30 * d["completeness"]
         + 0.25 * d["structure"]
@@ -102,6 +101,10 @@ def quality_score(text: str, n_footnote_matches: int = 0, n_footnote_markers: in
         + 0.10 * d["readability"],
         2,
     )
+
+
+def quality_score(text: str, n_footnote_matches: int = 0, n_footnote_markers: int = 0) -> float:
+    return quality_score_from_dims(quality_dimensions(text, n_footnote_matches, n_footnote_markers))
 
 
 def quality_confidence(dims: dict) -> float:

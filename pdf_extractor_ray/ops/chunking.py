@@ -1,7 +1,7 @@
 """Document chunking for long-context training data (reference
-context_windows.py:48-56, 162-213: chunk_by characters/words with a
-fixed overlap; the reassembly-side overlap dedup at :407-466 is the
-inverse).
+context_windows.py:48-56, 162-330: chunk_by characters / words /
+pages / sections with a fixed overlap; the reassembly-side overlap
+dedup at :407-466 is the inverse).
 
 Ray shape: a stateless flat-map — each input doc row becomes
 `ceil(len/stride)` chunk rows. No shuffle; chunk ids are
@@ -10,6 +10,8 @@ key on them. Overlap text is carried at the FRONT of each chunk after
 the first, mirroring the reference's strategy."""
 
 from __future__ import annotations
+
+import re
 
 import pandas as pd
 import ray.data
@@ -52,6 +54,73 @@ def chunk_text_by_words(text: str, max_words: int, overlap_words: int) -> list[s
     ]
 
 
+# section-heading patterns for smart breaking (reference
+# context_windows.py:133-141, mirrored 1:1)
+_SECTION_PATTERNS = [
+    re.compile(r"^#{1,6}\s+", re.MULTILINE),          # markdown headers
+    re.compile(r"^\d+\.\s+", re.MULTILINE),           # numbered sections
+    re.compile(r"^\d+\.\d+\s+", re.MULTILINE),        # sub-sections
+    re.compile(r"^第\d+[章条節項]", re.MULTILINE),     # japanese sections
+    re.compile(r"^[一二三四五六七八九十]+[、.]", re.MULTILINE),  # japanese numbering
+    re.compile(r"^={3,}", re.MULTILINE),               # section breaks
+    re.compile(r"^-{3,}", re.MULTILINE),               # horizontal rules
+]
+
+
+def find_section_boundaries(text: str) -> list[int]:
+    """Sorted, deduplicated start offsets of section-heading matches
+    (reference context_windows.py:315-328)."""
+    out: set[int] = set()
+    for pat in _SECTION_PATTERNS:
+        for m in pat.finditer(text):
+            out.add(m.start())
+    return sorted(out)
+
+
+def chunk_text_by_sections(
+    text: str, max_chars: int, overlap: int = 0, min_chars: int = 0
+) -> list[str]:
+    """Section-boundary chunking (reference context_windows.py:235-276):
+    accumulate whole sections until adding the next would exceed
+    max_chars (and the current chunk has at least min_chars), then
+    flush. No boundaries found -> fall back to character chunking.
+    Each chunk after the first carries the previous chunk's last
+    `overlap` chars at its front (reference _add_overlaps)."""
+    boundaries = find_section_boundaries(text)
+    boundaries = [b for b in boundaries if b > 0]
+    if not boundaries:
+        return chunk_text(text, max_chars, overlap)
+    pieces = []
+    prev = 0
+    for b in boundaries:
+        pieces.append(text[prev:b])
+        prev = b
+    pieces.append(text[prev:])
+    chunks: list[str] = []
+    cur = ""
+    for piece in pieces:
+        if cur and len(cur) + len(piece) > max_chars and len(cur) >= min_chars:
+            chunks.append(cur)
+            cur = ""
+        cur += piece
+    if cur:
+        chunks.append(cur)
+    if overlap and len(chunks) > 1:
+        chunks = [chunks[0]] + [chunks[i - 1][-overlap:] + chunks[i] for i in range(1, len(chunks))]
+    return chunks
+
+
+def chunk_pages(pages: list[str], max_chars: int) -> list[str]:
+    """Page-count chunking (reference context_windows.py:215-233):
+    pages-per-chunk derived from the average page size so each chunk
+    lands near max_chars; pages joined with a blank line."""
+    if not pages:
+        return []
+    avg = sum(len(p) for p in pages) / len(pages)
+    per = max(1, int(max_chars / avg)) if avg else len(pages)
+    return ["\n\n".join(pages[i : i + per]) for i in range(0, len(pages), per)]
+
+
 def chunk_documents(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -61,10 +130,16 @@ def chunk_documents(
     by: str = "chars",
 ) -> ray.data.Dataset:
     """(id, chunk_index, chunk_text, n_chunk_chars) rows, one per
-    chunk. by='chars' | 'words' (units of max_chars/overlap follow)."""
-    if by not in ("chars", "words"):
-        raise ValueError(f"by must be 'chars' or 'words', got {by!r}")
-    split = chunk_text if by == "chars" else chunk_text_by_words
+    chunk. by='chars' | 'words' | 'sections' (units of
+    max_chars/overlap follow; sections break only at heading
+    boundaries, reference chunk_by='sections')."""
+    if by not in ("chars", "words", "sections"):
+        raise ValueError(f"by must be 'chars', 'words' or 'sections', got {by!r}")
+    if by == "sections":
+        def split(t: str, mx: int, ov: int) -> list[str]:
+            return chunk_text_by_sections(t, mx, ov)
+    else:
+        split = chunk_text if by == "chars" else chunk_text_by_words
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
         ids, idxs, texts = [], [], []

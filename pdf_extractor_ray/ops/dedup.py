@@ -307,13 +307,11 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _verify_pairs_task(batch: pd.DataFrame, hash_kind: str, param: int, threshold: float) -> pa.Table:
-    """Per-batch pair verification: exact set similarity from the
-    vectorized gram hashers (np.intersect1d on sorted-unique arrays),
-    memoized per doc within the batch. Emits the ids to DROP (the
-    larger id of every verified duplicate pair)."""
-    if len(batch) == 0 or "a" not in batch.columns:
-        return _typed_table(_DROP_SCHEMA)
+def _verify_pair_rows(rows, hash_kind: str, param: int, threshold: float) -> list[int]:
+    """Exact set-similarity verification over (a, b, text_a, text_b)
+    tuples: vectorized gram hashers + np.intersect1d on sorted-unique
+    arrays, memoized per doc. Returns the ids to DROP (the larger id
+    of every verified duplicate pair)."""
     memo: dict[int, np.ndarray] = {}
 
     def grams(doc_id: int, text: str) -> np.ndarray:
@@ -324,14 +322,93 @@ def _verify_pairs_task(batch: pd.DataFrame, hash_kind: str, param: int, threshol
         return s
 
     drops = []
-    for a, b, ta, tb in zip(batch["a"], batch["b"], batch["text_a"], batch["text_b"]):
+    for a, b, ta, tb in rows:
         sa, sb = grams(int(a), ta), grams(int(b), tb)
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         union = sa.size + sb.size - inter
         sim = 1.0 if union == 0 else inter / union
         if sim >= threshold:
             drops.append(int(b))
-    return _typed_table(_DROP_SCHEMA, drop_id=np.array(drops, dtype=np.int64))
+    return drops
+
+
+def anti_join_ids(
+    ds: ray.data.Dataset,
+    drops: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Distributed LEFT ANTI join of a corpus against a (small) drop-id
+    Dataset via ONE union co-shuffle on hash(id) mod P — the asof_join
+    pattern (ops/windows.py). No JoinOperator: each hash-shuffle join
+    spawns its own aggregator ACTOR pool (~seconds of spawn cost per
+    query, deadlock-prone when several pools coexist); the task-based
+    groupby exchange is this repo's proven fast path. Output column
+    dtypes are restored to the corpus schema (pandas degrades ints to
+    float64 in groups containing the drop rows' typed nulls)."""
+    # normalize to Arrow blocks: a pandas-backed dataset's schema()
+    # reports numpy/python types, not pa.DataType
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    schema = ds.schema()
+    base = pa.schema(
+        [
+            pa.field(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for n, t in zip(schema.names, schema.types)
+        ]
+    )
+    unified = base.append(pa.field("_drop_mark", pa.int8())).append(pa.field("_part", pa.int64()))
+
+    def _part_of(arr) -> pa.Array:
+        ids = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.array(ids % num_partitions, pa.int64())
+
+    def proj_corpus(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [t.column(name).cast(f.type) for name, f in zip(base.names, base)]
+        cols += [pa.array(np.zeros(n, dtype=np.int8)), _part_of(t.column(id_col))]
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    def proj_drops(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "drop_id" not in t.column_names:
+            return _typed_table(unified)
+        cols = []
+        for f in base:
+            if f.name == id_col:
+                cols.append(t.column("drop_id").cast(f.type))
+            else:
+                cols.append(pa.nulls(n, f.type))
+        cols += [pa.array(np.ones(n, dtype=np.int8)), _part_of(t.column("drop_id"))]
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    both = ds.map_batches(proj_corpus, batch_format="pyarrow").union(
+        drops.map_batches(proj_drops, batch_format="pyarrow")
+    )
+
+    def keep(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_drop_mark" not in g.columns:
+            return _typed_table(base)
+        drop_ids = set(g.loc[g["_drop_mark"] == 1, id_col].astype(np.int64))
+        kept = g[(g["_drop_mark"] == 0) & ~g[id_col].isin(drop_ids)]
+        kept = kept.drop(columns=["_drop_mark", "_part"])
+        return pa.Table.from_pandas(kept, schema=base, preserve_index=False)
+
+    return both.groupby("_part").map_groups(keep, batch_format="pandas")
+
+
+_SIDE_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("side", pa.int8()),
+        ("text", pa.large_string()),
+        ("_part", pa.int64()),
+    ]
+)
+_PAIR_TEXT_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("side", pa.int8()), ("text", pa.large_string())]
+)
 
 
 def _verified_drop_anti_join(
@@ -342,89 +419,124 @@ def _verified_drop_anti_join(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_partitions: int = 16,
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Distributed verify + drop, zero driver materialization:
+    """Distributed verify + drop, zero driver materialization, zero
+    JoinOperators (their per-query aggregator actor pools cost ~12s of
+    spawn/teardown at test scale and deadlock when several coexist):
 
-      pairs --(distinct ids)--> candidate-id Dataset
-      corpus JOIN candidate-ids            -> candidate texts
-      pairs JOIN texts (a) JOIN texts (b)  -> (a, b, text_a, text_b)
-      map_batches verify                   -> drop-id Dataset
-      corpus LEFT ANTI JOIN drop-ids       -> kept corpus
+      exchange A: corpus(id, text) UNION pair-side requests, ONE
+                  co-shuffle on hash(doc_id) mod P -> each pair side
+                  picks up its text in-partition
+      exchange B: pair sides co-shuffled on hash(a,b) -> assemble
+                  (a, b, text_a, text_b), vectorized verify ->
+                  drop-id Dataset (tiny, materialized in the object
+                  store for the empty-fast-path count)
+      exchange C: anti_join_ids — corpus UNION drop rows, ONE
+                  co-shuffle on hash(id) -> per-partition filter
 
-    The corpus is exchanged twice (semi-join for texts, anti-join for
-    the result) — the honest big-data shape. At extreme scale the
-    candidate-id side can become a broadcast bloom filter to skip the
-    first exchange; the pair volume itself stays distributed
-    regardless (the r1 design pulled pairs AND texts to the driver).
-
-    The small intermediates (pairs, candidate texts, drop ids) are
-    materialize()d — object-store blocks, never the driver — so at
-    most ONE JoinOperator aggregator pool is alive at a time: five
-    concurrent pools deadlock a small session's CPU budget, and the
-    barriers cost nothing on by-construction-small datasets."""
-    pairs = pairs.materialize()  # tiny (LSH's point); reused by 2 joins
+    Two corpus-sized exchanges (A, C) + one candidate-sized one (B) —
+    the honest big-data shape; at extreme scale the pair-side requests
+    in exchange A can become a broadcast bloom filter to pre-prune the
+    corpus side (the r1 design pulled pairs AND texts to the driver)."""
+    pairs = pairs.materialize()  # tiny (LSH's point)
     if pairs.count() == 0:
         return ds
 
-    cid_part_schema = pa.schema([("cid", pa.int64()), ("_part", pa.int64())])
-    cid_schema = pa.schema([("cid", pa.int64())])
+    def _part_ids(ids: np.ndarray) -> np.ndarray:
+        return (ids % num_partitions).astype(np.int64)
 
-    def both_ids(b: pd.DataFrame) -> pa.Table:
-        if len(b) == 0 or "a" not in b.columns:
-            return _typed_table(cid_part_schema)
-        ids = np.unique(np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])).astype(np.int64)
-        return _typed_table(cid_part_schema, cid=ids, _part=ids % num_partitions)
+    def proj_corpus(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.array(np.full(n, 2, dtype=np.int8)),
+                t.column(text_col).cast(pa.large_string()),
+                pa.array(_part_ids(ids), pa.int64()),
+            ],
+            schema=_SIDE_SCHEMA,
+        )
 
-    def distinct_ids(g: pd.DataFrame) -> pa.Table:
-        if g.empty or "cid" not in g.columns:
-            return _typed_table(cid_schema)
-        return _typed_table(cid_schema, cid=g["cid"].drop_duplicates().to_numpy(dtype=np.int64))
+    def proj_pair_sides(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_table(_SIDE_SCHEMA)
+        a = np.asarray(t.column("a").to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
+        keys = np.concatenate([a, b])
+        return pa.Table.from_arrays(
+            [
+                pa.array(keys, pa.int64()),
+                pa.array(np.concatenate([a, a]), pa.int64()),
+                pa.array(np.concatenate([b, b]), pa.int64()),
+                pa.array(np.repeat(np.array([0, 1], dtype=np.int8), len(a))),
+                pa.nulls(2 * len(a), pa.large_string()),
+                pa.array(_part_ids(keys), pa.int64()),
+            ],
+            schema=_SIDE_SCHEMA,
+        )
 
-    cand_ids = (
-        pairs.map_batches(both_ids, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(distinct_ids, batch_format="pandas")
-    )
-    # repartition(k) after each join/map rebuilds blocks from rows:
-    # join operators emit SCHEMA-LESS empty blocks for empty partitions
-    # and map_batches passes empty blocks through without calling the
-    # UDF — a downstream join aggregator that receives only such
-    # slices loses the key column (ArrowInvalid FieldRef). Cheap here:
-    # these datasets are candidate-scale by construction.
-    clean_blocks = max(2, num_partitions // 4)
-    cand_texts = (
+    def attach_texts(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "side" not in g.columns:
+            return _typed_table(_PAIR_TEXT_SCHEMA)
+        sides = g[g["side"] != 2]
+        if sides.empty:
+            return _typed_table(_PAIR_TEXT_SCHEMA)
+        texts = g[g["side"] == 2]
+        lookup = pd.Series(texts["text"].to_numpy(), index=texts["key"].to_numpy())
+        return _typed_table(
+            _PAIR_TEXT_SCHEMA,
+            a=sides["a"].to_numpy(dtype=np.int64),
+            b=sides["b"].to_numpy(dtype=np.int64),
+            side=sides["side"].to_numpy(dtype=np.int8),
+            text=sides["key"].map(lookup).to_numpy(),
+        )
+
+    sides_with_text = (
         ds.select_columns([id_col, text_col])
-        .join(cand_ids, join_type="inner", num_partitions=num_partitions, on=(id_col,), right_on=("cid",))
-        .repartition(clean_blocks)
-        .materialize()
+        .map_batches(proj_corpus, batch_format="pyarrow")
+        .union(pairs.map_batches(proj_pair_sides, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(attach_texts, batch_format="pandas")
     )
 
-    def rename_a(b: pd.DataFrame) -> pd.DataFrame:
-        return b.rename(columns={text_col: "text_a"})
+    def pair_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_table(_PAIR_TEXT_SCHEMA.append(pa.field("_part", pa.int64())))
+        h = pd.util.hash_pandas_object(
+            pd.DataFrame(
+                {
+                    "a": t.column("a").to_numpy(zero_copy_only=False),
+                    "b": t.column("b").to_numpy(zero_copy_only=False),
+                }
+            ),
+            index=False,
+        ).to_numpy()
+        return t.append_column("_part", pa.array((h % num_partitions).astype(np.int64), pa.int64()))
 
-    def rename_b(b: pd.DataFrame) -> pd.DataFrame:
-        return b.rename(columns={text_col: "text_b"})
+    def assemble_verify(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "side" not in g.columns:
+            return _typed_table(_DROP_SCHEMA)
+        wide = g.pivot_table(index=["a", "b"], columns="side", values="text", aggfunc="first")
+        if 0 not in wide.columns or 1 not in wide.columns:
+            return _typed_table(_DROP_SCHEMA)
+        wide = wide.dropna(subset=[0, 1])
+        rows = ((a, b, ta, tb) for (a, b), ta, tb in zip(wide.index, wide[0], wide[1]))
+        drops = _verify_pair_rows(rows, hash_kind, param, threshold)
+        return _typed_table(_DROP_SCHEMA, drop_id=np.unique(np.array(drops, dtype=np.int64)))
 
-    with_a = (
-        pairs.join(cand_texts, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,))
-        .map_batches(rename_a, batch_format="pandas")
-        .repartition(clean_blocks)
+    drops = (
+        sides_with_text.map_batches(pair_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(assemble_verify, batch_format="pandas")
         .materialize()
     )
-    with_b = with_a.join(
-        cand_texts, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
-    ).map_batches(rename_b, batch_format="pandas")
-
-    drops = with_b.map_batches(
-        _verify_pairs_task,
-        fn_kwargs={"hash_kind": hash_kind, "param": param, "threshold": threshold},
-        batch_format="pandas",
-    ).materialize()
     if drops.count() == 0:
         return ds
-    drops = drops.repartition(clean_blocks)
-    return ds.join(drops, join_type="left_anti", num_partitions=num_partitions, on=(id_col,), right_on=("drop_id",))
+    return anti_join_ids(ds, drops, id_col=id_col, num_partitions=num_partitions)
 
 
 def minhash_dedup(
@@ -617,10 +729,7 @@ def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) ->
         vals = b["b"].to_numpy() if len(b) and "b" in b.columns else np.array([], dtype=np.int64)
         return _typed_table(_DROP_SCHEMA, drop_id=np.unique(vals).astype(np.int64))
 
-    # materialize + repartition: purge schema-less empty blocks before
-    # the join (see _verified_drop_anti_join) and skip it when no dups
     drops = pairs.map_batches(to_drops, batch_format="pandas").materialize()
     if drops.count() == 0:
         return ds
-    drops = drops.repartition(4)
-    return ds.join(drops, join_type="left_anti", num_partitions=16, on=("doc_id",), right_on=("drop_id",))
+    return anti_join_ids(ds, drops, id_col="doc_id")

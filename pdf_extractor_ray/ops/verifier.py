@@ -27,28 +27,62 @@ import ray.data
 
 from pdf_extractor_ray.stages.pools import clamp_pool
 
-_ISSUE_PATTERNS: list[tuple[str, re.Pattern]] = [
+# (pattern, per-class confidence) — confidences mirror the reference's
+# issue-type weighting idea (llm_verifier.py:246-263)
+_ISSUE_PATTERNS: list[tuple[str, re.Pattern, float]] = [
     # OCR-garble: long consonant runs that occur in no natural language
-    ("ocr_garble", re.compile(r"[bcdfghjklmnpqrstvwxz]{7,}", re.IGNORECASE)),
+    ("ocr_garble", re.compile(r"[bcdfghjklmnpqrstvwxz]{7,}", re.IGNORECASE), 0.8),
     # broken words: single letter, hyphen-newline, single letter
-    ("broken_word", re.compile(r"\b\w-\n\w")),
+    ("broken_word", re.compile(r"\b\w-\n\w"), 0.85),
     # repeated-char damage: the same char 10+ times
-    ("char_run", re.compile(r"(.)\1{9,}")),
-    # replacement chars from encoding damage
-    ("encoding_damage", re.compile("�")),
-    # null bytes
-    ("control_chars", re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")),
+    ("char_run", re.compile(r"(.)\1{9,}"), 0.75),
+    # replacement-char runs from encoding damage (one span per run)
+    ("encoding_damage", re.compile("�+"), 0.95),
+    # control-char runs
+    ("control_chars", re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]+"), 0.95),
 ]
 
 
+def remove_overlapping_issues(issues: list[dict]) -> list[dict]:
+    """D5 — overlapping-issue dedup: positional sweep keeping the
+    higher-confidence issue of each overlapping pair (reference
+    llm_verifier.py:265-282 _remove_overlapping_issues)."""
+    if not issues:
+        return []
+    ordered = sorted(issues, key=lambda i: (i["pos"], -i["confidence"], i["type"]))
+    kept = [ordered[0]]
+    for issue in ordered[1:]:
+        prev = kept[-1]
+        if issue["pos"] < prev["end"]:
+            if issue["confidence"] > prev["confidence"]:
+                kept[-1] = issue
+        else:
+            kept.append(issue)
+    return kept
+
+
+def prioritize_issues(issues: list[dict], max_issues: int = 10) -> list[dict]:
+    """O6 — keep the max_issues highest-confidence issues (position
+    tiebreak), reported back in positional order."""
+    top = sorted(issues, key=lambda i: (-i["confidence"], i["pos"], i["type"]))[:max_issues]
+    return sorted(top, key=lambda i: (i["pos"], i["type"]))
+
+
 class MockBackend:
-    """Deterministic stand-in for the LLM verification call."""
+    """Deterministic stand-in for the LLM verification call. Emits
+    POSITIONAL issues so overlap dedup and prioritization operate on
+    real spans."""
 
     name = "mock"
 
-    def verify(self, text: str) -> tuple[list[str], float]:
-        issues = [name for name, pat in _ISSUE_PATTERNS if pat.search(text)]
-        confidence = max(0.0, 1.0 - 0.2 * len(issues))
+    def verify(self, text: str, max_issues: int = 10) -> tuple[list[dict], float]:
+        found: list[dict] = []
+        for name, pat, conf in _ISSUE_PATTERNS:
+            for m in pat.finditer(text):
+                found.append({"type": name, "pos": m.start(), "end": m.end(), "confidence": conf})
+        issues = prioritize_issues(remove_overlapping_issues(found), max_issues)
+        n_types = len({i["type"] for i in issues})
+        confidence = max(0.0, 1.0 - 0.2 * n_types)
         return issues, confidence
 
 
@@ -60,7 +94,7 @@ class VerifierActor:
 
     def __init__(self, text_col: str = "extracted_text", id_col: str = "url") -> None:
         self.backend = MockBackend()
-        self.cache: dict[bytes, tuple[list[str], float]] = {}
+        self.cache: dict[bytes, tuple[list[dict], float]] = {}
         self.hits = 0
         self.misses = 0
         self.text_col = text_col
@@ -81,7 +115,7 @@ class VerifierActor:
                 self.cache[key] = (issues, conf)
             ids.append(did)
             n_issues.append(len(issues))
-            issue_lists.append(",".join(issues))
+            issue_lists.append(",".join(f"{i['type']}@{i['pos']}" for i in issues))
             confs.append(conf)
             cached.append(hit)
         return pd.DataFrame(

@@ -13,6 +13,8 @@ SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import json as _json
+
 import pyarrow as pa
 
 from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
@@ -48,6 +50,7 @@ RESULT_SCHEMA = pa.schema(
         ("footnote_match_rate", pa.float64()),  # A6 completeness (footnote_extractor.py:403-442)
         ("footnote_status", pa.string()),    # COMPLETE / PARTIAL / POOR
         ("quality_confidence", pa.float64()),  # A10 dimension-variance confidence (quality_scorer.py:366-379)
+        ("element_inventory", pa.string()),  # A2 region x size-class counts, JSON (element_inventory.py:85-202)
         ("error", pa.string()),
     ]
 )
@@ -98,6 +101,7 @@ class Extractor:
                 "n_overlapping_words": res.get("n_overlapping_words", 0),
                 "n_pages_recovered": res.get("n_pages_recovered", 0),
                 "fn_report": res.get("fn_report", {}),
+                "inventory": res.get("inventory", {}),
             }
         html = payload.decode("utf-8", errors="replace")
         text, n_blocks = extract_html(html, cfg)
@@ -122,17 +126,22 @@ class Extractor:
         )
         cov_pcts, cov_stats, hallu_ns, rep_ratios = [], [], [], []
         tbl_ns, rot_ns, ovl_ns, rec_ns, fn_rates, fn_stats, q_confs = [], [], [], [], [], [], []
+        inventories = []
 
-        def _score(r: dict) -> float:
+        def _dims(r: dict) -> dict:
             rep = r.get("fn_report", {})
-            return textstats.quality_score(
+            return textstats.quality_dimensions(
                 r["text"], rep.get("n_matches", len(r["footnotes"])), rep.get("n_markers", len(r["footnotes"]))
             )
+
+        def _score(r: dict) -> float:
+            return textstats.quality_score_from_dims(_dims(r))
 
         for payload in payloads:
             try:
                 r = self.extract_one(payload or b"")
-                score = _score(r)
+                dims = _dims(r)
+                score = textstats.quality_score_from_dims(dims)
                 if self.remediation_cfgs and score < self.cfg.remediation_threshold and r["kind"] != "empty":
                     # in-UDF remediation loop (cheap, local — never a
                     # dataset-level control flow, SURVEY §7.4 #7)
@@ -143,6 +152,7 @@ class Extractor:
                         if s2 > best_s:
                             best_s, best_r = s2, r2
                     score, r = best_s, best_r
+                    dims = _dims(r)
                 text = r["text"]
                 fns = r["footnotes"]
                 kinds.append(r["kind"])
@@ -164,10 +174,8 @@ class Extractor:
                 rep = r.get("fn_report", {})
                 fn_rates.append(rep.get("match_rate", 100.0))
                 fn_stats.append(rep.get("status", "COMPLETE"))
-                dims = textstats.quality_dimensions(
-                    text, rep.get("n_matches", len(fns)), rep.get("n_markers", len(fns))
-                )
                 q_confs.append(textstats.quality_confidence(dims))
+                inventories.append(_json.dumps(r.get("inventory", {}), sort_keys=True))
                 errors.append(None)
             except Exception as exc:  # never raise: poison-blob guard
                 kinds.append("error")
@@ -189,6 +197,7 @@ class Extractor:
                 fn_rates.append(100.0)
                 fn_stats.append("COMPLETE")
                 q_confs.append(0.3)
+                inventories.append("{}")
                 errors.append(f"{type(exc).__name__}: {exc}"[:500])
 
         return pa.Table.from_arrays(
@@ -215,6 +224,7 @@ class Extractor:
                 pa.array(fn_rates, pa.float64()),
                 pa.array(fn_stats, pa.string()),
                 pa.array(q_confs, pa.float64()),
+                pa.array(inventories, pa.string()),
                 pa.array(errors, pa.string()),
             ],
             schema=RESULT_SCHEMA,

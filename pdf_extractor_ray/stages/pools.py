@@ -4,11 +4,13 @@ from __future__ import annotations
 
 
 def clamp_pool(n: int) -> int:
-    """Clamp a FIXED actor-pool size to the live cluster CPU count —
-    a fixed pool larger than the cluster waits forever for actors that
-    can never schedule (deadlocks small sessions). Fixed (not
-    autoscaling) pools measured ~20% faster on short jobs: all actors
-    spawn at t0 instead of serializing scale-up decisions.
+    """Clamp a FIXED actor-pool size to the live cluster CPU count
+    MINUS a read-stage reserve (~1/8 of CPUs, min 1) — a fixed pool
+    that takes every CPU starves the upstream read tasks and the
+    streaming pipeline deadlocks (a pool larger than the cluster never
+    even schedules). Fixed (not autoscaling) pools measured ~20%
+    faster on short jobs: all actors spawn at t0 instead of
+    serializing scale-up decisions.
 
     Only the ACTOR-pool stages need this (verifier / consensus /
     multimodal featurizers — expensive or mutable state). The flagship
@@ -20,5 +22,6 @@ def clamp_pool(n: int) -> int:
 
     if _ray.is_initialized():
         avail = int(_ray.cluster_resources().get("CPU", n))
-        return max(1, min(n, avail))
+        reserve = max(1, avail // 8)
+        return max(1, min(n, avail - reserve))
     return max(1, n)

@@ -94,7 +94,10 @@ def test_verifier_actor_cache_and_issues(ray_session):
     issues, conf = MockBackend().verify("clean readable text here")
     assert issues == [] and conf == 1.0
     issues, _ = MockBackend().verify("damaged zzzzzzzzkqx text with ���� and aaaaaaaaaaaa")
-    assert "ocr_garble" in issues and "encoding_damage" in issues and "char_run" in issues
+    types = {i["type"] for i in issues}
+    assert {"ocr_garble", "encoding_damage", "char_run"} <= types
+    # positional issues arrive in positional order, deduped on overlap
+    assert [i["pos"] for i in issues] == sorted(i["pos"] for i in issues)
 
     # in-actor cache: duplicate texts within one actor's stream hit it
     actor = VerifierActor()
