@@ -386,6 +386,62 @@ def _orders_price_bands(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("band").reset_index(drop=True)
 
 
+def _orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Date-function rollup (SURVEY §2.8 date family): month bucket
+    groupby with exact decimal sums."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["month"] = b["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        return b[["month", "o_totalprice"]]
+
+    out = grouped_sum(orders.map_batches(bucket, batch_format="pandas"), ["month"], ["o_totalprice"], decimal_scale=4).to_pandas()
+    out = out.rename(columns={"sum_o_totalprice": "total_price", "n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("month").reset_index(drop=True)
+
+
+def _acctbal_stats_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped min/max/avg (A-family stats): two-level combine, exact
+    min/max, avg from the exact decimal sum."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    out = grouped_sum(
+        cust, ["c_mktsegment"], ["c_acctbal"], decimal_scale=4, mins=["c_acctbal"], maxs=["c_acctbal"]
+    ).to_pandas()
+    out["avg_acctbal"] = out["sum_c_acctbal"] / out["n"]
+    out = out.rename(
+        columns={"min_c_acctbal": "min_acctbal", "max_c_acctbal": "max_acctbal", "n": "n_customers"}
+    ).drop(columns=["sum_c_acctbal"])
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out[["c_mktsegment", "min_acctbal", "max_acctbal", "avg_acctbal", "n_customers"]].sort_values(
+        "c_mktsegment"
+    ).reset_index(drop=True)
+
+
+def _parts_standard_brands(sf_dir: str) -> pd.DataFrame:
+    """String-function filter (SURVEY §2.8 regex family): vectorized
+    Arrow regex match on p_type, count per brand."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    part = _read(sf_dir, "part", ["p_brand", "p_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring_regex(t["p_type"], "^(STANDARD|ECONOMY)")).select(["p_brand"])
+
+    out = grouped_sum(part.map_batches(f, batch_format="pyarrow"), ["p_brand"], []).to_pandas()
+    out = out.rename(columns={"n": "n_parts"})
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
 def _events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Sliding-window aggregate (60-min windows every 15 min)."""
     from pdf_extractor_ray.ops.windows import sliding_window_agg
@@ -679,6 +735,38 @@ def _extract_consensus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _extract_flags(sf_dir: str) -> pd.DataFrame:
+    """ST6 review flags (reference flagging_system.py) with
+    deterministic distributed flag ids."""
+    from pdf_extractor_ray.ops.flags import flag_documents
+
+    ds = _extraction_results(500)
+    out = flag_documents(ds).to_pandas()
+    return out.sort_values("flag_id").reset_index(drop=True)
+
+
+def _extract_flag_summary(sf_dir: str) -> pd.DataFrame:
+    from pdf_extractor_ray.ops.flags import flag_documents, flag_summary
+
+    ds = _extraction_results(500)
+    out = flag_summary(flag_documents(ds)).to_pandas()
+    out = out.rename(columns={"n": "n_flags"})
+    out["n_flags"] = out["n_flags"].astype("int64")
+    return out.sort_values(["flag_type", "severity"]).reset_index(drop=True)
+
+
+def _doc_chunks_sections(sf_dir: str) -> pd.DataFrame:
+    """Section-boundary chunking (reference chunk_by='sections',
+    context_windows.py:235-276); rows-only — the boundary regex table
+    is the operator under test."""
+    from pdf_extractor_ray.ops.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, max_chars=1500, overlap=0, by="sections").drop_columns(["chunk_text"]).to_pandas()
+    out["chunk_index"] = out["chunk_index"].astype("int64")
+    return out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
+
+
 def _extract_sorted_urls(sf_dir: str) -> pd.DataFrame:
     """North-rule sort-by-url shuffle: a true distributed range-
     partition sort over the extraction output (not a driver sort)."""
@@ -706,6 +794,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
         "orders_price_bands": _orders_price_bands,
+        "orders_by_month": _orders_by_month,
+        "acctbal_stats_by_segment": _acctbal_stats_by_segment,
+        "parts_standard_brands": _parts_standard_brands,
         "customers_without_big_orders": _customers_without_big_orders,
         "extreme_orders_union": _extreme_orders_union,
         "events_json_props": _events_json_props,
@@ -721,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": _simhash_dedup_docs,
         "jaccard_dedup_docs": _jaccard_dedup_docs,
         "doc_chunks": _doc_chunks,
+        "doc_chunks_sections": _doc_chunks_sections,
         "text_analysis_docs": _text_analysis_docs,
         "lang_id_docs": _lang_id_docs,
         "doc_fingerprints": _doc_fingerprints,
@@ -734,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_consensus": _extract_consensus,
         "extract_error_rollup": _extract_error_rollup,
         "extract_verify": _extract_verify,
+        "extract_flags": _extract_flags,
+        "extract_flag_summary": _extract_flag_summary,
         "image_featurize": _image_featurize,
         "audio_featurize": _audio_featurize,
     }
@@ -863,6 +957,25 @@ def oracle_sql() -> dict[str, str]:
                  AS b(band, lo, hi)
               ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
             GROUP BY b.band ORDER BY b.band
+        """,
+        "orders_by_month": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "acctbal_stats_by_segment": """
+            SELECT c_mktsegment,
+                   min(c_acctbal) AS min_acctbal,
+                   max(c_acctbal) AS max_acctbal,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_acctbal,
+                   count(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "parts_standard_brands": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part WHERE regexp_matches(p_type, '^(STANDARD|ECONOMY)')
+            GROUP BY p_brand ORDER BY p_brand
         """,
         "events_sliding_window": """
             SELECT time_bucket(INTERVAL '15 minutes', ts)

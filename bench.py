@@ -115,10 +115,18 @@ def run_extract(pages_path: str, ncpu: int) -> dict:
         meta = pq.read_metadata(p)
         n_docs += meta.num_rows
         n_bytes += sum(meta.row_group(i).total_byte_size for i in range(meta.num_row_groups))
+    # explicit block granularity: Ray's read planner coalesces the
+    # ~800-row shards into ~200 fat blocks (3200 rows, ~60MB of text
+    # each) — measured +38% per-task CPU at 32 busy cores (memory-
+    # bandwidth pressure) and a 6-wave ragged tail. ~800-row blocks
+    # keep the working set cache-friendly and the waves smooth.
+    num_blocks = max(200, n_docs // 800)
     t0 = time.perf_counter()
-    stats = run_extraction(pages_path, out, cfg=cfg, resume=False)
+    stats = run_extraction(pages_path, out, cfg=cfg, resume=False, num_blocks=num_blocks)
     sec = time.perf_counter() - t0
     assert stats["rows_written"] == n_docs, stats
+    if os.environ.get("BENCH_PRINT_STATS") == "1" and stats.get("dataset_stats"):
+        sys.stderr.write(stats["dataset_stats"] + "\n")
     return {
         "sec": sec,
         "docs": n_docs,

@@ -3,13 +3,12 @@ multi_engine_extractor.py:75-250: run several engines per document,
 score agreement as mean pairwise SequenceMatcher ratio, pick the
 primary unless agreement is low).
 
-This container ships one parsing engine, so the "engines" are the
-primary config plus the reference's remediation variants
-(master_extractor.py:617-684: relaxed header/footer removal and a
-wider column gap for PDF; a permissive block filter for HTML) — the
-same texts the reference's recovery ladder would compare. The stage is
-the reference's engine-plugin point (SURVEY.md §2.10): swap the
-variant list for real alternative engines (pdfminer/pymupdf) when
+Engines come from the duck-typed plugin registry
+(stages/engines.py, the reference's engine-plugin point SURVEY.md
+§2.10): by default the geometry engine plus the reference's
+remediation variants (master_extractor.py:617-684), with a
+structure-free raw-text engine also registered; real alternative
+parsers (pdfminer/pymupdf) plug in via `register_engine` when
 available.
 
 Ray shape: one actor-pool map_batches; all variants run per document
@@ -24,9 +23,8 @@ from difflib import SequenceMatcher
 import pyarrow as pa
 import ray.data
 
-from pdf_extractor_ray.stages.pools import clamp_pool
 from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
-from pdf_extractor_ray.stages.extractor import Extractor
+from pdf_extractor_ray.stages.pools import clamp_pool
 
 CONSENSUS_SCHEMA = pa.schema(
     [
@@ -41,25 +39,18 @@ CONSENSUS_SCHEMA = pa.schema(
 )
 
 
-def default_variants(cfg: PipelineConfig) -> list[PipelineConfig]:
-    """Primary + the two remediation configs the reference tries when
-    quality is low (disable header/footer removal; 1.5x column gap /
-    permissive HTML blocks)."""
-    return [
-        cfg,
-        cfg.with_overrides(repeat_min_frac=1.01, max_link_density=0.6),
-        cfg.with_overrides(
-            column_gap_threshold=cfg.column_gap_threshold * 1.5,
-            min_paragraph_chars=10,
-        ),
-    ]
-
-
 class ConsensusExtractor:
-    """Actor-pool stage: V extractor instances built once per actor."""
+    """Actor-pool stage: the named engines are built once per actor
+    from the plugin registry (stages/engines.py)."""
 
-    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
-        self.engines = [Extractor(v) for v in default_variants(cfg)]
+    def __init__(
+        self,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        engine_names: tuple[str, ...] | None = None,
+    ) -> None:
+        from pdf_extractor_ray.stages.engines import DEFAULT_ENGINE_NAMES, build_engines
+
+        self.engines = build_engines(engine_names or DEFAULT_ENGINE_NAMES, cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -108,10 +99,11 @@ def consensus_extract(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     concurrency: int = 4,
     batch_size: int = 16,
+    engine_names: tuple[str, ...] | None = None,
 ) -> ray.data.Dataset:
     return ds.map_batches(
         ConsensusExtractor,
-        fn_constructor_args=(cfg,),
+        fn_constructor_args=(cfg, engine_names),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs

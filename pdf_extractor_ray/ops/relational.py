@@ -107,27 +107,40 @@ def pre_aggregate(
     sums: Sequence[str] = (),
     counts: bool = True,
     decimal_scale: int | None = None,
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
 ) -> ray.data.Dataset:
     """Partial per-batch combine: emits one row per key per batch with
-    partial sums/counts. Follow with groupby(keys).aggregate(Sum(...))
-    over the (tiny) partials — the shuffle then moves K x B rows, not N.
+    partial sums/counts/mins/maxs. Follow with final_aggregate over
+    the (tiny) partials — the shuffle then moves K x B rows, not N.
 
     decimal_scale: when set, float sum columns are fixed-point values
     with at most that many decimals (money etc.); each is scaled to
     int64 per row and summed EXACTLY, making the grouped sum
     bit-deterministic regardless of partition/batch order and equal to
     a SQL `SUM(CAST(x AS DECIMAL(38, scale)))`. Sum columns must be
-    non-null and |sum| * 10**scale must stay below 2**53."""
+    non-null and |sum| * 10**scale must stay below 2**53. min/max are
+    order-insensitive and need no special handling."""
     keys = list(keys)
     sums = list(sums)
+    mins = list(mins)
+    maxs = list(maxs)
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        # min/max must read the ORIGINAL values, so stash any column
+        # that decimal scaling below would rewrite in place
+        mm_src = {c: c for c in {*mins, *maxs}}
         if decimal_scale is not None and sums:
             batch = batch.copy()
             f = 10.0**decimal_scale
+            for c in {*mins, *maxs} & set(sums):
+                batch[f"_mm_{c}"] = batch[c]
+                mm_src[c] = f"_mm_{c}"
             for c in sums:
                 batch[c] = np.rint(batch[c].to_numpy(dtype=np.float64) * f).astype(np.int64)
         agg: dict[str, tuple[str, str]] = {f"_sum_{c}": (c, "sum") for c in sums}
+        agg.update({f"_min_{c}": (mm_src[c], "min") for c in mins})
+        agg.update({f"_max_{c}": (mm_src[c], "max") for c in maxs})
         if counts:
             agg["_partial_n"] = (keys[0], "size")
         # dropna=False: SQL GROUP BY keeps NULL as its own group
@@ -143,8 +156,11 @@ def final_aggregate(
     counts: bool = True,
     num_partitions: int = 64,
     decimal_scale: int | None = None,
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
 ) -> ray.data.Dataset:
-    """Sum the per-batch partials to final (keys, sum_*, n) rows.
+    """Reduce the per-batch partials to final
+    (keys, sum_*, min_*, max_*, n) rows.
 
     Shuffles on hash(keys) mod num_partitions and runs ONE vectorized
     pandas groupby per partition instead of Ray's native multi-key
@@ -158,8 +174,11 @@ def final_aggregate(
     with ONE correctly-rounded division (identical to DuckDB's
     DECIMAL -> DOUBLE cast while |sum|*10**scale < 2**53)."""
     keys = list(keys)
-    agg_cols = [f"_sum_{c}" for c in sums] + (["_partial_n"] if counts else [])
+    mins = list(mins)
+    maxs = list(maxs)
     rename = {f"_sum_{c}": f"sum_{c}" for c in sums}
+    rename.update({f"_min_{c}": f"min_{c}" for c in mins})
+    rename.update({f"_max_{c}": f"max_{c}" for c in maxs})
     if counts:
         rename["_partial_n"] = "n"
 
@@ -170,7 +189,12 @@ def final_aggregate(
         return b
 
     def agg_part(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(keys, as_index=False, sort=True, dropna=False)[agg_cols].sum()
+        agg: dict[str, tuple[str, str]] = {c: (c, "sum") for c in [f"_sum_{c}" for c in sums]}
+        agg.update({c: (c, "min") for c in [f"_min_{c}" for c in mins]})
+        agg.update({c: (c, "max") for c in [f"_max_{c}" for c in maxs]})
+        if counts:
+            agg["_partial_n"] = ("_partial_n", "sum")
+        out = g.groupby(keys, as_index=False, sort=True, dropna=False).agg(**agg)
         if decimal_scale is not None:
             f = float(10**decimal_scale)
             for c in sums:
@@ -190,16 +214,21 @@ def grouped_sum(
     sums: Sequence[str],
     counts: bool = True,
     decimal_scale: int | None = None,
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
 ) -> ray.data.Dataset:
-    """Pre-aggregated grouped sum/count (the scalable groupby). Pass
-    decimal_scale for fixed-point float columns to make the sums exact
-    and partition-order-deterministic (see pre_aggregate)."""
+    """Pre-aggregated grouped sum/count/min/max (the scalable
+    groupby). Pass decimal_scale for fixed-point float columns to make
+    the sums exact and partition-order-deterministic (see
+    pre_aggregate)."""
     return final_aggregate(
-        pre_aggregate(ds, keys, sums, counts, decimal_scale=decimal_scale),
+        pre_aggregate(ds, keys, sums, counts, decimal_scale=decimal_scale, mins=mins, maxs=maxs),
         keys,
         sums,
         counts,
         decimal_scale=decimal_scale,
+        mins=mins,
+        maxs=maxs,
     )
 
 

@@ -171,11 +171,15 @@ def run_extraction(
     else:
         manifest = ds.map_batches(_extract_write_task, batch_size=cfg.rows_per_output_file, **kw)
     rows = manifest.take_all()  # tiny: one row per output partition
+    import os as _os
+
     return {
         "partitions_written": len(rows),
         "rows_written": int(sum(r["n_rows"] for r in rows)),
         "urls_skipped_resume": n_skipped,
         "out_dir": out_dir,
+        # opt-in: Ray Data per-stage timing breakdown for perf triage
+        "dataset_stats": manifest.stats() if _os.environ.get("BENCH_PRINT_STATS") == "1" else None,
     }
 
 

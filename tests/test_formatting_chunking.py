@@ -98,3 +98,64 @@ def test_remediation_loop_improves_low_quality(ray_session):
     # default path is unchanged when remediation is off (byte contract)
     plain2 = Extractor(DEFAULT_CONFIG)(tbl).to_pandas().iloc[0]
     assert plain2["extracted_text"] == plain["extracted_text"]
+
+
+def test_chunk_text_by_sections():
+    from pdf_extractor_ray.ops.chunking import chunk_text_by_sections, find_section_boundaries
+
+    text = "intro text\n1. first section body\nmore body\n2. second section body\n# md header\ntail"
+    bounds = find_section_boundaries(text)
+    assert len(bounds) == 3  # "1.", "2.", "#"
+    # large budget: everything in one chunk
+    assert chunk_text_by_sections(text, max_chars=10_000) == [text]
+    # tiny budget: breaks only at section boundaries
+    chunks = chunk_text_by_sections(text, max_chars=40)
+    assert "".join(chunks) == text
+    assert all(c.startswith(("intro", "1.", "2.", "#")) for c in chunks)
+    # no boundaries -> character-chunk fallback
+    plain = "x" * 100
+    assert chunk_text_by_sections(plain, max_chars=40, overlap=0) == ["x" * 40, "x" * 40, "x" * 20]
+
+
+def test_chunk_pages():
+    from pdf_extractor_ray.ops.chunking import chunk_pages
+
+    pages = [f"page {i} content" * 10 for i in range(10)]  # ~150 chars each
+    chunks = chunk_pages(pages, max_chars=400)
+    assert "\n\n".join(chunks).replace("\n\n", "") == "".join(pages)
+    assert len(chunks) == 5  # 2 pages per chunk at ~150 chars/page
+    assert chunk_pages([], 100) == []
+
+
+def test_flags_from_batch_deterministic_ids():
+    import pandas as pd
+
+    from pdf_extractor_ray.ops.flags import flags_from_batch
+
+    rows = pd.DataFrame(
+        [
+            {  # clean doc: no flags
+                "url": "u1", "error": None, "quality_confidence": 0.95,
+                "footnote_status": "COMPLETE", "coverage_status": "GOOD",
+                "n_hallu_flags": 0, "n_overlapping_words": 0,
+            },
+            {  # low confidence + poor coverage + footnote mismatch
+                "url": "u2", "error": None, "quality_confidence": 0.4,
+                "footnote_status": "POOR", "footnote_match_rate": 50.0,
+                "coverage_status": "POOR", "coverage_pct": 40.0,
+                "n_hallu_flags": 0, "n_overlapping_words": 2,
+            },
+            {"url": "u3", "error": "boom", "quality_confidence": 0.3},
+        ]
+    )
+    out = flags_from_batch(rows)
+    assert set(out["url"]) == {"u2", "u3"}
+    u2 = out[out["url"] == "u2"]
+    assert set(u2["flag_type"]) == {"low_confidence", "footnote_mismatch", "missing_content", "layout_issue"}
+    assert (u2[u2["flag_type"] == "low_confidence"]["severity"] == "high").all()
+    u3 = out[out["url"] == "u3"]
+    assert u3["flag_type"].tolist() == ["manual_review"] and u3["severity"].tolist() == ["critical"]
+    # ids deterministic across calls, unique within the batch
+    out2 = flags_from_batch(rows)
+    assert out["flag_id"].tolist() == out2["flag_id"].tolist()
+    assert out["flag_id"].is_unique

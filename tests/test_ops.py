@@ -262,3 +262,20 @@ def test_simhash_dedup_catches_exact_dups_at_volume(ray_session):
     kept = simhash_dedup(ds, max_hamming=3).to_pandas()
     # exact copies share the simhash -> hamming 0 -> dropped
     assert set(kept["doc_id"]) == set(range(4_000))
+
+
+def test_grouped_sum_min_max(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 2], "v": [3.0, -1.5, 10.0, 2.0, 7.5]})
+    out = (
+        grouped_sum(ray.data.from_pandas(df).repartition(3), ["k"], ["v"], decimal_scale=4, mins=["v"], maxs=["v"])
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["min_v"].tolist() == [-1.5, 2.0]
+    assert out["max_v"].tolist() == [3.0, 10.0]
+    assert out["sum_v"].tolist() == [1.5, 19.5]
+    assert out["n"].tolist() == [2, 3]

@@ -140,3 +140,58 @@ def test_consensus_extract(ray_session):
     # variants only relax filters, so agreement should be high on the
     # clean synthetic corpus
     assert ok["consensus"].mean() > 0.5
+
+
+def test_engine_plugin_registry():
+    """Duck-typed engine registry (reference multi_engine_extractor.py
+    §2.10): named construction, unknown-name error, custom plugin."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.stages.engines import (
+        DEFAULT_ENGINE_NAMES,
+        ENGINE_REGISTRY,
+        build_engines,
+        register_engine,
+    )
+
+    engines = build_engines(cfg=DEFAULT_CONFIG)
+    assert [e.name for e in engines] == list(DEFAULT_ENGINE_NAMES)
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        build_engines(("no-such-engine",))
+
+    class UpperEngine:
+        name = "upper"
+
+        def extract_one(self, payload: bytes):
+            return {"kind": "custom", "text": payload.decode().upper(), "n_blocks": 1, "n_pages": 0, "footnotes": []}
+
+    register_engine("upper", lambda cfg: UpperEngine())
+    try:
+        es = build_engines(("geometry", "upper"), DEFAULT_CONFIG)
+        assert es[1].extract_one(b"hi")["text"] == "HI"
+    finally:
+        ENGINE_REGISTRY.pop("upper", None)
+
+
+def test_raw_text_engine_extracts_all_words():
+    """The structure-free engine returns every fixture word in reading
+    order — no filtering, an independent opinion for consensus."""
+    import json
+
+    from pdf_extractor_ray.functions.pdf_words import FIXTURE_MAGIC
+    from pdf_extractor_ray.stages.engines import RawTextEngine
+
+    page = {
+        "width": 612.0,
+        "height": 792.0,
+        "words": [
+            {"text": "world", "x0": 120.0, "x1": 150.0, "top": 100.0, "bottom": 110.0},
+            {"text": "hello", "x0": 72.0, "x1": 110.0, "top": 100.0, "bottom": 110.0},
+        ],
+    }
+    payload = FIXTURE_MAGIC + json.dumps({"pages": [page]}).encode()
+    out = RawTextEngine().extract_one(payload)
+    assert out["text"] == "hello world"
+    assert out["kind"] == "pdf"
