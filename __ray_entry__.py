@@ -225,6 +225,70 @@ def _join_priority_agg(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"sum_rev": "revenue", "n": "n_items"})
 
 
+def _q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer JOIN orders JOIN
+    lineitem, grouped revenue per order, global top-10.
+
+    Scale notes: both joins are distributed co-shuffle hash joins —
+    customer is NOT assumed broadcastable at 100 TB; all three scans
+    prune columns and apply their filters as Arrow predicates before
+    any shuffle; revenue is an exact scaled-int64 grouped sum (order
+    key = high cardinality, so the pre-aggregate combiner + hash-mod-P
+    final pass, never a per-key map_groups); top-10 runs a per-block
+    partial top-k first so the final sort sees <=10 rows per block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.relational import grouped_sum, hash_join
+
+    cutoff = pd.Timestamp("1995-09-01")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))).drop_columns(
+            ["l_shipdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    bo = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=16)
+    joined = hash_join(li, bo, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+
+    def revenue(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rev"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_orderkey", "o_orderdate", "rev"]]
+
+    agg = grouped_sum(
+        joined.map_batches(revenue, batch_format="pandas"),
+        ["l_orderkey", "o_orderdate"],
+        ["rev"],
+        counts=False,
+        decimal_scale=4,
+    )
+
+    def partial_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["sum_rev", "l_orderkey"], ascending=[False, True]).head(10)
+
+    top = (
+        agg.map_batches(partial_top, batch_format="pandas")
+        .sort([("sum_rev"), ("l_orderkey")], descending=[True, False])
+        .limit(10)
+        .take_all()
+    )
+    out = pd.DataFrame(top)[["l_orderkey", "sum_rev", "o_orderdate"]]
+    return out.rename(columns={"sum_rev": "revenue"}).reset_index(drop=True)
+
+
 def _asof_purchase_view(sf_dir: str) -> pd.DataFrame:
     """As-of join: each purchase matched to the user's most recent
     prior (or simultaneous) view — ONE co-shuffle on user_id, in-group
@@ -442,6 +506,81 @@ def _parts_standard_brands(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
+def _order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped quantile_disc (p50/p90 order price per priority)
+    via the value-frequency reduction in ops/relational.py — no sort
+    of N rows, no float summation."""
+    from pdf_extractor_ray.ops.relational import grouped_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = grouped_quantiles(orders, ["o_orderpriority"], "o_totalprice", qs=(0.5, 0.9)).to_pandas()
+    out = out.rename(columns={"p50_o_totalprice": "p50_price", "p90_o_totalprice": "p90_price", "n": "n_orders"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["o_orderpriority", "p50_price", "p90_price", "n_orders"]].sort_values(
+        "o_orderpriority"
+    ).reset_index(drop=True)
+
+
+def _events_interarrival(sf_dir: str) -> pd.DataFrame:
+    """LAG-family window op: inter-arrival gap stats per event type
+    (gap = ts - lag(ts) over user's event stream; exact int64 sums)."""
+    from pdf_extractor_ray.ops.windows import interarrival_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = interarrival_stats(ev, key="user_id", ts_col="ts", group_col="event_type").to_pandas()
+    out["sum_gap_us"] = out["sum_gap_us"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out[["event_type", "sum_gap_us", "n_gaps", "avg_gap_us"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+def _events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-row window function (SUM OVER ... ROWS UNBOUNDED PRECEDING):
+    exact scaled-int64 prefix sums, one co-shuffle on hash(user)."""
+    from pdf_extractor_ray.ops.windows import running_total
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = running_total(ev, key="user_id", ts_col="ts", val="value").to_pandas()
+    return out[["event_id", "user_id", "ts", "value", "running_value"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+def _orders_status_pivot(sf_dir: str) -> pd.DataFrame:
+    """Grouped pivot/crosstab: per-month totals split by order status
+    in one grouped_sum pass over masked columns."""
+    from pdf_extractor_ray.ops.relational import pivot_sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["month"] = b["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        return b[["month", "o_orderstatus", "o_totalprice"]]
+
+    out = pivot_sum(
+        orders.map_batches(bucket, batch_format="pandas"),
+        ["month"],
+        "o_orderstatus",
+        "o_totalprice",
+        categories=["O", "F", "P"],
+        decimal_scale=4,
+    ).to_pandas()
+    out = out.rename(
+        columns={
+            "sum_o_totalprice_O": "price_open",
+            "sum_o_totalprice_F": "price_finished",
+            "sum_o_totalprice_P": "price_pending",
+            "n": "n_orders",
+        }
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["month", "price_open", "price_finished", "price_pending", "n_orders"]].sort_values(
+        "month"
+    ).reset_index(drop=True)
+
+
 def _events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Sliding-window aggregate (60-min windows every 15 min)."""
     from pdf_extractor_ray.ops.windows import sliding_window_agg
@@ -521,6 +660,28 @@ def _text_analysis_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return analyze(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _doc_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Distributed word count -> global top-100 terms (per-batch
+    distinct-term partials, hash-mod-P reduce, per-block partial
+    top-k)."""
+    from pdf_extractor_ray.ops.text_analysis import top_terms
+
+    return top_terms(_read(sf_dir, "documents", ["text"]), k=100)
+
+
+def _docs_sample_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling: 50% of en, 30% of ja, 20%
+    of every other lang, by explicit id-mod rule (no rng, no shuffle,
+    reproducible across partitionings)."""
+    from pdf_extractor_ray.ops.relational import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "ja": 0.3}, default_rate=0.2, mod=10
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _doc_chunks(sf_dir: str) -> pd.DataFrame:
@@ -790,9 +951,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "distinct_returnflag": _distinct_returnflag,
         "join_priority_agg": _join_priority_agg,
+        "q3_shipping_priority": _q3_shipping_priority,
         "asof_purchase_view": _asof_purchase_view,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
+        "events_interarrival": _events_interarrival,
+        "events_running_total": _events_running_total,
+        "order_price_quantiles": _order_price_quantiles,
+        "orders_status_pivot": _orders_status_pivot,
         "orders_price_bands": _orders_price_bands,
         "orders_by_month": _orders_by_month,
         "acctbal_stats_by_segment": _acctbal_stats_by_segment,
@@ -806,6 +972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _distinct_users_by_type,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
+        "doc_top_terms": _doc_top_terms,
+        "docs_sample_by_lang": _docs_sample_by_lang,
         "top_docs_by_chars": _top_docs_by_chars,
         "exact_dedup_docs": _exact_dedup_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1016,6 +1184,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
+        "doc_top_terms": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS n_term FROM toks WHERE term <> ''
+            GROUP BY term ORDER BY n_term DESC, term LIMIT 100
+        """,
+        "docs_sample_by_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 10 < CASE WHEN lang = 'en' THEN 5
+                                     WHEN lang = 'ja' THEN 3
+                                     ELSE 2 END
+            ORDER BY doc_id
+        """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
@@ -1038,6 +1221,59 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) AS cos
             FROM embeddings e
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-09-01'
+              AND l_shipdate > TIMESTAMP '1995-09-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        # gaps stay int64 microseconds end-to-end on both sides; the one
+        # float (avg) is a single division, so no partition-order drift
+        "events_interarrival": """
+            WITH gaps AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   count(gap_us) AS n_gaps,
+                   CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us
+            FROM gaps WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id, ts, value,
+                   CAST(sum(CAST(value AS DECIMAL(38,4))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+            FROM events ORDER BY event_id
+        """,
+        "orders_status_pivot": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS price_open,
+                   CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS price_finished,
+                   CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END AS DECIMAL(38,4))) AS DOUBLE) AS price_pending,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY month
+        """,
+        # quantile_disc picks an element of the input (rank ceil(q*n)),
+        # matching the engine's value-frequency reduction bit-for-bit
+        "order_price_quantiles": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5) AS p50_price,
+                   quantile_disc(o_totalprice, 0.9) AS p90_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         # minhash/simhash dedup, text_analysis, ivf/neardup, extraction and
         # multimodal stages are not SQL-expressible -> rows-only checks.

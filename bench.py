@@ -145,17 +145,24 @@ def run_queries() -> dict[str, float]:
         "customers_per_region",
         "top10_orders",
         "join_priority_agg",
+        "q3_shipping_priority",
         "promo_revenue_by_brand",
         "orders_price_bands",
+        "orders_status_pivot",
+        "order_price_quantiles",
         "topk_orders_per_priority",
         "events_hourly",
         "events_sliding_window",
         "events_sessions",
+        "events_interarrival",
+        "events_running_total",
         "asof_purchase_view",
         "distinct_users_by_type",
         "events_json_props",
         "doc_stats_by_lang",
         "doc_token_counts",
+        "doc_top_terms",
+        "docs_sample_by_lang",
         "doc_chunks",
         "exact_dedup_docs",
         "minhash_dedup_docs",

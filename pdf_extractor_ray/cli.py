@@ -30,12 +30,17 @@ def cmd_extract(args: argparse.Namespace) -> int:
     ray = _ray_session(args.num_cpus)
     try:
         from pdf_extractor_ray.config import DEFAULT_CONFIG
-        from pdf_extractor_ray.pipelines.extract import run_extraction
+        from pdf_extractor_ray.pipelines.extract import run_extraction, run_extraction_sharded
 
         cfg = DEFAULT_CONFIG
         if args.concurrency:
             cfg = cfg.with_overrides(concurrency=args.concurrency)
-        stats = run_extraction(args.input, args.output, cfg=cfg, resume=not args.no_resume)
+        if args.sharded:
+            stats = run_extraction_sharded(
+                args.input, args.output, cfg=cfg, files_per_shard=args.files_per_shard
+            )
+        else:
+            stats = run_extraction(args.input, args.output, cfg=cfg, resume=not args.no_resume)
         print(json.dumps(stats))
         return 0
     finally:
@@ -79,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("-i", "--input", required=True, help="pages parquet path/dir")
     ex.add_argument("-o", "--output", required=True, help="output corpus dir")
     ex.add_argument("--no-resume", action="store_true", help="ignore existing manifest (reference --no-skip)")
+    ex.add_argument("--sharded", action="store_true", help="shard-granular resumable output (one dir + _SUCCESS per input file group; the corpus-scale resume path)")
+    ex.add_argument("--files-per-shard", type=int, default=16)
     ex.add_argument("--concurrency", type=int, default=0)
     ex.add_argument("--num-cpus", type=int, default=0)
     ex.set_defaults(fn=cmd_extract)

@@ -232,6 +232,120 @@ def grouped_sum(
     )
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    val: str,
+    qs: Sequence[float] = (0.5, 0.9),
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact grouped discrete quantiles (SQL `quantile_disc` /
+    `percentile_disc`: the element at 1-based rank ceil(q*n) of the
+    group's sorted values).
+
+    Scale shape: a VALUE-FREQUENCY reduction, not a sort of N rows.
+    Stage 1 is grouped_sum over (keys..., val) — per-batch combiners
+    mean the shuffle moves one row per distinct (key, value) pair per
+    batch, and the reduced table is bounded by the value DOMAIN (for
+    fixed-point money columns: price range x 100), not by row count —
+    at 100 TB the frequency table is megabytes while the input is
+    terabytes. Stage 2 re-shuffles the frequency rows on hash(keys)
+    mod num_partitions and one vectorized pandas pass per partition
+    takes cumulative counts and picks each quantile row. No value is
+    ever summed, so float determinism is free: outputs are elements
+    of the input, bit-identical to the SQL oracle's."""
+    keys = list(keys)
+    pcts = [int(round(q * 100)) for q in qs]
+    assert all(abs(q * 100 - p) < 1e-9 for q, p in zip(qs, pcts)), "qs must be whole percents"
+    freq = grouped_sum(ds, keys + [val], [])
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in keys:
+            h ^= pd.util.hash_array(b[k].to_numpy())
+        b["_part"] = (h % num_partitions).astype(np.int64)
+        return b
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).sort_values(keys + [val], kind="stable")
+        grp = g.groupby(keys, sort=False, dropna=False)
+        cum = grp["n"].cumsum().to_numpy()
+        tot = grp["n"].transform("sum").to_numpy()
+        out = grp.agg(n=("n", "sum")).reset_index()
+        for q, p in zip(qs, pcts):
+            # rank ceil(q*n); the 1e-9 backoff absorbs float noise like
+            # 0.1*10 == 1.0000000000000002 (measured DuckDB parity)
+            target = np.ceil(q * tot - 1e-9)
+            hit = g[cum >= target]
+            sel = hit.groupby(keys, sort=False, dropna=False, as_index=False).first()
+            out = out.merge(sel[keys + [val]].rename(columns={val: f"p{p}_{val}"}), on=keys, how="left")
+        return out
+
+    return (
+        freq.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    mod: int = 100,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum sampling: keep a row iff
+    `id % mod < round(rate[stratum] * mod)`. The rule is explicit
+    integer arithmetic on the row id — reproducible across runs,
+    partition layouts and engines (SQL parity: `id % mod < CASE ...`),
+    unlike rng-based Dataset.random_sample. Embarrassingly parallel:
+    one vectorized filter per batch, no shuffle, no driver state."""
+    thresholds = {s: int(round(r * mod)) for s, r in rates.items()}
+    default_t = int(round(default_rate * mod))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[strata_col].map(thresholds).fillna(default_t).to_numpy(dtype=np.int64)
+        return b[(b[id_col].to_numpy() % mod) < t]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def pivot_sum(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    cat_col: str,
+    val: str,
+    categories: Sequence[str],
+    decimal_scale: int | None = None,
+) -> ray.data.Dataset:
+    """Grouped pivot (crosstab): one `{val}_{cat}` sum column per
+    category plus a row count `n`, in ONE pass — each batch widens the
+    value into per-category masked columns, then a single grouped_sum
+    aggregates them all (no per-category rescans, no extra shuffle
+    beyond the one the groupby already pays). Category set must be
+    known/fixed (SQL: SUM(CASE WHEN cat=c THEN val ELSE 0 END))."""
+    keys = list(keys)
+    categories = list(categories)
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keys].copy()
+        v = b[val].to_numpy()
+        c = b[cat_col].to_numpy()
+        for cat in categories:
+            out[f"{val}_{cat}"] = np.where(c == cat, v, 0.0)
+        return out
+
+    return grouped_sum(
+        ds.map_batches(widen, batch_format="pandas"),
+        keys,
+        [f"{val}_{c}" for c in categories],
+        decimal_scale=decimal_scale,
+    )
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

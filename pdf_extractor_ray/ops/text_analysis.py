@@ -53,6 +53,43 @@ def analyze(ds: ray.data.Dataset, concurrency: int = 16, batch_size: int = 256) 
     )
 
 
+def top_terms(ds: ray.data.Dataset, k: int = 100, text_col: str = "text") -> pd.DataFrame:
+    """Distributed word count -> global top-k terms (the canonical
+    all-to-all text aggregate; whitespace tokens, count ties broken by
+    term).
+
+    Scale shape: each batch does ONE vectorized split/explode/
+    value_counts pass and emits (term, partial count) — the shuffle
+    moves one row per DISTINCT term per batch, never one per token;
+    grouped_sum reduces those partials on hash(term) mod P; a
+    per-block partial top-k then caps the final sort input at k rows
+    per block. Counts are int64 (bit-deterministic)."""
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split().explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"term": vc.index.astype(str), "n": vc.to_numpy().astype("int64")})
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_format="pandas"), ["term"], ["n"], counts=False
+    )
+
+    def partial_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["sum_n", "term"], ascending=[False, True], kind="stable").head(k)
+
+    rows = (
+        counts.map_batches(partial_top, batch_format="pandas")
+        .sort([("sum_n"), ("term")], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    out = pd.DataFrame(rows).rename(columns={"sum_n": "n_term"})
+    out["n_term"] = out["n_term"].astype("int64")
+    return out[["term", "n_term"]].reset_index(drop=True)
+
+
 def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_ws_tokens) — whitespace tokenization, SQL-oracle-able."""
 

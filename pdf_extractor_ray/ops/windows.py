@@ -202,6 +202,105 @@ def sliding_window_agg(
     )
 
 
+def interarrival_stats(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    tiebreak: str | None = "event_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """LAG-family operator: per `group_col`, the count and EXACT sum of
+    inter-arrival gaps (microseconds, int64) between consecutive events
+    of the same `key`, plus the mean gap. Each gap is attributed to the
+    LATER event's group (SQL: `ts - lag(ts) OVER (PARTITION BY key
+    ORDER BY ts, tiebreak)`).
+
+    Scale shape: one shuffle on hash(key) mod num_partitions — each
+    partition holds all events of its keys and ONE vectorized pass
+    (sort + shift, no per-key map_groups) computes gaps for every key
+    in it, then combines to one partial row per group BEFORE the tiny
+    second aggregate. Gap sums stay int64 end-to-end, so the result is
+    bit-deterministic under any partition order; the mean is ONE
+    float64 division at the end (matches CAST(sum AS DOUBLE)/count)."""
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b[key].to_numpy()) % num_partitions).astype(np.int64)
+        return b
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, ts_col] + ([tiebreak] if tiebreak and tiebreak in g else [])
+        g = g.sort_values(order, kind="stable")
+        same = (g[key] == g[key].shift()).to_numpy()
+        d = g[ts_col].diff().to_numpy().astype("timedelta64[us]").astype(np.int64)
+        part = (
+            pd.DataFrame({group_col: g[group_col].to_numpy()[same], "gap_us": d[same]})
+            .groupby(group_col, as_index=False, sort=True)
+            .agg(sum_gap_us=("gap_us", "sum"), n_gaps=("gap_us", "size"))
+        )
+        return part
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(gaps, batch_format="pandas")
+    )
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    final = grouped_sum(partials, [group_col], ["sum_gap_us", "n_gaps"], counts=False)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"sum_sum_gap_us": "sum_gap_us", "sum_n_gaps": "n_gaps"})
+        b["avg_gap_us"] = b["sum_gap_us"].to_numpy(dtype=np.float64) / b["n_gaps"].to_numpy(
+            dtype=np.float64
+        )
+        return b
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+def running_total(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val: str = "value",
+    tiebreak: str = "event_id",
+    decimal_scale: int = 4,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-key running cumulative sum — SQL `SUM(val) OVER (PARTITION
+    BY key ORDER BY ts, tiebreak ROWS UNBOUNDED PRECEDING)` — emitted
+    per input row as `running_{val}`.
+
+    Scale shape: one shuffle on hash(key) mod num_partitions puts every
+    row of a key in one partition; ONE vectorized pass per partition
+    (sort + cython groupby-cumsum), never a per-key map_groups. Values
+    are fixed-point: scaled to int64 so every prefix sum is EXACT and
+    bit-deterministic under any partition order (equal to the SQL
+    window sum over DECIMAL), converted back with one division."""
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b[key].to_numpy()) % num_partitions).astype(np.int64)
+        return b
+
+    scale = 10**decimal_scale
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).sort_values([key, ts_col, tiebreak], kind="stable")
+        g = g.reset_index(drop=True)
+        scaled = pd.Series(np.round(g[val].to_numpy() * scale).astype(np.int64))
+        g[f"running_{val}"] = scaled.groupby(g[key], sort=False).cumsum().to_numpy() / scale
+        return g
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(cum, batch_format="pandas")
+    )
+
+
 def topk_per_group(
     ds: ray.data.Dataset,
     key: str,

@@ -27,7 +27,7 @@ from pdf_extractor_ray.state.manifest import PartitionWriter, completed_urls
 INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 
-def read_pages(path: str, num_blocks: int | None = None) -> ray.data.Dataset:
+def read_pages(path: str | list[str], num_blocks: int | None = None) -> ray.data.Dataset:
     kw = {"columns": INPUT_COLUMNS}
     if num_blocks:
         kw["override_num_blocks"] = num_blocks
@@ -96,7 +96,7 @@ def extraction_dataset(
     with blobs >= cfg.big_blob_bytes run in a separate branch with
     batch_size = cfg.big_blob_batch_size (see split_by_blob_size);
     set big_blob_bytes=0 to disable the split."""
-    ds = read_pages(source, num_blocks) if isinstance(source, str) else source
+    ds = read_pages(source, num_blocks) if isinstance(source, (str, list)) else source
     kw = dict(fn_kwargs={"cfg": cfg}, batch_format="pyarrow", num_cpus=cfg.num_cpus_per_actor)
     if cfg.big_blob_bytes:
         small_ds, big_ds = split_by_blob_size(ds, cfg.big_blob_bytes)
@@ -125,7 +125,7 @@ class ExtractWriter:
 
 
 def run_extraction(
-    input_path: str,
+    input_path: str | list[str],
     out_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     resume: bool = True,
@@ -181,6 +181,74 @@ def run_extraction(
         # opt-in: Ray Data per-stage timing breakdown for perf triage
         "dataset_stats": manifest.stats() if _os.environ.get("BENCH_PRINT_STATS") == "1" else None,
     }
+
+
+def run_extraction_sharded(
+    input_path: str,
+    out_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    files_per_shard: int = 16,
+    num_blocks: int | None = None,
+) -> dict:
+    """Shard-granular resumable extraction — the 100-TB resume path.
+
+    The driver-set url resume in run_extraction is exact but O(urls)
+    on the driver, which caps it at test scale (VERDICT r1). This
+    wrapper bounds that cost structurally: the input file list is
+    split into shard groups, each group writes its OWN output
+    directory with a `_SUCCESS` marker written only after the group's
+    pipeline completes. On re-run:
+
+      - a shard dir with `_SUCCESS` is skipped with ZERO reads (no
+        manifest parse, no url set, no input scan);
+      - only the (single) interrupted shard falls back to url-level
+        manifest resume, so the broadcast url set is bounded by
+        files_per_shard x rows-per-file regardless of corpus size.
+
+    Driver memory is O(number of input files), never O(rows). The
+    corpus stays one logical dataset: read_parquet(out_dir/*/...) or
+    corpus_files(out_dir). Mirrors the reference's skip-if-output-
+    exists resume (processor.py:113-116) at file granularity."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    if _os.path.isdir(input_path):
+        files = sorted(_glob.glob(_os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+    if not files:
+        raise ValueError(f"no parquet inputs under {input_path}")
+    groups = [files[i : i + files_per_shard] for i in range(0, len(files), files_per_shard)]
+    totals = {"partitions_written": 0, "rows_written": 0, "urls_skipped_resume": 0}
+    shards_skipped = 0
+    for gi, group in enumerate(groups):
+        shard_dir = _os.path.join(out_dir, f"shard-{gi:05d}")
+        marker = _os.path.join(shard_dir, "_SUCCESS")
+        if _os.path.exists(marker):
+            shards_skipped += 1
+            continue
+        stats = run_extraction(group, shard_dir, cfg, resume=True, num_blocks=num_blocks)
+        with open(marker + ".tmp", "w", encoding="utf-8") as f:
+            _json.dump(
+                {"n_files": len(group), "rows_written": stats["rows_written"]}, f
+            )
+        _os.replace(marker + ".tmp", marker)  # atomic publish
+        for k in totals:
+            totals[k] += stats[k]
+    totals.update({"out_dir": out_dir, "n_shards": len(groups), "shards_skipped": shards_skipped})
+    return totals
+
+
+def corpus_files(out_dir: str) -> list[str]:
+    """All corpus partition files under a (possibly sharded) out_dir,
+    excluding manifest sidecars — feed to ray.data.read_parquet."""
+    import glob as _glob
+    import os as _os
+
+    flat = _glob.glob(_os.path.join(out_dir, "part-*.parquet"))
+    sharded = _glob.glob(_os.path.join(out_dir, "shard-*", "part-*.parquet"))
+    return sorted(flat + sharded)
 
 
 def corpus_stats_by_lang(results: ray.data.Dataset) -> ray.data.Dataset:

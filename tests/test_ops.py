@@ -279,3 +279,105 @@ def test_grouped_sum_min_max(ray_session):
     assert out["max_v"].tolist() == [3.0, 10.0]
     assert out["sum_v"].tolist() == [1.5, 19.5]
     assert out["n"].tolist() == [2, 3]
+
+
+def test_top_terms(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": ["a b b c", "b c c  c", "", "a  b"],
+        }
+    )
+    out = top_terms(ray.data.from_pandas(df).repartition(3), k=2)
+    # totals: a:2, b:4, c:4 — tie at 4 broken by term asc
+    assert out["term"].tolist() == ["b", "c"]
+    assert out["n_term"].tolist() == [4, 4]
+
+
+def test_stratified_sample(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import stratified_sample
+
+    df = pd.DataFrame({"doc_id": range(100), "lang": ["en", "de"] * 50})
+    out = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(4), "doc_id", "lang",
+            {"en": 0.5}, default_rate=0.2, mod=10,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    en = out[out["lang"] == "en"]["doc_id"].to_numpy()
+    de = out[out["lang"] == "de"]["doc_id"].to_numpy()
+    assert (en % 10 < 5).all() and len(en) == 30  # en ids are even: 0,2,4 mod 10 in {0,2,4}
+    assert (de % 10 < 2).all() and len(de) == 10  # de ids odd: only 1 mod 10
+    # deterministic: identical under a different partitioning
+    out2 = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(9), "doc_id", "lang",
+            {"en": 0.5}, default_rate=0.2, mod=10,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+
+
+def test_pivot_sum(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import pivot_sum
+
+    df = pd.DataFrame(
+        {
+            "k": ["x", "x", "x", "y", "y"],
+            "cat": ["A", "B", "A", "B", "C"],
+            "v": [1.5, 2.25, 3.0, 4.0, 5.5],
+        }
+    )
+    out = (
+        pivot_sum(
+            ray.data.from_pandas(df).repartition(3), ["k"], "cat", "v",
+            categories=["A", "B", "C"], decimal_scale=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["sum_v_A"].tolist() == [4.5, 0.0]
+    assert out["sum_v_B"].tolist() == [2.25, 4.0]
+    assert out["sum_v_C"].tolist() == [0.0, 5.5]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_grouped_quantiles(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import grouped_quantiles
+
+    df = pd.DataFrame(
+        {
+            # a: 1..10 -> p50 = rank ceil(5) = 5, p90 = rank ceil(9) = 9
+            # b: [10,20,30] -> p50 = rank 2 = 20, p90 = rank 3 = 30
+            # c: [5,5,5,7] (dup values) -> p50 = rank 2 = 5, p90 = rank 4 = 7
+            "k": ["a"] * 10 + ["b"] * 3 + ["c"] * 4,
+            "v": [float(i) for i in range(1, 11)] + [10.0, 20.0, 30.0] + [5.0, 5.0, 5.0, 7.0],
+        }
+    )
+    out = (
+        grouped_quantiles(
+            ray.data.from_pandas(df).repartition(5), ["k"], "v", qs=(0.5, 0.9)
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == ["a", "b", "c"]
+    assert out["p50_v"].tolist() == [5.0, 20.0, 5.0]
+    assert out["p90_v"].tolist() == [9.0, 30.0, 7.0]
+    assert out["n"].tolist() == [10, 3, 4]

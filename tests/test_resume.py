@@ -59,6 +59,56 @@ def test_resume_skips_completed_urls(ray_session, pages_path, tmp_path):
     assert set(all_urls) == set(input_urls)
 
 
+def test_sharded_resume(ray_session, pages_path, tmp_path):
+    """Shard-granular resume: finished shard groups are skipped via
+    their _SUCCESS marker with zero reads; only the interrupted shard
+    re-runs (and its url-level resume skips its completed urls)."""
+    from pdf_extractor_ray.pipelines.extract import corpus_files, run_extraction_sharded
+
+    # split the fixture pages into 4 input shard files
+    t = pq.read_table(pages_path)
+    in_dir = tmp_path / "shards_in"
+    os.makedirs(in_dir)
+    n = t.num_rows
+    for i in range(4):
+        pq.write_table(t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4), in_dir / f"pages-{i}.parquet")
+
+    out = str(tmp_path / "sharded_out")
+    stats = run_extraction_sharded(str(in_dir), out, cfg=CFG, files_per_shard=2)
+    assert stats["n_shards"] == 2 and stats["shards_skipped"] == 0
+    assert stats["rows_written"] == n
+    files = corpus_files(out)
+    assert files and all("shard-" in f for f in files)
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == n
+
+    # complete re-run: every shard skipped via _SUCCESS, nothing written
+    stats2 = run_extraction_sharded(str(in_dir), out, cfg=CFG, files_per_shard=2)
+    assert stats2["shards_skipped"] == 2 and stats2["rows_written"] == 0
+
+    # interrupt shard 1: drop its _SUCCESS and one of its partitions
+    import shutil
+
+    sh1 = os.path.join(out, "shard-00001")
+    os.remove(os.path.join(sh1, "_SUCCESS"))
+    parts = sorted(glob.glob(os.path.join(sh1, "part-*.parquet")))
+    victim = parts[0]
+    pid = os.path.basename(victim)[len("part-") : -len(".parquet")]
+    lost_rows = pq.read_table(victim).num_rows
+    os.remove(victim)
+    os.remove(os.path.join(sh1, "_manifest", f"{pid}.json"))
+
+    stats3 = run_extraction_sharded(str(in_dir), out, cfg=CFG, files_per_shard=2)
+    assert stats3["shards_skipped"] == 1  # shard 0 untouched
+    # only the lost partition redone (input-duplicate urls may collapse)
+    assert 0 < stats3["rows_written"] <= lost_rows
+    got_urls = set()
+    for f in corpus_files(out):
+        got_urls.update(pq.read_table(f, columns=["url"])["url"].to_pylist())
+    assert got_urls == set(t["url"].to_pylist())
+    shutil.rmtree(out)
+
+
 def test_rerun_on_complete_output_is_noop(ray_session, pages_path, tmp_path):
     out = str(tmp_path / "done")
     run_extraction(pages_path, out, cfg=CFG, resume=False)

@@ -103,6 +103,57 @@ def test_sliding_window_agg(events_ds):
     assert (u3["sum_value"] == 8.0).all()
 
 
+def test_running_total(events_ds):
+    from pdf_extractor_ray.ops.windows import running_total
+
+    out = (
+        running_total(events_ds.repartition(3), key="user_id", ts_col="ts", val="value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 8
+    assert out["running_value"].tolist() == [1.0, 3.0, 6.0, 10.0, 5.0, 11.0, 18.0, 8.0]
+
+
+def test_interarrival_stats(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import interarrival_stats
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "user_id": [1, 1, 1, 1, 2, 2, 2, 3],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=10),
+                base + pd.Timedelta(minutes=60),
+                base + pd.Timedelta(minutes=70),
+                base,
+                base + pd.Timedelta(minutes=31),
+                base + pd.Timedelta(minutes=40),
+                base,
+            ],
+            # gap is attributed to the LATER event's type:
+            # user1 gaps -> a:10m, b:50m, a:10m; user2 -> b:31m, b:9m
+            "event_type": ["a", "a", "b", "a", "a", "b", "b", "a"],
+        }
+    )
+    out = (
+        interarrival_stats(ray.data.from_pandas(rows).repartition(3))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    minute_us = 60_000_000
+    assert out["event_type"].tolist() == ["a", "b"]
+    assert out["sum_gap_us"].tolist() == [20 * minute_us, 90 * minute_us]
+    assert out["n_gaps"].tolist() == [2, 3]
+    assert out["avg_gap_us"].tolist() == [10.0 * minute_us, 30.0 * minute_us]
+
+
 def test_topk_per_group(ray_session):
     import ray.data
 
