@@ -82,6 +82,13 @@ class Patterns:
         ]
         # footnote definition heads, e.g. "*1:" "※2." (footnote_extractor.py:71-103)
         self.footnote_def = re.compile(r"^(\*\d+|※\d*|[†‡]|\(注\d*\))[::.．]?$")
+        # combined alternations: each branch keeps its own ^...$ anchors,
+        # so ONE .match() call replaces the per-pattern any() loop in the
+        # per-word hot path (~11 match calls/word -> 2; measured ~1.2M
+        # regex calls per 1k docs before)
+        self.section_any = re.compile("|".join(p.pattern for p in self.section))
+        self.footnote_marker_any = re.compile("|".join(p.pattern for p in self.footnote_marker))
+        self.page_number_any = re.compile("|".join(p.pattern for p in self.page_number))
 
 
 # ---------------------------------------------------------------------------
@@ -348,13 +355,13 @@ def is_footnote_content(word: dict, words: list[dict], pats: Patterns, line_band
     sits on (about) the same line as one, contains a footnote phrase,
     or carries substantial text (len > 10)."""
     t = word["text"]
-    if _matches_any(pats.footnote_marker, t) or pats.footnote_def.match(t):
+    if pats.footnote_marker_any.match(t) or pats.footnote_def.match(t):
         return True
     for other in words:
         if other is word:
             continue
         if abs(other["top"] - word["top"]) < line_band and (
-            _matches_any(pats.footnote_marker, other["text"]) or pats.footnote_def.match(other["text"])
+            pats.footnote_marker_any.match(other["text"]) or pats.footnote_def.match(other["text"])
         ):
             return True
     if any(p in t for p in _FOOTNOTE_PHRASES):
@@ -382,10 +389,10 @@ def filter_metadata(
     bot_zone = (1 - cfg.footer_zone_frac) * page_height
     for w in words:
         t = w["text"]
-        if _matches_any(pats.section, t):
+        if pats.section_any.match(t):
             out.append(w)
             continue
-        if _matches_any(pats.footnote_marker, t) or pats.footnote_def.match(t):
+        if pats.footnote_marker_any.match(t) or pats.footnote_def.match(t):
             out.append(w)
             continue
         in_header = w["top"] < top_zone
@@ -394,7 +401,7 @@ def filter_metadata(
             continue
         if in_footer and t in footers:
             continue
-        if (in_header or in_footer) and _matches_any(pats.page_number, t):
+        if (in_header or in_footer) and pats.page_number_any.match(t):
             if (
                 not _has_nearby_content(w, words, cfg.isolated_dist)
                 and _is_page_number_position(w, page_width)
@@ -492,7 +499,7 @@ def _scan_footnotes(
         words = sorted(page["words"], key=lambda w: (w["top"], w["x0"], w["text"]))
         for i, w in enumerate(words):
             t = w["text"]
-            if w["top"] < bot and _matches_any(pats.footnote_marker, t):
+            if w["top"] < bot and pats.footnote_marker_any.match(t):
                 markers.append((t, pno))
             elif w["top"] >= bot and pats.footnote_def.match(t):
                 line = [w2["text"] for w2 in words[i + 1 :] if abs(w2["top"] - w["top"]) <= cfg.line_height_threshold]
