@@ -37,8 +37,17 @@ block collapsed to single spaces.
 from __future__ import annotations
 
 import re
+import string
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from html import unescape as _unescape
+from html.parser import (
+    HTMLParser,
+    attrfind_tolerant as _attrfind,
+    commentclose as _commentclose,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    tagfind_tolerant as _tagfind,
+)
 
 from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
 
@@ -94,6 +103,9 @@ class _BlockParser(HTMLParser):
 
     # -- block buffer ------------------------------------------------
     def _flush(self) -> None:
+        if not self._buf:
+            self._buf_link_chars = 0
+            return
         raw = "".join(self._buf)
         self._buf = []
         link_chars = self._buf_link_chars
@@ -124,8 +136,10 @@ class _BlockParser(HTMLParser):
                 else:
                     self._flush()
             return
-        role = next((v for k, v in attrs if k == "role" and v), "")
-        boiler = tag in _BOILER_TAGS or role.lower() in _BOILER_ROLES
+        boiler = tag in _BOILER_TAGS
+        if not boiler and attrs:
+            role = next((v for k, v in attrs if k == "role" and v), "")
+            boiler = bool(role) and role.lower() in _BOILER_ROLES
         if tag == "table" and self._table_depth == 0:
             self._flush()
             self._table_depth = 1
@@ -255,8 +269,145 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+class _FastBail(Exception):
+    """Construct outside the clean grammar — reparse with stdlib."""
+
+
+_ASCII_LETTERS = frozenset(string.ascii_letters)
+# bare start/end tags (no attrs) — the overwhelmingly common case;
+# if these match, the slow locatestart/attrfind machinery is skipped
+# and the result is identical to stdlib's parse_starttag/parse_endtag.
+_SIMPLE_START = re.compile(r"<([a-zA-Z][-.a-zA-Z0-9:_]*)\s*(/?)>")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+
+
+def _fast_feed(p: HTMLParser, rawdata: str) -> None:
+    """One-shot equivalent of HTMLParser.feed(rawdata)+close() (with
+    convert_charrefs=True) for documents in the clean HTML grammar.
+    Mirrors CPython 3.11 html/parser.py goahead/parse_starttag/
+    parse_endtag semantics exactly on the constructs it accepts and
+    raises _FastBail on anything else (bogus tags, unterminated
+    comments, marked sections) so the caller can rerun the stdlib
+    parser. ~2x faster: skips updatepos/line tracking, incremental
+    buffering and the double-search in parse_endtag."""
+    i, n = 0, len(rawdata)
+    find = rawdata.find
+    handle_data = p.handle_data
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            chunk = rawdata[i:j]
+            if "&" in chunk:
+                chunk = _unescape(chunk)
+            handle_data(chunk)
+        i = j
+        if i == n:
+            break
+        c = rawdata[i + 1 : i + 2]
+        if c in _ASCII_LETTERS:
+            # -- start tag (parse_starttag) --
+            sm = _SIMPLE_START.match(rawdata, i)
+            if sm:
+                tag = sm.group(1).lower()
+                if sm.group(2):
+                    p.handle_startendtag(tag, [])
+                    i = sm.end()
+                    continue
+                p.handle_starttag(tag, [])
+                i = sm.end()
+            else:
+                m = _locatestart.match(rawdata, i)
+                j = m.end()
+                nxt = rawdata[j : j + 1]
+                if nxt == ">":
+                    endpos = j + 1
+                elif nxt == "/" and rawdata.startswith("/>", j):
+                    endpos = j + 2
+                else:
+                    raise _FastBail  # bogus or EOF-truncated start tag
+                tm = _tagfind.match(rawdata, i + 1)
+                k = tm.end()
+                tag = tm.group(1).lower()
+                attrs: list[tuple[str, str | None]] = []
+                while k < endpos:
+                    am = _attrfind.match(rawdata, k)
+                    if not am:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif (
+                        attrvalue[:1] == "'" == attrvalue[-1:]
+                        or attrvalue[:1] == '"' == attrvalue[-1:]
+                    ):
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue and "&" in attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+                end = rawdata[k:endpos].strip()
+                if end == "/>":
+                    p.handle_startendtag(tag, attrs)
+                    i = endpos
+                    continue
+                if end != ">":
+                    raise _FastBail  # parse_starttag junk-data path
+                p.handle_starttag(tag, attrs)
+                i = endpos
+            if tag in ("script", "style"):  # CDATA_CONTENT_ELEMENTS
+                cm = _CDATA_CLOSE[tag].search(rawdata, i)
+                if cm is None:
+                    return  # unclosed cdata: stdlib drops the rest
+                if cm.start() > i:
+                    handle_data(rawdata[i : cm.start()])  # no unescape
+                p.handle_endtag(tag)
+                i = cm.end()
+        elif c == "/":
+            # -- end tag (parse_endtag, clean branch only) --
+            m = _endtagfind.match(rawdata, i)
+            if not m:
+                raise _FastBail  # </>, bogus end tags, EOF truncation
+            p.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif rawdata.startswith("<!--", i):
+            cm = _commentclose.search(rawdata, i + 4)
+            if not cm:
+                raise _FastBail  # unterminated comment
+            i = cm.end()
+        elif c == "?":
+            g = find(">", i + 2)
+            if g < 0:
+                raise _FastBail
+            i = g + 1
+        elif c == "!":
+            if rawdata.startswith("<![", i):
+                raise _FastBail  # marked section
+            if rawdata[i : i + 9].lower() == "<!doctype":
+                g = find(">", i + 9)
+            else:  # parse_bogus_comment: skip to '>'
+                g = find(">", i + 2)
+            if g < 0:
+                raise _FastBail
+            i = g + 1
+        else:
+            handle_data("<")  # literal '<' (goahead fallthrough + EOF tail)
+            i += 1
+
+
 def segment_html(html: str) -> list[_Block]:
     """Parse HTML into classified text blocks (document order)."""
+    p = _BlockParser()
+    try:
+        _fast_feed(p, html)
+        p._flush()
+        return p.blocks
+    except Exception:
+        pass  # _FastBail or any fast-path surprise: reparse with stdlib
     p = _BlockParser()
     try:
         p.feed(html)

@@ -86,3 +86,83 @@ def test_determinism():
     html = f"<body><main><h1>T</h1><p>{LONG}</p></main></body>"
     assert extract_html(html) == extract_html(html)
     assert extract_html(html, DEFAULT_CONFIG)[0].encode() == extract_html(html)[0].encode()
+
+
+# ---------------------------------------------------------------------------
+# Differential: _fast_feed must reproduce the stdlib HTMLParser path
+# byte-for-byte (or bail, in which case segment_html reparses with
+# stdlib). The property below drives both paths explicitly.
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from pdf_extractor_ray.functions.html_extract import (
+    _BlockParser,
+    _FastBail,
+    _fast_feed,
+)
+
+
+def _stdlib_blocks(html: str):
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return [(b.kind, b.text, b.link_chars, b.total_chars, b.boiler) for b in p.blocks]
+
+
+def _fast_blocks(html: str):
+    p = _BlockParser()
+    _fast_feed(p, html)
+    p._flush()
+    return [(b.kind, b.text, b.link_chars, b.total_chars, b.boiler) for b in p.blocks]
+
+
+_HTML_ATOMS = st.sampled_from(
+    [
+        "<p>", "</p>", "<div>", "</div>", "<li>", "</li>", "<ul>", "</ul>",
+        "<nav>", "</nav>", "<a href=\"/x\">", "<a href='y&amp;z'>", "</a>",
+        "<h1>", "</h1>", "<br>", "<br/>", "<hr>", "<span role=\"navigation\">",
+        "</span>", "<table>", "<tr>", "<td>", "</td>", "</tr>", "</table>",
+        "<script>", "var x = '<p>not content</p>';", "</script>",
+        "<style>", "p { color: red }", "</style>",
+        "<!-- a comment <p>hidden</p> -->", "<!DOCTYPE html>", "<?php echo 1 ?>",
+        "<![CDATA[raw]]>", "<p unclosed", "< notatag", "<3", "</>", "</ p>",
+        "<p class=x>", "<p class = \"y\" id=z>", "<img src=a.png/>",
+        "text with words ", "longer run of body text that clears thresholds ",
+        "&amp; &lt;escaped&gt; ", "&#65;&#x42; ", "&incomplete ", "&",
+        "Japanese 日本語テキスト ", "\n  \t ", "trailing<",
+    ]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_HTML_ATOMS, min_size=0, max_size=30).map("".join))
+def test_fast_feed_differential(html):
+    try:
+        fast = _fast_blocks(html)
+    except _FastBail:
+        return  # bail path: segment_html reruns stdlib — always correct
+    assert fast == _stdlib_blocks(html)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>/!?&;abp= \"'-.\n", max_size=80))
+def test_fast_feed_differential_noise(html):
+    try:
+        fast = _fast_blocks(html)
+    except _FastBail:
+        return
+    assert fast == _stdlib_blocks(html)
+
+
+def test_segment_html_matches_stdlib_on_goldens_fallback():
+    # any exception inside the fast path must not lose the document
+    from pdf_extractor_ray.functions.html_extract import segment_html
+
+    html = "<body><p>" + "x" * 100 + "<![CDATA[boom]]></p></body>"
+    blocks = segment_html(html)
+    assert blocks  # parsed via stdlib fallback
