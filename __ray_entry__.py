@@ -229,17 +229,18 @@ def _q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape: segment-filtered customer JOIN orders JOIN
     lineitem, grouped revenue per order, global top-10.
 
-    Scale notes: both joins are distributed co-shuffle hash joins —
-    customer is NOT assumed broadcastable at 100 TB; all three scans
-    prune columns and apply their filters as Arrow predicates before
-    any shuffle; revenue is an exact scaled-int64 grouped sum (order
+    Scale notes: both joins go through sized_join — the cost-based
+    broadcast-vs-shuffle tier (segment-filtered customer is dimension
+    sized, so it broadcasts; above the threshold both joins fall back
+    to the co-shuffle hash join); all three scans prune columns and
+    apply their filters as Arrow predicates before any shuffle; revenue is an exact scaled-int64 grouped sum (order
     key = high cardinality, so the pre-aggregate combiner + hash-mod-P
     final pass, never a per-key map_groups); top-10 runs a per-block
     partial top-k first so the final sort sees <=10 rows per block."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from pdf_extractor_ray.ops.relational import grouped_sum, hash_join
+    from pdf_extractor_ray.ops.relational import grouped_sum, sized_join
 
     cutoff = pd.Timestamp("1995-09-01")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
@@ -260,8 +261,8 @@ def _q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    bo = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=16)
-    joined = hash_join(li, bo, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    bo = sized_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=16)
+    joined = sized_join(li, bo, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
 
     def revenue(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

@@ -345,7 +345,27 @@ def anti_join_ids(
     query, deadlock-prone when several pools coexist); the task-based
     groupby exchange is this repo's proven fast path. Output column
     dtypes are restored to the corpus schema (pandas degrades ints to
-    float64 in groups containing the drop rows' typed nulls)."""
+    float64 in groups containing the drop rows' typed nulls).
+
+    Small drop sets (<= _BROADCAST_MAX_PAIRS) skip the exchange
+    entirely: drop ids broadcast once, one corpus filter scan."""
+    drops = drops.materialize()
+    n_drops = drops.count()
+    if n_drops == 0:
+        return ds
+    if n_drops <= _BROADCAST_MAX_PAIRS:
+        import pyarrow.compute as pc
+
+        ids = drops.to_pandas()
+        col = "drop_id" if "drop_id" in ids.columns else id_col
+        drop_arr = pa.array(np.unique(ids[col].to_numpy(dtype=np.int64)), pa.int64())
+
+        def drop_rows(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t.column(id_col).cast(pa.int64()), value_set=drop_arr))
+            )
+
+        return ds.map_batches(drop_rows, batch_format="pyarrow")
     # normalize to Arrow blocks: a pandas-backed dataset's schema()
     # reports numpy/python types, not pa.DataType
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
@@ -411,6 +431,96 @@ _PAIR_TEXT_SCHEMA = pa.schema(
 )
 
 
+# Broadcast-vs-shuffle verify tier: below this many candidate pairs the
+# pair list and candidate texts are broadcast (ray.put once, read per
+# task) and NO extra exchange runs; above it, the co-shuffle path keeps
+# per-partition memory bounded. LSH exists to make the small case the
+# common one — a 100-TB near-dup-heavy crawl with O(N) candidates takes
+# the shuffle path.
+_BROADCAST_MAX_PAIRS = 250_000
+
+# per-worker cache of broadcast text dicts, keyed by ObjectRef hex
+# (same pattern as ops/similarity._QUERY_CACHE)
+_TEXTS_CACHE: dict = {}
+
+
+def _broadcast_verify_task(
+    batch: pd.DataFrame, tref, hash_kind: str, param: int, threshold: float
+) -> pd.DataFrame:
+    if len(batch) == 0 or "a" not in batch.columns:
+        return pd.DataFrame({"drop_id": pd.Series(dtype="int64")})
+    texts = _TEXTS_CACHE.get(tref.hex())
+    if texts is None:
+        texts = _TEXTS_CACHE[tref.hex()] = ray.get(tref)
+    # ids absent from the corpus (pre-filtered ds) verify as missing —
+    # skip, mirroring the shuffle path's dropna on unresolved sides
+    rows = (
+        (a, b, ta, tb)
+        for a, b in zip(batch["a"].astype("int64"), batch["b"].astype("int64"))
+        if (ta := texts.get(int(a))) is not None and (tb := texts.get(int(b))) is not None
+    )
+    drops = _verify_pair_rows(rows, hash_kind, param, threshold)
+    return pd.DataFrame({"drop_id": np.unique(np.array(drops, dtype=np.int64))})
+
+
+def _verified_drop_broadcast(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    hash_kind: str,
+    param: int,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+) -> ray.data.Dataset:
+    """Broadcast-side verify for small candidate sets. Zero exchanges:
+
+      1. pair ids -> driver (bounded by _BROADCAST_MAX_PAIRS); unique
+         candidate ids broadcast once via ray.put
+      2. ONE filtered corpus scan (pc.is_in) gathers candidate texts
+         (bounded by 2x pairs) -> broadcast text dict
+      3. verify = distributed map over pair blocks against the
+         broadcast dict (same _verify_pair_rows kernel as the
+         shuffle path -> identical results)
+      4. drop ids broadcast -> ONE corpus filter scan
+
+    The shuffle path costs three all-to-all exchanges; at test scale
+    those are pure overhead (measured: minhash_dedup 11.4s -> ~6s)."""
+    import pyarrow.compute as pc
+
+    pair_df = pairs.to_pandas()  # bounded by _BROADCAST_MAX_PAIRS
+    cand = np.unique(
+        np.concatenate(
+            [pair_df["a"].to_numpy(dtype=np.int64), pair_df["b"].to_numpy(dtype=np.int64)]
+        )
+    )
+    cand_arr = pa.array(cand, pa.int64())
+
+    def pick_texts(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(id_col).cast(pa.int64()), value_set=cand_arr)
+        return t.select([id_col, text_col]).filter(mask)
+
+    got = ds.select_columns([id_col, text_col]).map_batches(
+        pick_texts, batch_format="pyarrow"
+    ).take_all()
+    tref = ray.put({int(r[id_col]): r[text_col] for r in got})
+
+    drops_df = pairs.map_batches(
+        _broadcast_verify_task,
+        fn_kwargs={"tref": tref, "hash_kind": hash_kind, "param": param, "threshold": threshold},
+        batch_format="pandas",
+    ).to_pandas()
+    if drops_df.empty:
+        return ds
+    drop_arr = pa.array(np.unique(drops_df["drop_id"].to_numpy(dtype=np.int64)), pa.int64())
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t.column(id_col).cast(pa.int64()), value_set=drop_arr))
+        )
+
+    return ds.map_batches(drop_rows, batch_format="pyarrow")
+
+
 def _verified_drop_anti_join(
     ds: ray.data.Dataset,
     pairs: ray.data.Dataset,
@@ -420,6 +530,7 @@ def _verified_drop_anti_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
+    broadcast_max_pairs: int = _BROADCAST_MAX_PAIRS,
 ) -> ray.data.Dataset:
     """Distributed verify + drop, zero driver materialization, zero
     JoinOperators (their per-query aggregator actor pools cost ~12s of
@@ -440,8 +551,11 @@ def _verified_drop_anti_join(
     in exchange A can become a broadcast bloom filter to pre-prune the
     corpus side (the r1 design pulled pairs AND texts to the driver)."""
     pairs = pairs.materialize()  # tiny (LSH's point)
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
+    if n_pairs <= broadcast_max_pairs:
+        return _verified_drop_broadcast(ds, pairs, hash_kind, param, threshold, id_col, text_col)
 
     def _part_ids(ids: np.ndarray) -> np.ndarray:
         return (ids % num_partitions).astype(np.int64)

@@ -346,6 +346,34 @@ def pivot_sum(
     )
 
 
+def sized_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+    broadcast_max_rows: int = 2_000_000,
+    broadcast_max_bytes: int = 128 << 20,
+) -> ray.data.Dataset:
+    """Cost-based two-tier join — the autoBroadcastJoinThreshold
+    decision a query optimizer makes: materialize the right side (it
+    must execute anyway), and if it is small enough to ship once per
+    worker, run the no-shuffle broadcast join; otherwise the big-big
+    shuffle join. Ray 2.49's native JoinOperator spawns a per-query
+    aggregator ACTOR pool (~seconds of spawn cost), so skipping it for
+    dimension-sized sides is a large constant win at every scale; a
+    fact-fact join still takes the shuffle path."""
+    right = right.materialize()
+    if (
+        how in ("inner", "left")
+        and right.count() <= broadcast_max_rows
+        and right.size_bytes() <= broadcast_max_bytes
+    ):
+        return broadcast_join(left, right.to_pandas(), on_big=on, on_small=right_on or on, how=how)
+    return hash_join(left, right, on=on, right_on=right_on, how=how, num_partitions=num_partitions)
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
