@@ -79,7 +79,7 @@ class _Block:
 def _nonws_len(s: str) -> int:
     # equivalent to len(\S findall) but ~5x faster; str.split() and \s
     # agree on unicode whitespace for all text that reaches this path
-    return sum(len(t) for t in s.split())
+    return sum(map(len, s.split()))
 
 
 class _BlockParser(HTMLParser):
@@ -110,16 +110,20 @@ class _BlockParser(HTMLParser):
         self._buf = []
         link_chars = self._buf_link_chars
         self._buf_link_chars = 0
-        text = _WS_RE.sub(" ", raw).strip()
-        if not text:
+        # one split pass gives the ws-collapsed text AND the non-ws
+        # char count (len minus the single-space separators) — same
+        # result as _WS_RE.sub(" ", raw).strip() + _nonws_len(raw)
+        parts = raw.split()
+        if not parts:
             return
+        text = " ".join(parts)
         kind = self._kind_stack[-1] if self._kind_stack else "p"
         self.blocks.append(
             _Block(
                 kind=kind,
                 text=text,
                 link_chars=link_chars,
-                total_chars=_nonws_len(raw),
+                total_chars=len(text) - (len(parts) - 1),
                 boiler=self._boiler_depth > 0,
             )
         )
@@ -189,7 +193,7 @@ class _BlockParser(HTMLParser):
             return
         if self._table_depth:
             if tag in ("td", "th") and self._cell_buf is not None:
-                cell = _WS_RE.sub(" ", "".join(self._cell_buf)).strip()
+                cell = " ".join("".join(self._cell_buf).split())
                 if not self._table_rows:
                     self._table_rows.append([])
                 self._table_rows[-1].append(cell)

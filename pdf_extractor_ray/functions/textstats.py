@@ -81,7 +81,7 @@ def quality_dimensions(text: str, n_footnote_matches: int = 0, n_footnote_marker
     else:
         footnotes = 100.0
     sents = len(_SENT_END.findall(text))
-    avg_word = (sum(len(w) for w in words) / nw) if nw else 0.0
+    avg_word = (sum(map(len, words)) / nw) if nw else 0.0
     readability = 100.0 if (sents > 0 and 2.0 <= avg_word <= 12.0) else (50.0 if nw else 0.0)
     return {
         "completeness": completeness,
