@@ -124,6 +124,23 @@ class ExtractWriter:
         return self.write(self.extract(batch))
 
 
+def _run_log(out_dir: str, event: str, **fields) -> None:
+    """S8 log sink (reference writes a per-run logfile via the stdlib
+    logging handler, processor.py; here: one JSON line per driver-side
+    event appended to <out_dir>/_run.log). Per-task logs stay in Ray's
+    worker logs — a 100-TB run must not funnel per-row events through
+    one file."""
+    import datetime
+    import json as _json
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    rec = {"ts": datetime.datetime.now(datetime.timezone.utc).isoformat(), "event": event}
+    rec.update(fields)
+    with open(_os.path.join(out_dir, "_run.log"), "a", encoding="utf-8") as f:
+        f.write(_json.dumps(rec, ensure_ascii=False) + "\n")
+
+
 def run_extraction(
     input_path: str | list[str],
     out_dir: str,
@@ -134,6 +151,7 @@ def run_extraction(
     """Run the flagship pipeline to a partitioned parquet corpus with a
     checkpoint manifest; returns run stats. Re-running after a crash
     skips every url already recorded in the manifest (idempotent)."""
+    _run_log(out_dir, "run_start", input=str(input_path), resume=resume)
     ds = read_pages(input_path, num_blocks)
     n_skipped = 0
     if resume:
@@ -173,7 +191,7 @@ def run_extraction(
     rows = manifest.take_all()  # tiny: one row per output partition
     import os as _os
 
-    return {
+    stats = {
         "partitions_written": len(rows),
         "rows_written": int(sum(r["n_rows"] for r in rows)),
         "urls_skipped_resume": n_skipped,
@@ -181,6 +199,14 @@ def run_extraction(
         # opt-in: Ray Data per-stage timing breakdown for perf triage
         "dataset_stats": manifest.stats() if _os.environ.get("BENCH_PRINT_STATS") == "1" else None,
     }
+    _run_log(
+        out_dir,
+        "run_complete",
+        partitions_written=stats["partitions_written"],
+        rows_written=stats["rows_written"],
+        urls_skipped_resume=n_skipped,
+    )
+    return stats
 
 
 def run_extraction_sharded(
@@ -227,8 +253,10 @@ def run_extraction_sharded(
         marker = _os.path.join(shard_dir, "_SUCCESS")
         if _os.path.exists(marker):
             shards_skipped += 1
+            _run_log(out_dir, "shard_skipped", shard=gi)
             continue
         stats = run_extraction(group, shard_dir, cfg, resume=True, num_blocks=num_blocks)
+        _run_log(out_dir, "shard_complete", shard=gi, rows_written=stats["rows_written"])
         with open(marker + ".tmp", "w", encoding="utf-8") as f:
             _json.dump(
                 {"n_files": len(group), "rows_written": stats["rows_written"]}, f

@@ -117,3 +117,20 @@ def test_rerun_on_complete_output_is_noop(ray_session, pages_path, tmp_path):
     assert stats["rows_written"] <= 2  # only the duplicate-url re-occurrences at most
     after = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
     assert set(before) <= set(after)
+
+
+def test_run_log_sink(ray_session, pages_path, tmp_path):
+    # S8: one JSON line per driver-side event in <out>/_run.log
+    import json
+
+    out = str(tmp_path / "logged")
+    run_extraction(pages_path, out, cfg=CFG, resume=False)
+    run_extraction(pages_path, out, cfg=CFG, resume=True)
+    with open(os.path.join(out, "_run.log"), encoding="utf-8") as f:
+        events = [json.loads(ln) for ln in f]
+    kinds = [e["event"] for e in events]
+    assert kinds.count("run_start") == 2
+    assert kinds.count("run_complete") == 2
+    done = [e for e in events if e["event"] == "run_complete"]
+    assert done[0]["rows_written"] > 0
+    assert all("ts" in e for e in events)
