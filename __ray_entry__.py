@@ -773,6 +773,16 @@ def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return embedding_neardup_pairs(ds, threshold=0.4)
 
 
+def _embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine near-dup at threshold 0.45 (int-id pairs
+    only — bit-exact against the DuckDB list_cosine_similarity
+    oracle); the IVF-blocked variant approximates this baseline."""
+    from pdf_extractor_ray.ops.similarity import embedding_neardup_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_exact(ds, threshold=0.45)
+
+
 # ---------------------------------------------------------------------------
 # queries — extraction pipeline (fixture corpus; rows-only checks)
 # ---------------------------------------------------------------------------
@@ -988,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": _similarity_topk,
         "similarity_ivf_topk": _similarity_ivf_topk,
         "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_exact": _embedding_neardup_exact,
         "extract_corpus": _extract_corpus,
         "extract_stats_by_lang": _extract_stats_by_lang,
         "extract_dedup_urls": _extract_dedup_urls,
@@ -1222,6 +1233,15 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) AS cos
             FROM embeddings e
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        # int-id pairs only (no float column) — the threshold compare
+        # itself runs in float64 on both sides (DOUBLE[] cast)
+        "embedding_neardup_exact": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY a, b
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

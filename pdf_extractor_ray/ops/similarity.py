@@ -205,3 +205,50 @@ def embedding_neardup_pairs(
     if out.empty:  # zero pairs: preserve the schema
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+
+def embedding_neardup_exact(
+    ds: ray.data.Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine near-dup — the oracle-checkable baseline
+    that embedding_neardup_pairs (IVF-blocked) approximates.
+
+    Shape: the normalized matrix is gathered once and broadcast via
+    ray.put; each map_batches task scores its row-block against the
+    full matrix (an O(B x N) tile, float64 end-to-end) and keeps pairs
+    with id_a < id_b — every qualifying pair is produced exactly once
+    with no shuffle. Output is int ids only, (a, b) sorted, so the
+    driver compare is bit-exact.
+
+    Exact all-vs-all is O(N^2) by definition: honest up to ~10^6 rows
+    of small-dim vectors (the broadcast is N x d float64); beyond
+    that, IVF bucketing (embedding_neardup_pairs) is the scale path."""
+    rows = ds.select_columns([id_col, vec_col]).take_all()  # bounded: N x d
+    ids_all = np.fromiter((r[id_col] for r in rows), dtype=np.int64, count=len(rows))
+    m = _normalize_rows(np.stack([np.asarray(r[vec_col]) for r in rows]).astype(np.float64))
+    bref = ray.put((ids_all, m))
+
+    def tile(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        if len(batch) == 0:
+            return empty
+        cached = _QUERY_CACHE.get(bref.hex())
+        if cached is None:
+            cached = _QUERY_CACHE[bref.hex()] = ray.get(bref)
+        all_ids, all_m = cached
+        mb = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        bids = batch[id_col].to_numpy(dtype=np.int64)
+        s = mb @ all_m.T  # (B, N) tile — bounded by batch size
+        hit = (s >= threshold) & (bids[:, None] < all_ids[None, :])
+        ii, jj = np.where(hit)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame({"a": bids[ii], "b": all_ids[jj]})
+
+    out = ds.map_batches(tile, batch_format="pandas", batch_size=4096).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)

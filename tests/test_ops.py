@@ -117,6 +117,19 @@ def test_embedding_neardup_pairs(emb_ds):
     assert [(0, 1)] == list(zip(pairs["a"], pairs["b"]))
 
 
+def test_embedding_neardup_exact_matches_numpy(emb_ds):
+    from pdf_extractor_ray.ops.similarity import embedding_neardup_exact
+
+    ds, base = emb_ds
+    out = embedding_neardup_exact(ds, threshold=0.8)
+    b64 = base.astype(np.float64)
+    bn = b64 / np.linalg.norm(b64, axis=1, keepdims=True)
+    s = bn @ bn.T
+    ii, jj = np.where(np.triu(s >= 0.8, k=1))
+    assert list(zip(out["a"], out["b"])) == sorted(zip(ii.tolist(), jj.tolist()))
+    assert (0, 1) in set(zip(out["a"], out["b"]))  # the planted near-dup
+
+
 def test_text_analysis(ray_session):
     import ray.data
 
