@@ -685,6 +685,63 @@ def _docs_sample_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# eval-set phrases for the decontamination query — literal substrings
+# that occur in the synthetic corpus vocabulary (mirrored verbatim in
+# the DuckDB oracle's NOT LIKE chain)
+_DECONTAM_PHRASES = ("hash value", "window table", "slow batch")
+
+
+def _events_redact_props(sf_dir: str) -> pd.DataFrame:
+    """Pattern/PII redaction over the events props column (digit runs
+    -> <NUM>): one vectorized str.count + str.replace per batch, no
+    shuffle. Same operator scrubs emails/phones/IPs via PII_PATTERNS
+    (unit-tested; the test tables carry no PII-shaped strings)."""
+    from pdf_extractor_ray.ops.scrub import NUMBER_PATTERN, redact
+
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    out = redact(ev, text_col="props", patterns=NUMBER_PATTERN, id_cols=("event_id",)).to_pandas()
+    out["n_redactions"] = out["n_redactions"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _docs_decontaminated(sf_dir: str) -> pd.DataFrame:
+    """Eval-phrase decontamination: drop every doc containing any
+    blocklisted literal phrase (broadcast blocklist, vectorized
+    contains mask per batch — never a join)."""
+    from pdf_extractor_ray.ops.scrub import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    out = decontaminate(
+        docs, phrases=_DECONTAM_PHRASES, keep_cols=("doc_id", "lang", "n_chars")
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_train_test_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic md5-keyed train/test split + per-split rollup
+    (the reproducible-corpus-split every training pipeline needs;
+    DuckDB's md5() reproduces the assignment exactly)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.ops.scrub import train_test_split
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = grouped_sum(train_test_split(docs, id_col="doc_id"), ["split"], ["n_chars"]).to_pandas()
+    out = out.rename(columns={"sum_n_chars": "sum_chars", "n": "n_docs"})
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def _docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-3 TF-IDF terms: global document-frequency reduce,
+    ray.put-broadcast IDF map, shuffle-free per-batch scoring."""
+    from pdf_extractor_ray.ops.text_analysis import tfidf_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_topk(ds, k=3).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def _doc_chunks(sf_dir: str) -> pd.DataFrame:
     """Chunk long docs (2000 chars, 200 overlap) — flat-map expansion;
     the oracle reproduces the chunk geometry with generate_series."""
@@ -985,6 +1042,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _doc_token_counts,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,
+        "docs_tfidf_topk": _docs_tfidf_topk,
+        "events_redact_props": _events_redact_props,
+        "docs_decontaminated": _docs_decontaminated,
+        "docs_train_test_split": _docs_train_test_split,
         "top_docs_by_chars": _top_docs_by_chars,
         "exact_dedup_docs": _exact_dedup_docs,
         "minhash_dedup_docs": _minhash_dedup_docs,
@@ -1210,6 +1271,45 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN lang = 'ja' THEN 3
                                      ELSE 2 END
             ORDER BY doc_id
+        """,
+        "docs_tfidf_topk": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ),
+            df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks WHERE term <> '' GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, term, tf, tf * ln(n.n / df.df) AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+            ORDER BY doc_id, term
+        """,
+        "events_redact_props": """
+            SELECT event_id,
+                   regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+            FROM events ORDER BY event_id
+        """,
+        "docs_decontaminated": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE text NOT LIKE '%hash value%'
+              AND text NOT LIKE '%window table%'
+              AND text NOT LIKE '%slow batch%'
+            ORDER BY doc_id
+        """,
+        "docs_train_test_split": """
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e','f')
+                        THEN 'test' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1 ORDER BY split
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -169,6 +169,10 @@ def run_queries() -> dict[str, float]:
         "doc_token_counts",
         "doc_top_terms",
         "docs_sample_by_lang",
+        "docs_tfidf_topk",
+        "events_redact_props",
+        "docs_decontaminated",
+        "docs_train_test_split",
         "doc_chunks",
         "exact_dedup_docs",
         "minhash_dedup_docs",

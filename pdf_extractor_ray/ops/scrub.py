@@ -1,0 +1,141 @@
+"""Corpus scrubbing operators for training-data pipelines: pattern /
+PII redaction, decontamination against a phrase blocklist, and a
+deterministic train/test split.
+
+These are the standard pre-training hygiene passes (public C4 / Dolma /
+RefinedWeb-style pipelines): strip personally identifiable strings,
+drop documents that contain evaluation-set phrases, and split the rest
+reproducibly. All three are embarrassingly parallel per-batch maps —
+no shuffle — so at 100 TB they pipeline inside the same streaming pass
+as extraction:
+
+- redaction is one vectorized `Series.str.replace`/`str.count` per
+  pattern per batch;
+- decontamination broadcasts the blocklist once (`ray.put` for big
+  lists, a task-arg constant for small literal lists) and evaluates
+  one `str.contains` mask per phrase — never a join;
+- the split hashes the id column per row (md5, so the assignment is
+  stable across engines and reproducible in SQL: DuckDB's md5()
+  matches hashlib byte-for-byte).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+# Default PII pattern table. Order matters: email first (its digits
+# must not be re-counted by later patterns), ipv4 BEFORE phone (the
+# phone pattern would otherwise eat three dotted octets).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"(?:\+?\d{1,3}[-. ])?\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+)
+
+NUMBER_PATTERN: tuple[tuple[str, str, str], ...] = (("number", r"[0-9]+", "<NUM>"),)
+
+
+def redact(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    patterns: Sequence[tuple[str, str, str]] = PII_PATTERNS,
+    id_cols: Sequence[str] = ("doc_id",),
+    out_col: str = "scrubbed",
+) -> ray.data.Dataset:
+    """Redact every match of each (name, regex, replacement) pattern
+    and count redactions per row. Pure per-batch map (no shuffle);
+    regexes compile once per worker process via the module-level cache.
+    Semantics match SQL `regexp_replace(col, re, repl, 'g')` +
+    `len(regexp_extract_all(col, re))` so the op is oracle-checkable.
+    """
+    pats = tuple(patterns)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[list(id_cols)].copy()
+        s = batch[text_col].astype(str)
+        total = np.zeros(len(batch), dtype=np.int64)
+        for _name, rex, repl in pats:
+            c = _compiled(rex)
+            total += s.str.count(c).to_numpy(dtype=np.int64)
+            s = s.str.replace(c, repl, regex=True)
+        out[out_col] = s.to_numpy()
+        out["n_redactions"] = total
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+_RE_CACHE: dict[str, re.Pattern] = {}
+
+
+def _compiled(rex: str) -> re.Pattern:
+    p = _RE_CACHE.get(rex)
+    if p is None:
+        p = _RE_CACHE[rex] = re.compile(rex)
+    return p
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    phrases: Sequence[str],
+    text_col: str = "text",
+    keep_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Drop rows whose text contains ANY blocklisted phrase (literal
+    substring match — the eval-set n-gram decontamination pass).
+
+    The phrase list rides along as a task argument (broadcast once per
+    worker by Ray's arg caching); for a big blocklist pass a
+    `ray.put`-ed list and resolve it in the task — never shuffle. Each
+    batch evaluates one vectorized `str.contains(literal)` mask per
+    phrase; a 10k-phrase list would switch to a single Aho-Corasick
+    scan per batch, same operator shape."""
+    plist = [str(p) for p in phrases]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].astype(str)
+        hit = np.zeros(len(batch), dtype=bool)
+        for p in plist:
+            hit |= s.str.contains(p, regex=False).to_numpy()
+        kept = batch.loc[~hit]
+        return kept[list(keep_cols)] if keep_cols else kept
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _md5_split(ids: pd.Series, test_hex_prefixes: tuple[str, ...]) -> np.ndarray:
+    # first hex nibble of md5(str(id)): 'd'/'e'/'f' -> test (3/16 =
+    # 18.75%), else train. md5 here is a STABLE, engine-portable
+    # assignment hash (DuckDB md5() gives identical hex), not crypto.
+    out = np.empty(len(ids), dtype=object)
+    for i, v in enumerate(ids):
+        out[i] = (
+            "test"
+            if hashlib.md5(str(v).encode()).hexdigest()[0] in test_hex_prefixes
+            else "train"
+        )
+    return out
+
+
+def train_test_split(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    test_hex_prefixes: tuple[str, ...] = ("d", "e", "f"),
+) -> ray.data.Dataset:
+    """Add a deterministic `split` column keyed on md5(id) — the
+    reproducible corpus split every training pipeline needs. Pure map;
+    the same row lands in the same split on any cluster size, engine,
+    or row order."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["split"] = _md5_split(batch[id_col], test_hex_prefixes)
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -90,6 +90,64 @@ def top_terms(ds: ray.data.Dataset, k: int = 100, text_col: str = "text") -> pd.
     return out[["term", "n_term"]].reset_index(drop=True)
 
 
+def tfidf_topk(ds: ray.data.Dataset, k: int = 3, text_col: str = "text") -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms (tf * ln(N/df), ties broken by
+    term) — the classic two-pass corpus-statistics operator.
+
+    Scale shape (the broadcast-small-side pattern): pass 1 reduces
+    per-doc DISTINCT terms to a global document-frequency table via
+    grouped_sum (one row per distinct term per batch enters the
+    shuffle — bounded by vocabulary, not tokens); the df table is
+    broadcast once with ray.put and mapped into every pass-2 task.
+    Pass 2 is shuffle-free: a document's text lives in ONE row, so its
+    term frequencies and its top-k are computed inside the batch
+    (explode -> value_counts -> idf lookup -> per-doc head(k)). At
+    100 TB the df table is pruned to a top-V vocabulary before the
+    broadcast; the synthetic corpus vocabulary is tiny so no pruning
+    is needed here."""
+    import math
+
+    import ray as _ray
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    n_docs = ds.count()
+
+    def distinct_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+        t = t[t != ""]
+        pairs = t.reset_index().drop_duplicates()
+        return pd.DataFrame({"term": pairs[text_col].astype(str), "df": 1}).astype({"df": "int64"})
+
+    df_tbl = grouped_sum(
+        ds.map_batches(distinct_terms, batch_format="pandas"), ["term"], ["df"], counts=False
+    ).to_pandas()
+    idf = {
+        t: math.log(n_docs / d) for t, d in zip(df_tbl["term"], df_tbl["sum_df"].astype("int64"))
+    }
+    idf_ref = _ray.put(idf)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("idf", idf_ref.hex())
+        m = _ANALYZER_CACHE.get(key)
+        if m is None:  # resolve the broadcast once per worker process
+            m = _ANALYZER_CACHE[key] = _ray.get(idf_ref)
+        toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        tf = toks.groupby([toks.index, toks.values]).size()
+        out = tf.reset_index()
+        out.columns = ["doc_id", "term", "tf"]
+        out["tfidf"] = out["tf"].astype("float64") * out["term"].map(m)
+        out = out.sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True], kind="stable"
+        )
+        out = out.groupby("doc_id", sort=False).head(k)
+        out["tf"] = out["tf"].astype("int64")
+        return out[["doc_id", "term", "tf", "tfidf"]]
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_ws_tokens) — whitespace tokenization, SQL-oracle-able."""
 

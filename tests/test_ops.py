@@ -394,3 +394,71 @@ def test_grouped_quantiles(ray_session):
     assert out["p50_v"].tolist() == [5.0, 20.0, 5.0]
     assert out["p90_v"].tolist() == [9.0, 30.0, 7.0]
     assert out["n"].tolist() == [10, 3, 4]
+
+
+def test_tfidf_topk(ray_session):
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import tfidf_topk
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a a b", "b c", "c c c d", ""],
+        }
+    )
+    out = (
+        tfidf_topk(ray.data.from_pandas(df).repartition(3), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # df: a=1, b=2, c=2, d=1; N=4
+    idf = {t: math.log(4 / d) for t, d in {"a": 1, "b": 2, "c": 2, "d": 1}.items()}
+    # doc0: a tf=2 -> 2*ln4 top; b 1*ln2
+    d0 = out[out.doc_id == 0]
+    assert d0.term.tolist() == ["a", "b"]
+    assert abs(d0.tfidf.iloc[0] - 2 * idf["a"]) < 1e-12
+    # doc1: b and c tie at 1*ln2 -> term asc
+    assert out[out.doc_id == 1].term.tolist() == ["b", "c"]
+    # doc2: c 3*ln2 then d 1*ln4
+    assert out[out.doc_id == 2].term.tolist() == ["c", "d"]
+    # empty doc emits no rows
+    assert (out.doc_id == 3).sum() == 0
+    assert out.tf.dtype == "int64"
+
+
+def test_tfidf_topk(ray_session):
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import tfidf_topk
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a a b", "b c", "c c c d", ""],
+        }
+    )
+    out = (
+        tfidf_topk(ray.data.from_pandas(df).repartition(3), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # df: a=1, b=2, c=2, d=1; N=4
+    idf = {t: math.log(4 / d) for t, d in {"a": 1, "b": 2, "c": 2, "d": 1}.items()}
+    # doc0: a tf=2 -> 2*ln4 top; b 1*ln2
+    d0 = out[out.doc_id == 0]
+    assert d0.term.tolist() == ["a", "b"]
+    assert abs(d0.tfidf.iloc[0] - 2 * idf["a"]) < 1e-12
+    # doc1: b and c tie at 1*ln2 -> term asc
+    assert out[out.doc_id == 1].term.tolist() == ["b", "c"]
+    # doc2: c 3*ln2 then d 1*ln4
+    assert out[out.doc_id == 2].term.tolist() == ["c", "d"]
+    # empty doc emits no rows
+    assert (out.doc_id == 3).sum() == 0
+    assert out.tf.dtype == "int64"

@@ -1,0 +1,124 @@
+"""Tests for the corpus-scrubbing operators (ops/scrub.py): PII /
+pattern redaction, phrase decontamination, deterministic split."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def pii_ds(ray_session):
+    import ray.data
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [
+                "contact alice.smith+work@example.co.uk for details",
+                "call +1-555-123-4567 or 03-1234-5678 today",
+                "server at 192.168.0.1 and 10.0.0.255 responded",
+                "no sensitive content in this document at all",
+                "mail bob@test.org from 172.16.4.2 or dial 555 123 9999",
+            ],
+        }
+    )
+    return ray.data.from_pandas(rows)
+
+
+def test_redact_pii_patterns(pii_ds):
+    from pdf_extractor_ray.ops.scrub import redact
+
+    out = redact(pii_ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert "<EMAIL>" in out.scrubbed[0] and "@" not in out.scrubbed[0]
+    assert out.n_redactions[0] == 1
+    assert "<PHONE>" in out.scrubbed[1] and out.n_redactions[1] == 2
+    assert out.scrubbed[2].count("<IP>") == 2 and out.n_redactions[2] == 2
+    assert out.scrubbed[3] == "no sensitive content in this document at all"
+    assert out.n_redactions[3] == 0
+    # mixed row: email + ip + phone all hit
+    assert out.n_redactions[4] == 3
+    for tok in ("<EMAIL>", "<IP>", "<PHONE>"):
+        assert tok in out.scrubbed[4]
+
+
+def test_redact_number_pattern_matches_sql_semantics(pii_ds, ray_session):
+    """Engine redaction == regexp_replace(..., 'g') + len(regexp_extract_all)."""
+    import duckdb
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import NUMBER_PATTERN, redact
+
+    src = pd.DataFrame({"doc_id": [0, 1], "text": ['{"k": 69}', "a1b22c333 44"]})
+    out = (
+        redact(ray.data.from_pandas(src), patterns=NUMBER_PATTERN)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle = duckdb.sql(
+        """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+                  len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+           FROM src ORDER BY doc_id"""
+    ).df()
+    assert list(out.scrubbed) == list(oracle.scrubbed)
+    assert list(out.n_redactions) == list(oracle.n_redactions)
+
+
+def test_decontaminate_drops_only_matching(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import decontaminate
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "clean text with nothing blocked",
+                "contains the secret eval phrase here",
+                "another clean document",
+                "SECRET EVAL PHRASE but uppercase so literal match misses",
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    out = (
+        decontaminate(
+            ray.data.from_pandas(rows),
+            phrases=["secret eval phrase"],
+            keep_cols=("doc_id", "lang"),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.doc_id) == [0, 2, 3]
+    assert list(out.columns) == ["doc_id", "lang"]
+
+
+def test_train_test_split_deterministic_and_md5_keyed(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import train_test_split
+
+    rows = pd.DataFrame({"doc_id": range(200), "n_chars": [10] * 200})
+    out = (
+        train_test_split(ray.data.from_pandas(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # exact md5 semantics per row (portable to DuckDB's md5())
+    for i in (0, 7, 13, 199):
+        want = "test" if hashlib.md5(str(i).encode()).hexdigest()[0] in "def" else "train"
+        assert out.split[i] == want
+    # both splits populated, test fraction near 3/16
+    n_test = (out.split == "test").sum()
+    assert 10 <= n_test <= 80
+    # rerun identical (no rng anywhere)
+    out2 = (
+        train_test_split(ray.data.from_pandas(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.split) == list(out2.split)
