@@ -5,6 +5,7 @@ does.
 
     python -m pdf_extractor_ray.cli extract -i pages.parquet -o /tmp/out
     python -m pdf_extractor_ray.cli stats   -i /tmp/out
+    python -m pdf_extractor_ray.cli report  -i /tmp/out -o /tmp/report
     python -m pdf_extractor_ray.cli gen     -o /tmp/corpus -n 5000 [--fat 6]
 """
 
@@ -16,18 +17,22 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    """Returns (ray, owned): owned=False when a session already exists
+    (embedding caller / pytest fixture) — then we must NOT shut it
+    down on exit."""
     import ray
 
-    if not ray.is_initialized():
-        kw = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
-            kw["num_cpus"] = num_cpus
-        ray.init(**kw)
-    return ray
+    if ray.is_initialized():
+        return ray, False
+    kw = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+    if num_cpus:
+        kw["num_cpus"] = num_cpus
+    ray.init(**kw)
+    return ray, True
 
 
 def cmd_extract(args: argparse.Namespace) -> int:
-    ray = _ray_session(args.num_cpus)
+    ray, owned = _ray_session(args.num_cpus)
     try:
         from pdf_extractor_ray.config import DEFAULT_CONFIG
         from pdf_extractor_ray.pipelines.extract import run_extraction, run_extraction_sharded
@@ -44,13 +49,14 @@ def cmd_extract(args: argparse.Namespace) -> int:
         print(json.dumps(stats))
         return 0
     finally:
-        ray.shutdown()
+        if owned:
+            ray.shutdown()
 
 
 def cmd_stats(args: argparse.Namespace) -> int:
     """Corpus rollup over an extracted output dir (groupby-lang +
     grade histogram; reference report S5, processor.py:139-171)."""
-    ray = _ray_session(args.num_cpus)
+    ray, owned = _ray_session(args.num_cpus)
     try:
         import ray.data
         from ray.data.aggregate import Count, Mean, Sum
@@ -65,7 +71,68 @@ def cmd_stats(args: argparse.Namespace) -> int:
         print(json.dumps({"by_lang": by_lang.to_dict("records"), "by_grade": by_grade.to_dict("records")}, default=str))
         return 0
     finally:
-        ray.shutdown()
+        if owned:
+            ray.shutdown()
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    """Quality-ranking report sinks (reference S6,
+    batch_processor.py:320-362): a CSV ranking table and/or a
+    self-contained HTML page, plus a summary row (totals, success
+    rate, avg quality, best/worst url).
+
+    The ranking is a distributed sort + limit — only the top-N rows
+    ever reach the driver, so the report stays cheap at corpus scale;
+    the summary is a Dataset aggregate."""
+    ray, owned = _ray_session(args.num_cpus)
+    try:
+        import pandas as pd
+        import ray.data
+        from ray.data.aggregate import Count, Mean
+
+        cols = ["url", "lang", "n_words", "quality_score", "grade", "error"]
+        ds = ray.data.read_parquet(args.input, columns=cols, file_extensions=["parquet"])
+        ranked = ds.sort(["quality_score", "url"], descending=[True, False])
+        top = pd.DataFrame(ranked.limit(args.limit).take_all())[cols]
+        agg = ds.aggregate(Count(alias_name="n_docs"), Mean("quality_score", alias_name="avg_quality"))
+        n_failed = ds.filter(
+            lambda r: r["error"] is not None and r["error"] != "", concurrency=4
+        ).count()
+        summary = {
+            "n_docs": int(agg["n_docs"]),
+            "n_failed": int(n_failed),
+            "success_rate_pct": round(100.0 * (1 - n_failed / max(1, agg["n_docs"])), 2),
+            "avg_quality": round(float(agg["avg_quality"]), 2),
+            "best_url": top["url"].iloc[0] if len(top) else None,
+            "worst_url": None,
+        }
+        worst = ds.sort(["quality_score", "url"]).limit(1).take_all()
+        if worst:
+            summary["worst_url"] = worst[0]["url"]
+        wrote = {}
+        if args.format in ("csv", "both"):
+            p = args.output + ".csv"
+            top.to_csv(p, index=False)
+            wrote["csv"] = p
+        if args.format in ("html", "both"):
+            p = args.output + ".html"
+            rows = "\n".join(
+                "<tr>" + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+                for r in top.to_dict("records")
+            )
+            head = "".join(f"<th>{c}</th>" for c in cols)
+            with open(p, "w", encoding="utf-8") as f:
+                f.write(
+                    "<!doctype html><meta charset='utf-8'><title>extraction report</title>"
+                    f"<h1>Extraction quality report</h1><p>{json.dumps(summary)}</p>"
+                    f"<table border='1'><tr>{head}</tr>\n{rows}\n</table>"
+                )
+            wrote["html"] = p
+        print(json.dumps({"summary": summary, "top_rows": len(top), **wrote}))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
 
 
 def cmd_gen(args: argparse.Namespace) -> int:
@@ -94,6 +161,14 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("-i", "--input", required=True)
     st.add_argument("--num-cpus", type=int, default=0)
     st.set_defaults(fn=cmd_stats)
+
+    rp = sub.add_parser("report", help="quality-ranking CSV/HTML report over an output dir")
+    rp.add_argument("-i", "--input", required=True, help="extracted corpus dir")
+    rp.add_argument("-o", "--output", required=True, help="output path base (suffix added)")
+    rp.add_argument("--format", choices=["csv", "html", "both"], default="both")
+    rp.add_argument("--limit", type=int, default=100, help="ranking rows in the report")
+    rp.add_argument("--num-cpus", type=int, default=0)
+    rp.set_defaults(fn=cmd_report)
 
     gn = sub.add_parser("gen", help="generate a deterministic fixture corpus")
     gn.add_argument("-o", "--output", required=True)

@@ -1,0 +1,59 @@
+"""CLI surface tests: extract -> stats/report over a tiny corpus,
+exercised in-process against the shared session (the CLI must not
+shut down a Ray session it did not create)."""
+
+import csv
+import json
+import os
+
+
+def test_cli_extract_stats_report(ray_session, tmp_path, capsys):
+    from pdf_extractor_ray import cli
+    from pdf_extractor_ray.fixtures.generator import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    pages, _ = write_corpus(corpus, 60, seed=7)
+
+    assert cli.main(["extract", "-i", pages, "-o", out]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_written"] > 0
+
+    assert cli.main(["stats", "-i", out]) == 0
+    roll = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(r["n_docs"] for r in roll["by_lang"]) == stats["rows_written"]
+
+    rep = str(tmp_path / "report")
+    assert cli.main(["report", "-i", out, "-o", rep, "--limit", "10"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["summary"]["n_docs"] == stats["rows_written"]
+    assert 0 < meta["top_rows"] <= 10
+
+    with open(rep + ".csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == meta["top_rows"]
+    scores = [float(r["quality_score"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert rows[0]["url"] == meta["summary"]["best_url"]
+
+    html = open(rep + ".html", encoding="utf-8").read()
+    assert "<table" in html and rows[0]["url"] in html
+
+    # the CLI must leave the shared session alive
+    import ray
+
+    assert ray.is_initialized()
+
+    # resume probe through the CLI: second run writes nothing
+    assert cli.main(["extract", "-i", pages, "-o", out]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["rows_written"] == 0
+    assert stats2["urls_skipped_resume"] > 0
+
+
+def test_cli_gen_writes_fixture(tmp_path, capsys):
+    from pdf_extractor_ray import cli
+
+    assert cli.main(["gen", "-o", str(tmp_path / "g"), "-n", "30"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(meta["pages"]) and os.path.exists(meta["golden"])
