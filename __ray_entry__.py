@@ -732,6 +732,16 @@ def _docs_train_test_split(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("split").reset_index(drop=True)
 
 
+def _docs_dup_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-5-gram contamination per doc: gram explode ->
+    global gram-count reduce -> sized_join back -> per-doc rollup."""
+    from pdf_extractor_ray.ops.scrub import dup_ngram_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_ngram_stats(ds, n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_tfidf_topk(sf_dir: str) -> pd.DataFrame:
     """Per-doc top-3 TF-IDF terms: global document-frequency reduce,
     ray.put-broadcast IDF map, shuffle-free per-batch scoring."""
@@ -1043,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,
         "docs_tfidf_topk": _docs_tfidf_topk,
+        "docs_dup_ngrams": _docs_dup_ngrams,
         "events_redact_props": _events_redact_props,
         "docs_decontaminated": _docs_decontaminated,
         "docs_train_test_split": _docs_train_test_split,
@@ -1271,6 +1282,19 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN lang = 'ja' THEN 3
                                      ELSE 2 END
             ORDER BY doc_id
+        """,
+        "docs_dup_ngrams": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                       FROM documents WHERE trim(text) <> ''),
+            g AS (
+                SELECT doc_id, array_to_string(a[i:i+4], ' ') AS gram
+                FROM t, UNNEST(range(1, len(a) - 3)) AS r(i)
+            ),
+            cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                   sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS dup_fraction
+            FROM g JOIN cnt USING (gram) GROUP BY g.doc_id ORDER BY doc_id
         """,
         "docs_tfidf_topk": r"""
             WITH toks AS (

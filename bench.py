@@ -170,6 +170,7 @@ def run_queries() -> dict[str, float]:
         "doc_top_terms",
         "docs_sample_by_lang",
         "docs_tfidf_topk",
+        "docs_dup_ngrams",
         "events_redact_props",
         "docs_decontaminated",
         "docs_train_test_split",

@@ -109,6 +109,65 @@ def decontaminate(
     return ds.map_batches(f, batch_format="pandas")
 
 
+def dup_ngram_stats(ds: ray.data.Dataset, n: int = 5) -> ray.data.Dataset:
+    """Per-doc duplicate-n-gram contamination: how many of a document's
+    word n-grams occur elsewhere in the corpus (the repeated-span
+    signal from the training-data dedup literature — high fractions
+    mark boilerplate / template / copied spans that exact-doc dedup
+    misses).
+
+    Fully distributed, three stages, no driver materialization:
+      1. explode each doc into (doc_id, gram) rows — the shuffle unit
+         is a gram STRING so the result is exact (no hash collisions);
+      2. grouped_sum over gram -> global occurrence counts (per-batch
+         combiners bound the shuffle by distinct grams per batch);
+      3. join occurrences back to counts (sized_join: broadcast when
+         the count table is vocabulary-small, hash-partition at corpus
+         scale) and reduce per doc_id.
+    Emits (doc_id, n_grams, n_dup_grams, dup_fraction); docs shorter
+    than n words emit nothing (mirrors the SQL oracle)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum, sized_join
+
+    def explode_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list[str] = []
+        for doc_id, t in zip(batch["doc_id"], batch["text"]):
+            toks = str(t).split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            ids.extend([doc_id] * m)
+            grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "gram": grams})
+
+    grams = ds.map_batches(explode_grams, batch_format="pandas")
+    counts = grouped_sum(grams, ["gram"], [], counts=True)  # (gram, n)
+    joined = sized_join(grams, counts, on="gram")
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "is_dup": (batch["n"].to_numpy() > 1).astype("int64"),
+            }
+        )
+
+    out = grouped_sum(joined.map_batches(mark, batch_format="pandas"), ["doc_id"], ["is_dup"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_grams": batch["n"].to_numpy().astype("int64"),
+                "n_dup_grams": batch["sum_is_dup"].to_numpy().astype("int64"),
+                "dup_fraction": batch["sum_is_dup"].to_numpy().astype("float64")
+                / batch["n"].to_numpy().astype("float64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def _md5_split(ids: pd.Series, test_hex_prefixes: tuple[str, ...]) -> np.ndarray:
     # first hex nibble of md5(str(id)): 'd'/'e'/'f' -> test (3/16 =
     # 18.75%), else train. md5 here is a STABLE, engine-portable

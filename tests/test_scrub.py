@@ -122,3 +122,32 @@ def test_train_test_split_deterministic_and_md5_keyed(ray_session):
         .reset_index(drop=True)
     )
     assert list(out.split) == list(out2.split)
+
+
+def test_dup_ngram_stats(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import dup_ngram_stats
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d e f",   # grams: abcde, bcdef
+                "a b c d e",     # gram: abcde (dup with doc0)
+                "x y z",         # too short -> no rows
+                "p q r s t u v", # grams: 3, all unique
+            ],
+        }
+    )
+    out = (
+        dup_ngram_stats(ray.data.from_pandas(rows).repartition(3), n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [0, 1, 3]
+    assert out.n_grams.tolist() == [2, 1, 3]
+    assert out.n_dup_grams.tolist() == [1, 1, 0]
+    assert abs(out.dup_fraction[0] - 0.5) < 1e-12
+    assert out.n_grams.dtype == "int64" and out.dup_fraction.dtype == "float64"
