@@ -109,24 +109,33 @@ def decontaminate(
     return ds.map_batches(f, batch_format="pandas")
 
 
-def dup_ngram_stats(ds: ray.data.Dataset, n: int = 5) -> ray.data.Dataset:
+def dup_ngram_stats(
+    ds: ray.data.Dataset, n: int = 5, num_partitions: int = 32
+) -> ray.data.Dataset:
     """Per-doc duplicate-n-gram contamination: how many of a document's
     word n-grams occur elsewhere in the corpus (the repeated-span
     signal from the training-data dedup literature — high fractions
     mark boilerplate / template / copied spans that exact-doc dedup
     misses).
 
-    Fully distributed, three stages, no driver materialization:
-      1. explode each doc into (doc_id, gram) rows — the shuffle unit
-         is a gram STRING so the result is exact (no hash collisions);
-      2. grouped_sum over gram -> global occurrence counts (per-batch
-         combiners bound the shuffle by distinct grams per batch);
-      3. join occurrences back to counts (sized_join: broadcast when
-         the count table is vocabulary-small, hash-partition at corpus
-         scale) and reduce per doc_id.
+    JOIN-FREE scale shape (one gram shuffle, one tiny doc shuffle):
+      1. per batch, explode docs to DISTINCT (doc_id, gram, m) rows
+         (m = within-doc occurrences; the shuffle unit is the gram
+         STRING so the result is exact — no hash collisions);
+      2. shuffle on hash(gram) mod num_partitions — every occurrence
+         of a gram lands in one partition, so a single vectorized
+         pandas pass computes the GLOBAL count per gram AND reduces to
+         per-doc partials (n grams seen, n in duplicated grams) right
+         there. No count table is ever joined back or broadcast
+         (a first cut used sized_join and fell into Ray's native
+         JoinOperator: +12s actor-pool spawn per query);
+      3. grouped_sum the per-(partition, doc) partials by doc_id —
+         rows entering this shuffle are bounded by docs x partitions.
+    At corpus scale raise num_partitions so a partition's gram rows
+    fit one worker (same rule as ops/windows.py / CLAUDE.md).
     Emits (doc_id, n_grams, n_dup_grams, dup_fraction); docs shorter
     than n words emit nothing (mirrors the SQL oracle)."""
-    from pdf_extractor_ray.ops.relational import grouped_sum, sized_join
+    from pdf_extractor_ray.ops.relational import grouped_sum
 
     def explode_grams(batch: pd.DataFrame) -> pd.DataFrame:
         ids: list = []
@@ -138,30 +147,44 @@ def dup_ngram_stats(ds: ray.data.Dataset, n: int = 5) -> ray.data.Dataset:
                 continue
             ids.extend([doc_id] * m)
             grams.extend(" ".join(toks[i : i + n]) for i in range(m))
-        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "gram": grams})
+        df = pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "gram": pd.Series(grams, dtype="object")}
+        )
+        g = df.groupby(["doc_id", "gram"], sort=False).size().reset_index(name="m")
+        g["m"] = g["m"].astype("int64")
+        # deterministic 64-bit string hash (pandas siphash, fixed key)
+        g["_part"] = (
+            pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return g
 
     grams = ds.map_batches(explode_grams, batch_format="pandas")
-    counts = grouped_sum(grams, ["gram"], [], counts=True)  # (gram, n)
-    joined = sized_join(grams, counts, on="gram")
 
-    def mark(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "is_dup": (batch["n"].to_numpy() > 1).astype("int64"),
-            }
+    def part_pass(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram", sort=False)["m"].transform("sum")
+        dup_m = g["m"].where(c.to_numpy() > 1, 0)
+        out = (
+            g.assign(_dup=dup_m)
+            .groupby("doc_id", sort=False)
+            .agg(n_grams_p=("m", "sum"), n_dup_p=("_dup", "sum"))
+            .reset_index()
         )
+        out["n_grams_p"] = out["n_grams_p"].astype("int64")
+        out["n_dup_p"] = out["n_dup_p"].astype("int64")
+        return out
 
-    out = grouped_sum(joined.map_batches(mark, batch_format="pandas"), ["doc_id"], ["is_dup"])
+    partials = grams.groupby("_part").map_groups(part_pass, batch_format="pandas")
+    out = grouped_sum(partials, ["doc_id"], ["n_grams_p", "n_dup_p"], counts=False)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        ng = batch["sum_n_grams_p"].to_numpy().astype("int64")
+        nd = batch["sum_n_dup_p"].to_numpy().astype("int64")
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
-                "n_grams": batch["n"].to_numpy().astype("int64"),
-                "n_dup_grams": batch["sum_is_dup"].to_numpy().astype("int64"),
-                "dup_fraction": batch["sum_is_dup"].to_numpy().astype("float64")
-                / batch["n"].to_numpy().astype("float64"),
+                "n_grams": ng,
+                "n_dup_grams": nd,
+                "dup_fraction": nd.astype("float64") / ng.astype("float64"),
             }
         )
 
