@@ -58,17 +58,27 @@ def redact(
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[list(id_cols)].copy()
-        s = batch[text_col].astype(str)
-        total = np.zeros(len(batch), dtype=np.int64)
-        for _name, rex, repl in pats:
-            c = _compiled(rex)
-            total += s.str.count(c).to_numpy(dtype=np.int64)
-            s = s.str.replace(c, repl, regex=True)
-        out[out_col] = s.to_numpy()
+        scrubbed, total = redact_series(batch[text_col], pats)
+        out[out_col] = scrubbed.to_numpy()
         out["n_redactions"] = total
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def redact_series(
+    s: pd.Series, patterns: Sequence[tuple[str, str, str]] = PII_PATTERNS
+) -> tuple[pd.Series, np.ndarray]:
+    """Vectorized core of `redact` (pure, no Ray): sequentially count
+    and replace each pattern over a string Series. Exposed separately
+    so property tests can sweep it directly."""
+    s = s.astype(str)
+    total = np.zeros(len(s), dtype=np.int64)
+    for _name, rex, repl in patterns:
+        c = _compiled(rex)
+        total += s.str.count(c).to_numpy(dtype=np.int64)
+        s = s.str.replace(c, repl, regex=True)
+    return s, total
 
 
 _RE_CACHE: dict[str, re.Pattern] = {}

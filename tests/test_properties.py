@@ -102,3 +102,41 @@ def test_sessionize_conserves_events(ray_session, ts_offsets, users, gap):
     assert int(out["n_events"].sum()) == n
     assert (out["session_end"] >= out["session_start"]).all()
     assert set(out["user_id"]) == set(users[:n])
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(st.text(min_size=0, max_size=200), min_size=1, max_size=6))
+def test_redact_idempotent_and_counts_match_re(texts):
+    """Scrubbing is idempotent (a second pass finds nothing) and the
+    vectorized pandas path equals sequential re semantics."""
+    import re
+
+    from pdf_extractor_ray.ops.scrub import PII_PATTERNS, redact_series
+
+    s = pd.Series(texts)
+    scrubbed, counts = redact_series(s)
+    # reference: plain-re sequential application per string
+    for t, got_s, got_n in zip(texts, scrubbed, counts):
+        ref, n = str(t), 0
+        for _name, rex, repl in PII_PATTERNS:
+            n += len(re.findall(rex, ref))
+            ref = re.sub(rex, repl, ref)
+        assert got_s == ref and got_n == n
+    again_s, again_n = redact_series(scrubbed)
+    assert (again_n == 0).all()
+    assert list(again_s) == list(scrubbed)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=8),
+    phrase=st.text(min_size=1, max_size=10),
+)
+def test_decontaminate_sound_and_idempotent(texts, phrase):
+    """Kept rows never contain a blocklisted phrase; a second pass
+    keeps everything (pure-pandas mask, mirrored from the operator)."""
+    s = pd.Series(texts).astype(str)
+    kept = s[~s.str.contains(phrase, regex=False)]
+    assert not kept.str.contains(phrase, regex=False).any()
+    again = kept[~kept.str.contains(phrase, regex=False)]
+    assert list(again) == list(kept)
