@@ -928,6 +928,32 @@ def _extract_dedup_urls(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _training_data_pipeline(sf_dir: str) -> pd.DataFrame:
+    """The END-TO-END training-data pipeline, composed from the
+    engine's stages in one streaming lineage: extract (HTML + PDF
+    routing) -> drop errored docs -> exact-dedup by url -> quality
+    gate (score >= 50) -> deterministic md5 train/test split ->
+    per-(split, lang) rollup. Every hop is a Dataset transform; only
+    the final few-row rollup reaches the driver."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.ops.scrub import train_test_split
+    from pdf_extractor_ray.pipelines.extract import dedup_by_url
+
+    ds = _extraction_results(500)
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        ok = ((b["error"].isna()) | (b["error"] == "")) & (b["quality_score"] >= 50.0)
+        return b.loc[ok, ["url", "warc_ts", "lang", "n_words", "quality_score"]]
+
+    clean = dedup_by_url(ds.map_batches(gate, batch_format="pandas"))
+    split = train_test_split(clean, id_col="url")
+    out = grouped_sum(split, ["split", "lang"], ["n_words"]).to_pandas()
+    out = out.rename(columns={"sum_n_words": "total_words", "n": "n_docs"})
+    out["total_words"] = out["total_words"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["split", "lang"]).reset_index(drop=True)
+
+
 def _extract_error_rollup(sf_dir: str) -> pd.DataFrame:
     """Error/coverage report rollup (reference A8,
     error_handler.py:354-416): corpus counts by payload kind x
@@ -1076,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_dedup_urls": _extract_dedup_urls,
         "extract_sorted_urls": _extract_sorted_urls,
         "extract_consensus": _extract_consensus,
+        "training_data_pipeline": _training_data_pipeline,
         "extract_error_rollup": _extract_error_rollup,
         "extract_verify": _extract_verify,
         "extract_flags": _extract_flags,

@@ -184,6 +184,7 @@ def run_queries() -> dict[str, float]:
         "similarity_ivf_topk",
         "image_featurize",
         "audio_featurize",
+        "training_data_pipeline",
     ]
     qs = e.queries()
     # untimed warm-up of the pandas-task worker pool + shuffle path
