@@ -189,19 +189,35 @@ def minhash_signatures(
     )
 
 
-def _pairs_in_buckets(g: pd.DataFrame, keys: list[str]) -> pa.Table:
-    """Emit all intra-bucket candidate pairs (a < b) from a frame
-    holding COMPLETE buckets. Vectorized pre-filter: only buckets with
-    >= 2 members (rare by construction) reach the Python pair loop."""
+def _pairs_in_buckets(g: pd.DataFrame, keys: list[str], hot_bucket_cap: int = 256) -> pa.Table:
+    """Emit intra-bucket candidate pairs (a < b) from a frame holding
+    COMPLETE buckets. Vectorized pre-filter: only buckets with >= 2
+    members (rare by construction) reach the Python pair loop.
+
+    Hot-bucket guard (the 100-TB skew case): a bucket larger than
+    `hot_bucket_cap` — a boilerplate band hash shared by ~everything —
+    would emit O(k^2) pairs and OOM the partition. Such buckets
+    switch to STAR pairing: every member pairs only with the bucket's
+    min id (k-1 pairs). Verified near-dups of the hub doc still drop;
+    member-member duplicates that are NOT near the hub can be missed
+    in that band, but each doc sits in `bands` independent buckets, so
+    a true near-dup pair only escapes if every one of its shared
+    buckets is hot — the standard cap/recall tradeoff, here explicit."""
     if g.empty or "doc_id" not in g.columns:
         return _typed_table(_PAIR_SCHEMA)
     sizes = g.groupby(keys)["doc_id"].transform("size")
     multi = g[sizes > 1]
     if multi.empty:
         return _typed_table(_PAIR_SCHEMA)
-    a_out, b_out = [], []
+    a_out: list[int] = []
+    b_out: list[int] = []
     for _, grp in multi.groupby(keys, sort=False):
         ids = sorted(grp["doc_id"].tolist())
+        if len(ids) > hot_bucket_cap:
+            hub = ids[0]
+            a_out.extend([hub] * (len(ids) - 1))
+            b_out.extend(ids[1:])
+            continue
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
@@ -815,10 +831,14 @@ def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) ->
             }
         )
 
-    def pairs_in_partition(g: pd.DataFrame) -> pa.Table:
+    def pairs_in_partition(g: pd.DataFrame, hot_bucket_cap: int = 512) -> pa.Table:
         """Complete (seg_id, seg_val) buckets; hamming-verify inside
         multi-member buckets only (same coarse-partition pattern as
-        minhash_lsh_candidates)."""
+        minhash_lsh_candidates). Buckets over `hot_bucket_cap` (a
+        16-bit segment value shared corpus-wide — short/boilerplate
+        docs) switch to STAR comparison against the bucket's min id:
+        O(k) instead of O(k^2); a pair only escapes if all 4 of its
+        shared segments are hot (see _pairs_in_buckets)."""
         if g.empty or "doc_id" not in g.columns:
             return _typed_table(_PAIR_SCHEMA)
         sizes = g.groupby(["seg_id", "seg_val"])["doc_id"].transform("size")
@@ -826,6 +846,17 @@ def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) ->
         a, b = [], []
         for _, grp in multi.groupby(["seg_id", "seg_val"], sort=False):
             rows_ = sorted(zip(grp["doc_id"].tolist(), grp["simhash"].tolist()))
+            if len(rows_) > hot_bucket_cap:
+                hub_id, hub_h = rows_[0]
+                hs = np.array([r[1] for r in rows_[1:]], dtype=np.uint64)
+                ham = np.array(
+                    [bin(int(hub_h) ^ int(x)).count("1") for x in hs], dtype=np.int64
+                )
+                for (did, _), d in zip(rows_[1:], ham):
+                    if d <= max_hamming:
+                        a.append(hub_id)
+                        b.append(did)
+                continue
             for i in range(len(rows_)):
                 for j in range(i + 1, len(rows_)):
                     if hamming64(int(rows_[i][1]), int(rows_[j][1])) <= max_hamming:

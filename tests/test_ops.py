@@ -462,3 +462,22 @@ def test_tfidf_topk(ray_session):
     # empty doc emits no rows
     assert (out.doc_id == 3).sum() == 0
     assert out.tf.dtype == "int64"
+
+
+def test_hot_bucket_star_cap(ray_session):
+    """A bucket bigger than the cap emits k-1 star pairs, not k^2/2,
+    and mass-identical docs still dedup to one survivor."""
+    import pandas as pd
+
+    from pdf_extractor_ray.ops.dedup import _pairs_in_buckets, minhash_dedup
+
+    g = pd.DataFrame({"band_id": 0, "band_hash": 7, "doc_id": range(1000)})
+    pairs = _pairs_in_buckets(g, ["band_id", "band_hash"], hot_bucket_cap=256).to_pandas()
+    assert len(pairs) == 999
+    assert (pairs["a"] == 0).all()
+
+    import ray.data
+
+    docs = pd.DataFrame({"doc_id": range(600), "text": ["same exact text here okay"] * 600})
+    kept = minhash_dedup(ray.data.from_pandas(docs).repartition(4), threshold=0.8).to_pandas()
+    assert len(kept) == 1 and kept.doc_id.iloc[0] == 0
