@@ -101,22 +101,30 @@ def decontaminate(
     substring match — the eval-set n-gram decontamination pass).
 
     The phrase list rides along as a task argument (broadcast once per
-    worker by Ray's arg caching); for a big blocklist pass a
-    `ray.put`-ed list and resolve it in the task — never shuffle. Each
-    batch evaluates one vectorized `str.contains(literal)` mask per
-    phrase; a 10k-phrase list would switch to a single Aho-Corasick
-    scan per batch, same operator shape."""
+    worker by Ray's arg caching); for a huge blocklist pass a
+    `ray.put`-ed list and resolve it in the task — never shuffle.
+    Small lists run one vectorized `str.contains(literal)` mask per
+    phrase; past _COMBINE_THRESHOLD the phrases compile into ONE
+    escaped alternation so each batch is a single multi-pattern scan
+    (the Aho-Corasick shape, via the re engine)."""
     plist = [str(p) for p in phrases]
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[text_col].astype(str)
-        hit = np.zeros(len(batch), dtype=bool)
-        for p in plist:
-            hit |= s.str.contains(p, regex=False).to_numpy()
+        if len(plist) > _COMBINE_THRESHOLD:
+            combined = _compiled("|".join(re.escape(p) for p in sorted(plist, key=len, reverse=True)))
+            hit = s.str.contains(combined, regex=True).to_numpy()
+        else:
+            hit = np.zeros(len(batch), dtype=bool)
+            for p in plist:
+                hit |= s.str.contains(p, regex=False).to_numpy()
         kept = batch.loc[~hit]
         return kept[list(keep_cols)] if keep_cols else kept
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+_COMBINE_THRESHOLD = 8
 
 
 def dup_ngram_stats(

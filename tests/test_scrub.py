@@ -151,3 +151,25 @@ def test_dup_ngram_stats(ray_session):
     assert out.n_dup_grams.tolist() == [1, 1, 0]
     assert abs(out.dup_fraction[0] - 0.5) < 1e-12
     assert out.n_grams.dtype == "int64" and out.dup_fraction.dtype == "float64"
+
+
+def test_decontaminate_combined_regex_path(ray_session):
+    """Past the combine threshold the single-alternation scan must
+    behave identically to per-phrase literal contains."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import decontaminate
+
+    phrases = [f"phrase{i} (x)" for i in range(12)]  # >8 -> combined; regex metachars escaped
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(14),
+            "text": [f"has phrase{i} (x) inside" for i in range(12)] + ["clean one", "phrase99 (x)"],
+        }
+    )
+    out = (
+        decontaminate(ray.data.from_pandas(rows), phrases=phrases, keep_cols=("doc_id",))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.doc_id.tolist() == [12, 13]
