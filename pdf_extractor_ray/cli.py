@@ -95,9 +95,14 @@ def cmd_report(args: argparse.Namespace) -> int:
         ranked = ds.sort(["quality_score", "url"], descending=[True, False])
         top = pd.DataFrame(ranked.limit(args.limit).take_all())[cols]
         agg = ds.aggregate(Count(alias_name="n_docs"), Mean("quality_score", alias_name="avg_quality"))
-        n_failed = ds.filter(
-            lambda r: r["error"] is not None and r["error"] != "", concurrency=4
-        ).count()
+
+        def _count_failed(b: "pd.DataFrame") -> "pd.DataFrame":
+            bad = (~b["error"].isna()) & (b["error"] != "")
+            return pd.DataFrame({"n_failed": [int(bad.sum())]})
+
+        n_failed = int(
+            ds.map_batches(_count_failed, batch_format="pandas").sum("n_failed") or 0
+        )
         summary = {
             "n_docs": int(agg["n_docs"]),
             "n_failed": int(n_failed),
