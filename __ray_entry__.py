@@ -370,6 +370,35 @@ def _extreme_orders_union(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
 
 
+def _users_click_and_purchase(sf_dir: str) -> pd.DataFrame:
+    """Distributed set INTERSECT (rounding out union / anti-join):
+    users present in BOTH event streams. Per-batch distinct
+    (user_id, is_click, is_purchase) partials, one grouped max-flag
+    reduce, filter both flags — the shuffle moves one row per distinct
+    user per batch, never one per event."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("click", "purchase"))]
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "c": (b["event_type"] == "click").to_numpy().astype("int64"),
+                "p": (b["event_type"] == "purchase").to_numpy().astype("int64"),
+            }
+        )
+        return out.groupby("user_id", sort=False).max().reset_index()
+
+    red = grouped_sum(
+        ev.map_batches(flags, batch_format="pandas"), ["user_id"], [], counts=False,
+        maxs=["c", "p"],
+    ).to_pandas()
+    both = red[(red["max_c"] == 1) & (red["max_p"] == 1)][["user_id"]]
+    return both.sort_values("user_id").reset_index(drop=True)
+
+
 def _events_json_props(sf_dir: str) -> pd.DataFrame:
     """JSON scalar extraction (SURVEY §2.8): parse the props JSON
     column, bucket the numeric field, count per (event_type, bucket).
@@ -1069,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_standard_brands": _parts_standard_brands,
         "customers_without_big_orders": _customers_without_big_orders,
         "extreme_orders_union": _extreme_orders_union,
+        "users_click_and_purchase": _users_click_and_purchase,
         "events_json_props": _events_json_props,
         "promo_revenue_by_brand": _promo_revenue_by_brand,
         "supplier_balance_by_nation": _supplier_balance_by_nation,
@@ -1202,6 +1232,12 @@ def oracle_sql() -> dict[str, str]:
             (SELECT o_orderkey, o_totalprice FROM orders
              ORDER BY o_totalprice ASC, o_orderkey LIMIT 20)
             ORDER BY o_totalprice, o_orderkey
+        """,
+        "users_click_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
         """,
         "events_json_props": """
             SELECT event_type,
