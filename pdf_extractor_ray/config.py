@@ -69,6 +69,7 @@ class PipelineConfig:
     cleanup_fix_spacing: bool = False    # JP spacing regex table
     cleanup_join_lines: bool = False     # particle/comma line joining
     cleanup_fix_punctuation: bool = False  # dup 。、 squeeze + ellipsis normalize
+    strip_hallucinations: bool = False   # strip generated-markup artifacts (ref anti_hallucination.py:243-264)
 
     # ---- remediation loop (reference master_extractor.py:497-570:
     #      if score < 70, retry with altered configs, keep the best;

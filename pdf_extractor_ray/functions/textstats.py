@@ -198,7 +198,10 @@ _HALLU_PATTERNS: list[tuple[str, re.Pattern]] = [
     ("markdown_bold", re.compile(r"\*\*[^*\n]+\*\*")),
     ("markdown_link", re.compile(r"\[[^\]\n]+\]\([^)\n]+\)")),
     ("html_tag", re.compile(r"</?(?:div|p|span|table|a|ul|li|h[1-6])\b[^>]*>", re.IGNORECASE)),
-    ("ai_phrase", re.compile(r"\b(?:as an ai|i cannot|here is a summary|in summary,)\b", re.IGNORECASE)),
+    # NOTE: no trailing \b after the comma variant — \b between ','
+    # and a space never matches (both non-word), which silently killed
+    # that alternative
+    ("ai_phrase", re.compile(r"\b(?:as an ai\b|i cannot\b|here is a summary\b|in summary,)", re.IGNORECASE)),
 ]
 
 
@@ -207,6 +210,34 @@ def hallucination_flags(text: str) -> list[str]:
     extractor must only EXTRACT, so markdown/HTML artifacts or
     assistant phrasing in the output indicate a transform leak."""
     return [name for name, pat in _HALLU_PATTERNS if pat.search(text)]
+
+
+# strip-mode replacements (reference anti_hallucination.py:243-264 —
+# "may strip content"): unwrap markdown emphasis/links/headings/fences,
+# drop HTML tags, drop lines carrying assistant phrasing. OPT-IN via
+# PipelineConfig.strip_hallucinations (default off: the byte-identity
+# goldens pin the untransformed path).
+_STRIP_RULES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"```[a-zA-Z]*\n?"), ""),
+    (re.compile(r"^#{1,6}\s+", re.MULTILINE), ""),
+    (re.compile(r"\*\*([^*\n]+)\*\*"), r"\1"),
+    (re.compile(r"\[([^\]\n]+)\]\([^)\n]+\)"), r"\1"),
+    (re.compile(r"</?(?:div|p|span|table|a|ul|li|h[1-6])\b[^>]*>", re.IGNORECASE)
+     , ""),
+]
+def strip_hallucinations(text: str) -> tuple[str, int]:
+    """Remove generated-markup artifacts from extracted text and count
+    the edits. Mirrors the reference's anti-hallucination strip mode;
+    never applied by default (see _STRIP_RULES note)."""
+    n = 0
+    for pat, repl in _STRIP_RULES:
+        text, k = pat.subn(repl, text)
+        n += k
+    ai = dict(_HALLU_PATTERNS)["ai_phrase"]
+    lines = text.split("\n")
+    kept = [ln for ln in lines if not ai.search(ln)]
+    n += len(lines) - len(kept)
+    return "\n".join(kept), n
 
 
 def repetition_ratio(text: str, window: int = 100) -> float:

@@ -154,6 +154,8 @@ class Extractor:
                     score, r = best_s, best_r
                     dims = _dims(r)
                 text = r["text"]
+                if self.cfg.strip_hallucinations:  # opt-in transform (default off)
+                    text, _ = textstats.strip_hallucinations(text)
                 fns = r["footnotes"]
                 kinds.append(r["kind"])
                 texts.append(text)

@@ -195,3 +195,42 @@ def test_raw_text_engine_extracts_all_words():
     out = RawTextEngine().extract_one(payload)
     assert out["text"] == "hello world"
     assert out["kind"] == "pdf"
+
+
+def test_strip_hallucinations_opt_in(ray_session):
+    """Strip mode unwraps markdown/html artifacts and drops AI-phrase
+    lines; the default config never applies it (byte-identity)."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.functions.textstats import (
+        hallucination_flags,
+        strip_hallucinations,
+    )
+
+    dirty = (
+        "# Heading\n"
+        "normal text with **bold claim** and [a link](http://x) here\n"
+        "```python\ncode fence\n"
+        "<div>markup</div>\n"
+        "In summary, this is an AI line\n"
+        "last clean line"
+    )
+    clean, n = strip_hallucinations(dirty)
+    assert n >= 5
+    assert hallucination_flags(clean) == []
+    assert "bold claim" in clean and "a link" in clean  # inner text kept
+    assert "markup" in clean and "<div>" not in clean
+    assert "In summary" not in clean and "last clean line" in clean
+    assert DEFAULT_CONFIG.strip_hallucinations is False
+    # opt-in through the extractor: artifacts in an HTML payload's text
+    from pdf_extractor_ray.stages.extractor import Extractor
+
+    cfg = DEFAULT_CONFIG.with_overrides(strip_hallucinations=True)
+    html = b"<html><body><p>plain paragraph with **stars** inside and more words here</p></body></html>"
+    r_on = Extractor(cfg).extract_one(html)
+    import pyarrow as pa
+
+    batch = pa.table({"url": ["u"], "html": [html], "lang": ["en"], "warc_ts": [0]})
+    out_on = Extractor(cfg)(batch).column("extracted_text").to_pylist()[0]
+    out_off = Extractor(DEFAULT_CONFIG)(batch).column("extracted_text").to_pylist()[0]
+    assert "**stars**" in out_off and "**stars**" not in out_on and "stars" in out_on
+    del r_on
