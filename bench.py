@@ -164,6 +164,7 @@ def run_queries() -> dict[str, float]:
         "events_running_total",
         "asof_purchase_view",
         "distinct_users_by_type",
+        "users_click_and_purchase",
         "events_json_props",
         "doc_stats_by_lang",
         "doc_token_counts",
