@@ -183,8 +183,7 @@ def run_queries() -> dict[str, float]:
         "text_analysis_docs",
         "similarity_topk",
         "similarity_ivf_topk",
-        "image_featurize",
-        "audio_featurize",
+        "multimodal_featurize",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -209,18 +209,89 @@ def dup_ngram_stats(
     return out.map_batches(finish, batch_format="pandas")
 
 
+# MD5 round constants (RFC 1321): K[i] = floor(abs(sin(i+1)) * 2^32),
+# per-round left-rotation amounts S. Public algorithm — implemented
+# here vectorized over numpy so the split assignment needs no per-row
+# Python hashlib call while staying bit-identical to md5.
+_MD5_K = np.array(
+    [int(abs(np.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)], dtype=np.uint64
+)
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+    dtype=np.uint64,
+)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def md5_first_nibble(strs: Sequence[str]) -> np.ndarray:
+    """First hex-digit (high nibble of digest byte 0) of md5(s) for each
+    string, as uint8 0..15 — vectorized MD5 compression over numpy
+    uint64 lanes (mask-to-32-bit), grouped by padded block count so
+    mixed-length inputs stay vectorized. Bit-identical to
+    ``hashlib.md5(s.encode()).hexdigest()[0]`` (property-tested)."""
+    data = [s.encode() for s in strs]
+    n = len(data)
+    lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
+    out = np.empty(n, dtype=np.uint8)
+    nblocks = (lens + 8) // 64 + 1  # payload + 0x80 + 8-byte bitlen
+    for nb in np.unique(nblocks):
+        idx = np.nonzero(nblocks == nb)[0]
+        width = int(nb) * 64
+        buf = np.zeros((len(idx), width), dtype=np.uint8)
+        for j, i in enumerate(idx):
+            b = data[i]
+            if b:
+                buf[j, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        sub_lens = lens[idx]
+        buf[np.arange(len(idx)), sub_lens] = 0x80
+        buf[:, width - 8 : width] = (
+            (sub_lens * 8).astype("<u8").view(np.uint8).reshape(-1, 8)
+        )
+        a = np.full(len(idx), 0x67452301, dtype=np.uint64)
+        b_ = np.full(len(idx), 0xEFCDAB89, dtype=np.uint64)
+        c = np.full(len(idx), 0x98BADCFE, dtype=np.uint64)
+        d = np.full(len(idx), 0x10325476, dtype=np.uint64)
+        for blk in range(int(nb)):
+            x = (
+                buf[:, blk * 64 : (blk + 1) * 64]
+                .view("<u4")
+                .astype(np.uint64)
+            )  # (rows, 16) message words
+            A, B, C, D = a.copy(), b_.copy(), c.copy(), d.copy()
+            for i in range(64):
+                if i < 16:
+                    f = (B & C) | (~B & D)
+                    g = i
+                elif i < 32:
+                    f = (D & B) | (~D & C)
+                    g = (5 * i + 1) % 16
+                elif i < 48:
+                    f = B ^ C ^ D
+                    g = (3 * i + 5) % 16
+                else:
+                    f = C ^ (B | (~D & _M32))
+                    g = (7 * i) % 16
+                s = _MD5_S[i]
+                t = (A + (f & _M32) + _MD5_K[i] + x[:, g]) & _M32
+                rot = ((t << s) | (t >> (np.uint64(32) - s))) & _M32
+                A, D, C, B = D, C, B, (B + rot) & _M32
+            a = (a + A) & _M32
+            b_ = (b_ + B) & _M32
+            c = (c + C) & _M32
+            d = (d + D) & _M32
+        out[idx] = ((a & np.uint64(0xF0)) >> np.uint64(4)).astype(np.uint8)
+    return out
+
+
 def _md5_split(ids: pd.Series, test_hex_prefixes: tuple[str, ...]) -> np.ndarray:
     # first hex nibble of md5(str(id)): 'd'/'e'/'f' -> test (3/16 =
     # 18.75%), else train. md5 here is a STABLE, engine-portable
     # assignment hash (DuckDB md5() gives identical hex), not crypto.
-    out = np.empty(len(ids), dtype=object)
-    for i, v in enumerate(ids):
-        out[i] = (
-            "test"
-            if hashlib.md5(str(v).encode()).hexdigest()[0] in test_hex_prefixes
-            else "train"
-        )
-    return out
+    # Vectorized (md5_first_nibble) — no per-row hashlib call; hashlib
+    # remains the test-suite cross-check.
+    nibbles = md5_first_nibble([str(v) for v in ids])
+    test_set = np.array(sorted(int(c, 16) for c in test_hex_prefixes), dtype=np.uint8)
+    return np.where(np.isin(nibbles, test_set), "test", "train").astype(object)
 
 
 def train_test_split(

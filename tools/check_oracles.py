@@ -59,15 +59,20 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_fail = 0
+    import time
+
+    t_start = time.monotonic()
     for name, fn in qs.items():
+        t0 = time.monotonic()
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as exc:
             print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        dt = f"[{time.monotonic() - t0:6.2f}s @{time.monotonic() - t_start:7.1f}s]"
         if name not in oracles:
-            print(f"okR  {name}: rows-only ({len(got)} rows, cols {list(got.columns)})")
+            print(f"okR  {name} {dt}: rows-only ({len(got)} rows, cols {list(got.columns)})")
             continue
         want = canon(con.execute(oracles[name]).df())
         if list(got.columns) != list(want.columns):
@@ -84,7 +89,7 @@ def main() -> int:
             print(pd.concat([got[neq.any(axis=1)].head(3), want[neq.any(axis=1)].head(3)]))
             n_fail += 1
             continue
-        print(f"ok   {name}: {len(got)} rows match oracle")
+        print(f"ok   {name} {dt}: {len(got)} rows match oracle")
     print("FAILURES:", n_fail)
     ray.shutdown()
     return 1 if n_fail else 0
