@@ -21,6 +21,7 @@ import random
 
 import pyarrow as pa
 
+from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes
 from pdf_extractor_ray.functions.pdf_words import FIXTURE_MAGIC
 
 _LANGS = ["en", "ja", "de", "fr", "es"]
@@ -239,7 +240,13 @@ def _layout_detection_page(page_idx: int, header: str) -> tuple[dict, str, str]:
                 "fontname": "F0",
             }
             if r == 1 and c == 1:
-                w["upright"] = False  # M19 rotated-word metric
+                # M19 rotated-word metric. Box geometry consistent with
+                # a genuine 90-degree text matrix (pdf_codec.py): device
+                # width = 1.2em of the 10pt font, device height = the
+                # glyph advance. Center stays inside cell (1,1).
+                w["upright"] = False
+                w["x1"] = w["x0"] + 12.0
+                w["bottom"] = w["top"] + 18.0
             words.append(w)
     # bordered textbox (sidebar) with 6 words inside
     rects.append({"x0": 72.0, "top": 500.0, "x1": 330.0, "bottom": 560.0})
@@ -257,18 +264,26 @@ def _layout_detection_page(page_idx: int, header: str) -> tuple[dict, str, str]:
     return page, golden, visible
 
 
-def _tpl_pdf(rng: random.Random, lang: str, fat: int = 1) -> tuple[bytes, str, int, str]:
-    """Multi-page PDF-geometry doc: repeated header (dropped), body
-    lines (kept), one superscript attach, isolated page numbers
-    (dropped), a footnote definition line (kept), and a table on the
-    last page. Golden derived from intent."""
+def _tpl_pdf(
+    rng: random.Random, lang: str, fat: int = 1, encoding: str = "pdf"
+) -> tuple[bytes, str, int, str]:
+    """Multi-page PDF doc: repeated header (dropped), body lines
+    (kept), one superscript attach, isolated page numbers (dropped), a
+    footnote definition line (kept), and a ruled table drawn as line
+    segments on page 1. Golden derived from intent.
+
+    encoding="pdf" serializes the pages as a GENUINE %PDF-1.4 binary
+    (functions/pdf_codec.py — uncompressed content streams, Tj/Tm text
+    operators, real xref); encoding="fixture-json" keeps the legacy
+    %PDF-FIXTURE JSON payload so both router branches stay corpus-
+    tested. The extracted text is identical either way (same pages)."""
     jp = lang == "ja"
     n_pages = rng.randint(2, 3)
     header = "ACMEREPORT"  # single word, top zone, every page -> dropped
     pages, golden_pages, visible = [], [], []
     for pno in range(n_pages):
         words: list[dict] = []
-        tables: list[dict] = []
+        lines: list[dict] = []
         golden_lines: list[str] = []
         words += _lay_line(header, 20.0, 72.0, False)
         visible.append(header)
@@ -316,18 +331,22 @@ def _tpl_pdf(rng: random.Random, lang: str, fat: int = 1) -> tuple[bytes, str, i
             golden_lines.append("*1: " + (def_text.replace(" ", "") if jp else def_text))
             visible.append("*1: " + def_text)
         if pno == 1:
-            nrows, ncols = 2, 3
+            # ruled 3x3 table drawn as genuine ruling LINES (no hint
+            # channel exists in a real PDF) — the geometry detector
+            # (functions/layout.py detect_tables_from_lines) must find
+            # it, exactly as it would in a wild PDF. 3x3 meets the
+            # validation gates (>=3 rows/cols, >=9 cells).
+            nrows, ncols = 3, 3
             cells = [[f"t{r}{c}" for c in range(ncols)] for r in range(nrows)]
-            bbox = [320.0, 400.0, 560.0, 460.0]
-            tables.append({"bbox": bbox, "rows": nrows, "cols": ncols, "cells": cells})
-            # words inside the bbox (excluded from text flow)
-            ty = 405.0
-            for row in cells:
-                tx = 325.0
-                for c in row:
-                    words.append({"text": c, "x0": tx, "x1": tx + 18.0, "top": ty, "bottom": ty + 10.0, "size": 10.0, "fontname": "F0"})
-                    tx += 80.0
-                ty += 25.0
+            txs = [320.0, 400.0, 480.0, 560.0]
+            tys = [400.0, 430.0, 460.0, 490.0]
+            for y in tys:
+                lines.append({"x0": txs[0], "x1": txs[-1], "top": y, "bottom": y})
+            for x in txs:
+                lines.append({"x0": x, "x1": x, "top": tys[0], "bottom": tys[-1]})
+            for r, row in enumerate(cells):
+                for c, cell in enumerate(row):
+                    words.append({"text": cell, "x0": txs[c] + 5.0, "x1": txs[c] + 23.0, "top": tys[r] + 5.0, "bottom": tys[r] + 15.0, "size": 10.0, "fontname": "F0"})
             tbl_lines = [f"[TABLE: {nrows}x{ncols}]"]
             for row in cells:
                 tbl_lines.append("| " + " | ".join(row) + " |")
@@ -338,14 +357,17 @@ def _tpl_pdf(rng: random.Random, lang: str, fat: int = 1) -> tuple[bytes, str, i
         # isolated page number (single word, bottom center) -> dropped
         words += _lay_line(f"-{pno + 1}-", 768.0, 290.0, False)
         visible.append(f"-{pno + 1}-")
-        pages.append({"width": _PAGE_W, "height": _PAGE_H, "words": words, "tables": tables})
+        pages.append({"width": _PAGE_W, "height": _PAGE_H, "words": words, "lines": lines})
         golden_pages.append("\n".join(golden_lines).replace("\n\n\n", "\n\n"))
     layout_page, layout_golden, layout_visible = _layout_detection_page(n_pages, header)
     pages.append(layout_page)
     golden_pages.append(layout_golden)
     visible.append(layout_visible)
     n_pages += 1
-    payload = FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False, sort_keys=True).encode("utf-8")
+    if encoding == "pdf":
+        payload = pages_to_pdf_bytes(pages)
+    else:
+        payload = FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False, sort_keys=True).encode("utf-8")
     golden = "\n\n".join(golden_pages)
     # cleanup squeezes >=3 newlines; our construction produces at most 2
     n_words = len(golden.split())
@@ -380,11 +402,18 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
         g_words.append(len(golden.split()))
         return url
 
+    n_pdf_docs = 0
     for i in range(n_rows):
         lang = lang_cycle[i]
         roll = rng.random()
         if roll < 0.10:
-            payload, golden, n_blocks, visible = _tpl_pdf(rng, lang, fat)
+            # genuine %PDF-1.4 binaries by default; every 5th PDF doc
+            # keeps the legacy %PDF-FIXTURE JSON encoding so both
+            # router branches stay corpus-tested (same pages -> same
+            # golden either way).
+            enc = "fixture-json" if n_pdf_docs % 5 == 4 else "pdf"
+            n_pdf_docs += 1
+            payload, golden, n_blocks, visible = _tpl_pdf(rng, lang, fat, encoding=enc)
             add(i, lang, payload, golden, n_blocks, visible)
             continue
         if roll < 0.28:

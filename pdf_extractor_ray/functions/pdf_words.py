@@ -918,11 +918,26 @@ def parse_fixture_payload(payload: bytes) -> list[dict]:
 
 
 def extract_pdf_bytes(payload: bytes, pats: Patterns | None = None, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
-    """Route a %PDF payload: fixture geometry parses directly; real PDF
-    binaries need pdfplumber (not installed in this container —
-    import-gated, same word-dict domain either way)."""
+    """Route a %PDF payload into the word-dict domain:
+
+    1. ``%PDF-FIXTURE`` geometry payloads parse as JSON (legacy fixture
+       encoding, kept live in the corpus);
+    2. genuine ``%PDF-1.x`` binaries go through the in-repo tokenizer
+       (functions/pdf_codec.py — uncompressed Tj-subset PDFs, the
+       reference's flagship input, reference extractor.py:101);
+    3. PDFs outside that subset (compressed/encrypted) fall through to
+       pdfplumber, import-gated since it is absent in this container.
+    """
     if payload.startswith(FIXTURE_MAGIC):
         pages = parse_fixture_payload(payload)
+        return extract_pdf_pages(pages, pats, cfg)
+    from pdf_extractor_ray.functions.pdf_codec import UnsupportedPdfError, parse_pdf_bytes
+
+    try:
+        pages = parse_pdf_bytes(payload)
+    except UnsupportedPdfError:
+        pages = None
+    if pages is not None:
         return extract_pdf_pages(pages, pats, cfg)
     try:
         import io
@@ -930,7 +945,8 @@ def extract_pdf_bytes(payload: bytes, pats: Patterns | None = None, cfg: Pipelin
         import pdfplumber  # noqa: F401  (absent in this container)
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "real-PDF parsing requires pdfplumber; only %PDF-FIXTURE payloads are supported here"
+            "this PDF uses features outside the minimal uncompressed subset "
+            "(pdf_codec.py); full parsing requires pdfplumber"
         ) from exc
     def seg(o: dict) -> dict:  # pragma: no cover
         return {

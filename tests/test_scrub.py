@@ -173,3 +173,31 @@ def test_decontaminate_combined_regex_path(ray_session):
         .sort_values("doc_id")
     )
     assert out.doc_id.tolist() == [12, 13]
+
+
+def test_md5_first_nibble_matches_hashlib_across_block_boundaries():
+    """Vectorized MD5 nibble == hashlib for every padding regime:
+    empty input, 1-block (<=55B), the 0x80+bitlen spill at 56..64B,
+    multi-block, unicode, and hypothesis-driven arbitrary text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_ray.ops.scrub import md5_first_nibble
+
+    fixed = (
+        ["", "a", "abc", "0", "12345"]
+        + ["x" * n for n in (54, 55, 56, 57, 63, 64, 65, 119, 120, 121, 128, 300)]
+        + ["日本語テキスト", "naïve café", "tab\tnew\nline"]
+    )
+    got = md5_first_nibble(fixed)
+    want = [int(hashlib.md5(s.encode()).hexdigest()[0], 16) for s in fixed]
+    assert got.tolist() == want
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(max_size=200), min_size=1, max_size=20))
+    def prop(strs):
+        assert md5_first_nibble(strs).tolist() == [
+            int(hashlib.md5(s.encode()).hexdigest()[0], 16) for s in strs
+        ]
+
+    prop()
