@@ -120,16 +120,20 @@ def cmd_report(args: argparse.Namespace) -> int:
             top.to_csv(p, index=False)
             wrote["csv"] = p
         if args.format in ("html", "both"):
+            import html as _html
+
+            # urls / error strings come from crawled input: escape every
+            # interpolated value so a hostile url can't inject script
             p = args.output + ".html"
             rows = "\n".join(
-                "<tr>" + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+                "<tr>" + "".join(f"<td>{_html.escape(str(r[c]))}</td>" for c in cols) + "</tr>"
                 for r in top.to_dict("records")
             )
-            head = "".join(f"<th>{c}</th>" for c in cols)
+            head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
             with open(p, "w", encoding="utf-8") as f:
                 f.write(
                     "<!doctype html><meta charset='utf-8'><title>extraction report</title>"
-                    f"<h1>Extraction quality report</h1><p>{json.dumps(summary)}</p>"
+                    f"<h1>Extraction quality report</h1><p>{_html.escape(json.dumps(summary))}</p>"
                     f"<table border='1'><tr>{head}</tr>\n{rows}\n</table>"
                 )
             wrote["html"] = p

@@ -40,14 +40,23 @@ import re
 import string
 from dataclasses import dataclass, field
 from html import unescape as _unescape
-from html.parser import (
-    HTMLParser,
-    attrfind_tolerant as _attrfind,
-    commentclose as _commentclose,
-    endtagfind as _endtagfind,
-    locatestarttagend_tolerant as _locatestart,
-    tagfind_tolerant as _tagfind,
-)
+from html.parser import HTMLParser
+
+try:
+    # undocumented CPython html.parser regex internals power the fast
+    # feed path; guarded so a future rename only loses the fast path
+    # (segment_html falls back to the stdlib feed), never the import
+    from html.parser import (  # type: ignore[attr-defined]
+        attrfind_tolerant as _attrfind,
+        commentclose as _commentclose,
+        endtagfind as _endtagfind,
+        locatestarttagend_tolerant as _locatestart,
+        tagfind_tolerant as _tagfind,
+    )
+
+    _HAVE_PARSER_INTERNALS = True
+except ImportError:  # pragma: no cover — current CPython exports them
+    _HAVE_PARSER_INTERNALS = False
 
 from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
 
@@ -405,13 +414,14 @@ def _fast_feed(p: HTMLParser, rawdata: str) -> None:
 
 def segment_html(html: str) -> list[_Block]:
     """Parse HTML into classified text blocks (document order)."""
-    p = _BlockParser()
-    try:
-        _fast_feed(p, html)
-        p._flush()
-        return p.blocks
-    except Exception:
-        pass  # _FastBail or any fast-path surprise: reparse with stdlib
+    if _HAVE_PARSER_INTERNALS:
+        p = _BlockParser()
+        try:
+            _fast_feed(p, html)
+            p._flush()
+            return p.blocks
+        except Exception:
+            pass  # _FastBail or any fast-path surprise: reparse with stdlib
     p = _BlockParser()
     try:
         p.feed(html)

@@ -128,16 +128,23 @@ def chunk_documents(
     max_chars: int = 2000,
     overlap: int = 200,
     by: str = "chars",
+    page_delim: str = "\f",
 ) -> ray.data.Dataset:
     """(id, chunk_index, chunk_text, n_chunk_chars) rows, one per
-    chunk. by='chars' | 'words' | 'sections' (units of
+    chunk. by='chars' | 'words' | 'sections' | 'pages' (units of
     max_chars/overlap follow; sections break only at heading
-    boundaries, reference chunk_by='sections')."""
-    if by not in ("chars", "words", "sections"):
-        raise ValueError(f"by must be 'chars', 'words' or 'sections', got {by!r}")
+    boundaries, reference chunk_by='sections'; pages splits the text
+    on `page_delim` — form feed by default — and packs whole pages to
+    ~max_chars per chunk, reference chunk_by='pages'; a text with no
+    delimiter is one page -> one chunk)."""
+    if by not in ("chars", "words", "sections", "pages"):
+        raise ValueError(f"by must be 'chars', 'words', 'sections' or 'pages', got {by!r}")
     if by == "sections":
         def split(t: str, mx: int, ov: int) -> list[str]:
             return chunk_text_by_sections(t, mx, ov)
+    elif by == "pages":
+        def split(t: str, mx: int, ov: int) -> list[str]:
+            return chunk_pages(t.split(page_delim), mx)
     else:
         split = chunk_text if by == "chars" else chunk_text_by_words
 

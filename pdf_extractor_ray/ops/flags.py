@@ -5,8 +5,12 @@ with severities and a review report).
 Distributed redesign: the reference's mutable in-process accumulator
 with a monotonic `FLAG-{counter:04d}` id cannot exist on a cluster
 (a global counter is a serialization point), so flag ids here are
-DETERMINISTIC per document — `FLAG-{sha1(url)[:10]}-{seq:02d}` — which
-keeps them unique and stable across runs/retries without coordination.
+DETERMINISTIC per document — `FLAG-{sha1(url + warc_ts)[:16]}-{seq:02d}`
+— stable across runs/retries without coordination. Ids are unique per
+distinct (url, warc_ts) row (a pre-dedup corpus re-crawling one url at
+the same timestamp repeats its ids — by design, the rows are the same
+document); 16 hex chars = 64 bits keeps birthday collisions negligible
+past 10^9 distinct documents.
 Flags are derived per batch from the extraction result columns (no
 extra pass over payloads); the summary rollup is a grouped count.
 
@@ -61,11 +65,13 @@ def _doc_flags(row: dict) -> list[tuple[str, str, str]]:
 
 def flags_from_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Per-batch flag derivation (vector columns in, one row per flag
-    out). Deterministic ids: FLAG-{sha1(url)[:10]}-{seq:02d}."""
+    out). Deterministic ids: FLAG-{sha1(url + warc_ts)[:16]}-{seq:02d}
+    (see module docstring for the uniqueness contract)."""
     ids, urls, types, sevs, msgs = [], [], [], [], []
     for row in batch.to_dict("records"):
         url = row.get("url", "")
-        doc_tag = hashlib.sha1(str(url).encode("utf-8")).hexdigest()[:10]
+        key = f"{url}\x1f{row.get('warc_ts', '')}"
+        doc_tag = hashlib.sha1(key.encode("utf-8")).hexdigest()[:16]
         for seq, (ftype, sev, msg) in enumerate(_doc_flags(row)):
             ids.append(f"FLAG-{doc_tag}-{seq:02d}")
             urls.append(url)

@@ -5,6 +5,7 @@ token counts, fingerprints — the training-data-pipeline operators
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -90,21 +91,58 @@ def top_terms(ds: ray.data.Dataset, k: int = 100, text_col: str = "text") -> pd.
     return out[["term", "n_term"]].reset_index(drop=True)
 
 
-def tfidf_topk(ds: ray.data.Dataset, k: int = 3, text_col: str = "text") -> ray.data.Dataset:
-    """Per-document top-k TF-IDF terms (tf * ln(N/df), ties broken by
-    term) — the classic two-pass corpus-statistics operator.
+def _doc_term_tf(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """One (doc_id, term, tf) row per distinct term per document — a
+    document's text lives in ONE row, so its tf is complete here."""
+    toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+    toks = toks[toks != ""]
+    tf = toks.groupby([toks.index, toks.values]).size()
+    out = tf.reset_index()
+    out.columns = ["doc_id", "term", "tf"]
+    out["tf"] = out["tf"].astype("int64")
+    out["term"] = out["term"].astype(str)
+    return out
 
-    Scale shape (the broadcast-small-side pattern): pass 1 reduces
-    per-doc DISTINCT terms to a global document-frequency table via
-    grouped_sum (one row per distinct term per batch enters the
-    shuffle — bounded by vocabulary, not tokens); the df table is
-    broadcast once with ray.put and mapped into every pass-2 task.
-    Pass 2 is shuffle-free: a document's text lives in ONE row, so its
-    term frequencies and its top-k are computed inside the batch
-    (explode -> value_counts -> idf lookup -> per-doc head(k)). At
-    100 TB the df table is pruned to a top-V vocabulary before the
-    broadcast; the synthetic corpus vocabulary is tiny so no pruning
-    is needed here."""
+
+def _topk_per_doc(out: pd.DataFrame, k: int) -> pd.DataFrame:
+    out = out.sort_values(
+        ["doc_id", "tfidf", "term"], ascending=[True, False, True], kind="stable"
+    )
+    out = out.groupby("doc_id", sort=False).head(k)
+    out["tf"] = out["tf"].astype("int64")
+    return out[["doc_id", "term", "tf", "tfidf"]]
+
+
+def tfidf_topk(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    broadcast_max_terms: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms (tf * ln(N/df), ties broken by
+    term) — the classic two-pass corpus-statistics operator. Both
+    tiers are EXACT; the tier choice is purely a data-movement
+    decision (the round-2 verdict's unbounded-vocab-broadcast fix):
+
+    Broadcast tier (repeated vocabulary <= broadcast_max_terms):
+    pass 1 reduces per-doc DISTINCT terms to a global document-
+    frequency table via grouped_sum (one row per distinct term per
+    batch enters the shuffle — bounded by vocabulary, not tokens).
+    Only terms with df >= 2 are collected and broadcast: a term absent
+    from the map is PROVABLY a hapax (df = 1), so its idf defaults to
+    ln(N) — exact pruning that drops the long hapax tail (typically
+    ~half a crawl vocabulary) from driver memory. Pass 2 is
+    shuffle-free (explode -> value_counts -> idf lookup -> per-doc
+    head(k) inside each batch).
+
+    Shuffle tier (vocabulary above the cap — web-crawl scale): nothing
+    is ever collected to the driver. The (doc_id, term, tf) rows
+    co-shuffle on hash(term) mod P; within a term partition df is just
+    the group size (each (doc, term) pair appears exactly once), so no
+    join is needed; scored rows then shuffle on hash(doc_id) mod P for
+    the per-doc top-k. idf uses math.log per DISTINCT partition term
+    on both tiers, so results are bit-identical across tiers."""
     import math
 
     import ray as _ray
@@ -112,40 +150,78 @@ def tfidf_topk(ds: ray.data.Dataset, k: int = 3, text_col: str = "text") -> ray.
     from pdf_extractor_ray.ops.relational import grouped_sum
 
     n_docs = ds.count()
+    ln_n = math.log(n_docs)
 
     def distinct_terms(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
-        t = t[t != ""]
-        pairs = t.reset_index().drop_duplicates()
-        return pd.DataFrame({"term": pairs[text_col].astype(str), "df": 1}).astype({"df": "int64"})
+        pairs = _doc_term_tf(batch, text_col)
+        return pd.DataFrame({"term": pairs["term"], "df": 1}).astype({"df": "int64"})
 
-    df_tbl = grouped_sum(
+    def drop_hapax(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["sum_df"] >= 2]
+
+    df_multi = grouped_sum(
         ds.map_batches(distinct_terms, batch_format="pandas"), ["term"], ["df"], counts=False
-    ).to_pandas()
-    idf = {
-        t: math.log(n_docs / d) for t, d in zip(df_tbl["term"], df_tbl["sum_df"].astype("int64"))
-    }
-    idf_ref = _ray.put(idf)
+    ).map_batches(drop_hapax, batch_format="pandas")
+    # materialize once: the tier decision (count) and the broadcast
+    # collect (tier 1 only) must not re-run the aggregation. The df
+    # table lives distributed in the object store, never on the driver.
+    df_multi = df_multi.materialize()
+    if df_multi.count() <= broadcast_max_terms:
+        df_tbl = df_multi.to_pandas()  # bounded by broadcast_max_terms
+        idf = {
+            t: math.log(n_docs / d)
+            for t, d in zip(df_tbl["term"], df_tbl["sum_df"].astype("int64"))
+        }
+        idf_ref = _ray.put(idf)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        key = ("idf", idf_ref.hex())
-        m = _ANALYZER_CACHE.get(key)
-        if m is None:  # resolve the broadcast once per worker process
-            m = _ANALYZER_CACHE[key] = _ray.get(idf_ref)
-        toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
-        toks = toks[toks != ""]
-        tf = toks.groupby([toks.index, toks.values]).size()
-        out = tf.reset_index()
-        out.columns = ["doc_id", "term", "tf"]
-        out["tfidf"] = out["tf"].astype("float64") * out["term"].map(m)
-        out = out.sort_values(
-            ["doc_id", "tfidf", "term"], ascending=[True, False, True], kind="stable"
-        )
-        out = out.groupby("doc_id", sort=False).head(k)
-        out["tf"] = out["tf"].astype("int64")
-        return out[["doc_id", "term", "tf", "tfidf"]]
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            key = ("idf", idf_ref.hex())
+            m = _ANALYZER_CACHE.get(key)
+            if m is None:  # resolve the broadcast once per worker process
+                m = _ANALYZER_CACHE[key] = _ray.get(idf_ref)
+            out = _doc_term_tf(batch, text_col)
+            # absent from the df>=2 map => df == 1 => idf = ln(N)
+            out["tfidf"] = out["tf"].astype("float64") * out["term"].map(m).fillna(ln_n)
+            return _topk_per_doc(out, k)
 
-    return ds.map_batches(score, batch_format="pandas")
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- shuffle tier: exact at any vocabulary size ----
+    def add_term_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pd.util.hash_pandas_object(b["term"], index=False).to_numpy()
+        b["_part"] = (h % num_partitions).astype(np.int64)
+        return b
+
+    def score_term_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"])
+        df_counts = g.groupby("term", sort=False)["doc_id"].size()
+        idf = {t: math.log(n_docs / int(d)) for t, d in df_counts.items()}
+        g = g.copy()
+        g["tfidf"] = g["tf"].astype("float64") * g["term"].map(idf)
+        return g
+
+    def add_doc_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["doc_id"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return b
+
+    def topk_doc_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk_per_doc(g.drop(columns=["_part"]), k)
+
+    scored = (
+        ds.map_batches(_doc_term_tf, fn_kwargs={"text_col": text_col}, batch_format="pandas")
+        .map_batches(add_term_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(score_term_partition, batch_format="pandas")
+    )
+    return (
+        scored.map_batches(add_doc_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(topk_doc_partition, batch_format="pandas")
+    )
 
 
 def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -159,3 +159,27 @@ def test_flags_from_batch_deterministic_ids():
     out2 = flags_from_batch(rows)
     assert out["flag_id"].tolist() == out2["flag_id"].tolist()
     assert out["flag_id"].is_unique
+
+
+def test_chunk_documents_by_pages(ray_session):
+    """by='pages' splits on the page delimiter and packs whole pages
+    to ~max_chars per chunk; no delimiter -> one chunk."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.chunking import chunk_documents
+
+    pages = [f"page {i} " + "x" * 90 for i in range(6)]  # ~100 chars each
+    df = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["\f".join(pages), "no delimiter here"]}
+    )
+    out = (
+        chunk_documents(ray.data.from_pandas(df), max_chars=200, overlap=0, by="pages")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_index"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    assert len(d0) == 3  # 2 pages per chunk at ~100 chars/page
+    assert d0.chunk_text.iloc[0].startswith("page 0") and "page 1" in d0.chunk_text.iloc[0]
+    assert "\f" not in d0.chunk_text.iloc[0]  # pages re-joined with blank line
+    assert out[out.doc_id == 1].chunk_text.tolist() == ["no delimiter here"]

@@ -46,6 +46,27 @@ def test_minhash_dedup_drops_near_dups(docs_ds):
     assert {3, 4, 5, 7} <= set(kept)
 
 
+def test_verify_byte_cap_forces_shuffle_path_same_kept_set(docs_ds):
+    """A tiny broadcast_max_bytes must reject the broadcast tier (the
+    candidate texts are measured, not just pair-counted) and fall
+    through to the co-shuffle verify — with an identical kept set
+    (shared kernel). Round-2 verdict #4 / advice item 1."""
+    from pdf_extractor_ray.ops.dedup import (
+        _verified_drop_anti_join,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    # repartition: join-ish stages must not see schema-less empty blocks
+    ds = docs_ds.repartition(2)
+    pairs = minhash_lsh_candidates(minhash_signatures(ds, num_perm=64, k=5), bands=16, rows=4)
+    kw = dict(hash_kind="char", param=5, threshold=0.8)
+    via_broadcast = _verified_drop_anti_join(ds, pairs, **kw).to_pandas()
+    via_shuffle = _verified_drop_anti_join(ds, pairs, broadcast_max_bytes=1, **kw).to_pandas()
+    assert sorted(via_broadcast["doc_id"]) == sorted(via_shuffle["doc_id"])
+    assert 1 not in set(via_shuffle["doc_id"])  # exact dup still dropped
+
+
 def test_minhash_jaccard_function():
     from pdf_extractor_ray.ops.dedup import jaccard
 
@@ -430,38 +451,38 @@ def test_tfidf_topk(ray_session):
     assert out.tf.dtype == "int64"
 
 
-def test_tfidf_topk(ray_session):
-    import math
+def test_tfidf_topk_shuffle_tier_matches_broadcast(ray_session):
+    """broadcast_max_terms=0 forces the fully-distributed shuffle tier
+    (no driver collect at all); it must be bit-identical to the
+    broadcast tier on a vocabulary dominated by hapax terms (which the
+    broadcast tier prunes from the map and defaults to ln N)."""
+    import random
 
     import ray.data
 
     from pdf_extractor_ray.ops.text_analysis import tfidf_topk
 
-    df = pd.DataFrame(
-        {
-            "doc_id": [0, 1, 2, 3],
-            "text": ["a a b", "b c", "c c c d", ""],
-        }
-    )
-    out = (
-        tfidf_topk(ray.data.from_pandas(df).repartition(3), k=2)
-        .to_pandas()
-        .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
-        .reset_index(drop=True)
-    )
-    # df: a=1, b=2, c=2, d=1; N=4
-    idf = {t: math.log(4 / d) for t, d in {"a": 1, "b": 2, "c": 2, "d": 1}.items()}
-    # doc0: a tf=2 -> 2*ln4 top; b 1*ln2
-    d0 = out[out.doc_id == 0]
-    assert d0.term.tolist() == ["a", "b"]
-    assert abs(d0.tfidf.iloc[0] - 2 * idf["a"]) < 1e-12
-    # doc1: b and c tie at 1*ln2 -> term asc
-    assert out[out.doc_id == 1].term.tolist() == ["b", "c"]
-    # doc2: c 3*ln2 then d 1*ln4
-    assert out[out.doc_id == 2].term.tolist() == ["c", "d"]
-    # empty doc emits no rows
-    assert (out.doc_id == 3).sum() == 0
-    assert out.tf.dtype == "int64"
+    rng = random.Random(11)
+    common = ["alpha", "beta", "gamma", "delta"]
+    texts = []
+    for i in range(40):
+        toks = [rng.choice(common) for _ in range(rng.randint(2, 6))]
+        toks += [f"hapax{i}_{j}" for j in range(rng.randint(0, 3))]  # df=1 tail
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+
+    def run(cap):
+        return (
+            tfidf_topk(ray.data.from_pandas(df).repartition(5), k=3, broadcast_max_terms=cap)
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+
+    bcast, shuf = run(10**6), run(0)
+    pd.testing.assert_frame_equal(bcast, shuf)  # exact, incl. float tfidf
+    assert len(bcast) > 0
 
 
 def test_hot_bucket_star_cap(ray_session):
