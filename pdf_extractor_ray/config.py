@@ -40,6 +40,13 @@ class PipelineConfig:
     #      default, layout_analyzer.py:222-223) ----
     detect_line_tables: bool = True      # ruling-line grids
     detect_text_tables: bool = False     # borderless alignment tables
+    # whitespace-channel tables (reference strategy 3,
+    # table_detector_enhanced.py:230-280). OFF by default like the
+    # other text-based strategy: both inherit the reference's
+    # production setting (layout_analyzer.py:222-223 "too many false
+    # positives") and the byte-identity goldens pin the defaults.
+    detect_ws_tables: bool = False
+    ws_channel_min_w: float = 8.0        # min width of a shared empty x-band
     detect_boxes: bool = True            # textbox/sidebar rects
     table_line_tol: float = 3.0          # line/edge clustering tolerance (px)
     table_align_tol: float = 3.0         # x0 alignment tolerance (alignment_tolerance)
@@ -98,6 +105,13 @@ class PipelineConfig:
     # corpus actually carries multi-MB payloads.
     big_blob_bytes: int = 0
     big_blob_batch_size: int = 2
+    # intra-document page checkpointing (reference
+    # large_doc_extractor.py:147-199): PDF payloads at least this many
+    # bytes journal each page's result to a per-doc sidecar under
+    # <out_dir>/_pageckpt/ so a retry resumes mid-document. 0 = off
+    # (the default: sidecar I/O per page only pays for itself on
+    # multi-hundred-page pathological blobs).
+    page_ckpt_bytes: int = 0
     rows_per_output_file: int = 512      # output partition granularity (resume unit;
                                          # also the fused extract+write batch size —
                                          # keep rows x median blob within ~64MB)

@@ -215,6 +215,130 @@ def detect_tables_from_alignment(
     ]
 
 
+def detect_tables_from_whitespace(
+    words: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG
+) -> list[dict]:
+    """Whitespace-channel (strategy-3) detection for column-aligned
+    tables with NO rulings and IRREGULAR x0s (reference
+    table_detector_enhanced.py:230-280 `_detect_whitespace_based`;
+    independent decomposition here):
+
+    1. bucket words into text rows by top clustering
+       (`_cluster_1d(tol=table_row_tol)`)
+    2. over every maximal run of >= table_min_rows consecutive rows,
+       intersect the rows' horizontal whitespace (the complement of
+       each row's occupied x-intervals): a CHANNEL is an x-gap at
+       least ws_channel_min_w wide that stays word-free in EVERY row
+       of the run and lies strictly inside the run's word span
+    3. >= table_min_cols - 1 channels split the span into columns;
+       cells fill by word-center containment and pass the same
+       validation gates as alignment detection (min cells, fill rate,
+       row/col caps, duplicate-cell-text cap)
+
+    Unlike x0-alignment clustering this tolerates ragged column
+    interiors (right-aligned numbers, centered headers) because only
+    the SHARED EMPTY vertical bands matter. Confidence 0.5 + fill*0.3
+    ranks below lines (0.9) and alignment (0.6+) in the D2 dedup."""
+    if not words:
+        return []
+    row_centers = [
+        r for r, n in _cluster_1d([w["top"] for w in words], cfg.table_row_tol, min_members=1)
+    ]
+    rows: list[list[dict]] = [[] for _ in row_centers]
+    for w in sorted(words, key=lambda w: (w["top"], w["x0"], w["text"])):
+        ri = min(range(len(row_centers)), key=lambda i: abs(w["top"] - row_centers[i]))
+        if abs(w["top"] - row_centers[ri]) <= cfg.table_row_tol:
+            rows[ri].append(w)
+    rows = [r for r in rows if r]
+    if len(rows) < cfg.table_min_rows:
+        return []
+
+    def channels_of_run(run: list[list[dict]]) -> list[tuple[float, float]]:
+        lo = max(min(w["x0"] for w in r) for r in run)  # shared span only
+        hi = min(max(w["x1"] for w in r) for r in run)
+        if hi - lo <= 0:
+            return []
+        # sweep: intersect each row's gaps with the running channels
+        channels = [(lo, hi)]
+        for r in run:
+            occupied = sorted((w["x0"], w["x1"]) for w in r)
+            nxt: list[tuple[float, float]] = []
+            for c0, c1 in channels:
+                pos = c0
+                for x0, x1 in occupied:
+                    if x1 <= pos or x0 >= c1:
+                        continue
+                    if x0 > pos:
+                        nxt.append((pos, min(x0, c1)))
+                    pos = max(pos, x1)
+                if pos < c1:
+                    nxt.append((pos, c1))
+            channels = [(a, b) for a, b in nxt if b - a >= cfg.ws_channel_min_w]
+            if not channels:
+                break
+        # channels strictly inside the span split it into columns
+        return [(a, b) for a, b in channels if a > lo and b < hi]
+
+    tables: list[dict] = []
+    i = 0
+    while i + cfg.table_min_rows <= len(rows):
+        # grow the run while channels survive
+        best: tuple[int, list[tuple[float, float]]] | None = None
+        for j in range(i + cfg.table_min_rows, len(rows) + 1):
+            ch = channels_of_run(rows[i:j])
+            if len(ch) >= cfg.table_min_cols - 1:
+                best = (j, ch)
+            else:
+                break
+        if best is None:
+            i += 1
+            continue
+        j, ch = best
+        run_words = [w for r in rows[i:j] for w in r]
+        xs = (
+            [min(w["x0"] for w in run_words)]
+            + [(a + b) / 2.0 for a, b in ch]
+            + [max(w["x1"] for w in run_words)]
+        )
+        ys_centers = [
+            r for r, n in _cluster_1d([w["top"] for w in run_words], cfg.table_row_tol)
+        ]
+        step = cfg.table_row_tol
+        ys = [ys_centers[0] - step] + [
+            (a + b) / 2.0 for a, b in zip(ys_centers, ys_centers[1:])
+        ] + [max(w["bottom"] for w in run_words)]
+        cells, fill = _cell_grid_from_edges(run_words, xs, ys)
+        nrows, ncols = len(ys) - 1, len(xs) - 1
+        texts = [c.strip() for row in cells for c in row if c.strip()]
+        valid = (
+            cfg.table_min_rows <= nrows <= cfg.table_max_rows_text
+            and cfg.table_min_cols <= ncols <= cfg.table_max_cols_text
+            and nrows * ncols >= cfg.table_min_cells
+            and fill >= cfg.table_min_fill
+            and len(set(texts)) >= len(texts) * 0.3
+        )
+        if valid:
+            tables.append(
+                {
+                    "bbox": [
+                        min(w["x0"] for w in run_words),
+                        min(w["top"] for w in run_words),
+                        max(w["x1"] for w in run_words),
+                        max(w["bottom"] for w in run_words),
+                    ],
+                    "rows": nrows,
+                    "cols": ncols,
+                    "cells": cells,
+                    "confidence": 0.5 + fill * 0.3,
+                    "method": "whitespace",
+                }
+            )
+            i = j
+        else:
+            i += 1
+    return tables
+
+
 def _bboxes_overlap(b1: list[float], b2: list[float]) -> bool:
     if b1[2] < b2[0] or b2[2] < b1[0]:
         return False
@@ -243,12 +367,16 @@ def detect_tables(
     """Full detection chain: line-based first; alignment-based only
     when no bordered table was found (reference
     layout_analyzer.py:269-301 tries text-based only as fallback);
-    confidence-dedup the union."""
+    whitespace-channel last (reference strategy 3,
+    table_detector_enhanced.py:230-280 — fires when neither rulings
+    nor x0-alignment do); confidence-dedup the union."""
     tables: list[dict] = []
     if cfg.detect_line_tables and lines:
         tables = detect_tables_from_lines(words, lines, cfg)
     if cfg.detect_text_tables and not tables:
         tables = detect_tables_from_alignment(words, cfg)
+    if cfg.detect_ws_tables and not tables:
+        tables = detect_tables_from_whitespace(words, cfg)
     return dedupe_tables(tables)
 
 

@@ -742,7 +742,7 @@ def page_layout(page: dict, cfg: PipelineConfig = DEFAULT_CONFIG) -> tuple[list[
 
     tables = page.get("tables", [])
     n_detected = 0
-    if not tables and (cfg.detect_line_tables or cfg.detect_text_tables):
+    if not tables and (cfg.detect_line_tables or cfg.detect_text_tables or cfg.detect_ws_tables):
         tables = _layout.detect_tables(page.get("words", []), page.get("lines", []), cfg)
         n_detected = len(tables)
     boxes = page.get("boxes", [])
@@ -843,38 +843,72 @@ def extract_pdf_pages(
     poison page never costs the document; n_pages_recovered records
     the ladder hits."""
     pats = pats or Patterns()
-    try:
-        headers, footers = detect_repeating_elements(pages, cfg)
-    except Exception:  # poison sample page: fall back to no repeats
-        headers, footers = frozenset(), frozenset()
+    headers, footers = _doc_repeats(pages, cfg)
     page_texts: list[str] = []
     n_tables_detected = 0
     n_recovered = 0
-    n_overlapping = 0
     for pno, p in enumerate(pages):
-        try:
-            lay = page_layout(p, cfg)
-            n_tables_detected += lay[2]
-            page_texts.append(extract_page(p, headers, footers, pats, cfg, layout=lay))
-            continue
-        except Exception:
-            pass
-        text = None
-        try:  # strategy 1: relaxed re-extract, no layout detection
-            relaxed = cfg.with_overrides(
-                line_height_threshold=cfg.line_height_threshold * 2,
-                detect_line_tables=False,
-                detect_text_tables=False,
-                detect_boxes=False,
-            )
-            text = extract_page(p, headers, footers, pats, relaxed, layout=([], [], 0))
-        except Exception:
-            text = _recover_page_text(p)  # strategies 2 + 3
-        if text is None:
-            page_texts.append(f"[EXTRACTION ERROR: Page {pno + 1}]")
-        else:
-            n_recovered += 1
-            page_texts.append(text)
+        ptext, n_tbl, rec = _extract_page_ladder(p, pno, headers, footers, pats, cfg)
+        page_texts.append(ptext)
+        n_tables_detected += n_tbl
+        n_recovered += rec
+    return _finalize_doc(pages, page_texts, n_tables_detected, n_recovered, pats, cfg)
+
+
+def _doc_repeats(
+    pages: list[dict], cfg: PipelineConfig
+) -> tuple[frozenset[str], frozenset[str]]:
+    try:
+        return detect_repeating_elements(pages, cfg)
+    except Exception:  # poison sample page: fall back to no repeats
+        return frozenset(), frozenset()
+
+
+def _extract_page_ladder(
+    p: dict,
+    pno: int,
+    headers: frozenset[str],
+    footers: frozenset[str],
+    pats: Patterns,
+    cfg: PipelineConfig,
+) -> tuple[str, int, int]:
+    """One page through the full chain + recovery ladder. Returns
+    (page_text, n_tables_detected, recovered_flag). Deterministic per
+    (page, headers, footers, cfg) — the unit the page checkpoint
+    journals."""
+    try:
+        lay = page_layout(p, cfg)
+        return extract_page(p, headers, footers, pats, cfg, layout=lay), lay[2], 0
+    except Exception:
+        pass
+    text = None
+    try:  # strategy 1: relaxed re-extract, no layout detection
+        relaxed = cfg.with_overrides(
+            line_height_threshold=cfg.line_height_threshold * 2,
+            detect_line_tables=False,
+            detect_text_tables=False,
+            detect_ws_tables=False,
+            detect_boxes=False,
+        )
+        text = extract_page(p, headers, footers, pats, relaxed, layout=([], [], 0))
+    except Exception:
+        text = _recover_page_text(p)  # strategies 2 + 3
+    if text is None:
+        return f"[EXTRACTION ERROR: Page {pno + 1}]", 0, 0
+    return text, 0, 1
+
+
+def _finalize_doc(
+    pages: list[dict],
+    page_texts: list[str],
+    n_tables_detected: int,
+    n_recovered: int,
+    pats: Patterns,
+    cfg: PipelineConfig,
+) -> dict[str, Any]:
+    """Doc-level combine shared by the plain and page-checkpointed
+    paths: cleanup, footnote matching, coverage, inventory, metrics."""
+    n_overlapping = 0
     text = cleanup_text("\n\n".join(t for t in page_texts if t), cfg)
     try:
         footnotes, fn_report = match_footnotes_full(pages, pats, cfg)
@@ -917,6 +951,83 @@ def parse_fixture_payload(payload: bytes) -> list[dict]:
     return doc["pages"]
 
 
+def pdf_payload_to_pages(payload: bytes) -> list[dict] | None:
+    """Parse any supported %PDF payload into page dicts; None means the
+    payload needs pdfplumber (outside the pdf_codec subset)."""
+    if payload.startswith(FIXTURE_MAGIC):
+        return parse_fixture_payload(payload)
+    from pdf_extractor_ray.functions.pdf_codec import UnsupportedPdfError, parse_pdf_bytes
+
+    try:
+        return parse_pdf_bytes(payload)
+    except UnsupportedPdfError:
+        return None
+
+
+def extract_pdf_pages_checkpointed(
+    pages: list[dict],
+    ckpt_path: str,
+    pats: Patterns | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict[str, Any]:
+    """extract_pdf_pages with INTRA-document page checkpointing for
+    pathological multi-page blobs (reference
+    large_doc_extractor.py:147-199 resumes a 500-page doc at page N;
+    SURVEY.md §2 D4 at page granularity).
+
+    Each page's ladder result is appended to a JSONL sidecar as soon
+    as it is produced; a retry of the same document loads the sidecar
+    and extracts ONLY the missing pages (the per-page ladder is
+    deterministic, so journaled and fresh pages compose identically —
+    the doc-level combine runs on the full ordered page list either
+    way). On success the sidecar is removed: the document is then
+    durable in its output partition and url-level resume takes over.
+
+    The sidecar is keyed per document by the caller (one file per
+    doc); appends are flushed per page so a kill loses at most the
+    page in flight."""
+    import os
+
+    pats = pats or Patterns()
+    done: dict[int, tuple[str, int, int]] = {}
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path, encoding="utf-8") as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    done[int(rec["pno"])] = (rec["text"], int(rec["n_tbl"]), int(rec["rec"]))
+                except Exception:
+                    continue  # torn tail line from a kill mid-append
+    headers, footers = _doc_repeats(pages, cfg)
+    page_texts: list[str] = []
+    n_tables_detected = 0
+    n_recovered = 0
+    os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+    with open(ckpt_path, "a", encoding="utf-8") as ckpt:
+        for pno, p in enumerate(pages):
+            if pno in done:
+                ptext, n_tbl, rec = done[pno]
+            else:
+                ptext, n_tbl, rec = _extract_page_ladder(p, pno, headers, footers, pats, cfg)
+                ckpt.write(
+                    json.dumps(
+                        {"pno": pno, "text": ptext, "n_tbl": n_tbl, "rec": rec},
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                )
+                ckpt.flush()
+            page_texts.append(ptext)
+            n_tables_detected += n_tbl
+            n_recovered += rec
+    out = _finalize_doc(pages, page_texts, n_tables_detected, n_recovered, pats, cfg)
+    try:
+        os.remove(ckpt_path)
+    except OSError:
+        pass
+    return out
+
+
 def extract_pdf_bytes(payload: bytes, pats: Patterns | None = None, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict[str, Any]:
     """Route a %PDF payload into the word-dict domain:
 
@@ -928,15 +1039,7 @@ def extract_pdf_bytes(payload: bytes, pats: Patterns | None = None, cfg: Pipelin
     3. PDFs outside that subset (compressed/encrypted) fall through to
        pdfplumber, import-gated since it is absent in this container.
     """
-    if payload.startswith(FIXTURE_MAGIC):
-        pages = parse_fixture_payload(payload)
-        return extract_pdf_pages(pages, pats, cfg)
-    from pdf_extractor_ray.functions.pdf_codec import UnsupportedPdfError, parse_pdf_bytes
-
-    try:
-        pages = parse_pdf_bytes(payload)
-    except UnsupportedPdfError:
-        pages = None
+    pages = pdf_payload_to_pages(payload)
     if pages is not None:
         return extract_pdf_pages(pages, pats, cfg)
     try:

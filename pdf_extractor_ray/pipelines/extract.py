@@ -117,7 +117,13 @@ class ExtractWriter:
     (cfg.rows_per_output_file rows per output file)."""
 
     def __init__(self, cfg: PipelineConfig, out_dir: str) -> None:
-        self.extract = Extractor(cfg)
+        import os as _os
+
+        # page-checkpoint sidecars live next to the output partitions
+        # so the retrying worker finds them regardless of which node it
+        # lands on (shared filesystem / object store path in prod)
+        ckpt_dir = _os.path.join(out_dir, "_pageckpt") if cfg.page_ckpt_bytes else None
+        self.extract = Extractor(cfg, ckpt_dir=ckpt_dir)
         self.write = PartitionWriter(out_dir)
 
     def __call__(self, batch):

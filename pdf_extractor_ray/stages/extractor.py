@@ -63,9 +63,12 @@ class Extractor:
     __call__ once per Arrow batch. Output schema is RESULT_SCHEMA.
     """
 
-    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, ckpt_dir: str | None = None) -> None:
         self.cfg = cfg
         self.pats = Patterns()
+        # intra-doc page-checkpoint sidecar dir (cfg.page_ckpt_bytes
+        # gates it per payload; wired by ExtractWriter from out_dir)
+        self.ckpt_dir = ckpt_dir if cfg.page_ckpt_bytes else None
         # remediation variants (reference master_extractor.py:617-684):
         # attempt 1 disables header/footer removal, attempt 2 widens
         # the column gap / relaxes the HTML block filter
@@ -81,13 +84,34 @@ class Extractor:
             else []
         )
 
-    def extract_one(self, payload: bytes, cfg: PipelineConfig | None = None) -> dict:
-        """Route one payload and extract. Pure; may raise."""
+    def extract_one(self, payload: bytes, cfg: PipelineConfig | None = None, url: str = "") -> dict:
+        """Route one payload and extract. Pure (except the opt-in page
+        checkpoint sidecar); may raise."""
         cfg = cfg or self.cfg
         if not payload:
             return {"kind": "empty", "text": "", "n_blocks": 0, "n_pages": 0, "footnotes": []}
         if payload.startswith(b"%PDF"):
-            res = extract_pdf_bytes(payload, self.pats, cfg)
+            res = None
+            if self.ckpt_dir and cfg.page_ckpt_bytes and len(payload) >= cfg.page_ckpt_bytes:
+                from pdf_extractor_ray.functions.pdf_words import (
+                    extract_pdf_pages_checkpointed,
+                    pdf_payload_to_pages,
+                )
+
+                pages = pdf_payload_to_pages(payload)
+                if pages is not None:
+                    import hashlib as _hashlib
+                    import os as _os
+
+                    # key includes the config: remediation re-extracts
+                    # with altered thresholds and must not reuse pages
+                    # journaled under the default ladder
+                    tag = _hashlib.sha1(f"{url}\x1f{cfg!r}".encode("utf-8")).hexdigest()[:16]
+                    res = extract_pdf_pages_checkpointed(
+                        pages, _os.path.join(self.ckpt_dir, f"{tag}.pages.jsonl"), self.pats, cfg
+                    )
+            if res is None:
+                res = extract_pdf_bytes(payload, self.pats, cfg)
             return {
                 "kind": "pdf",
                 "text": res["text"],
@@ -137,9 +161,9 @@ class Extractor:
         def _score(r: dict) -> float:
             return textstats.quality_score_from_dims(_dims(r))
 
-        for payload in payloads:
+        for url, payload in zip(urls, payloads):
             try:
-                r = self.extract_one(payload or b"")
+                r = self.extract_one(payload or b"", url=url)
                 dims = _dims(r)
                 score = textstats.quality_score_from_dims(dims)
                 if self.remediation_cfgs and score < self.cfg.remediation_threshold and r["kind"] != "empty":
@@ -147,7 +171,7 @@ class Extractor:
                     # dataset-level control flow, SURVEY §7.4 #7)
                     best_s, best_r = score, r
                     for vc in self.remediation_cfgs:
-                        r2 = self.extract_one(payload or b"", vc)
+                        r2 = self.extract_one(payload or b"", vc, url=url)
                         s2 = _score(r2)
                         if s2 > best_s:
                             best_s, best_r = s2, r2

@@ -168,3 +168,60 @@ def test_extract_page_uses_detection_end_to_end():
     assert res["text"].startswith("Body text")
     # cell words must NOT leak into the flow text
     assert "c00" not in res["text"].split("[TABLE: 3x3]")[0]
+
+
+WS_CFG = CFG.with_overrides(detect_ws_tables=True)
+
+
+def _ws_table_words():
+    """3 columns separated by wide empty channels, IRREGULAR x0s inside
+    each column (right-aligned numbers drift) — alignment clustering
+    cannot see this, whitespace channels can. Column x-extents:
+    [100,160] [220,280] [340,400]; channels [160,220] and [280,340]."""
+    words = []
+    for r in range(4):
+        top = 300.0 + 20.0 * r
+        words.append(_word(f"a{r}", 100.0 + 7.0 * r, top, w=30.0))  # ragged left col
+        words.append(_word(f"b{r}", 250.0 - 6.0 * r, top, w=28.0))  # ragged middle
+        words.append(_word(f"c{r}", 340.0 + 5.0 * r, top, w=26.0))
+    return words
+
+
+def test_whitespace_detection_finds_channel_table():
+    from pdf_extractor_ray.functions.layout import detect_tables_from_whitespace
+
+    tables = detect_tables_from_whitespace(_ws_table_words(), WS_CFG)
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["method"] == "whitespace"
+    assert (t["rows"], t["cols"]) == (4, 3)
+    assert t["cells"][0] == ["a0", "b0", "c0"]
+    assert t["cells"][3] == ["a3", "b3", "c3"]
+    assert 0.5 <= t["confidence"] <= 0.8
+
+
+def test_whitespace_detection_needs_consistent_channels():
+    from pdf_extractor_ray.functions.layout import detect_tables_from_whitespace
+
+    # prose: one long line per row fills the span -> no shared channel
+    words = [
+        _word(f"w{r}{c}", 100.0 + 34.0 * c + 3.0 * r, 300.0 + 20.0 * r, w=30.0)
+        for r in range(4)
+        for c in range(8)
+    ]
+    assert detect_tables_from_whitespace(words, WS_CFG) == []
+
+
+def test_whitespace_detection_off_by_default_and_ranked_below_lines():
+    from pdf_extractor_ray.functions.layout import detect_tables
+
+    words = _ws_table_words()
+    assert detect_tables(words, [], CFG) == []  # default: off
+    got = detect_tables(words, [], WS_CFG)
+    assert len(got) == 1 and got[0]["method"] == "whitespace"
+    # with ruling lines present, the lines strategy wins (fires first)
+    xs = [100.0, 180.0, 260.0, 340.0]
+    ys = [300.0, 330.0, 360.0, 390.0]
+    grid = _grid_words(xs, ys) 
+    both = detect_tables(grid, _grid_lines(xs, ys), WS_CFG)
+    assert len(both) == 1 and both[0]["method"] == "lines"

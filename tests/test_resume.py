@@ -134,3 +134,102 @@ def test_run_log_sink(ray_session, pages_path, tmp_path):
     done = [e for e in events if e["event"] == "run_complete"]
     assert done[0]["rows_written"] > 0
     assert all("ts" in e for e in events)
+
+
+def _many_page_doc(n_pages: int) -> list[dict]:
+    from pdf_extractor_ray.fixtures.generator import _lay_line
+
+    pages = []
+    for i in range(n_pages):
+        words = _lay_line("ACMEREPORT", 20.0, 72.0, False)
+        words += _lay_line(f"body line for page {i} with stable words", 110.0, 72.0, False)
+        pages.append({"width": 612.0, "height": 792.0, "words": words})
+    return pages
+
+
+def test_page_checkpoint_resumes_mid_document(tmp_path, monkeypatch):
+    """Kill/resume on a pathological multi-page doc (reference
+    large_doc_extractor.py:147-199): a crash mid-document leaves the
+    per-page sidecar; the retry extracts ONLY the remaining pages and
+    the combined result is identical to an uninterrupted run."""
+    import pdf_extractor_ray.functions.pdf_words as pw
+
+    pages = _many_page_doc(120)
+    want = pw.extract_pdf_pages(pages)
+    ckpt = str(tmp_path / "doc.pages.jsonl")
+
+    calls = {"n": 0}
+    real_ladder = pw._extract_page_ladder
+
+    def dying_ladder(p, pno, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 40:
+            raise KeyboardInterrupt("simulated worker kill")
+        return real_ladder(p, pno, *a, **kw)
+
+    monkeypatch.setattr(pw, "_extract_page_ladder", dying_ladder)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyboardInterrupt):
+        pw.extract_pdf_pages_checkpointed(pages, ckpt)
+    assert os.path.exists(ckpt)
+    n_journaled = sum(1 for _ in open(ckpt))
+    assert n_journaled == 40  # every completed page durable pre-kill
+
+    # retry: count fresh ladder calls — only the missing pages run
+    calls2 = {"n": 0}
+
+    def counting_ladder(p, pno, *a, **kw):
+        calls2["n"] += 1
+        return real_ladder(p, pno, *a, **kw)
+
+    monkeypatch.setattr(pw, "_extract_page_ladder", counting_ladder)
+    got = pw.extract_pdf_pages_checkpointed(pages, ckpt)
+    assert calls2["n"] == 120 - 40
+    assert got == want  # identical to the uninterrupted extraction
+    assert not os.path.exists(ckpt)  # sidecar removed on success
+
+
+def test_page_checkpoint_wired_through_pipeline(ray_session, tmp_path):
+    """cfg.page_ckpt_bytes routes big PDF payloads through the
+    checkpointed extractor inside the real pipeline (sidecar dir is
+    created and cleaned per doc) and output text is unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes
+    from pdf_extractor_ray.pipelines.extract import run_extraction
+
+    payload = pages_to_pdf_bytes(_many_page_doc(30))
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(["https://x.example/big"], pa.string()),
+                "warc_ts": pa.array([None], pa.timestamp("us")),
+                "html": pa.array([payload], pa.binary()),
+                "text": pa.array([""], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+            }
+        ),
+        src,
+    )
+    out_plain = str(tmp_path / "plain")
+    out_ckpt = str(tmp_path / "ckpt")
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+
+    run_extraction(src, out_plain, cfg=DEFAULT_CONFIG, resume=False)
+    run_extraction(
+        src, out_ckpt, cfg=DEFAULT_CONFIG.with_overrides(page_ckpt_bytes=1), resume=False
+    )
+
+    def text_of(d):
+        import glob as g
+
+        t = pq.read_table(sorted(g.glob(os.path.join(d, "part-*.parquet")))[0])
+        return t["extracted_text"][0].as_py()
+
+    assert text_of(out_ckpt) == text_of(out_plain)
+    assert os.path.isdir(os.path.join(out_ckpt, "_pageckpt"))
+    assert os.listdir(os.path.join(out_ckpt, "_pageckpt")) == []  # cleaned on success
