@@ -93,6 +93,44 @@ def bench_corpus_path() -> str:
     return path
 
 
+_UNIT_SEC = {"us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0}
+
+
+def parse_stage_stats(stats_text: str) -> list[dict]:
+    """Compact per-stage summary out of Dataset.stats() text (VERDICT
+    r2 item 10 — publish read/extract/write stage splits in BENCH so
+    stage balance is auditable without rerunning): one dict per
+    operator with task count, blocks, stage wall seconds, and the
+    summed remote-wall / UDF seconds."""
+    import re as _re
+
+    ops: list[dict] = []
+    cur: dict | None = None
+
+    def _total_sec(line: str) -> float | None:
+        m = _re.search(r"([\d.]+)(us|ms|s|m)\s+total", line)
+        return float(m.group(1)) * _UNIT_SEC[m.group(2)] if m else None
+
+    for line in stats_text.splitlines():
+        m = _re.match(r"Operator \d+ (.+?): (\d+) tasks executed, (\d+) blocks produced in ([\d.]+)(us|ms|s|m)?", line)
+        if m:
+            cur = {
+                "stage": m.group(1),
+                "tasks": int(m.group(2)),
+                "blocks": int(m.group(3)),
+                "sec": float(m.group(4)) * _UNIT_SEC.get(m.group(5) or "s", 1.0),
+            }
+            ops.append(cur)
+            continue
+        if cur is None:
+            continue
+        if line.startswith("* Remote wall time:"):
+            cur["remote_wall_sec_total"] = round(_total_sec(line) or 0.0, 3)
+        elif line.startswith("* UDF time:"):
+            cur["udf_sec_total"] = round(_total_sec(line) or 0.0, 3)
+    return ops
+
+
 def run_extract(pages_path: str, ncpu: int, max_files: int | None = None) -> dict:
     """The flagship pipeline, timed end-to-end (read -> actor-pool
     extract -> partitioned parquet + manifest). max_files limits the
@@ -127,17 +165,19 @@ def run_extract(pages_path: str, ncpu: int, max_files: int | None = None) -> dic
     # bandwidth pressure) and a 6-wave ragged tail. ~800-row blocks
     # keep the working set cache-friendly and the waves smooth.
     num_blocks = max(200, n_docs // 800)
+    os.environ.setdefault("BENCH_PRINT_STATS", "1")  # capture stage stats
     t0 = time.perf_counter()
     stats = run_extraction(pages_path, out, cfg=cfg, resume=False, num_blocks=num_blocks)
     sec = time.perf_counter() - t0
     assert stats["rows_written"] == n_docs, stats
-    if os.environ.get("BENCH_PRINT_STATS") == "1" and stats.get("dataset_stats"):
+    if os.environ.get("BENCH_PRINT_STATS_FULL") == "1" and stats.get("dataset_stats"):
         sys.stderr.write(stats["dataset_stats"] + "\n")
     return {
         "sec": sec,
         "docs": n_docs,
         "docs_per_s": n_docs / sec,
         "mb_per_s": n_bytes / 1e6 / sec,
+        "stage_stats": parse_stage_stats(stats.get("dataset_stats") or ""),
     }
 
 
@@ -234,6 +274,7 @@ def main() -> None:
                     "extract_docs": ext["docs"],
                     "extract_docs_per_s": round(ext["docs_per_s"], 1),
                     "extract_mb_per_s": round(ext["mb_per_s"], 2),
+                    "extract_stage_stats": ext["stage_stats"],
                 }
             )
         )
