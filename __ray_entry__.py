@@ -37,9 +37,13 @@ def _fixture_pages(n_rows: int = 500) -> str:
     import hashlib
 
     from pdf_extractor_ray.fixtures import generator as _gen
+    from pdf_extractor_ray.functions import pdf_codec as _codec
 
-    with open(_gen.__file__, "rb") as f:
-        tag = hashlib.sha1(f.read()).hexdigest()[:10]
+    h = hashlib.sha1()
+    for mod in (_gen, _codec):  # corpus bytes depend on both sources
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:10]
     out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_fixture_{n_rows}_{tag}")
     path = os.path.join(out_dir, "pages.parquet")
     if not os.path.exists(path):

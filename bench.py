@@ -64,14 +64,19 @@ def bench_corpus_path() -> str:
     # with BENCH_PARALLEL_GEN=1.
     parallel = n >= 100_000 and os.environ.get("BENCH_PARALLEL_GEN") == "1"
     suffix = "_p" if parallel else "_s"
-    # cache key includes the generator source hash: a semantics change
-    # must invalidate stale /tmp corpora (same scheme as __ray_entry__)
+    # cache key includes the generator + pdf-codec source hashes: a
+    # semantics change in either must invalidate stale /tmp corpora
+    # (same scheme as __ray_entry__)
     import hashlib
 
     from pdf_extractor_ray.fixtures import generator as _gen
+    from pdf_extractor_ray.functions import pdf_codec as _codec
 
-    with open(_gen.__file__, "rb") as f:
-        tag = hashlib.sha1(f.read()).hexdigest()[:10]
+    h = hashlib.sha1()
+    for mod in (_gen, _codec):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:10]
     out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_bench_{n}_f{BENCH_FAT}{suffix}_{tag}")
     marker = os.path.join(out_dir, ".complete")
     path = os.path.join(out_dir, "pages")
