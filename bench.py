@@ -220,6 +220,7 @@ def run_queries() -> dict[str, float]:
         "events_redact_props",
         "docs_decontaminated",
         "docs_train_test_split",
+        "docs_gopher_quality",
         "doc_chunks",
         "exact_dedup_docs",
         "minhash_dedup_docs",

@@ -1,0 +1,74 @@
+"""Corpus-level quality filtering for training data (the Gopher-rule
+family from Rae et al. 2021, "Scaling Language Models" §A1.1 — public
+heuristics also used by RefinedWeb/Dolma): per-document signals plus a
+deterministic keep/drop verdict.
+
+Ray shape: one vectorized pandas pass per batch, no shuffle — every
+signal is row-local (the docs table carries whole documents per row).
+All signals are SQL-expressible, so the whole operator has a DuckDB
+oracle (docs_gopher_quality in __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+# tiny cross-language stopword probe (Gopher uses an English list; the
+# corpus is multilingual so the probe stays minimal and deterministic)
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# keep-rule thresholds (Rae et al. §A1.1, adapted to corpus scale)
+MIN_WORDS = 40
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MIN_ALPHA_FRAC = 0.6  # fraction of words containing an ASCII letter
+MIN_STOP_HITS = 2     # total stopword occurrences
+
+
+def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized per-doc quality signals: whitespace word count, mean
+    word length, alphabetic-word fraction, stopword hits, keep flag."""
+    toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+    toks = toks[toks != ""]
+    n_words = toks.groupby(level=0).size()
+    mean_wl = toks.str.len().groupby(level=0).sum() / n_words
+    alpha = toks.str.contains("[A-Za-z]", regex=True)
+    alpha_frac = alpha.groupby(level=0).sum() / n_words
+    stop_hits = toks.str.lower().isin(STOP_WORDS).groupby(level=0).sum()
+
+    out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()}).set_index("doc_id")
+    out["n_words"] = n_words.reindex(out.index).fillna(0).astype("int64")
+    out["mean_word_len"] = mean_wl.reindex(out.index).fillna(0.0).astype("float64")
+    out["alpha_frac"] = alpha_frac.reindex(out.index).fillna(0.0).astype("float64")
+    out["n_stop_hits"] = stop_hits.reindex(out.index).fillna(0).astype("int64")
+    out["keep"] = (
+        out["n_words"].between(MIN_WORDS, MAX_WORDS)
+        & out["mean_word_len"].between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (out["alpha_frac"] >= MIN_ALPHA_FRAC)
+        & (out["n_stop_hits"] >= MIN_STOP_HITS)
+    ).astype("bool")
+    return out.reset_index()
+
+
+def gopher_quality(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Signal table for every document (keep flag included, rows not
+    dropped — downstream decides; auditable against the SQL oracle)."""
+    return ds.map_batches(
+        gopher_signals, fn_kwargs={"text_col": text_col}, batch_format="pandas"
+    )
+
+
+def gopher_filter(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Corpus with failing documents dropped (the actual filter)."""
+    import pyarrow as pa
+
+    def drop(t: pa.Table) -> pa.Table:
+        sig = gopher_signals(t.to_pandas(), text_col)
+        return t.filter(pa.array(sig["keep"].to_numpy()))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+__all__ = ["gopher_signals", "gopher_quality", "gopher_filter", "STOP_WORDS"]

@@ -201,3 +201,33 @@ def test_md5_first_nibble_matches_hashlib_across_block_boundaries():
         ]
 
     prop()
+
+
+def test_gopher_quality_signals(ray_session):
+    """Gopher-rule signals + keep verdict (ops/quality.py)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import gopher_filter, gopher_quality
+
+    good = "the quick brown fox and the lazy dog have fun with words " * 5  # 60 words, stopwords
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                good,
+                "short text",                      # too few words
+                "数字 と 日本語 の 言葉 " * 12,        # no ASCII letters -> alpha_frac 0
+                "",                                # empty
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(rows)
+    sig = gopher_quality(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert sig.keep.tolist() == [True, False, False, False]
+    assert sig.n_words.tolist()[0] == 60
+    assert sig.n_words.tolist()[3] == 0
+    assert abs(sig.alpha_frac[0] - 1.0) < 1e-12 and sig.alpha_frac[2] == 0.0
+    assert sig.n_stop_hits[0] >= 10
+    assert sig.n_words.dtype == "int64" and sig.mean_word_len.dtype == "float64"
+    kept = gopher_filter(ds).to_pandas()
+    assert kept.doc_id.tolist() == [0]
