@@ -935,31 +935,54 @@ def _extract_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
-def _media_table(sf_dir: str) -> "ray.data.Dataset":
+def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
+    """Deterministic REAL media payloads keyed by doc_id: PNG/BMP
+    gradient images (alternating) or 16-bit PCM WAV tones — genuine
+    binaries through the real pure-python codecs
+    (functions/media_codec.py)."""
     import pyarrow as pa
 
-    docs = _read_pd(sf_dir, "documents", ["doc_id", "text"]).head(200)
+    from pdf_extractor_ray.functions.media_codec import encode_bmp, encode_png, encode_wav
+
+    docs = _read_pd(sf_dir, "documents", ["doc_id"]).head(200)
+    ids = docs["doc_id"].tolist()
+    payloads = []
+    for i in ids:
+        if kind == "image":
+            w, h = 16 + (i % 7) * 4, 12 + (i % 5) * 4
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[:, :, 0] = (np.arange(w)[None, :] * (3 + i % 11)) % 256
+            img[:, :, 1] = (np.arange(h)[:, None] * (5 + i % 13)) % 256
+            img[:, :, 2] = i % 256
+            payloads.append(encode_png(img) if i % 2 == 0 else encode_bmp(img))
+        else:
+            rate = 8000
+            dur = 0.05 + (i % 10) * 0.01
+            t = np.arange(int(rate * dur)) / rate
+            payloads.append(encode_wav(0.5 * np.sin(2 * np.pi * (200 + i % 800) * t), rate))
     tbl = pa.table(
         {
-            "media_id": pa.array(docs["doc_id"].tolist(), pa.int64()),
-            "payload": pa.array([t.encode("utf-8") for t in docs["text"]], pa.binary()),
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
         }
     )
     return ray.data.from_arrow(tbl)
 
 
 def _multimodal_featurize(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing over synthetic binary payloads — image AND
-    audio actor pools in one registry entry (decode is a deterministic
-    stub — see ops/multimodal.py). The two pipelines' outputs are
-    tagged and unioned so both stay driver-checked under the 50-query
-    correctness cap."""
+    """REAL multimodal decode + featurize over genuine PNG/BMP/WAV
+    binaries (pure-python codecs, functions/media_codec.py) — image
+    AND audio actor pools in one registry entry. The two pipelines'
+    outputs are tagged and unioned so both stay driver-checked under
+    the 50-query correctness cap; a decode failure would surface in
+    the error column (asserted empty here)."""
     from pdf_extractor_ray.ops.multimodal import featurize_audio, featurize_images
 
-    img = featurize_images(_media_table(sf_dir)).drop_columns(["feature"]).to_pandas()
+    img = featurize_images(_media_table(sf_dir, "image")).drop_columns(["feature"]).to_pandas()
     img.insert(1, "kind", "image")
-    aud = featurize_audio(_media_table(sf_dir)).drop_columns(["feature"]).to_pandas()
+    aud = featurize_audio(_media_table(sf_dir, "audio")).drop_columns(["feature"]).to_pandas()
     aud.insert(1, "kind", "audio")
+    assert img["error"].isna().all() and aud["error"].isna().all(), "real decode failed"
     out = pd.concat([img, aud], ignore_index=True, sort=True)
     return out.sort_values(["kind", "media_id"]).reset_index(drop=True)
 

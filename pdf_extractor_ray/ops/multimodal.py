@@ -1,12 +1,14 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column operators.
 
 Payloads are opaque `binary` columns with typed metadata; decode /
-resize / frame-sample are actor-pool map_batches stages. The actual
-codec work needs libraries absent from this container (PIL/ffmpeg),
-so the decode kernel is STUBBED (deterministic fake measured from the
-byte stream) behind `_decode_image_real`, which raises
-NotImplementedError — the Ray-side plumbing (schema, batch sizing for
-multi-MB blobs, actor signature, output layout) is real and tested.
+feature-extract / resize are actor-pool map_batches stages. Decode is
+REAL for the pure-python codec subset (PNG / BMP / WAV —
+functions/media_codec.py); formats that genuinely need external
+libraries (JPEG, MP3, video) surface `UnsupportedMediaError` in the
+per-row error column — the honest capability boundary. The
+deterministic fake decoder remains available as codec="fake" for
+plumbing tests and as the documented stand-in for formats outside the
+subset.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from pdf_extractor_ray.functions import media_codec as mc
 from pdf_extractor_ray.stages.pools import clamp_pool
 
 IMAGE_META_SCHEMA = pa.schema(
@@ -33,13 +36,18 @@ IMAGE_META_SCHEMA = pa.schema(
 )
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover
-    raise NotImplementedError("image decode requires PIL/opencv (not in this container)")
+def _decode_image_real(payload: bytes, feat_dim: int) -> tuple[int, int, np.ndarray]:
+    """Real decode + real feature (PNG/BMP via media_codec; raises
+    UnsupportedMediaError for formats needing PIL)."""
+    img = mc.decode_image(payload)
+    return img.shape[1], img.shape[0], mc.image_feature(img, feat_dim)
 
 
 def _sniff_format(payload: bytes) -> str:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -65,12 +73,16 @@ class ImageFeaturizer:
     """Actor-pool stage for image decode + feature extraction.
 
     Small batch_size is mandatory: rows carry multi-MB blobs, so
-    batch_size x concurrency x blob must fit the worker heap. Use
-    `use_real_codec=True` once PIL is available."""
+    batch_size x concurrency x blob must fit the worker heap.
 
-    def __init__(self, feat_dim: int = 64, use_real_codec: bool = False) -> None:
+    codec="real" (default): PNG/BMP decode + tiny-image embedding
+    (media_codec.py); unsupported formats land in the error column.
+    codec="fake": the deterministic byte-digest stand-in (plumbing
+    tests / formats outside the pure-python subset)."""
+
+    def __init__(self, feat_dim: int = 64, codec: str = "real") -> None:
         self.feat_dim = feat_dim
-        self.use_real_codec = use_real_codec
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -79,8 +91,8 @@ class ImageFeaturizer:
         for p in payloads:
             p = p or b""
             try:
-                if self.use_real_codec:
-                    w, h, feat = _decode_image_real(p)
+                if self.codec == "real":
+                    w, h, feat = _decode_image_real(p, self.feat_dim)
                 else:
                     w, h, feat = _fake_decode(p, self.feat_dim)
                 rows["n_bytes"].append(len(p))
@@ -111,14 +123,72 @@ class ImageFeaturizer:
 
 
 def featurize_images(
-    ds: ray.data.Dataset, feat_dim: int = 64, concurrency: int = 4, batch_size: int = 8
+    ds: ray.data.Dataset,
+    feat_dim: int = 64,
+    concurrency: int = 4,
+    batch_size: int = 8,
+    codec: str = "real",
 ) -> ray.data.Dataset:
     return ds.map_batches(
         ImageFeaturizer,
-        fn_constructor_kwargs={"feat_dim": feat_dim},
+        fn_constructor_kwargs={"feat_dim": feat_dim, "codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: blobs are big
         concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs
+    )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),  # re-encoded PNG
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class ImageResizer:
+    """Actor-pool resize stage: decode (PNG/BMP) -> nearest-neighbor
+    resize -> re-encode PNG. Real pixels end to end."""
+
+    def __init__(self, width: int, height: int) -> None:
+        self.width, self.height = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_p, out_e = [], []
+        for p in payloads:
+            try:
+                img = mc.resize_nearest(mc.decode_image(p or b""), self.width, self.height)
+                out_p.append(mc.encode_png(img))
+                out_e.append(None)
+            except Exception as exc:
+                out_p.append(b"")
+                out_e.append(f"{type(exc).__name__}: {exc}"[:200])
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(out_p, pa.binary()),
+                pa.array([self.width] * len(ids), pa.int32()),
+                pa.array([self.height] * len(ids), pa.int32()),
+                pa.array(out_e, pa.string()),
+            ],
+            schema=RESIZED_SCHEMA,
+        )
+
+
+def resize_images(
+    ds: ray.data.Dataset, width: int, height: int, concurrency: int = 4, batch_size: int = 8
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=clamp_pool(concurrency),
     )
 
 
@@ -142,8 +212,12 @@ AUDIO_META_SCHEMA = pa.schema(
 )
 
 
-def _decode_audio_real(payload: bytes):  # pragma: no cover
-    raise NotImplementedError("audio decode requires soundfile/ffmpeg (not in this container)")
+def _decode_audio_real(payload: bytes, feat_dim: int) -> tuple[int, float, int, np.ndarray]:
+    """Real decode + real windowed features (WAV PCM via media_codec;
+    raises UnsupportedMediaError for formats needing ffmpeg)."""
+    samples, rate = mc.decode_audio(payload)
+    n_windows, feat = mc.audio_feature(samples, feat_dim)
+    return rate, len(samples) / float(rate), n_windows, feat
 
 
 def _sniff_audio_format(payload: bytes) -> str:
@@ -177,9 +251,9 @@ class AudioFeaturizer:
     Same contract as ImageFeaturizer: small batches (multi-MB blobs),
     never raises — per-row `error` column instead."""
 
-    def __init__(self, feat_dim: int = 64, use_real_codec: bool = False) -> None:
+    def __init__(self, feat_dim: int = 64, codec: str = "real") -> None:
         self.feat_dim = feat_dim
-        self.use_real_codec = use_real_codec
+        self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -190,8 +264,8 @@ class AudioFeaturizer:
             rows["n_bytes"].append(len(p))
             rows["format"].append(_sniff_audio_format(p))
             try:
-                if self.use_real_codec:
-                    rate, dur, nw, feat = _decode_audio_real(p)
+                if self.codec == "real":
+                    rate, dur, nw, feat = _decode_audio_real(p, self.feat_dim)
                 else:
                     rate, dur, nw, feat = _fake_audio_decode(p, self.feat_dim)
                 rows["sample_rate"].append(rate)
@@ -221,11 +295,15 @@ class AudioFeaturizer:
 
 
 def featurize_audio(
-    ds: ray.data.Dataset, feat_dim: int = 64, concurrency: int = 4, batch_size: int = 8
+    ds: ray.data.Dataset,
+    feat_dim: int = 64,
+    concurrency: int = 4,
+    batch_size: int = 8,
+    codec: str = "real",
 ) -> ray.data.Dataset:
     return ds.map_batches(
         AudioFeaturizer,
-        fn_constructor_kwargs={"feat_dim": feat_dim},
+        fn_constructor_kwargs={"feat_dim": feat_dim, "codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs

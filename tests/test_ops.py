@@ -183,23 +183,92 @@ def test_textstats_functions():
     assert f1 == f2 and f1 > 0
 
 
-def test_multimodal_featurize(ray_session):
+def test_multimodal_featurize_real_codecs(ray_session):
+    """Real PNG/BMP decode through the actor pool: correct dims, unit
+    feature, per-row error for formats outside the pure-python subset
+    (JPEG) and for garbage — never a raised batch."""
+    import ray.data
+
+    from pdf_extractor_ray.functions.media_codec import encode_bmp, encode_png
+    from pdf_extractor_ray.ops.multimodal import featurize_images
+
+    img = np.zeros((12, 20, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(20)[None, :] * 12 % 256
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(
+                [encode_png(img), encode_bmp(img), b"\xff\xd8\xffdata", b""], pa.binary()
+            ),
+        }
+    )
+    out = featurize_images(ray.data.from_arrow(tbl), feat_dim=16).to_pandas().sort_values("media_id")
+    assert out["format"].tolist() == ["png", "bmp", "jpeg", "unknown"]
+    assert out["width"].tolist()[:2] == [20, 20] and out["height"].tolist()[:2] == [12, 12]
+    assert out["error"].isna().tolist() == [True, True, False, False]
+    assert "UnsupportedMediaError" in out["error"].iloc[2]
+    # PNG and BMP of the SAME pixels produce the SAME real feature
+    f = np.stack(out["feature"].to_numpy()[:2])
+    assert np.allclose(f[0], f[1]) and abs(np.linalg.norm(f[0]) - 1.0) < 1e-5
+    # deterministic across runs
+    out2 = featurize_images(ray.data.from_arrow(tbl), feat_dim=16).to_pandas().sort_values("media_id")
+    assert np.allclose(np.stack(out["feature"].to_numpy()), np.stack(out2["feature"].to_numpy()))
+
+
+def test_multimodal_fake_codec_plumbing_still_available(ray_session):
     import ray.data
 
     from pdf_extractor_ray.ops.multimodal import featurize_images
 
     tbl = pa.table(
         {
-            "media_id": pa.array([1, 2, 3], pa.int64()),
-            "payload": pa.array([b"\x89PNG\r\n\x1a\n" + b"x" * 100, b"\xff\xd8\xffdata", b""], pa.binary()),
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"opaque-format-bytes"], pa.binary()),
         }
     )
-    out = featurize_images(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
-    assert out["format"].tolist() == ["png", "jpeg", "unknown"]
-    assert all(len(f) == 8 for f in out["feature"])
-    # deterministic features
-    out2 = featurize_images(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
-    assert np.allclose(np.stack(out["feature"].to_numpy()), np.stack(out2["feature"].to_numpy()))
+    out = featurize_images(ray.data.from_arrow(tbl), feat_dim=8, codec="fake").to_pandas()
+    assert out["error"].isna().all() and len(out["feature"][0]) == 8
+
+
+def test_audio_featurize_real_wav(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.media_codec import encode_wav
+    from pdf_extractor_ray.ops.multimodal import featurize_audio
+
+    t = np.arange(1600) / 8000.0
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [encode_wav(0.4 * np.sin(2 * np.pi * 440 * t), 8000), b"ID3mp3data"], pa.binary()
+            ),
+        }
+    )
+    out = featurize_audio(ray.data.from_arrow(tbl), feat_dim=16).to_pandas().sort_values("media_id")
+    assert out["format"].tolist() == ["wav", "mp3"]
+    assert out["sample_rate"].iloc[0] == 8000
+    assert abs(out["duration_s"].iloc[0] - 0.2) < 1e-3
+    assert out["n_windows"].iloc[0] == 8
+    assert out["error"].isna().iloc[0] and "UnsupportedMediaError" in out["error"].iloc[1]
+
+
+def test_image_resize_stage(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.media_codec import decode_png, encode_png
+    from pdf_extractor_ray.ops.multimodal import resize_images
+
+    img = np.random.RandomState(3).randint(0, 255, (32, 48, 3), dtype=np.uint8)
+    tbl = pa.table(
+        {"media_id": pa.array([7], pa.int64()), "payload": pa.array([encode_png(img)], pa.binary())}
+    )
+    out = resize_images(ray.data.from_arrow(tbl), 12, 8).to_pandas()
+    assert out["error"].isna().all()
+    back = decode_png(out["payload"][0])
+    assert back.shape == (8, 12, 3)
+    # nearest-neighbor: every output pixel exists in the source
+    assert (back[0, 0] == img[0, 0]).all()
 
 
 def test_broadcast_join_and_grouped_sum(ray_session):

@@ -272,19 +272,25 @@ def test_ngram_jaccard_dedup(ray_session):
 
 
 def test_audio_featurize(ray_session):
+    """Real codec: a genuine PCM WAV decodes; a truncated RIFF header
+    and garbage land in the error column (never a raised batch);
+    features are deterministic across runs."""
     import ray.data
 
+    from pdf_extractor_ray.functions.media_codec import encode_wav
     from pdf_extractor_ray.ops.multimodal import featurize_audio
 
-    wav = b"RIFF\x00\x00\x00\x00WAVEdata" + b"\x01" * 64
+    good = encode_wav(np.sin(np.arange(400) / 10.0) * 0.5, 8000)
+    torn = b"RIFF\x00\x00\x00\x00WAVEdata" + b"\x01" * 64  # no fmt chunk
     tbl = pa.table(
         {
-            "media_id": pa.array([1, 2], pa.int64()),
-            "payload": pa.array([wav, b"garbage"], pa.binary()),
+            "media_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([good, torn, b"garbage"], pa.binary()),
         }
     )
     out = featurize_audio(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
-    assert out["format"].tolist() == ["wav", "unknown"]
-    assert (out["sample_rate"] > 0).all() and (out["duration_s"] > 0).all()
+    assert out["format"].tolist() == ["wav", "wav", "unknown"]
+    assert out["error"].isna().tolist() == [True, False, False]
+    assert out["sample_rate"].iloc[0] == 8000 and out["duration_s"].iloc[0] > 0
     out2 = featurize_audio(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
     assert np.allclose(np.stack(out["feature"].to_numpy()), np.stack(out2["feature"].to_numpy()))
