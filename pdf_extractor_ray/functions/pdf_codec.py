@@ -38,12 +38,18 @@ Glyph-box math (both directions, straight from the spec):
   Identity-H CID encoding (§9.7.5.2), which also covers the corpus's
   Japanese text with zero escaping concerns.
 
-Feature boundary: compressed (``/Filter``) or encrypted PDFs and
-operators outside the emitted subset raise ``UnsupportedPdfError`` so
-the caller can fall through to the pdfplumber gate
-(functions/pdf_words.py extract_pdf_bytes) — honest about what this
-tokenizer is: a reader for uncompressed Tj-style PDFs, not a general
-PDF renderer.
+Feature boundary: ``/FlateDecode`` content streams inflate via zlib
+(the overwhelmingly common wild-PDF encoding); anything further —
+other filters, filter chains, encryption, xref/object streams
+(PDF 1.5+), operators outside the emitted subset — raises
+``UnsupportedPdfError`` so the caller can fall through to the
+pdfplumber gate (functions/pdf_words.py extract_pdf_bytes). Honest
+about what this tokenizer is: a reader for (optionally deflated)
+Tj-style PDFs, not a general PDF renderer. One known soft spot: the
+object scanner keys on the ``endobj`` keyword, so compressed data
+that happens to contain those bytes truncates the object — zlib then
+fails and the payload degrades to the same UnsupportedPdfError path,
+never a wrong parse.
 """
 
 from __future__ import annotations
@@ -267,12 +273,44 @@ def _object_map(payload: bytes) -> dict[int, bytes]:
 
 
 def _stream_of(body: bytes) -> bytes | None:
+    """Stream payload of an object body. Sliced by /Length when the
+    dict declares it (mandatory for compressed streams, whose bytes
+    may contain 'endstream'); falls back to the keyword scan for
+    streams whose /Length is an indirect reference."""
     i = body.find(b"stream")
     if i < 0:
         return None
+    start = i + len(b"stream")
+    if body[start : start + 2] == b"\r\n":
+        start += 2
+    elif body[start : start + 1] == b"\n":
+        start += 1
+    m = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[:i])
+    if m:
+        return body[start : start + int(m.group(1))]
     j = body.find(b"endstream")
-    raw = body[i + len(b"stream") : j]
-    return raw.lstrip(b"\r\n").rstrip(b"\r\n")
+    return body[start:j].rstrip(b"\r\n")
+
+
+def _decode_stream(content_body: bytes) -> bytes | None:
+    """Raw stream bytes, inflating /FlateDecode (plain zlib — the
+    overwhelmingly common wild-PDF encoding). Any other filter (or a
+    filter chain) stays outside the subset."""
+    fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", content_body)
+    raw = _stream_of(content_body)
+    if raw is None:
+        return None
+    if fm is None:
+        return raw
+    name = fm.group(1)
+    if name == b"/FlateDecode":
+        import zlib
+
+        try:
+            return zlib.decompress(raw)
+        except zlib.error as exc:
+            raise UnsupportedPdfError(f"FlateDecode stream: {exc}") from exc
+    raise UnsupportedPdfError(f"unsupported stream filter {name!r}")
 
 
 def _dict_num(body: bytes, key: str, default: float | None = None) -> float:
@@ -552,10 +590,7 @@ def parse_pdf_bytes(payload: bytes) -> list[dict]:
         cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", page_body)
         if not cm:
             raise UnsupportedPdfError("page without single /Contents ref")
-        content_body = objs.get(int(cm.group(1)), b"")
-        if b"/Filter" in content_body:
-            raise UnsupportedPdfError("compressed content stream (/Filter)")
-        content = _stream_of(content_body)
+        content = _decode_stream(objs.get(int(cm.group(1)), b""))
         if content is None:
             raise UnsupportedPdfError("contents object without stream")
         fonts = _page_fonts(objs, page_body)

@@ -194,3 +194,25 @@ def test_roundtrip_property_random_pages():
         for o, g in zip(words, got):
             for k in ("x0", "x1", "top", "bottom", "size"):
                 assert abs(g[k] - o[k]) < 2e-3, (trial, k, o, g)
+
+
+def test_flatedecode_content_stream_parses():
+    """A /FlateDecode (zlib) content stream — the overwhelmingly
+    common wild-PDF encoding — parses to the same words as the
+    uncompressed writer output."""
+    import re
+    import zlib
+
+    plain = pages_to_pdf_bytes([_page([_word("Hello", 72.0, 20.0), _word("World", 120.0, 20.0)])])
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", plain, re.S)
+    assert m, "writer layout changed"
+    comp = zlib.compress(m.group(2))
+    replaced = plain.replace(
+        m.group(0),
+        b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream" % (len(comp), comp),
+    )
+    back = parse_pdf_bytes(replaced)
+    assert [w["text"] for w in back[0]["words"]] == ["Hello", "World"]
+    # but a DIFFERENT filter still falls outside the subset
+    with pytest.raises(UnsupportedPdfError):
+        parse_pdf_bytes(replaced.replace(b"/FlateDecode", b"/LZWDecode"))
