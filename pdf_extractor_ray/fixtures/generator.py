@@ -264,6 +264,28 @@ def _layout_detection_page(page_idx: int, header: str) -> tuple[dict, str, str]:
     return page, golden, visible
 
 
+def _two_column_page(page_idx: int, header: str) -> tuple[dict, str, str]:
+    """A pure two-column page (M9 column split + M10 reading order over
+    genuine PDF bytes): left column ends at x~174, right starts at 340
+    — the >50pt whitespace gap splits them; extraction must emit ALL
+    left-column lines before the right column. Deterministic: no rng
+    draws, so the corpus rng stream (and every HTML doc's golden) is
+    untouched."""
+    words: list[dict] = []
+    words += _lay_line(header, 20.0, 72.0, False)
+    left = ["Alpha beta gamma", "Delta epsilon zeta", "Eta theta iota"]
+    right = ["Kappa lambda mu", "Nu xi omicron", "Pi rho sigma"]
+    for i, line in enumerate(left):
+        words += _lay_line(line, 200.0 + 20.0 * i, 72.0, False)
+    for i, line in enumerate(right):
+        words += _lay_line(line, 200.0 + 20.0 * i, 340.0, False)
+    words += _lay_line(f"-{page_idx + 1}-", 768.0, 290.0, False)
+    page = {"width": _PAGE_W, "height": _PAGE_H, "words": words}
+    golden = "\n".join(left) + "\n" + "\n".join(right)
+    visible = " ".join([header] + left + right + [f"-{page_idx + 1}-"])
+    return page, golden, visible
+
+
 def _tpl_pdf(
     rng: random.Random, lang: str, fat: int = 1, encoding: str = "pdf"
 ) -> tuple[bytes, str, int, str]:
@@ -359,6 +381,11 @@ def _tpl_pdf(
         visible.append(f"-{pno + 1}-")
         pages.append({"width": _PAGE_W, "height": _PAGE_H, "words": words, "lines": lines})
         golden_pages.append("\n".join(golden_lines).replace("\n\n\n", "\n\n"))
+    col_page, col_golden, col_visible = _two_column_page(n_pages, header)
+    pages.append(col_page)
+    golden_pages.append(col_golden)
+    visible.append(col_visible)
+    n_pages += 1
     layout_page, layout_golden, layout_visible = _layout_detection_page(n_pages, header)
     pages.append(layout_page)
     golden_pages.append(layout_golden)
