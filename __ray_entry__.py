@@ -1002,10 +1002,12 @@ def _extract_dedup_sorted_urls(sf_dir: str) -> pd.DataFrame:
 def _training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     """The END-TO-END training-data pipeline, composed from the
     engine's stages in one streaming lineage: extract (HTML + PDF
-    routing) -> drop errored docs -> exact-dedup by url -> quality
-    gate (score >= 50) -> deterministic md5 train/test split ->
-    per-(split, lang) rollup. Every hop is a Dataset transform; only
-    the final few-row rollup reaches the driver."""
+    routing) -> drop errored docs -> Gopher-rule corpus filter
+    (ops/quality.py over the extracted text) -> exact-dedup by url ->
+    quality gate (score >= 50) -> deterministic md5 train/test split
+    -> per-(split, lang) rollup. Every hop is a Dataset transform;
+    only the final few-row rollup reaches the driver."""
+    from pdf_extractor_ray.ops.quality import gopher_signals
     from pdf_extractor_ray.ops.relational import grouped_sum
     from pdf_extractor_ray.ops.scrub import train_test_split
     from pdf_extractor_ray.pipelines.extract import dedup_by_url
@@ -1014,7 +1016,19 @@ def _training_data_pipeline(sf_dir: str) -> pd.DataFrame:
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
         ok = ((b["error"].isna()) | (b["error"] == "")) & (b["quality_score"] >= 50.0)
-        return b.loc[ok, ["url", "warc_ts", "lang", "n_words", "quality_score"]]
+        b = b.loc[ok]
+        sig = gopher_signals(
+            b.rename(columns={"url": "doc_id", "extracted_text": "text"}), text_col="text"
+        )
+        keep = sig.set_index("doc_id")["keep"].reindex(b["url"]).fillna(False).to_numpy()
+        # the Gopher rules are Latin-script-centric (whitespace words,
+        # ASCII-letter fraction): gate ja docs on content length
+        # instead, the per-language routing production pipelines use
+        ja_ok = (b["lang"] == "ja").to_numpy() & (
+            b["extracted_text"].str.len().to_numpy() >= 80
+        )
+        b = b.loc[keep | ja_ok]
+        return b[["url", "warc_ts", "lang", "n_words", "quality_score"]]
 
     clean = dedup_by_url(ds.map_batches(gate, batch_format="pandas"))
     split = train_test_split(clean, id_col="url")
@@ -1371,7 +1385,10 @@ def oracle_sql() -> dict[str, str]:
                             ELSE CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
                                  / len(words) END AS alpha_frac,
                        CAST(len(list_filter(words, x -> lower(x) IN
-                            ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop_hits
+                            ('the','be','to','of','and','that','have','with',
+                             'der','die','und','das','den','mit',
+                             'le','la','les','de','et','des',
+                             'el','los','las','que','con','una'))) AS BIGINT) AS n_stop_hits
                 FROM w
             )
             SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,

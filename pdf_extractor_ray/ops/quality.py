@@ -14,9 +14,17 @@ from __future__ import annotations
 import pandas as pd
 import ray.data
 
-# tiny cross-language stopword probe (Gopher uses an English list; the
-# corpus is multilingual so the probe stays minimal and deterministic)
-STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# tiny cross-language function-word probe (Gopher uses an English
+# list; this corpus is multilingual, so the probe carries the most
+# frequent function words of each Latin-script corpus language —
+# en/de/fr/es — and stays minimal and deterministic). Must match the
+# docs_gopher_quality oracle SQL list verbatim.
+STOP_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",   # en
+    "der", "die", "und", "das", "den", "mit",                 # de
+    "le", "la", "les", "de", "et", "des",                     # fr
+    "el", "los", "las", "que", "con", "una",                  # es
+)
 
 # keep-rule thresholds (Rae et al. §A1.1, adapted to corpus scale)
 MIN_WORDS = 40
