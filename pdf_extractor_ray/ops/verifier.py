@@ -3,18 +3,25 @@ llm_verifier.py:104-147 holds an LLM client + response cache + stats;
 backends mock/openai/anthropic/local at llm_verifier.py:325-339,
 disabled by default per reference config.py:65).
 
-Only the MOCK backend ships here (no network in this container): a
-deterministic pattern scanner for the issue classes the reference's
-verifier prompts about (OCR garble, broken words, formatting damage,
-llm_verifier.py:117-136). The Ray-side shape is the point — a callable
-class whose __init__ builds the client and an in-actor response cache
-keyed by content hash, so repeated texts (duplicate crawl records) hit
-the cache instead of the backend:
+Two REAL deterministic backends ship here (the network-client slots
+stay absent — no network in this container):
+
+- "heuristic" (alias "mock"): a pattern scanner for the issue classes
+  the reference's verifier prompts about (OCR garble, broken words,
+  formatting damage, llm_verifier.py:117-136);
+- "ngram": a statistical character-bigram gibberish detector (the
+  reference's 'local' backend slot) flagging windows whose language-
+  model likelihood collapses — noise no fixed regex matches.
+
+The Ray-side shape is the point — a callable class whose __init__
+builds the backend and an in-actor response cache keyed by content
+hash, so repeated texts (duplicate crawl records) hit the cache
+instead of the backend:
 
     map_batches(VerifierActor, concurrency=(1, N), batch_size=B)
 
-Swap MockBackend for a real client to enable live verification; the
-cache and batch plumbing stay identical.
+Register a real network client in BACKENDS to enable live
+verification; the cache and batch plumbing stay identical.
 """
 
 from __future__ import annotations
@@ -86,14 +93,108 @@ class MockBackend:
         return issues, confidence
 
 
+_SEED_TEXT = (
+    "the quick brown fox jumps over the lazy dog while distributed systems "
+    "process large volumes of web data with careful memory management and "
+    "reliable streaming execution across many nodes every single day "
+    "people keep reading and writing about common things in ordinary "
+    "language because most words follow familiar letter patterns that "
+    "make them easy to read through from beginning to end without trouble "
+    "der schnelle braune fuchs springt über den faulen hund und verteilte "
+    "systeme verarbeiten große datenmengen zuverlässig jeden tag "
+    "le rapide renard brun saute par dessus le chien paresseux et les "
+    "systèmes distribués traitent de grands volumes de données chaque jour "
+    "el rápido zorro marrón salta sobre el perro perezoso y los sistemas "
+    "distribuidos procesan grandes volúmenes de datos todos los días"
+)
+
+
+class NgramBackend:
+    """Statistical gibberish detector — a second REAL backend next to
+    the pattern heuristics (reference 'local' backend slot,
+    llm_verifier.py:325-339): character-bigram log-likelihood against
+    a small in-module language model (the classic gibberish-detection
+    technique). The model trains once per actor from the embedded
+    multilingual seed text with add-one smoothing; windows whose mean
+    bigram log-probability falls below the threshold are flagged as
+    positional `statistical_garble` issues — catching OCR noise that
+    matches no fixed regex."""
+
+    name = "ngram"
+
+    def __init__(self, window: int = 40, threshold: float = -3.5) -> None:
+        import math
+        from collections import Counter
+
+        self.window = window
+        self.threshold = threshold
+        text = " ".join(_SEED_TEXT.lower().split())
+        counts = Counter(zip(text, text[1:]))
+        ctx = Counter(text[:-1])
+        vocab = len(set(text)) + 1
+        self._lp = {
+            pair: math.log((n + 1) / (ctx[pair[0]] + vocab)) for pair, n in counts.items()
+        }
+        self._default = {c: math.log(1 / (ctx[c] + vocab)) for c in ctx}
+        self._floor = math.log(1 / vocab)
+
+    def _window_score(self, w: str) -> float:
+        """Mean log-prob over LETTER-LETTER bigrams only — space
+        transitions carry almost no language signal and flatten the
+        normal-vs-garble separation if included."""
+        lp = self._lp
+        dflt = self._default
+        total = 0.0
+        n = 0
+        for pair in zip(w, w[1:]):
+            if " " in pair:
+                continue
+            total += lp.get(pair, dflt.get(pair[0], self._floor))
+            n += 1
+        return total / n if n else 0.0
+
+    def verify(self, text: str, max_issues: int = 10) -> tuple[list[dict], float]:
+        low = text.lower()
+        found: list[dict] = []
+        for start in range(0, max(1, len(low) - 1), self.window):
+            w = low[start : start + self.window]
+            # only score windows that are mostly letters (tables /
+            # numbers / CJK are out of the model's domain)
+            n_alpha = sum(1 for c in w if "a" <= c <= "z" or c in "äöüéèàáíóúñç ")
+            if len(w) < 12 or n_alpha < 0.7 * len(w):
+                continue
+            score = self._window_score(" ".join(w.split()))
+            if score < self.threshold:
+                found.append(
+                    {
+                        "type": "statistical_garble",
+                        "pos": start,
+                        "end": min(start + self.window, len(low)),
+                        "confidence": 0.7,
+                    }
+                )
+        issues = prioritize_issues(remove_overlapping_issues(found), max_issues)
+        confidence = max(0.0, 1.0 - 0.2 * len({i["type"] for i in issues}))
+        return issues, confidence
+
+
+# backend registry (reference llm_verifier.py:325-339 backend names:
+# mock/openai/anthropic/local — the network-client slots stay absent
+# in this container; both shipped backends are real deterministic
+# verifiers)
+BACKENDS = {"heuristic": MockBackend, "mock": MockBackend, "ngram": NgramBackend}
+
+
 class VerifierActor:
     """Stateful verification stage: backend client + response cache
     built once per actor (reference llm_verifier.py:104-147); the
     cache key is a content hash, so duplicate texts in the corpus are
     verified once per actor."""
 
-    def __init__(self, text_col: str = "extracted_text", id_col: str = "url") -> None:
-        self.backend = MockBackend()
+    def __init__(
+        self, text_col: str = "extracted_text", id_col: str = "url", backend: str = "heuristic"
+    ) -> None:
+        self.backend = BACKENDS[backend]()
         self.cache: dict[bytes, tuple[list[dict], float]] = {}
         self.hits = 0
         self.misses = 0
@@ -135,10 +236,11 @@ def verify_extractions(
     id_col: str = "url",
     concurrency: int = 8,
     batch_size: int = 64,
+    backend: str = "heuristic",
 ) -> ray.data.Dataset:
     return ds.map_batches(
         VerifierActor,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "backend": backend},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs

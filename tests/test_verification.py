@@ -234,3 +234,59 @@ def test_strip_hallucinations_opt_in(ray_session):
     out_off = Extractor(DEFAULT_CONFIG)(batch).column("extracted_text").to_pylist()[0]
     assert "**stars**" in out_off and "**stars**" not in out_on and "stars" in out_on
     del r_on
+
+
+def test_ngram_backend_separates_garble_from_language():
+    """The statistical backend (character-bigram LM) flags gibberish
+    windows in any corpus language's text without regex help, and
+    passes clean multilingual prose."""
+    from pdf_extractor_ray.ops.verifier import BACKENDS, NgramBackend
+
+    b = NgramBackend()
+    clean = {
+        "en": "the quick brown fox jumps over the lazy dog and keeps going through the field",
+        "de": "der schnelle braune fuchs springt über den faulen hund und verteilte systeme arbeiten",
+        "fr": "le rapide renard brun saute par dessus le chien paresseux et les systèmes traitent",
+    }
+    for lang, text in clean.items():
+        issues, conf = b.verify(text)
+        assert issues == [] and conf == 1.0, (lang, issues)
+    garble = "xq zk jw qx vb zx kq wj xz qv bz xk qw jz xv qb zk wx jq zv kx qz wb jx vq zx kw"
+    issues, conf = b.verify(garble)
+    assert len(issues) >= 1 and conf < 1.0
+    assert all(i["type"] == "statistical_garble" for i in issues)
+    # spans are positional and inside the text
+    assert all(0 <= i["pos"] < i["end"] <= len(garble) for i in issues)
+    # garble EMBEDDED in clean text is localized, not a whole-doc flag
+    mixed = clean["en"] + " " + garble + " " + clean["en"]
+    spans = b.verify(mixed)[0]
+    assert spans and all(i["pos"] >= 40 for i in spans)
+    # numeric / CJK windows are out of the model's domain -> never flagged
+    assert b.verify("12345 67890 " * 10)[0] == []
+    assert b.verify("日本語の文章は空白を含まない" * 8)[0] == []
+    # registry exposes both real backends + the mock alias
+    assert set(BACKENDS) == {"heuristic", "mock", "ngram"}
+
+
+def test_verify_extractions_backend_param(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.ops.verifier import verify_extractions
+
+    rows = pd.DataFrame(
+        {
+            "url": ["a", "b"],
+            "extracted_text": [
+                "perfectly ordinary readable sentence about the weather today and tomorrow",
+                "zx qv bk wj xq zk jw qx vb zx kq wj xz qv bz xk qw jz xv qb zk wx jq zv kx",
+            ],
+        }
+    )
+    out = (
+        verify_extractions(ray.data.from_pandas(rows), backend="ngram", concurrency=2)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out.n_issues.tolist()[0] == 0 and out.n_issues.tolist()[1] >= 1
+    assert "statistical_garble" in out.issues[1]
