@@ -6,6 +6,7 @@ does.
     python -m pdf_extractor_ray.cli extract -i pages.parquet -o /tmp/out
     python -m pdf_extractor_ray.cli stats   -i /tmp/out
     python -m pdf_extractor_ray.cli report  -i /tmp/out -o /tmp/report
+    python -m pdf_extractor_ray.cli verify  -i /tmp/out [--backend ngram]
     python -m pdf_extractor_ray.cli gen     -o /tmp/corpus -n 5000 [--fat 6]
 """
 
@@ -152,6 +153,60 @@ def cmd_gen(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verify(args: argparse.Namespace) -> int:
+    """Verification pass over an extracted corpus (reference ST3
+    surface): actor pool with the chosen backend, issue rollup by
+    type to stdout, optional per-url parquet sink."""
+    ray, owned = _ray_session(args.num_cpus)
+    try:
+        import ray.data
+
+        from pdf_extractor_ray.ops.verifier import verify_extractions
+
+        import pandas as pd
+
+        from pdf_extractor_ray.ops.relational import grouped_sum
+
+        ds = ray.data.read_parquet(args.input, file_extensions=["parquet"])
+        verified = verify_extractions(ds, backend=args.backend)
+        if args.output:
+            verified.write_parquet(args.output)
+            # re-read the sink for the rollup so verification runs once
+            verified = ray.data.read_parquet(args.output)
+
+        def explode_types(b: pd.DataFrame) -> pd.DataFrame:
+            # one row per issue occurrence plus one per doc: the rollup
+            # is a distributed grouped count, never a driver loop
+            docs = pd.DataFrame({"key": ["__docs__"] * len(b)})
+            flagged = pd.DataFrame({"key": ["__flagged__"] * int((b["n_issues"] > 0).sum())})
+            items = b["issues"].str.split(",").explode()
+            items = items[items != ""]
+            types = pd.DataFrame({"key": items.str.split("@").str[0]})
+            return pd.concat([docs, flagged, types], ignore_index=True)
+
+        counts = (
+            grouped_sum(verified.map_batches(explode_types, batch_format="pandas"), ["key"], [])
+            .to_pandas()
+            .set_index("key")["n"]
+        )
+        by_type = {k: int(v) for k, v in counts.items() if not k.startswith("__")}
+        print(
+            json.dumps(
+                {
+                    "backend": args.backend,
+                    "n_docs": int(counts.get("__docs__", 0)),
+                    "n_flagged": int(counts.get("__flagged__", 0)),
+                    "issues_by_type": dict(sorted(by_type.items())),
+                    "out": args.output or None,
+                }
+            )
+        )
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pdf_extractor_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -185,6 +240,13 @@ def main(argv: list[str] | None = None) -> int:
     gn.add_argument("--seed", type=int, default=42)
     gn.add_argument("--fat", type=int, default=1)
     gn.set_defaults(fn=cmd_gen)
+
+    vf = sub.add_parser("verify", help="verification pass over an extracted corpus (ST3)")
+    vf.add_argument("-i", "--input", required=True, help="extracted corpus dir")
+    vf.add_argument("-o", "--output", default="", help="optional per-url parquet sink dir")
+    vf.add_argument("--backend", choices=["heuristic", "ngram", "mock"], default="heuristic")
+    vf.add_argument("--num-cpus", type=int, default=0)
+    vf.set_defaults(fn=cmd_verify)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -57,3 +57,34 @@ def test_cli_gen_writes_fixture(tmp_path, capsys):
     assert cli.main(["gen", "-o", str(tmp_path / "g"), "-n", "30"]) == 0
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert os.path.exists(meta["pages"]) and os.path.exists(meta["golden"])
+
+
+def test_cli_verify(ray_session, tmp_path, capsys):
+    """`cli verify` rolls up issues by type via a distributed grouped
+    count and optionally sinks per-url rows to parquet."""
+    from pdf_extractor_ray import cli
+    from pdf_extractor_ray.fixtures.generator import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    pages, _ = write_corpus(corpus, 40, seed=9)
+    assert cli.main(["extract", "-i", pages, "-o", out]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["verify", "-i", out]) == 0
+    roll = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert roll["backend"] == "heuristic" and roll["n_docs"] > 0
+    assert roll["n_flagged"] >= 0 and isinstance(roll["issues_by_type"], dict)
+
+    sink = str(tmp_path / "verified")
+    assert cli.main(["verify", "-i", out, "--backend", "ngram", "-o", sink]) == 0
+    roll2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert roll2["backend"] == "ngram" and roll2["out"] == sink
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(sink, "*.parquet"))
+    assert files
+    cols = pq.read_schema(files[0]).names
+    assert {"url", "n_issues", "issues", "verifier_confidence"} <= set(cols)
