@@ -252,3 +252,124 @@ def embedding_neardup_exact(
     if out.empty:
         return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+
+def srp_neardup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 32,
+    block_rows: int = 2048,
+) -> pd.DataFrame:
+    """Cosine near-dup pairs via SIGNED-RANDOM-PROJECTION LSH (Charikar
+    2002 simhash-for-vectors — the canonical cosine-LSH) — the third
+    embedding near-dup variant next to the IVF-blocked approximation
+    and the exact all-pairs baseline:
+
+    1. project every vector onto n_bits shared random hyperplanes
+       (broadcast once via ray.put); the SIGN BIT pattern is the
+       signature — P(bit agrees) = 1 - angle/pi, so near-identical
+       vectors share whole bit-bands with high probability
+    2. band the signature (bands x n_bits/bands); rows sharing any
+       exact band key are candidates. Band keys are coarsened to
+       hash-mod-P shuffle partitions and each partition runs ONE
+       vectorized pandas pass (the dedup-LSH pattern — never one Ray
+       group per bucket)
+    3. candidates verify by TRUE cosine inside the partition (chunked
+       block tiles bound memory); pairs dedup across bands on the
+       driver (bounded by the near-dup count, like the IVF variant)
+
+    Vectors ride along in the band exchange (bands x vector traffic)
+    so verification needs no second shuffle; with 8 bands of 8 bits at
+    threshold 0.95 the per-pair recall is ~0.99. Deterministic for a
+    fixed seed. Returns (a, b, cos), a < b, sorted."""
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")}
+        )
+    d = len(first[0][vec_col])
+    bits_per_band = n_bits // bands
+    rng = np.random.default_rng(seed)
+    rref = ray.put(rng.standard_normal((d, n_bits)).astype(np.float32))
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "band_id": pd.Series(dtype="int64"),
+                    "band_key": pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="int64"),
+                    vec_col: pd.Series(dtype="object"),
+                    "_part": pd.Series(dtype="int64"),
+                }
+            )
+        r = _QUERY_CACHE.get(("srp", rref.hex()))
+        if r is None:
+            r = _QUERY_CACHE[("srp", rref.hex())] = ray.get(rref)
+        m = np.stack(batch[vec_col].to_numpy()).astype(np.float32)
+        bits = (m @ r) >= 0  # (n, n_bits); sign is norm-invariant
+        n = len(batch)
+        keys = (bits.reshape(n, bands, bits_per_band) * weights).sum(axis=2)  # (n, bands)
+        flat_keys = keys.reshape(-1)
+        mixed = pd.util.hash_array(
+            flat_keys * np.int64(bands) + np.tile(np.arange(bands, dtype=np.int64), n)
+        )
+        return pd.DataFrame(
+            {
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_key": flat_keys,
+                id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                vec_col: np.repeat(batch[vec_col].to_numpy(), bands),
+                "_part": (mixed % np.uint64(num_partitions)).astype(np.int64),
+            }
+        )
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")}
+        )
+        frames = []
+        for _, grp in g.groupby(["band_id", "band_key"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            m = _normalize_rows(np.stack(grp[vec_col].to_numpy()).astype(np.float64))
+            for i0 in range(0, len(m), block_rows):
+                i1 = min(i0 + block_rows, len(m))
+                s = m[i0:i1] @ m[i0:].T  # bounded tile, upper triangle
+                ii, jj = np.where(s >= threshold)
+                keep = (ii + i0) < (jj + i0)
+                ii, jj = ii[keep], jj[keep]
+                if len(ii) == 0:
+                    continue
+                ga, gb = ids[ii + i0], ids[jj + i0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "a": np.minimum(ga, gb),
+                            "b": np.maximum(ga, gb),
+                            "cos": s[ii, jj].astype(np.float64),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    out = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+        .to_pandas()  # bounded by the near-dup pair count (x bands)
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")}
+        )
+    out = out.drop_duplicates(["a", "b"])  # same pair from several bands
+    return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)

@@ -571,3 +571,36 @@ def test_hot_bucket_star_cap(ray_session):
     docs = pd.DataFrame({"doc_id": range(600), "text": ["same exact text here okay"] * 600})
     kept = minhash_dedup(ray.data.from_pandas(docs).repartition(4), threshold=0.8).to_pandas()
     assert len(kept) == 1 and kept.doc_id.iloc[0] == 0
+
+
+def test_srp_neardup_matches_exact_on_clusters(ray_session):
+    """Signed-random-projection LSH near-dup: every reported pair is a
+    TRUE pair (verified cosine), recall vs the exact all-pairs baseline
+    is high at tight thresholds, and the result is seed-deterministic."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import embedding_neardup_exact, srp_neardup_pairs
+
+    rng = np.random.RandomState(4)
+    base = rng.randn(12, 32)
+    vecs, ids = [], []
+    vid = 0
+    for i in range(12):
+        for j in range(3):  # 3 near-copies per cluster
+            v = base[i] + rng.randn(32) * 0.02
+            vecs.append((v / np.linalg.norm(v)).astype(np.float64).tolist())
+            ids.append(vid)
+            vid += 1
+    df = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    exact = embedding_neardup_exact(ds, threshold=0.98)
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    got = srp_neardup_pairs(ds, threshold=0.98, n_bits=64, bands=8)
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= exact_pairs  # no false positives: cosine verified
+    assert len(got_pairs) >= 0.8 * len(exact_pairs) > 0  # LSH recall
+    # deterministic for a fixed seed
+    again = srp_neardup_pairs(ds, threshold=0.98, n_bits=64, bands=8)
+    assert set(zip(again["a"], again["b"])) == got_pairs
+    assert (got["cos"] >= 0.98).all()
