@@ -942,7 +942,12 @@ def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
     (functions/media_codec.py)."""
     import pyarrow as pa
 
-    from pdf_extractor_ray.functions.media_codec import encode_bmp, encode_png, encode_wav
+    from pdf_extractor_ray.functions.media_codec import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_wav,
+    )
 
     docs = _read_pd(sf_dir, "documents", ["doc_id"]).head(200)
     ids = docs["doc_id"].tolist()
@@ -952,9 +957,13 @@ def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
             w, h = 16 + (i % 7) * 4, 12 + (i % 5) * 4
             img = np.zeros((h, w, 3), dtype=np.uint8)
             img[:, :, 0] = (np.arange(w)[None, :] * (3 + i % 11)) % 256
-            img[:, :, 1] = (np.arange(h)[:, None] * (5 + i % 13)) % 256
-            img[:, :, 2] = i % 256
-            payloads.append(encode_png(img) if i % 2 == 0 else encode_bmp(img))
+            if i % 3 == 2:  # GIF rows need a small palette (column bands only)
+                img[:, :, 1] = i % 256
+                payloads.append(encode_gif(img))
+            else:
+                img[:, :, 1] = (np.arange(h)[:, None] * (5 + i % 13)) % 256
+                img[:, :, 2] = i % 256
+                payloads.append(encode_png(img) if i % 2 == 0 else encode_bmp(img))
         else:
             rate = 8000
             dur = 0.05 + (i % 10) * 0.01

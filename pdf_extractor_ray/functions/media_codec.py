@@ -197,6 +197,177 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW — first frame)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at min_code_size+1, CLEAR resets the table, EOI ends."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> int:
+        nonlocal table
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        return min_code_size + 1
+
+    width = reset()
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                width = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:n_pixels])
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise UnsupportedMediaError("corrupt LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode_literals(indices: bytes, min_code_size: int) -> bytes:
+    """Minimal VALID LZW stream emitting every pixel as a literal code
+    (no compression) — tracks the decoder's table growth so code
+    widths stay in sync. Test/encoder-side helper."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    width = min_code_size + 1
+    put(clear, width)
+    next_code = eoi + 1
+    prev = False
+    for px in indices:
+        put(px, width)
+        if prev:  # decoder adds one table entry per code after the first
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = True
+    put(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a -> (H, W, 3) uint8 RGB (interlace
+    supported, transparency rendered as its palette color)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnsupportedMediaError("not a GIF")
+    if len(payload) < 14:
+        raise UnsupportedMediaError("truncated GIF header")
+    sw, sh, flags = struct.unpack("<HHB", payload[6:11])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 7))
+        gct = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+        pos += n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 7))
+                ct = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+                pos += n
+            if ct is None:
+                raise UnsupportedMediaError("GIF frame without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = np.frombuffer(_lzw_decode(bytes(data), min_code, w * h), np.uint8)
+            if len(idx) < w * h:
+                raise UnsupportedMediaError("GIF pixel data truncated")
+            grid = idx.reshape(h, w)
+            if iflags & 0x40:  # 4-pass interlace
+                de = np.empty_like(grid)
+                rows = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                de[rows] = grid
+                grid = de
+            return ct[np.minimum(grid, len(ct) - 1)]
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise UnsupportedMediaError(f"unknown GIF block 0x{b0:02x}")
+    raise UnsupportedMediaError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> single-frame GIF89a with an exact 256-color
+    palette built from the image's distinct colors (<= 256 required)
+    and a literal-code LZW stream."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    ct = np.zeros((1 << depth, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    min_code = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    stream = _lzw_encode_literals(inverse.astype(np.uint8).tobytes(), min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF PCM via stdlib wave)
 # ---------------------------------------------------------------------------
 
@@ -243,13 +414,15 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Route image bytes to a real decoder (PNG/BMP subset)."""
+    """Route image bytes to a real decoder (PNG/BMP/GIF subset)."""
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise UnsupportedMediaError(
-        "image decode implemented for PNG/BMP; JPEG/GIF need PIL (absent here)"
+        "image decode implemented for PNG/BMP/GIF; JPEG needs PIL (absent here)"
     )
 
 

@@ -156,3 +156,60 @@ def test_feature_kernels():
 
     r = resize_nearest(img, 4, 4)
     assert r.shape == (4, 4, 3)
+
+
+def test_gif_roundtrip_and_table_growth():
+    from pdf_extractor_ray.functions.media_codec import decode_gif, decode_image, encode_gif
+
+    img = np.zeros((10, 14, 3), dtype=np.uint8)
+    img[:, :7] = [200, 30, 30]
+    img[5:, 7:] = [30, 200, 30]
+    img[:5, 7:] = [30, 30, 200]
+    gif = encode_gif(img)
+    assert gif.startswith(b"GIF89a") and gif.endswith(b"\x3b")
+    assert (decode_gif(gif) == img).all()
+    assert (decode_image(gif) == img).all()
+    # 200 distinct colors: codes widen past the initial width and the
+    # decoder's table-growth tracking must stay in sync
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 255, (200, 3), dtype=np.uint8)
+    img2 = pal[rng.randint(0, 200, (30, 40))]
+    assert (decode_gif(encode_gif(img2)) == img2).all()
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8))
+
+
+def test_gif_interlaced_frame():
+    """Hand-build an interlaced GIF (pass order 0,8 / 4,8 / 2,4 / 1,2)
+    and check the decoder restores row order."""
+    from pdf_extractor_ray.functions.media_codec import _lzw_encode_literals, decode_gif
+
+    h, w = 11, 4
+    grid = np.arange(h * w, dtype=np.uint8).reshape(h, w) % 16
+    pal = np.stack([np.arange(16) * 16] * 3, axis=1).astype(np.uint8)
+    rows = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    stored = grid[rows]  # what an interlaced file stores
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)  # 16-color GCT
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+    out.append(4)
+    stream = _lzw_encode_literals(stored.reshape(-1).tobytes(), 4)
+    for i in range(0, len(stream), 255):
+        c = stream[i : i + 255]
+        out.append(len(c))
+        out += c
+    out += b"\x00\x3b"
+    back = decode_gif(bytes(out))
+    assert (back == pal[grid]).all()
+
+
+def test_gif_boundary_errors():
+    from pdf_extractor_ray.functions.media_codec import UnsupportedMediaError, decode_gif
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_gif(b"GIF89a")  # no frame
+    with pytest.raises(UnsupportedMediaError):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
