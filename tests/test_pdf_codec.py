@@ -216,3 +216,42 @@ def test_flatedecode_content_stream_parses():
     # but a DIFFERENT filter still falls outside the subset
     with pytest.raises(UnsupportedPdfError):
         parse_pdf_bytes(replaced.replace(b"/FlateDecode", b"/LZWDecode"))
+
+
+def test_roundtrip_property_hypothesis():
+    """Hypothesis sweep: any page of words from a mixed alphabet with
+    spec-expressible geometry roundtrips through genuine PDF bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("abcXYZ09*.:-日本語ü()\\"))
+    word_st = st.builds(
+        lambda text, size, ratio, x0, top, width: {
+            "text": text,
+            "x0": x0,
+            "x1": x0 + width,
+            "top": top,
+            "bottom": top + ratio * size,
+            "size": size,
+            "fontname": "F0",
+        },
+        text=st.text(alphabet, min_size=1, max_size=10),
+        size=st.sampled_from([6.0, 8.0, 10.0, 12.0]),
+        ratio=st.sampled_from([1.0, 1.2]),
+        x0=st.floats(0, 550).map(lambda v: round(v, 2)),
+        top=st.floats(0, 750).map(lambda v: round(v, 2)),
+        width=st.floats(1, 90).map(lambda v: round(v, 2)),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(word_st, min_size=0, max_size=15))
+    def prop(words):
+        pdf = pages_to_pdf_bytes([_page(words)])
+        back = parse_pdf_bytes(pdf)
+        got = back[0]["words"]
+        assert [w["text"] for w in got] == [w["text"] for w in words]
+        for o, g in zip(words, got):
+            for k in ("x0", "x1", "top", "bottom", "size"):
+                assert abs(g[k] - o[k]) < 5e-3, (k, o, g)
+
+    prop()
