@@ -1026,10 +1026,12 @@ def _training_data_pipeline(sf_dir: str) -> pd.DataFrame:
     def gate(b: pd.DataFrame) -> pd.DataFrame:
         ok = ((b["error"].isna()) | (b["error"] == "")) & (b["quality_score"] >= 50.0)
         b = b.loc[ok]
+        # gopher_signals rows align positionally with the input rows
+        # (safe for this PRE-dedup stream where a url can repeat)
         sig = gopher_signals(
             b.rename(columns={"url": "doc_id", "extracted_text": "text"}), text_col="text"
         )
-        keep = sig.set_index("doc_id")["keep"].reindex(b["url"]).fillna(False).to_numpy()
+        keep = sig["keep"].to_numpy()
         # the Gopher rules are Latin-script-centric (whitespace words,
         # ASCII-letter fraction): gate ja docs on content length
         # instead, the per-language routing production pipelines use

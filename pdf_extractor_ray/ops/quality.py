@@ -37,8 +37,13 @@ MIN_STOP_HITS = 2     # total stopword occurrences
 
 def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Vectorized per-doc quality signals: whitespace word count, mean
-    word length, alphabetic-word fraction, stopword hits, keep flag."""
-    toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+    word length, alphabetic-word fraction, stopword hits, keep flag.
+    Output rows align 1:1 (positionally) with the input batch —
+    grouping is by ROW, not by doc_id, so a pre-dedup batch carrying
+    the same id twice scores each copy independently instead of
+    merging their token streams."""
+    b = batch.reset_index(drop=True)
+    toks = b[text_col].str.split().explode().dropna()
     toks = toks[toks != ""]
     n_words = toks.groupby(level=0).size()
     mean_wl = toks.str.len().groupby(level=0).sum() / n_words
@@ -46,7 +51,7 @@ def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     alpha_frac = alpha.groupby(level=0).sum() / n_words
     stop_hits = toks.str.lower().isin(STOP_WORDS).groupby(level=0).sum()
 
-    out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()}).set_index("doc_id")
+    out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy()})
     out["n_words"] = n_words.reindex(out.index).fillna(0).astype("int64")
     out["mean_word_len"] = mean_wl.reindex(out.index).fillna(0.0).astype("float64")
     out["alpha_frac"] = alpha_frac.reindex(out.index).fillna(0.0).astype("float64")
@@ -57,7 +62,7 @@ def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         & (out["alpha_frac"] >= MIN_ALPHA_FRAC)
         & (out["n_stop_hits"] >= MIN_STOP_HITS)
     ).astype("bool")
-    return out.reset_index()
+    return out
 
 
 def gopher_quality(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:

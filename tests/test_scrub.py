@@ -231,3 +231,18 @@ def test_gopher_quality_signals(ray_session):
     assert sig.n_words.dtype == "int64" and sig.mean_word_len.dtype == "float64"
     kept = gopher_filter(ds).to_pandas()
     assert kept.doc_id.tolist() == [0]
+
+
+def test_gopher_signals_duplicate_ids_score_independently():
+    """A pre-dedup batch can carry the same id twice; each copy must
+    score on ITS OWN tokens — the r3 bug merged duplicate ids' token
+    streams and doubled n_words (enough to flip keep verdicts near the
+    word-count threshold)."""
+    from pdf_extractor_ray.ops.quality import gopher_signals
+
+    short = "the and of to that with have be " * 3  # 24 words: under MIN_WORDS
+    b = pd.DataFrame({"doc_id": ["u1", "u2", "u1"], "text": [short, short, short]})
+    sig = gopher_signals(b)
+    assert sig["n_words"].tolist() == [24, 24, 24]  # NOT 48 for the dup id
+    assert sig["keep"].tolist() == [False, False, False]
+    assert sig["doc_id"].tolist() == ["u1", "u2", "u1"]  # positional alignment
