@@ -943,13 +943,15 @@ def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
     import pyarrow as pa
 
     from pdf_extractor_ray.functions.media_codec import (
+        encode_avi,
         encode_bmp,
         encode_gif,
         encode_png,
         encode_wav,
     )
 
-    docs = _read_pd(sf_dir, "documents", ["doc_id"]).head(200)
+    n_rows = 60 if kind == "video" else 200  # video blobs are the fattest
+    docs = _read_pd(sf_dir, "documents", ["doc_id"]).head(n_rows)
     ids = docs["doc_id"].tolist()
     payloads = []
     for i in ids:
@@ -964,6 +966,15 @@ def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
                 img[:, :, 1] = (np.arange(h)[:, None] * (5 + i % 13)) % 256
                 img[:, :, 2] = i % 256
                 payloads.append(encode_png(img) if i % 2 == 0 else encode_bmp(img))
+        elif kind == "video":
+            w, h, nf = 16, 12, 6 + (i % 5)
+            frames = []
+            for f in range(nf):
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = (np.arange(w)[None, :] * (2 + f)) % 256
+                img[:, :, 1] = (i + f) % 256
+                frames.append(img)
+            payloads.append(encode_avi(frames, fps=8.0))
         else:
             rate = 8000
             dur = 0.05 + (i % 10) * 0.01
@@ -985,14 +996,21 @@ def _multimodal_featurize(sf_dir: str) -> pd.DataFrame:
     outputs are tagged and unioned so both stay driver-checked under
     the 50-query correctness cap; a decode failure would surface in
     the error column (asserted empty here)."""
-    from pdf_extractor_ray.ops.multimodal import featurize_audio, featurize_images
+    from pdf_extractor_ray.ops.multimodal import (
+        featurize_audio,
+        featurize_images,
+        featurize_videos,
+    )
 
     img = featurize_images(_media_table(sf_dir, "image")).drop_columns(["feature"]).to_pandas()
     img.insert(1, "kind", "image")
     aud = featurize_audio(_media_table(sf_dir, "audio")).drop_columns(["feature"]).to_pandas()
     aud.insert(1, "kind", "audio")
-    assert img["error"].isna().all() and aud["error"].isna().all(), "real decode failed"
-    out = pd.concat([img, aud], ignore_index=True, sort=True)
+    vid = featurize_videos(_media_table(sf_dir, "video")).drop_columns(["feature"]).to_pandas()
+    vid.insert(1, "kind", "video")
+    for part in (img, aud, vid):
+        assert part["error"].isna().all(), "real decode failed"
+    out = pd.concat([img, aud, vid], ignore_index=True, sort=True)
     return out.sort_values(["kind", "media_id"]).reset_index(drop=True)
 
 

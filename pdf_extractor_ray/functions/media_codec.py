@@ -409,6 +409,107 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF, uncompressed '00db' DIB frames) — real video frame access
+# ---------------------------------------------------------------------------
+
+
+def _avi_chunks(payload: bytes):
+    """Yield (fourcc, offset, size) for every chunk, descending into
+    RIFF/LIST containers (RIFF spec: chunks are word-aligned)."""
+    stack = [(12, len(payload))]  # skip 'RIFF' size 'AVI '
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if fourcc == b"LIST":
+                stack.append((pos + 8 + size + (size & 1), end))
+                stack.append((pos + 12, pos + 8 + size))  # inside, past list type
+                break
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size & 1)
+        else:
+            continue
+
+
+def decode_avi(
+    payload: bytes, frame_indices: list[int] | None = None
+) -> tuple[list[np.ndarray], float, int]:
+    """Uncompressed AVI -> (sampled RGB frames, fps, total_frames).
+    Only the REQUESTED frames decode (frame sampling never touches the
+    rest of the byte stream); '00dc' compressed streams are outside
+    the subset."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not an AVI")
+    w = h = None
+    usec_per_frame = 0
+    frames: list[tuple[int, int]] = []
+    for fourcc, off, size in _avi_chunks(payload):
+        if fourcc == b"avih":
+            usec_per_frame, _mbps, _pad, _flags, _total = struct.unpack(
+                "<IIIII", payload[off : off + 20]
+            )
+            w, h = struct.unpack("<II", payload[off + 32 : off + 40])
+        elif fourcc[2:] == b"db":
+            frames.append((off, size))
+        elif fourcc[2:] == b"dc":
+            raise UnsupportedMediaError("compressed AVI stream (00dc) needs ffmpeg")
+    if w is None or not frames:
+        raise UnsupportedMediaError("AVI missing avih header or frames")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    stride = (w * 3 + 3) & ~3
+    wanted = range(len(frames)) if frame_indices is None else frame_indices
+    out = []
+    for i in wanted:
+        if not 0 <= i < len(frames):
+            continue
+        off, size = frames[i]
+        if size < stride * h:
+            raise UnsupportedMediaError("AVI frame truncated")
+        rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # bottom-up DIB
+        out.append(bgr[:, :, ::-1].copy())  # BGR -> RGB
+    return out, fps, len(frames)
+
+
+def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """(H, W, 3) uint8 RGB frames -> minimal uncompressed AVI (avih +
+    vids/DIB stream headers + movi list of 00db chunks)."""
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+
+    def dib(img: np.ndarray) -> bytes:
+        bgr = img[:, :, ::-1]
+        return b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+
+    frame_bytes = [dib(f) for f in frames]
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(1e6 / fps), stride * h * int(fps), 0, 0x10, len(frames), 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, int(fps), 0, len(frames),
+        stride * h, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + list_type + body
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
+# ---------------------------------------------------------------------------
 # Routing + real feature kernels
 # ---------------------------------------------------------------------------
 

@@ -213,3 +213,25 @@ def test_gif_boundary_errors():
         decode_gif(b"GIF89a")  # no frame
     with pytest.raises(UnsupportedMediaError):
         decode_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_avi_roundtrip_and_selective_decode():
+    from pdf_extractor_ray.functions.media_codec import decode_avi, encode_avi
+
+    rng = np.random.RandomState(1)
+    frames = [rng.randint(0, 255, (10, 14, 3), dtype=np.uint8) for _ in range(7)]
+    avi = encode_avi(frames, fps=5.0)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    got, fps, total = decode_avi(avi)
+    assert total == 7 and abs(fps - 5.0) < 1e-6
+    assert all((a == b).all() for a, b in zip(got, frames))
+    # frame sampling decodes ONLY the requested indices
+    sampled, _, _ = decode_avi(avi, frame_indices=[0, 3, 6])
+    assert len(sampled) == 3 and (sampled[1] == frames[3]).all()
+    # metadata-only pass: no frames decoded
+    none, fps2, total2 = decode_avi(avi, frame_indices=[])
+    assert none == [] and total2 == 7
+    with pytest.raises(UnsupportedMediaError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(UnsupportedMediaError):
+        decode_avi(avi.replace(b"00db", b"00dc"))  # compressed stream

@@ -604,3 +604,26 @@ def test_srp_neardup_matches_exact_on_clusters(ray_session):
     again = srp_neardup_pairs(ds, threshold=0.98, n_bits=64, bands=8)
     assert set(zip(again["a"], again["b"])) == got_pairs
     assert (got["cos"] >= 0.98).all()
+
+
+def test_video_featurize_real_avi(ray_session):
+    import ray.data
+
+    from pdf_extractor_ray.functions.media_codec import encode_avi
+    from pdf_extractor_ray.ops.multimodal import featurize_videos
+
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 255, (12, 16, 3), dtype=np.uint8) for _ in range(9)]
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([encode_avi(frames, fps=8.0), b"not a video"], pa.binary()),
+        }
+    )
+    out = featurize_videos(ray.data.from_arrow(tbl), every=4).to_pandas().sort_values("media_id")
+    ok = out.iloc[0]
+    assert ok["format"] == "avi" and ok["error"] is None
+    assert (ok["n_frames"], ok["n_sampled"]) == (9, 3)  # frames 0,4,8
+    assert (ok["width"], ok["height"]) == (16, 12) and abs(ok["fps"] - 8.0) < 1e-5
+    assert abs(np.linalg.norm(np.asarray(ok["feature"])) - 1.0) < 1e-5
+    assert out.iloc[1]["error"] is not None
