@@ -285,7 +285,12 @@ def _stream_of(body: bytes) -> bytes | None:
         start += 2
     elif body[start : start + 1] == b"\n":
         start += 1
-    m = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[:i])
+    # (?![0-9]) pins the capture to the full integer so backtracking
+    # cannot shorten it to defeat the indirect-reference lookahead:
+    # without it, "/Length 10 0 R" matches with Length=1 (the engine
+    # drops the trailing '0' until the lookahead passes) and truncates
+    # the stream to 1 byte — a silent wrong parse.
+    m = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", body[:i])
     if m:
         return body[start : start + int(m.group(1))]
     j = body.find(b"endstream")
@@ -481,24 +486,36 @@ def _parse_content(
     size = 0.0
     tz = 100.0
     tm: tuple[float, ...] | None = None
+    # current path = list of subpaths; materialized ONLY by a paint
+    # operator (§8.5.3) — 'n' (no-op terminator, e.g. after W clipping
+    # setup) and an unpainted trailing path are DISCARDED, so clipping
+    # rectangles never become phantom ruling lines downstream.
+    subpaths: list[list[tuple[float, float]]] = []
     path: list[tuple[float, float]] = []
-    pending: list[dict] = []  # segments/rects awaiting a paint op
+    pending: list[dict] = []  # rects awaiting a paint op
+
+    def clear_path() -> None:
+        nonlocal path
+        subpaths.clear()
+        path = []
+        pending.clear()
 
     def flush_paint() -> None:
         nonlocal path
-        for a, b in zip(path, path[1:]):
-            lines.append(
-                {
-                    "x0": a[0],
-                    "x1": b[0],
-                    "top": page_h - max(a[1], b[1]),
-                    "bottom": page_h - min(a[1], b[1]),
-                }
-            )
-        path = []
-        for r in pending:
-            rects.append(r)
-        pending.clear()
+        if path:
+            subpaths.append(path)
+        for sp in subpaths:
+            for a, b in zip(sp, sp[1:]):
+                lines.append(
+                    {
+                        "x0": a[0],
+                        "x1": b[0],
+                        "top": page_h - max(a[1], b[1]),
+                        "bottom": page_h - min(a[1], b[1]),
+                    }
+                )
+        rects.extend(pending)
+        clear_path()
 
     for tok in _TOKEN_RE.finditer(content):
         hex_s, num, name, delim, lit, op = tok.groups()
@@ -535,7 +552,8 @@ def _parse_content(
                     _word_from_state(fm, size, tz, tm, strs[-1], font_name, page_h)
                 )
             elif o == "m":
-                flush_paint() if path else None
+                if path:
+                    subpaths.append(path)
                 path = [(vals[-2], vals[-1])]
             elif o == "l":
                 path.append((vals[-2], vals[-1]))
@@ -544,14 +562,16 @@ def _parse_content(
                 pending.append(
                     {"x0": x, "x1": x + w_, "top": page_h - (y + h_), "bottom": page_h - y}
                 )
-            elif o in ("S", "s", "f", "F", "B", "b", "n"):
+            elif o in ("S", "s", "f", "F", "B", "b"):
                 flush_paint()
+            elif o == "n":  # end path WITHOUT painting (clip setup)
+                clear_path()
             elif o in ("BT", "ET", "q", "Q", "w", "W"):
                 pass
             else:
                 raise UnsupportedPdfError(f"unsupported content operator {o!r}")
             operands = []
-    flush_paint()
+    clear_path()  # trailing unpainted path is never materialized
     return words, lines, rects
 
 

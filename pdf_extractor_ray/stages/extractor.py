@@ -103,10 +103,17 @@ class Extractor:
                     import hashlib as _hashlib
                     import os as _os
 
-                    # key includes the config: remediation re-extracts
+                    # key includes the config (remediation re-extracts
                     # with altered thresholds and must not reuse pages
-                    # journaled under the default ladder
-                    tag = _hashlib.sha1(f"{url}\x1f{cfg!r}".encode("utf-8")).hexdigest()[:16]
+                    # journaled under the default ladder) AND a payload
+                    # digest: two rows with the same url but different
+                    # content (a recrawl at another warc_ts) must not
+                    # share a sidecar, or a retry could resume from the
+                    # other payload's journaled pages
+                    body = _hashlib.sha1(payload).hexdigest()
+                    tag = _hashlib.sha1(
+                        f"{url}\x1f{body}\x1f{cfg!r}".encode("utf-8")
+                    ).hexdigest()[:16]
                     res = extract_pdf_pages_checkpointed(
                         pages, _os.path.join(self.ckpt_dir, f"{tag}.pages.jsonl"), self.pats, cfg
                     )

@@ -255,3 +255,62 @@ def test_roundtrip_property_hypothesis():
                 assert abs(g[k] - o[k]) < 5e-3, (k, o, g)
 
     prop()
+
+
+def _splice_content(pdf: bytes, new_content: bytes, new_dict: bytes | None = None) -> bytes:
+    """Replace the first content stream (and optionally its dict) in
+    writer output — builds foreign-shaped PDFs for parser tests."""
+    import re
+
+    m = re.search(rb"(<< /Length \d+ >>)\nstream\n(.*?)\nendstream", pdf, re.S)
+    assert m, "writer layout changed"
+    d = new_dict if new_dict is not None else b"<< /Length %d >>" % len(new_content)
+    return pdf.replace(
+        m.group(0), d + b"\nstream\n" + new_content + b"\nendstream"
+    )
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    """ADVICE r3: '/Length 10 0 R' used to backtrack-match as Length=1
+    and truncate the stream to one byte — a silently EMPTY page. The
+    indirect form must take the endstream-scan fallback and parse the
+    full content."""
+    plain = pages_to_pdf_bytes([_page([_word("Hello", 72.0, 20.0), _word("World", 120.0, 20.0)])])
+    import re
+
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", plain, re.S)
+    spliced = _splice_content(plain, m.group(2), b"<< /Length 10 0 R >>")
+    back = parse_pdf_bytes(spliced)
+    assert [w["text"] for w in back[0]["words"]] == ["Hello", "World"]
+
+
+def test_unpainted_paths_emit_no_lines():
+    """ADVICE r3: clipping setup (W n) and trailing unpainted paths
+    must NOT materialize ruling lines; multiple subpaths painted by one
+    S all must."""
+    base = pages_to_pdf_bytes([_page([_word("Hi", 72.0, 20.0)])])
+    import re
+
+    m = re.search(rb"stream\n(.*?)\nendstream", base, re.S)
+    word_ops = m.group(1)
+
+    # clip rectangle path ended by W n -> no lines, no rects
+    clip = b"72 700 m 200 700 l 200 600 l W n\n" + word_ops
+    page = parse_pdf_bytes(_splice_content(base, clip))[0]
+    assert page["lines"] == [] and page["rects"] == []
+    assert [w["text"] for w in page["words"]] == ["Hi"]
+
+    # trailing unpainted path -> discarded
+    tail = word_ops + b"\n72 700 m 200 700 l"
+    page = parse_pdf_bytes(_splice_content(base, tail))[0]
+    assert page["lines"] == []
+
+    # unpainted 're' ended by n -> discarded too
+    clip_re = b"10 10 100 50 re n\n" + word_ops
+    page = parse_pdf_bytes(_splice_content(base, clip_re))[0]
+    assert page["rects"] == []
+
+    # two subpaths painted by ONE S both materialize
+    multi = word_ops + b"\n0 0 m 10 0 l 20 20 m 30 20 l S"
+    page = parse_pdf_bytes(_splice_content(base, multi))[0]
+    assert len(page["lines"]) == 2

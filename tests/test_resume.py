@@ -233,3 +233,76 @@ def test_page_checkpoint_wired_through_pipeline(ray_session, tmp_path):
     assert text_of(out_ckpt) == text_of(out_plain)
     assert os.path.isdir(os.path.join(out_ckpt, "_pageckpt"))
     assert os.listdir(os.path.join(out_ckpt, "_pageckpt")) == []  # cleaned on success
+
+
+def test_page_checkpoint_torn_tail_crash_consistency(tmp_path):
+    """Property: truncating the sidecar at ANY byte offset (a kill mid-
+    append tears the tail line) still finalizes the doc byte-identically
+    — journaled whole lines are reused, the torn tail is re-extracted."""
+    import pdf_extractor_ray.functions.pdf_words as pw
+
+    pages = _many_page_doc(12)
+    want = pw.extract_pdf_pages(pages)
+    ckpt = str(tmp_path / "doc.pages.jsonl")
+
+    # produce a complete sidecar by killing the run at the very end
+    class Bomb(RuntimeError):
+        pass
+
+    real_finalize = pw._finalize_doc
+
+    def exploding_finalize(*a, **kw):
+        raise Bomb()
+
+    pw._finalize_doc = exploding_finalize
+    try:
+        try:
+            pw.extract_pdf_pages_checkpointed(pages, ckpt)
+        except Bomb:
+            pass
+    finally:
+        pw._finalize_doc = real_finalize
+    full = open(ckpt, "rb").read()
+    assert full.count(b"\n") == 12
+
+    # 17 truncation offsets across the file, incl. 0 and len-1
+    offsets = sorted({0, len(full) - 1, *(len(full) * i // 15 for i in range(1, 15))})
+    for off in offsets:
+        with open(ckpt, "wb") as f:
+            f.write(full[:off])
+        got = pw.extract_pdf_pages_checkpointed(pages, ckpt)
+        assert got == want, f"diverged after truncation at byte {off}"
+        assert not os.path.exists(ckpt)  # removed on success
+
+
+def test_page_checkpoint_key_includes_payload_digest(tmp_path, monkeypatch):
+    """ADVICE r3: two rows with the same url but DIFFERENT payloads (a
+    recrawl at another warc_ts) must not share a sidecar — the tag now
+    hashes the payload too, so a retry can never resume from another
+    payload's journaled pages."""
+    from pdf_extractor_ray.fixtures.generator import _lay_line
+    from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes
+    from pdf_extractor_ray.stages.extractor import Extractor
+    import pdf_extractor_ray.functions.pdf_words as pw
+
+    def doc(tagline):
+        return pages_to_pdf_bytes(
+            [{"width": 612.0, "height": 792.0, "words": _lay_line(tagline, 110.0, 72.0, False)}]
+        )
+
+    seen = []
+    real = pw.extract_pdf_pages_checkpointed
+
+    def spying(pages, ckpt_path, *a, **kw):
+        seen.append(ckpt_path)
+        return real(pages, ckpt_path, *a, **kw)
+
+    monkeypatch.setattr(pw, "extract_pdf_pages_checkpointed", spying)
+    cfg = DEFAULT_CONFIG.with_overrides(page_ckpt_bytes=1)
+    ex = Extractor(cfg, ckpt_dir=str(tmp_path))
+    ex.extract_one(doc("crawl one body"), url="https://x.example/same")
+    ex.extract_one(doc("recrawl two body"), url="https://x.example/same")
+    ex.extract_one(doc("crawl one body"), url="https://x.example/same")
+    assert len(seen) == 3
+    assert seen[0] != seen[1], "same url, different payload must use distinct sidecars"
+    assert seen[0] == seen[2], "same url+payload must reuse the same sidecar key"
