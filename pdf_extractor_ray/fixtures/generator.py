@@ -296,9 +296,12 @@ def _tpl_pdf(
 
     encoding="pdf" serializes the pages as a GENUINE %PDF-1.4 binary
     (functions/pdf_codec.py — uncompressed content streams, Tj/Tm text
-    operators, real xref); encoding="fixture-json" keeps the legacy
-    %PDF-FIXTURE JSON payload so both router branches stay corpus-
-    tested. The extracted text is identical either way (same pages)."""
+    operators, real xref); encoding="pdf15" emits the modern %PDF-1.5
+    layout (ObjStm + XRef stream, Flate content, ISO 32000 §7.5.7-8)
+    and "pdf15p" the same with a PNG-predicted xref stream;
+    encoding="fixture-json" keeps the legacy %PDF-FIXTURE JSON payload
+    so every router branch stays corpus-tested. The extracted text is
+    identical in all encodings (same pages)."""
     jp = lang == "ja"
     n_pages = rng.randint(2, 3)
     header = "ACMEREPORT"  # single word, top zone, every page -> dropped
@@ -393,6 +396,10 @@ def _tpl_pdf(
     n_pages += 1
     if encoding == "pdf":
         payload = pages_to_pdf_bytes(pages)
+    elif encoding == "pdf15":
+        payload = pages_to_pdf_bytes(pages, pdf15=True)
+    elif encoding == "pdf15p":
+        payload = pages_to_pdf_bytes(pages, pdf15=True, xref_predictor=True)
     else:
         payload = FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False, sort_keys=True).encode("utf-8")
     golden = "\n\n".join(golden_pages)
@@ -434,11 +441,13 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
         lang = lang_cycle[i]
         roll = rng.random()
         if roll < 0.10:
-            # genuine %PDF-1.4 binaries by default; every 5th PDF doc
-            # keeps the legacy %PDF-FIXTURE JSON encoding so both
-            # router branches stay corpus-tested (same pages -> same
-            # golden either way).
-            enc = "fixture-json" if n_pdf_docs % 5 == 4 else "pdf"
+            # genuine PDF binaries by default, rotating through the
+            # writer's encodings — classic 1.4, modern 1.5 (ObjStm +
+            # XRef stream), 1.5 with PNG-predicted xref — with every
+            # 5th PDF doc keeping the legacy %PDF-FIXTURE JSON encoding
+            # so every router branch stays corpus-tested (same pages ->
+            # same golden in all encodings).
+            enc = ("pdf", "pdf15", "pdf15p", "pdf", "fixture-json")[n_pdf_docs % 5]
             n_pdf_docs += 1
             payload, golden, n_blocks, visible = _tpl_pdf(rng, lang, fat, encoding=enc)
             add(i, lang, payload, golden, n_blocks, visible)

@@ -38,18 +38,24 @@ Glyph-box math (both directions, straight from the spec):
   Identity-H CID encoding (§9.7.5.2), which also covers the corpus's
   Japanese text with zero escaping concerns.
 
-Feature boundary: ``/FlateDecode`` content streams inflate via zlib
-(the overwhelmingly common wild-PDF encoding); anything further —
-other filters, filter chains, encryption, xref/object streams
-(PDF 1.5+), operators outside the emitted subset — raises
+Feature boundary: ``/FlateDecode`` streams inflate via zlib (the
+overwhelmingly common wild-PDF encoding), including PNG-predicted
+streams (``/DecodeParms /Predictor 10-15``, §7.4.4.4 — near-universal
+on xref streams in the wild). PDF 1.5+ structure is supported
+(§7.5.7-7.5.8): ``/Type /XRef`` cross-reference streams (W-array typed
+entries, ``/Prev`` chains) are decoded as the primary object locator,
+and ``/Type /ObjStm`` compressed object containers are expanded so
+their member objects resolve like direct ones; the writer's
+``pdf15=True`` mode emits exactly that layout so the path is
+round-trip-tested. Anything further — other filters, filter chains,
+encryption, operators outside the emitted subset — raises
 ``UnsupportedPdfError`` so the caller can fall through to the
 pdfplumber gate (functions/pdf_words.py extract_pdf_bytes). Honest
 about what this tokenizer is: a reader for (optionally deflated)
-Tj-style PDFs, not a general PDF renderer. One known soft spot: the
-object scanner keys on the ``endobj`` keyword, so compressed data
-that happens to contain those bytes truncates the object — zlib then
-fails and the payload degrades to the same UnsupportedPdfError path,
-never a wrong parse.
+Tj-style PDFs, not a general PDF renderer. The object scanner is
+stream-aware: each stream's extent is sliced by its declared
+``/Length`` before looking for ``endobj``, so compressed bytes that
+happen to contain that keyword no longer truncate the object.
 """
 
 from __future__ import annotations
@@ -188,8 +194,18 @@ def _font_objects(first_num: int) -> tuple[list[bytes], dict[str, int]]:
     return objs, refs
 
 
-def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
-    """Serialize page dicts into a genuine %PDF-1.4 byte stream.
+def pages_to_pdf_bytes(pages: list[dict], *, pdf15: bool = False, xref_predictor: bool = False) -> bytes:
+    """Serialize page dicts into a genuine PDF byte stream.
+
+    Default: ``%PDF-1.4`` — uncompressed content streams, classic
+    ``xref`` table + trailer. ``pdf15=True``: ``%PDF-1.5`` modern
+    layout (ISO 32000-1 §7.5.7-7.5.8) — every non-stream object
+    (catalog, pages tree, fonts, page dicts) packed into ONE
+    ``/Type /ObjStm`` compressed container, ``/FlateDecode`` content
+    streams, and a ``/Type /XRef`` cross-reference STREAM with W-array
+    typed entries instead of a trailer; ``xref_predictor=True``
+    additionally encodes the xref entries with PNG Up predictor 12
+    (``/DecodeParms``), the wild-PDF norm.
 
     Refuses pages carrying pre-detected ``tables``/``boxes`` hints —
     real PDFs have no hint channel; draw ruling lines / border rects
@@ -210,6 +226,7 @@ def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
     bodies: list[bytes] = [b"", b""]  # placeholders for 1 and 2
     bodies.extend(font_objs)
     kids: list[int] = []
+    content_nums: set[int] = set()
     for i, page in enumerate(pages):
         page_num = first_page_num + 2 * i
         content = _page_content(page)
@@ -221,14 +238,28 @@ def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
                 f"/Contents {page_num + 1} 0 R >>"
             ).encode()
         )
-        bodies.append(
-            f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
-        )
+        content_nums.add(page_num + 1)
+        if pdf15:
+            import zlib
+
+            comp = zlib.compress(content)
+            bodies.append(
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            bodies.append(
+                f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
+            )
     bodies[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
     bodies[1] = (
         f"<< /Type /Pages /Kids [{' '.join(f'{k} 0 R' for k in kids)}] "
         f"/Count {len(kids)} >>"
     ).encode()
+
+    if pdf15:
+        return _emit_pdf15(bodies, content_nums, xref_predictor)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: list[int] = []
@@ -246,12 +277,86 @@ def pages_to_pdf_bytes(pages: list[dict]) -> bytes:
     return bytes(out)
 
 
+def _emit_pdf15(bodies: list[bytes], content_nums: set[int], xref_predictor: bool) -> bytes:
+    """Emit the modern (§7.5.7-7.5.8) file layout: non-stream objects
+    in one ObjStm, direct content-stream objects, and an XRef stream
+    (W = [1 4 2]: 1-byte type, 4-byte offset/container, 2-byte
+    gen/index) as the only cross-reference — no classic trailer."""
+    import zlib
+
+    objstm_num = len(bodies) + 1
+    xref_num = len(bodies) + 2
+    members = [n for n in range(1, len(bodies) + 1) if n not in content_nums]
+
+    header_parts: list[str] = []
+    data_parts: list[bytes] = []
+    cur = 0
+    member_index: dict[int, int] = {}
+    for idx, n in enumerate(members):
+        member_index[n] = idx
+        header_parts.append(f"{n} {cur}")
+        data_parts.append(bodies[n - 1] + b"\n")
+        cur += len(bodies[n - 1]) + 1
+    header = (" ".join(header_parts) + "\n").encode()
+    stm_plain = header + b"".join(data_parts)
+    stm_comp = zlib.compress(stm_plain)
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(members)} /First {len(header)} "
+        f"/Length {len(stm_comp)} /Filter /FlateDecode >>\nstream\n".encode()
+        + stm_comp
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for n in sorted(content_nums):
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + bodies[n - 1] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+    xref_at = len(out)
+
+    size = xref_num + 1
+    rows: list[bytes] = []
+    for n in range(size):
+        if n == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big"))
+        elif n in member_index:
+            rows.append(b"\x02" + objstm_num.to_bytes(4, "big") + member_index[n].to_bytes(2, "big"))
+        elif n == xref_num:
+            rows.append(b"\x01" + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+        else:
+            rows.append(b"\x01" + offsets[n].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    parms = ""
+    if xref_predictor:
+        row_w = 7
+        enc = bytearray()
+        prev = bytes(row_w)
+        for row in rows:  # PNG Up (tag 2) per row: delta against previous row
+            enc += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(row_w))
+            prev = row
+        xref_data = zlib.compress(bytes(enc))
+        parms = f"/DecodeParms << /Predictor 12 /Columns {row_w} >> "
+    else:
+        xref_data = zlib.compress(b"".join(rows))
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"{parms}/Length {len(xref_data)} /Filter /FlateDecode >>\nstream\n".encode()
+        + xref_data
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+# pinned-integer /Length (see _stream_of for the backtracking trap)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _NUM_RE = re.compile(rb"/(\w+)\s+(-?[\d.]+)")
 _TOKEN_RE = re.compile(
     rb"<([0-9A-Fa-f\s]*)>"      # hex string
@@ -263,12 +368,160 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _object_map(payload: bytes) -> dict[int, bytes]:
+def _object_end(payload: bytes, body_start: int) -> int:
+    """End offset (start of ``endobj``) of the object whose body starts
+    at ``body_start``. Stream-aware: a stream's extent is sliced by its
+    declared /Length first, so stream bytes containing ``endobj`` or
+    ``stream`` keywords can't truncate the object."""
+    e = payload.find(b"endobj", body_start)
+    s = payload.find(b"stream", body_start)
+    if s != -1 and (e == -1 or s < e):
+        data_start = s + len(b"stream")
+        if payload[data_start : data_start + 2] == b"\r\n":
+            data_start += 2
+        elif payload[data_start : data_start + 1] == b"\n":
+            data_start += 1
+        lm = _LENGTH_RE.search(payload, body_start, s)
+        scan_from = data_start + int(lm.group(1)) if lm else data_start
+        es = payload.find(b"endstream", scan_from)
+        if es == -1:
+            raise UnsupportedPdfError("unterminated stream")
+        e = payload.find(b"endobj", es)
+    if e == -1:
+        raise UnsupportedPdfError("unterminated object")
+    return e
+
+
+def _scan_objects(payload: bytes) -> dict[int, bytes]:
+    """Sequential whole-file object scan (works without any xref)."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(payload):
-        objs[int(m.group(1))] = m.group(2)
+    pos = 0
+    while True:
+        m = _OBJ_HDR_RE.search(payload, pos)
+        if m is None:
+            break
+        end = _object_end(payload, m.end())
+        objs[int(m.group(1))] = payload[m.end() : end]
+        pos = end + len(b"endobj")
+    return objs
+
+
+def _object_at(payload: bytes, offset: int) -> tuple[int, bytes]:
+    """(number, body) of the indirect object at a byte offset (from an
+    xref-stream type-1 entry)."""
+    m = _OBJ_HDR_RE.match(payload, offset)
+    if m is None:
+        # tolerate leading whitespace before the header
+        m = _OBJ_HDR_RE.search(payload, offset, offset + 32)
+        if m is None:
+            raise UnsupportedPdfError(f"no object at xref offset {offset}")
+    end = _object_end(payload, m.end())
+    return int(m.group(1)), payload[m.end() : end]
+
+
+def _expand_objstm(objs: dict[int, bytes]) -> None:
+    """Expand every /Type /ObjStm container (§7.5.8) in place: the
+    stream holds N (objnum, relative-offset) integer pairs up to
+    /First, then the member object bodies. Members never overwrite a
+    directly-scanned object of the same number."""
+    for body in list(objs.values()):
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        data = _decode_stream(body)
+        if data is None:
+            raise UnsupportedPdfError("ObjStm without stream data")
+        dict_part = body[: body.find(b"stream")]  # keys live before the data
+        n = int(_dict_num(dict_part, "N"))
+        first = int(_dict_num(dict_part, "First"))
+        try:
+            nums = [int(t) for t in data[:first].split()]
+        except ValueError as exc:
+            raise UnsupportedPdfError(f"malformed ObjStm header: {exc}") from exc
+        if len(nums) < 2 * n:
+            raise UnsupportedPdfError("ObjStm header shorter than /N pairs")
+        for i in range(n):
+            onum, ooff = nums[2 * i], nums[2 * i + 1]
+            oend = nums[2 * i + 3] if i + 1 < n else len(data) - first
+            objs.setdefault(onum, data[first + ooff : first + oend])
+
+
+def _parse_xref_stream(payload: bytes, objs: dict[int, bytes], at: int, seen: set[int]) -> bool:
+    """Decode the /Type /XRef cross-reference stream (§7.5.7) at byte
+    offset ``at`` and load every live object it indexes into ``objs``
+    (type 1 = direct offset, type 2 = inside an ObjStm). Follows /Prev
+    chains. Returns False if the offset does not hold an xref stream
+    (classic ``xref`` table files return False and use the scanner)."""
+    if at in seen or at < 0 or at >= len(payload):
+        return False
+    seen.add(at)
+    m = _OBJ_HDR_RE.match(payload, at) or _OBJ_HDR_RE.search(payload, at, at + 32)
+    if m is None:
+        return False  # classic xref table, not a stream
+    body = payload[m.end() : _object_end(payload, m.end())]
+    dict_part = body[: max(body.find(b"stream"), 0)]  # keys live before the data
+    if not re.search(rb"/Type\s*/XRef\b", dict_part):
+        return False
+    wm = re.search(rb"/W\s*\[([^\]]*)\]", dict_part)
+    if wm is None:
+        raise UnsupportedPdfError("XRef stream without /W")
+    w = [int(t) for t in wm.group(1).split()]
+    if len(w) != 3:
+        raise UnsupportedPdfError(f"XRef /W must have 3 fields, got {w}")
+    size = int(_dict_num(dict_part, "Size"))
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", dict_part)
+    index = [int(t) for t in im.group(1).split()] if im else [0, size]
+    data = _decode_stream(body)
+    if data is None:
+        raise UnsupportedPdfError("XRef stream without data")
+    row_w = sum(w)
+    rows = [data[i : i + row_w] for i in range(0, len(data) - row_w + 1, row_w)]
+
+    def field(row: bytes, k: int) -> int:
+        s = sum(w[:k])
+        return int.from_bytes(row[s : s + w[k]], "big") if w[k] else (1 if k == 0 else 0)
+
+    ri = 0
+    for start, count in zip(index[::2], index[1::2]):
+        for onum in range(start, start + count):
+            if ri >= len(rows):
+                raise UnsupportedPdfError("XRef stream shorter than /Index")
+            row = rows[ri]
+            ri += 1
+            typ = field(row, 0)
+            if typ == 1 and onum not in objs:
+                got, obody = _object_at(payload, field(row, 1))
+                objs[got] = obody
+            # type 0 (free) ignored. type 2 (member of an ObjStm) needs
+            # no action here: its container is a type-1 entry in this or
+            # a /Prev section, and _expand_objstm opens every loaded
+            # container — a genuinely dangling member raises downstream
+    pm = re.search(rb"/Prev\s+(\d+)", dict_part)
+    if pm:
+        _parse_xref_stream(payload, objs, int(pm.group(1)), seen)
+    return True
+
+
+def _object_map(payload: bytes) -> dict[int, bytes]:
+    """Object-number -> body map. Primary locator: the /Type /XRef
+    cross-reference stream named by ``startxref`` (PDF 1.5+, §7.5.7);
+    fallback: the stream-aware sequential scan (classic xref-table
+    files, or broken/absent xref). Either way, /Type /ObjStm
+    containers are expanded afterwards."""
+    objs: dict[int, bytes] = {}
+    sm = re.search(rb"startxref\s+(\d+)", payload[-256:])
+    used_xref = False
+    if sm:
+        try:
+            used_xref = _parse_xref_stream(payload, objs, int(sm.group(1)), set())
+        except UnsupportedPdfError:
+            raise
+        except Exception:
+            used_xref = False  # malformed xref: degrade to the scan
+    if not used_xref:
+        objs = _scan_objects(payload)
     if not objs:
         raise UnsupportedPdfError("no indirect objects found")
+    _expand_objstm(objs)
     return objs
 
 
@@ -297,10 +550,51 @@ def _stream_of(body: bytes) -> bytes | None:
     return body[start:j].rstrip(b"\r\n")
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (RFC 2083 §6; PDF §7.4.4.4) — each
+    row is one tag byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth)
+    followed by `columns*colors*bpc/8` bytes. Predictor 12 (Up on every
+    row) is what wild xref streams overwhelmingly use."""
+    bpp = max(1, colors * bpc // 8)
+    row_w = columns * bpp
+    if row_w <= 0 or len(data) % (row_w + 1):
+        raise UnsupportedPdfError("predicted stream length not a multiple of row width")
+    out = bytearray()
+    prev = bytes(row_w)
+    for r in range(0, len(data), row_w + 1):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + 1 + row_w])
+        if tag == 1:  # Sub
+            for i in range(bpp, row_w):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(row_w):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(row_w):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(row_w):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif tag != 0:
+            raise UnsupportedPdfError(f"unknown PNG predictor tag {tag}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _decode_stream(content_body: bytes) -> bytes | None:
     """Raw stream bytes, inflating /FlateDecode (plain zlib — the
-    overwhelmingly common wild-PDF encoding). Any other filter (or a
-    filter chain) stays outside the subset."""
+    overwhelmingly common wild-PDF encoding), reversing a PNG
+    /Predictor from /DecodeParms when declared. Any other filter (or a
+    multi-element filter chain) stays outside the subset."""
     fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", content_body)
     raw = _stream_of(content_body)
     if raw is None:
@@ -308,14 +602,37 @@ def _decode_stream(content_body: bytes) -> bytes | None:
     if fm is None:
         return raw
     name = fm.group(1)
-    if name == b"/FlateDecode":
-        import zlib
+    if name.startswith(b"["):  # single-element array form
+        inner = name[1:-1].split()
+        if len(inner) != 1:
+            raise UnsupportedPdfError(f"unsupported filter chain {name!r}")
+        name = inner[0]
+    if name != b"/FlateDecode":
+        raise UnsupportedPdfError(f"unsupported stream filter {name!r}")
+    import zlib
 
-        try:
-            return zlib.decompress(raw)
-        except zlib.error as exc:
-            raise UnsupportedPdfError(f"FlateDecode stream: {exc}") from exc
-    raise UnsupportedPdfError(f"unsupported stream filter {name!r}")
+    try:
+        data = zlib.decompress(raw)
+    except zlib.error as exc:
+        raise UnsupportedPdfError(f"FlateDecode stream: {exc}") from exc
+    dp = re.search(rb"/DecodeParms\s*<<([^>]*)>>", content_body)
+    if dp:
+        params = dp.group(1)
+        pm = re.search(rb"/Predictor\s+(\d+)", params)
+        pred = int(pm.group(1)) if pm else 1
+        if pred >= 10:  # PNG family; tag byte per row decides the actual filter
+            cm = re.search(rb"/Columns\s+(\d+)", params)
+            km = re.search(rb"/Colors\s+(\d+)", params)
+            bm = re.search(rb"/BitsPerComponent\s+(\d+)", params)
+            data = _png_unpredict(
+                data,
+                int(cm.group(1)) if cm else 1,
+                int(km.group(1)) if km else 1,
+                int(bm.group(1)) if bm else 8,
+            )
+        elif pred != 1:
+            raise UnsupportedPdfError(f"unsupported predictor {pred}")
+    return data
 
 
 def _dict_num(body: bytes, key: str, default: float | None = None) -> float:

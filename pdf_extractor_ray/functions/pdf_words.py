@@ -1034,10 +1034,13 @@ def extract_pdf_bytes(payload: bytes, pats: Patterns | None = None, cfg: Pipelin
     1. ``%PDF-FIXTURE`` geometry payloads parse as JSON (legacy fixture
        encoding, kept live in the corpus);
     2. genuine ``%PDF-1.x`` binaries go through the in-repo tokenizer
-       (functions/pdf_codec.py — uncompressed Tj-subset PDFs, the
-       reference's flagship input, reference extractor.py:101);
-    3. PDFs outside that subset (compressed/encrypted) fall through to
-       pdfplumber, import-gated since it is absent in this container.
+       (functions/pdf_codec.py — Tj-subset PDFs in both classic-xref
+       and modern 1.5+ ObjStm/XRef-stream layouts, optionally Flate +
+       PNG-predicted; the reference's flagship input, reference
+       extractor.py:101);
+    3. PDFs outside that subset (exotic filters/encryption) fall
+       through to pdfplumber, import-gated since it is absent in this
+       container.
     """
     pages = pdf_payload_to_pages(payload)
     if pages is not None:

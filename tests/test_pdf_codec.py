@@ -132,36 +132,47 @@ def test_extraction_equality_across_encodings():
     ]
     direct = extract_pdf_pages([dict(p) for p in pages])
     via_pdf = extract_pdf_bytes(pages_to_pdf_bytes(pages))
+    via_pdf15 = extract_pdf_bytes(pages_to_pdf_bytes(pages, pdf15=True))
+    via_pdf15p = extract_pdf_bytes(pages_to_pdf_bytes(pages, pdf15=True, xref_predictor=True))
     via_json = extract_pdf_bytes(
         FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False).encode()
     )
     assert via_pdf["text"] == direct["text"] == via_json["text"]
-    assert via_pdf["n_pages"] == direct["n_pages"]
+    assert via_pdf15["text"] == via_pdf15p["text"] == direct["text"]
+    assert via_pdf["n_pages"] == direct["n_pages"] == via_pdf15["n_pages"]
 
 
 def test_generator_emits_real_pdf_payloads():
-    """The fixture corpus carries genuine %PDF-1.4 binaries (majority)
-    plus legacy %PDF-FIXTURE JSON rows (every 5th PDF doc), and both
-    extract to their intent-derived goldens byte-identically."""
+    """The fixture corpus rotates genuine PDF binaries through all
+    writer encodings — classic %PDF-1.4, modern %PDF-1.5 (ObjStm +
+    XRef stream), 1.5 with PNG-predicted xref — plus legacy
+    %PDF-FIXTURE JSON rows (every 5th PDF doc), and every encoding
+    extracts to its intent-derived golden byte-identically."""
     from pdf_extractor_ray.fixtures.generator import generate_corpus
     from pdf_extractor_ray.stages.extractor import Extractor
 
-    pages_t, golden_t = generate_corpus(80)
+    pages_t, golden_t = generate_corpus(160)
     gmap = dict(zip(golden_t["url"].to_pylist(), golden_t["golden_text"].to_pylist()))
     ex = Extractor()
-    n_real = n_json = 0
+    n_14 = n_15 = n_pred = n_json = 0
     for url, payload in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
         if not payload.startswith(b"%PDF") or url not in gmap or "malformed" in url:
             continue
         if payload.startswith(b"%PDF-FIXTURE"):
             n_json += 1
+        elif payload.startswith(b"%PDF-1.5"):
+            if b"/Predictor 12" in payload:
+                n_pred += 1
+            else:
+                n_15 += 1
+            assert b"/Type /ObjStm" in payload and b"/Type /XRef" in payload
         else:
-            n_real += 1
+            n_14 += 1
             assert payload.startswith(b"%PDF-1.4")
         r = ex.extract_one(payload)
         assert r["kind"] == "pdf"
         assert r["text"] == gmap[url], url
-    assert n_real >= 3 and n_json >= 1
+    assert n_14 >= 2 and n_15 >= 2 and n_pred >= 2 and n_json >= 1
 
 
 def test_roundtrip_property_random_pages():
@@ -244,9 +255,9 @@ def test_roundtrip_property_hypothesis():
     )
 
     @settings(max_examples=40, deadline=None)
-    @given(st.lists(word_st, min_size=0, max_size=15))
-    def prop(words):
-        pdf = pages_to_pdf_bytes([_page(words)])
+    @given(st.lists(word_st, min_size=0, max_size=15), st.booleans(), st.booleans())
+    def prop(words, pdf15, pred):
+        pdf = pages_to_pdf_bytes([_page(words)], pdf15=pdf15, xref_predictor=pdf15 and pred)
         back = parse_pdf_bytes(pdf)
         got = back[0]["words"]
         assert [w["text"] for w in got] == [w["text"] for w in words]
@@ -314,3 +325,120 @@ def test_unpainted_paths_emit_no_lines():
     multi = word_ops + b"\n0 0 m 10 0 l 20 20 m 30 20 l S"
     page = parse_pdf_bytes(_splice_content(base, multi))[0]
     assert len(page["lines"]) == 2
+
+
+def test_pdf15_objstm_xrefstream_roundtrip():
+    """§7.5.7-7.5.8: the modern layout — all dicts in one /Type /ObjStm
+    container, Flate content streams, a /Type /XRef stream as the only
+    cross-reference — round-trips full geometry (words, rotated word,
+    lines, rects) across multiple pages."""
+    words = [
+        _word("Hello", 72.0, 20.0),
+        {"text": "縦書き", "x0": 560.0, "x1": 572.0, "top": 200.0, "bottom": 236.0,
+         "size": 10.0, "fontname": "F0", "upright": False},
+    ]
+    pg = _page(
+        words,
+        lines=[{"x0": 72.0, "x1": 300.0, "top": 400.0, "bottom": 400.0}],
+        rects=[{"x0": 80.0, "x1": 180.0, "top": 500.0, "bottom": 540.0}],
+    )
+    pdf = pages_to_pdf_bytes([pg, pg, pg], pdf15=True)
+    assert pdf.startswith(b"%PDF-1.5") and b"trailer" not in pdf
+    back = parse_pdf_bytes(pdf)
+    assert len(back) == 3
+    for p in back:
+        assert [w["text"] for w in p["words"]] == ["Hello", "縦書き"]
+        assert p["words"][1].get("upright") is False
+        assert len(p["lines"]) == 1 and len(p["rects"]) == 1
+    # cross-encoding: identical parse as the classic layout
+    classic = parse_pdf_bytes(pages_to_pdf_bytes([pg, pg, pg]))
+    for a, b in zip(back, classic):
+        assert len(a["words"]) == len(b["words"])
+        for wa, wb in zip(a["words"], b["words"]):
+            for k in ("x0", "x1", "top", "bottom", "size", "text"):
+                assert wa[k] == pytest.approx(wb[k]) if isinstance(wa[k], float) else wa[k] == wb[k]
+
+
+def test_png_unpredict_all_tags():
+    """_png_unpredict reverses every PNG row filter (None/Sub/Up/
+    Average/Paeth) — forward-filter reference rows, then assert exact
+    recovery."""
+    from pdf_extractor_ray.functions.pdf_codec import _png_unpredict
+
+    rows = [bytes([(i * 37 + j * 11) % 256 for j in range(6)]) for i in range(5)]
+
+    def fwd(tag, row, prev, bpp=1):
+        out = bytearray()
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if tag == 0:
+                pred = 0
+            elif tag == 1:
+                pred = a
+            elif tag == 2:
+                pred = b
+            elif tag == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    data = bytearray()
+    prev = bytes(6)
+    for i, row in enumerate(rows):
+        tag = i % 5
+        data += bytes([tag]) + fwd(tag, row, prev)
+        prev = row
+    assert _png_unpredict(bytes(data), columns=6) == b"".join(rows)
+
+    with pytest.raises(UnsupportedPdfError):
+        _png_unpredict(b"\x05" + bytes(6), columns=6)  # unknown tag
+    with pytest.raises(UnsupportedPdfError):
+        _png_unpredict(bytes(5), columns=6)  # not a multiple of row width
+
+
+def test_xref_prev_chain_incremental_update():
+    """An incremental update (§7.5.6): a NEW xref stream whose /Prev
+    points at the original one. The parser must follow the chain and
+    resolve every object."""
+    import re
+    import zlib
+
+    pg = _page([_word("Hello", 72.0, 20.0)])
+    pdf = pages_to_pdf_bytes([pg], pdf15=True)
+    old_start = int(re.search(rb"startxref\s+(\d+)", pdf).group(1))
+    size = int(re.search(rb"/Size (\d+)", pdf).group(1))
+    new_num = size  # next free object number
+    body = pdf.rstrip()  # keep old %%EOF out of the tail scan
+    at = len(body) + 1
+    row = b"\x01" + at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    comp = zlib.compress(row)
+    upd = (
+        b"\n%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Prev %d "
+        b"/Index [%d 1] /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (new_num, size + 1, old_start, new_num, len(comp))
+        + comp
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % at
+    )
+    back = parse_pdf_bytes(body + upd)
+    assert [w["text"] for w in back[0]["words"]] == ["Hello"]
+
+
+def test_endobj_inside_stream_bytes_no_longer_truncates():
+    """The stream-aware scanner slices by /Length before looking for
+    'endobj', so stream bytes containing the keyword parse fine (the
+    r3 docstring called this a known soft spot — now closed)."""
+    content = b"BT /F0 10 Tf 100 Tz 1 0 0 1 72 760 Tm <00480069> Tj ET\n% endobj endstream trick"
+    base = pages_to_pdf_bytes([_page([_word("Hi", 72.0, 20.0)])])
+    spliced = _splice_content(base, content)
+    # comments aren't in the operator subset -> the generic parser sees
+    # '%' ... but the scan itself must deliver the FULL object body.
+    from pdf_extractor_ray.functions.pdf_codec import _scan_objects
+
+    objs = _scan_objects(spliced)
+    assert any(b"endobj endstream trick" in b for b in objs.values())
