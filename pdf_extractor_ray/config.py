@@ -64,6 +64,11 @@ class PipelineConfig:
     overlap_area_frac: float = 0.5       # J4 significant-overlap threshold (error_handler.py:310-312)
 
     # ---- HTML boilerplate-strip path (public trafilatura/jusText heuristics) ----
+    # deterministic charset sniff before decode (WHATWG prescan order:
+    # BOM -> <meta charset> in first 1024 bytes -> utf-8-replace). ON by
+    # default — a no-op for UTF-8 corpora, and the precedence is pinned
+    # by goldens with Shift-JIS / Latin-1 payload rows.
+    charset_sniff: bool = True
     max_link_density: float = 0.40       # block with > 40% link chars = boilerplate
     min_paragraph_chars: int = 25        # shorter paragraphs = boilerplate
     min_list_item_chars: int = 10        # shorter list items = boilerplate

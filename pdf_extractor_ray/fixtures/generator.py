@@ -161,6 +161,37 @@ def _tpl_list(rng: random.Random, lang: str, fat: int = 1) -> tuple[str, str, in
     return html, golden, 1 + len(items), title + " " + " ".join(items)
 
 
+def _encode_html(html: str, lang: str, n_html_docs: int) -> bytes:
+    """Encode an HTML doc's source to payload bytes. Most docs are
+    plain UTF-8; every 6th rotates through a NON-UTF-8 charset variant
+    (Common-Crawl reality) with the correct in-band declaration, so the
+    extractor's charset sniff (functions/html_extract.sniff_decode) is
+    corpus-tested: ja -> Shift-JIS via <meta charset>, de/fr/es ->
+    Latin-1 via http-equiv, en -> UTF-16-LE via BOM. The decoded text —
+    and therefore the golden — is identical in every variant; a doc
+    whose text a legacy charset can't encode stays UTF-8."""
+    if n_html_docs % 6 != 3:
+        return html.encode("utf-8")
+    if lang == "ja":
+        try:
+            return html.replace(
+                "<html>", '<html><meta charset="shift_jis">', 1
+            ).encode("shift_jis")
+        except UnicodeEncodeError:
+            return html.encode("utf-8")
+    if lang in ("de", "fr", "es"):
+        try:
+            return html.replace(
+                "<html>",
+                '<html><meta http-equiv="Content-Type" '
+                'content="text/html; charset=ISO-8859-1">',
+                1,
+            ).encode("latin-1")
+        except UnicodeEncodeError:
+            return html.encode("utf-8")
+    return b"\xff\xfe" + html.encode("utf-16-le")
+
+
 def _tpl_boilerplate_only(rng: random.Random, lang: str) -> tuple[str, str, int, str]:
     html = (
         "<html><body>"
@@ -437,6 +468,7 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
         return url
 
     n_pdf_docs = 0
+    n_html_docs = 0
     for i in range(n_rows):
         lang = lang_cycle[i]
         roll = rng.random()
@@ -464,7 +496,8 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
             big = skew and rng.random() < 0.012
             n_paras = (rng.randint(120, 240) if big else rng.randint(3, 8)) * fat
             html, golden, n_blocks, visible = _tpl_article(rng, lang, n_paras)
-        add(i, lang, html.encode("utf-8"), golden, n_blocks, visible)
+        add(i, lang, _encode_html(html, lang, n_html_docs), golden, n_blocks, visible)
+        n_html_docs += 1
 
     if skew and n_rows >= 20:
         # duplicate urls (exact-dedup knob): re-emit rows 3 and 7 verbatim

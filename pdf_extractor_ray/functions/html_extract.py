@@ -462,3 +462,54 @@ def extract_html(html: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> tuple[str, 
     blocks = segment_html(html)
     kept = [render_block(b) for b in blocks if classify_block(b, cfg)]
     return "\n\n".join(kept), len(kept)
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing (deterministic; precedence pinned by the goldens)
+# ---------------------------------------------------------------------------
+
+# BOMs checked longest-first (UTF-32 BOMs contain the UTF-16 ones)
+_BOMS: list[tuple[bytes, str]] = [
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+]
+_META_TAG_RE = re.compile(rb"<meta\b[^>]*>", re.I)
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9._:\-]+)", re.I)
+_SNIFF_WINDOW = 1024  # bytes; the WHATWG prescan window
+
+
+def sniff_decode(payload: bytes, fallback: str = "utf-8") -> tuple[str, str]:
+    """Deterministic charset sniff -> (decoded text, encoding label).
+
+    Precedence (the WHATWG encoding-sniff order restricted to its
+    deterministic prefix; Common-Crawl reality is heavily
+    Shift-JIS/GBK/Latin-1, and decoding everything as UTF-8 silently
+    mojibakes those pages):
+
+      1. byte-order mark (UTF-8/16/32);
+      2. ``charset=`` inside a ``<meta>`` tag within the first 1024
+         bytes — covers both ``<meta charset=X>`` and
+         ``<meta http-equiv=Content-Type content="...; charset=X">``;
+      3. ``fallback`` (utf-8), errors="replace" — the r3 behavior.
+
+    Unknown/bogus declared labels fall through to the fallback; all
+    decodes use errors="replace" so the function never raises on any
+    byte payload.
+    """
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            return payload[len(bom):].decode(enc, errors="replace"), enc
+    head = payload[:_SNIFF_WINDOW]
+    for tag in _META_TAG_RE.finditer(head):
+        m = _CHARSET_RE.search(tag.group(0))
+        if not m:
+            continue
+        label = m.group(1).decode("ascii", errors="replace").strip().lower()
+        try:
+            return payload.decode(label, errors="replace"), label
+        except LookupError:
+            break  # bogus label: the WHATWG path would fall back too
+    return payload.decode(fallback, errors="replace"), fallback

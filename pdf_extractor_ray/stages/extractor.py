@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from pdf_extractor_ray.config import DEFAULT_CONFIG, PipelineConfig
 from pdf_extractor_ray.functions import textstats
-from pdf_extractor_ray.functions.html_extract import extract_html
+from pdf_extractor_ray.functions.html_extract import extract_html, sniff_decode
 from pdf_extractor_ray.functions.pdf_words import (
     FIXTURE_MAGIC,
     Patterns,
@@ -134,7 +134,10 @@ class Extractor:
                 "fn_report": res.get("fn_report", {}),
                 "inventory": res.get("inventory", {}),
             }
-        html = payload.decode("utf-8", errors="replace")
+        if cfg.charset_sniff:
+            html, _enc = sniff_decode(payload)
+        else:
+            html = payload.decode("utf-8", errors="replace")
         text, n_blocks = extract_html(html, cfg)
         return {
             "kind": "html",
