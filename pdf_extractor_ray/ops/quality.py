@@ -35,15 +35,13 @@ MIN_ALPHA_FRAC = 0.6  # fraction of words containing an ASCII letter
 MIN_STOP_HITS = 2     # total stopword occurrences
 
 
-def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Vectorized per-doc quality signals: whitespace word count, mean
-    word length, alphabetic-word fraction, stopword hits, keep flag.
-    Output rows align 1:1 (positionally) with the input batch —
-    grouping is by ROW, not by doc_id, so a pre-dedup batch carrying
-    the same id twice scores each copy independently instead of
-    merging their token streams."""
-    b = batch.reset_index(drop=True)
-    toks = b[text_col].str.split().explode().dropna()
+def _signal_frame(texts: pd.Series) -> pd.DataFrame:
+    """Signals for a positionally-indexed text series (the shared
+    kernel of gopher_signals and gopher_filter). Rows align 1:1 with
+    the input — grouping is by ROW, not by doc_id, so a pre-dedup
+    batch carrying the same id twice scores each copy independently
+    instead of merging their token streams."""
+    toks = texts.reset_index(drop=True).str.split().explode().dropna()
     toks = toks[toks != ""]
     n_words = toks.groupby(level=0).size()
     mean_wl = toks.str.len().groupby(level=0).sum() / n_words
@@ -51,7 +49,7 @@ def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     alpha_frac = alpha.groupby(level=0).sum() / n_words
     stop_hits = toks.str.lower().isin(STOP_WORDS).groupby(level=0).sum()
 
-    out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy()})
+    out = pd.DataFrame(index=pd.RangeIndex(len(texts)))
     out["n_words"] = n_words.reindex(out.index).fillna(0).astype("int64")
     out["mean_word_len"] = mean_wl.reindex(out.index).fillna(0.0).astype("float64")
     out["alpha_frac"] = alpha_frac.reindex(out.index).fillna(0.0).astype("float64")
@@ -65,6 +63,14 @@ def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+def gopher_signals(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized per-doc quality signals: whitespace word count, mean
+    word length, alphabetic-word fraction, stopword hits, keep flag."""
+    sig = _signal_frame(batch[text_col])
+    sig.insert(0, "doc_id", batch["doc_id"].to_numpy())
+    return sig
+
+
 def gopher_quality(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     """Signal table for every document (keep flag included, rows not
     dropped — downstream decides; auditable against the SQL oracle)."""
@@ -74,12 +80,16 @@ def gopher_quality(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dat
 
 
 def gopher_filter(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """Corpus with failing documents dropped (the actual filter)."""
+    """Corpus with failing documents dropped (the actual filter).
+
+    Batches stay zero-copy Arrow; only the TEXT column round-trips to
+    pandas for the string kernels (the r3 version converted the whole
+    table, copying the text column twice per batch — VERDICT r3 #7)."""
     import pyarrow as pa
 
     def drop(t: pa.Table) -> pa.Table:
-        sig = gopher_signals(t.to_pandas(), text_col)
-        return t.filter(pa.array(sig["keep"].to_numpy()))
+        texts = t.column(text_col).to_pandas()
+        return t.filter(pa.array(_signal_frame(texts)["keep"].to_numpy()))
 
     return ds.map_batches(drop, batch_format="pyarrow")
 

@@ -606,6 +606,32 @@ def test_srp_neardup_matches_exact_on_clusters(ray_session):
     assert (got["cos"] >= 0.98).all()
 
 
+def test_srp_neardup_recall_on_fixture_embeddings(ray_session):
+    """Recall bound for the REGISTERED driver query's parameters
+    (threshold 0.4, 16 bands x 4 bits — see __ray_entry__
+    _srp_neardup_docs) against the exact all-pairs baseline on the
+    driver's own embeddings table."""
+    import os
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import embedding_neardup_exact, srp_neardup_pairs
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):  # pragma: no cover — driver testdata absent
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    exact = embedding_neardup_exact(ds, threshold=0.4)
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    got = srp_neardup_pairs(ds, threshold=0.4, n_bits=64, bands=16)
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= exact_pairs  # cosine-verified: no false positives
+    assert len(exact_pairs) > 0
+    assert len(got_pairs) >= 0.8 * len(exact_pairs), (len(got_pairs), len(exact_pairs))
+
+
 def test_video_featurize_real_avi(ray_session):
     import ray.data
 
