@@ -956,6 +956,7 @@ def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
     (functions/media_codec.py)."""
     import pyarrow as pa
 
+    from pdf_extractor_ray.functions.jpeg_codec import encode_jpeg
     from pdf_extractor_ray.functions.media_codec import (
         encode_avi,
         encode_bmp,
@@ -973,13 +974,17 @@ def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
             w, h = 16 + (i % 7) * 4, 12 + (i % 5) * 4
             img = np.zeros((h, w, 3), dtype=np.uint8)
             img[:, :, 0] = (np.arange(w)[None, :] * (3 + i % 11)) % 256
-            if i % 3 == 2:  # GIF rows need a small palette (column bands only)
+            sel = i % 4  # PNG / BMP / GIF / baseline JPEG rotation
+            if sel == 2:  # GIF rows need a small palette (column bands only)
                 img[:, :, 1] = i % 256
                 payloads.append(encode_gif(img))
             else:
                 img[:, :, 1] = (np.arange(h)[:, None] * (5 + i % 13)) % 256
                 img[:, :, 2] = i % 256
-                payloads.append(encode_png(img) if i % 2 == 0 else encode_bmp(img))
+                if sel == 3:
+                    payloads.append(encode_jpeg(img, quality=80 + (i % 3) * 5))
+                else:
+                    payloads.append(encode_png(img) if sel == 0 else encode_bmp(img))
         elif kind == "video":
             w, h, nf = 16, 12, 6 + (i % 5)
             frames = []

@@ -12,9 +12,12 @@ numpy — so decode is now REAL for:
   4-byte row padding.
 - WAV: RIFF/PCM via the stdlib `wave` module (8/16-bit mono/stereo).
 
-Formats that genuinely need external codecs (JPEG, GIF, MP3, FLAC,
-video) still raise ``UnsupportedMediaError`` — the honest capability
-boundary, now much smaller.
+Baseline sequential-DCT JPEG lives in the sibling module
+(functions/jpeg_codec.py, ITU-T T.81) and is routed by decode_image.
+Formats that genuinely need external codecs (progressive/subsampled
+JPEG, MP3, FLAC, compressed video) still raise
+``UnsupportedMediaError`` — the honest capability boundary, now much
+smaller.
 
 Encoders for the same subsets exist so the synthetic corpus carries
 REAL media bytes (fixtures + the multimodal_featurize driver query).
@@ -515,15 +518,22 @@ def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Route image bytes to a real decoder (PNG/BMP/GIF subset)."""
+    """Route image bytes to a real decoder (PNG/BMP/GIF/baseline-JPEG
+    subset)."""
     if payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        # lazy import: jpeg_codec imports UnsupportedMediaError from here
+        from pdf_extractor_ray.functions.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise UnsupportedMediaError(
-        "image decode implemented for PNG/BMP/GIF; JPEG needs PIL (absent here)"
+        "image decode implemented for PNG/BMP/GIF/baseline-JPEG; "
+        "other formats need PIL (absent here)"
     )
 
 

@@ -1,0 +1,112 @@
+"""Baseline JPEG codec (functions/jpeg_codec.py, ITU-T T.81): lossy
+round-trip error bounds, marker structure, restart markers, the
+unsupported-feature boundary, and the decode_image routing."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_ray.functions.jpeg_codec import (
+    _DCT_M,
+    decode_jpeg,
+    encode_jpeg,
+)
+from pdf_extractor_ray.functions.media_codec import UnsupportedMediaError, decode_image
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    return np.stack([x, y, (x + y) / 2], axis=2).astype(np.uint8)
+
+
+def test_dct_matrix_orthonormal():
+    assert np.allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+
+
+def test_roundtrip_error_bound_smooth():
+    """Quantization is the ONLY loss at 4:4:4: a smooth gradient at
+    q90 reconstructs within a few counts per channel."""
+    img = _gradient(40, 56)
+    back = decode_jpeg(encode_jpeg(img, quality=90))
+    assert back.shape == img.shape and back.dtype == np.uint8
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() < 2.0
+
+
+def test_roundtrip_non_multiple_of_8_dims():
+    """Edge-replicated padding: odd dimensions decode back to the
+    exact declared size."""
+    img = _gradient(33, 47)
+    back = decode_jpeg(encode_jpeg(img, quality=85))
+    assert back.shape == (33, 47, 3)
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_roundtrip_grayscale():
+    g = _gradient(24, 40)[:, :, 0]
+    back = decode_jpeg(encode_jpeg(g, quality=90))
+    assert back.shape == (24, 40, 3)  # gray expands to 3 identical channels
+    assert (back[:, :, 0] == back[:, :, 1]).all() and (back[:, :, 1] == back[:, :, 2]).all()
+    assert np.abs(back[:, :, 0].astype(int) - g.astype(int)).mean() < 2.5
+
+
+def test_quality_tradeoff_and_determinism():
+    img = _gradient(32, 32)
+    lo, hi = encode_jpeg(img, quality=10), encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)  # coarser quantization -> smaller file
+    assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+    err_lo = np.abs(decode_jpeg(lo).astype(int) - img.astype(int)).mean()
+    err_hi = np.abs(decode_jpeg(hi).astype(int) - img.astype(int)).mean()
+    assert err_hi < err_lo
+
+
+def test_marker_structure():
+    jp = encode_jpeg(_gradient(16, 16), quality=85)
+    assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in jp[:24]
+    assert b"\xff\xc0" in jp and b"\xff\xc4" in jp and b"\xff\xdb" in jp and b"\xff\xda" in jp
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn boundaries: the encoder segments the scan, the
+    decoder resets DC predictors at each boundary — the image still
+    reconstructs within the lossy bound."""
+    img = _gradient(48, 64)  # 6x8 = 48 MCUs
+    jp = encode_jpeg(img, quality=90, restart_interval=5)
+    assert b"\xff\xdd" in jp  # DRI present
+    assert any(bytes([0xFF, 0xD0 + k]) in jp for k in range(8))
+    back = decode_jpeg(jp)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    assert np.array_equal(back, plain)  # segmentation is bit-neutral
+
+
+def test_noise_image_is_lossy_but_sane():
+    rng = np.random.default_rng(11)
+    noisy = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(noisy, quality=50))
+    err = np.abs(back.astype(int) - noisy.astype(int)).mean()
+    assert 0 < err < 64  # heavily quantized, but not garbage
+
+
+def test_unsupported_features_raise():
+    jp = encode_jpeg(_gradient(16, 16))
+    # progressive (SOF2)
+    with pytest.raises(UnsupportedMediaError, match="progressive"):
+        decode_jpeg(jp.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # chroma subsampling: patch Y's sampling byte (0x11 -> 0x22)
+    i = jp.index(b"\xff\xc0")
+    patched = bytearray(jp)
+    patched[i + 11] = 0x22
+    with pytest.raises(UnsupportedMediaError, match="subsampled"):
+        decode_jpeg(bytes(patched))
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(jp[: len(jp) // 3])  # truncated mid-markers
+
+
+def test_decode_image_routes_jpeg():
+    img = _gradient(20, 28)
+    out = decode_image(encode_jpeg(img, quality=90))
+    assert out.shape == (20, 28, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
