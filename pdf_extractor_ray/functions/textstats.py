@@ -68,6 +68,17 @@ def detect_lang(text: str) -> str:
 
 def quality_dimensions(text: str, n_footnote_matches: int = 0, n_footnote_markers: int = 0) -> dict:
     """Per-document quality dimensions in [0, 100] (quality_scorer.py:100-162)."""
+    return quality_dimensions_nw(text, n_footnote_matches, n_footnote_markers)[0]
+
+
+def quality_dimensions_nw(
+    text: str, n_footnote_matches: int = 0, n_footnote_markers: int = 0
+) -> tuple[dict, int]:
+    """(dimensions, word count) — the word count falls out of the
+    completeness pass for free; returning it lets the extraction UDF
+    skip a second full text.split() per document (the extract stage is
+    memory-bandwidth-bound at full socket, so every avoided pass over
+    the text counts — BENCH_scaling r3)."""
     n = len(text)
     words = text.split()
     nw = len(words)
@@ -89,7 +100,7 @@ def quality_dimensions(text: str, n_footnote_matches: int = 0, n_footnote_marker
         "accuracy": accuracy,
         "footnotes": footnotes,
         "readability": readability,
-    }
+    }, nw
 
 
 def quality_score_from_dims(d: dict) -> float:
@@ -205,10 +216,25 @@ _HALLU_PATTERNS: list[tuple[str, re.Pattern]] = [
 ]
 
 
+# single-alternation pre-filter: one scan decides the (overwhelmingly
+# common) no-hit case instead of six — per-pattern flags inlined so the
+# combined hit/no-hit answer is EXACTLY the union of the six searches
+_HALLU_ANY = re.compile(
+    r"```"
+    r"|(?m:^#{1,6}\s)"
+    r"|\*\*[^*\n]+\*\*"
+    r"|\[[^\]\n]+\]\([^)\n]+\)"
+    r"|(?i:</?(?:div|p|span|table|a|ul|li|h[1-6])\b[^>]*>)"
+    r"|(?i:\b(?:as an ai\b|i cannot\b|here is a summary\b|in summary,))"
+)
+
+
 def hallucination_flags(text: str) -> list[str]:
     """Names of generated-markup patterns found in extracted text — an
     extractor must only EXTRACT, so markdown/HTML artifacts or
     assistant phrasing in the output indicate a transform leak."""
+    if _HALLU_ANY.search(text) is None:
+        return []
     return [name for name, pat in _HALLU_PATTERNS if pat.search(text)]
 
 

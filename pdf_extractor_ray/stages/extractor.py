@@ -162,19 +162,19 @@ class Extractor:
         tbl_ns, rot_ns, ovl_ns, rec_ns, fn_rates, fn_stats, q_confs = [], [], [], [], [], [], []
         inventories = []
 
-        def _dims(r: dict) -> dict:
+        def _dims_nw(r: dict) -> tuple[dict, int]:
             rep = r.get("fn_report", {})
-            return textstats.quality_dimensions(
+            return textstats.quality_dimensions_nw(
                 r["text"], rep.get("n_matches", len(r["footnotes"])), rep.get("n_markers", len(r["footnotes"]))
             )
 
         def _score(r: dict) -> float:
-            return textstats.quality_score_from_dims(_dims(r))
+            return textstats.quality_score_from_dims(_dims_nw(r)[0])
 
         for url, payload in zip(urls, payloads):
             try:
                 r = self.extract_one(payload or b"", url=url)
-                dims = _dims(r)
+                dims, nw = _dims_nw(r)
                 score = textstats.quality_score_from_dims(dims)
                 if self.remediation_cfgs and score < self.cfg.remediation_threshold and r["kind"] != "empty":
                     # in-UDF remediation loop (cheap, local — never a
@@ -186,16 +186,17 @@ class Extractor:
                         if s2 > best_s:
                             best_s, best_r = s2, r2
                     score, r = best_s, best_r
-                    dims = _dims(r)
+                    dims, nw = _dims_nw(r)
                 text = r["text"]
                 if self.cfg.strip_hallucinations:  # opt-in transform (default off)
                     text, _ = textstats.strip_hallucinations(text)
+                    nw = len(text.split())  # transformed text: recount
                 fns = r["footnotes"]
                 kinds.append(r["kind"])
                 texts.append(text)
                 n_blocks.append(r["n_blocks"])
                 n_pages.append(r["n_pages"])
-                n_words.append(len(text.split()))
+                n_words.append(nw)
                 n_fns.append(len(fns))
                 scores.append(score)
                 grades.append(textstats.grade(score))
