@@ -47,15 +47,24 @@ entries, ``/Prev`` chains) are decoded as the primary object locator,
 and ``/Type /ObjStm`` compressed object containers are expanded so
 their member objects resolve like direct ones; the writer's
 ``pdf15=True`` mode emits exactly that layout so the path is
-round-trip-tested. Anything further — other filters, filter chains,
-encryption, operators outside the emitted subset — raises
-``UnsupportedPdfError`` so the caller can fall through to the
-pdfplumber gate (functions/pdf_words.py extract_pdf_bytes). Honest
-about what this tokenizer is: a reader for (optionally deflated)
-Tj-style PDFs, not a general PDF renderer. The object scanner is
-stream-aware: each stream's extent is sliced by its declared
-``/Length`` before looking for ``endobj``, so compressed bytes that
-happen to contain that keyword no longer truncate the object.
+round-trip-tested. The generic content tokenizer additionally reads ordinary wild-PDF
+text streams: literal strings with escapes (§7.3.4.2), ``TJ`` arrays
+with kerning, simple Type1/TrueType fonts carrying embedded
+``/FirstChar``+``/Widths``+``/FontDescriptor`` (cp1252 text,
+space-split into words with exact per-run positions), the
+``Td``/``TD``/``T*``/``TL`` line-positioning family, ``'``/``"``
+move-and-show, ``Tc``/``Tw`` spacing, curve flattening, and the
+common color/state no-ops. Anything further — other filters, filter
+chains, encryption, XObjects/inline images, non-identity CTM,
+nonzero text rise, standard-14 fonts without embedded widths,
+/ToUnicode-dependent CID text — raises ``UnsupportedPdfError`` so the
+caller can fall through to the pdfplumber gate
+(functions/pdf_words.py extract_pdf_bytes). Honest about what this
+tokenizer is: a text+ruling-geometry reader, not a general PDF
+renderer. The object scanner is stream-aware: each stream's extent is
+sliced by its declared ``/Length`` before looking for ``endobj``, so
+compressed bytes that happen to contain that keyword no longer
+truncate the object.
 """
 
 from __future__ import annotations
@@ -359,13 +368,67 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _NUM_RE = re.compile(rb"/(\w+)\s+(-?[\d.]+)")
 _TOKEN_RE = re.compile(
-    rb"<([0-9A-Fa-f\s]*)>"      # hex string
-    rb"|(-?(?:\d+\.?\d*|\.\d+))"  # number
-    rb"|/([^\s/<>\[\]()]+)"      # name
-    rb"|(\[|\])"                  # array delims
-    rb"|(\()"                     # literal string opener (unsupported)
-    rb"|([A-Za-z'\"*]+)"          # operator
+    rb"<([0-9A-Fa-f\s]*)>"            # hex string
+    rb"|\(((?:[^()\\]|\\.)*)\)"       # literal string (non-nested)
+    rb"|(-?(?:\d+\.?\d*|\.\d+))"      # number
+    rb"|/([^\s/<>\[\]()]+)"           # name
+    rb"|(\[|\])"                      # array delims
+    rb"|(\()"                         # nested literal opener (unsupported)
+    rb"|([A-Za-z'\"*]+)"              # operator
 )
+
+_LIT_ESCAPES = {
+    ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+    ord("b"): b"\b", ord("f"): b"\f",
+    ord("("): b"(", ord(")"): b")", ord("\\"): b"\\",
+}
+
+
+def _decode_literal(s: bytes) -> bytes:
+    """PDF literal-string body (outer parens stripped) -> raw bytes
+    (§7.3.4.2): named escapes, 1-3 digit octal, line continuations;
+    an unknown escape drops the backslash per spec."""
+    if b"\\" not in s:
+        return s
+    out = bytearray()
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        c = s[i]
+        esc = _LIT_ESCAPES.get(c)
+        if esc is not None:
+            out += esc
+            i += 1
+        elif 0x30 <= c <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < min(i + 3, n) and 0x30 <= s[j] <= 0x37:
+                j += 1
+            out.append(int(s[i:j], 8) & 0xFF)
+            i = j
+        elif c in (0x0A, 0x0D):  # line continuation
+            i += 2 if s[i : i + 2] == b"\r\n" else 1
+        else:  # unknown escape: backslash dropped
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _translate(tx: float, ty: float, m: tuple[float, ...]) -> tuple[float, ...]:
+    a, b, c, d, e, f = m
+    return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+
+def _advance_tm(m: tuple[float, ...], dx: float) -> tuple[float, ...]:
+    a, b, c, d, e, f = m
+    return (a, b, c, d, e + dx * a, f + dx * b)
 
 
 def _object_end(payload: bytes, body_start: int) -> int:
@@ -644,36 +707,106 @@ def _dict_num(body: bytes, key: str, default: float | None = None) -> float:
     return default
 
 
-def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
-    """Resolve Ascent/Descent/DW through Type0 -> descendant ->
-    descriptor; simple (Type1-style) fonts are outside the subset."""
-    body = objs.get(font_ref, b"")
-    if b"/Type0" not in body:
-        raise UnsupportedPdfError("only Type0/Identity-H fonts supported")
-    m = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", body)
+def _font_descriptor_metrics(objs: dict[int, bytes], body: bytes) -> tuple[float, float]:
+    m = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", body)
     if not m:
-        raise UnsupportedPdfError("Type0 font without DescendantFonts")
-    desc_body = objs.get(int(m.group(1)), b"")
-    dw = _dict_num(desc_body, "DW", 1000.0)
-    m = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc_body)
-    if not m:
-        raise UnsupportedPdfError("descendant font without FontDescriptor")
+        raise UnsupportedPdfError("font without FontDescriptor (standard-14 AFM metrics not carried)")
     fd = objs.get(int(m.group(1)), b"")
-    return {
-        "ascent": _dict_num(fd, "Ascent"),
-        "descent": _dict_num(fd, "Descent"),
-        "dw": dw,
-    }
+    return _dict_num(fd, "Ascent"), _dict_num(fd, "Descent")
 
 
-def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[str, dict]:
-    m = re.search(rb"/Font\s*<<(.*?)>>", page_body, re.S)
+def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
+    """Font model for the tokenizer. Two kinds:
+
+    - "cid": Type0/Identity-H composite fonts (the writer's own) —
+      2-byte codes, /DW default width from the descendant.
+    - "simple": Type1/TrueType fonts with embedded /FirstChar +
+      /Widths + /FontDescriptor (what ordinary word-processor PDFs
+      carry) — 1-byte codes, per-glyph widths. Standard-14 fonts that
+      OMIT the widths (legal per spec, metrics live in Adobe AFM
+      files) stay outside the subset.
+
+    Boundary note: CID text decodes as UTF-16BE (exact for the
+    writer's identity mapping); a foreign CID font whose codes are
+    raw glyph ids would need its /ToUnicode CMap, which this subset
+    does not parse — such fonts typically fail UTF-16 validation and
+    raise rather than mis-parse."""
+    body = objs.get(font_ref, b"")
+    if b"/Type0" in body:
+        m = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", body)
+        if not m:
+            raise UnsupportedPdfError("Type0 font without DescendantFonts")
+        desc_body = objs.get(int(m.group(1)), b"")
+        dw = _dict_num(desc_body, "DW", 1000.0)
+        asc, desc = _font_descriptor_metrics(objs, desc_body)
+        return {"kind": "cid", "ascent": asc, "descent": desc, "dw": dw}
+    if re.search(rb"/Subtype\s*/(?:Type1|TrueType|MMType1)\b", body):
+        wm = re.search(rb"/Widths\s*(?:\[([^\]]*)\]|(\d+)\s+\d+\s+R)", body)
+        if not wm:
+            raise UnsupportedPdfError("simple font without embedded /Widths")
+        if wm.group(1) is not None:
+            arr = wm.group(1)
+        else:
+            ref_body = objs.get(int(wm.group(2)), b"")
+            am = re.search(rb"\[([^\]]*)\]", ref_body)
+            if not am:
+                raise UnsupportedPdfError("/Widths reference without array")
+            arr = am.group(1)
+        widths = [float(t) for t in arr.split()]
+        first = int(_dict_num(body, "FirstChar"))
+        asc, desc = _font_descriptor_metrics(objs, body)
+        return {
+            "kind": "simple",
+            "ascent": asc,
+            "descent": desc,
+            "first_char": first,
+            "widths": widths,
+        }
+    raise UnsupportedPdfError("font subset is Type0/Identity-H and simple Type1/TrueType with /Widths")
+
+
+class _FontTable:
+    """Lazy name -> metrics resolver: a page may declare fonts its
+    content never uses, and an unsupported UNUSED font must not fail
+    the page — resolution (and its UnsupportedPdfError) happens on
+    first use only."""
+
+    def __init__(self, objs: dict[int, bytes], refs: dict[str, int]) -> None:
+        self._objs = objs
+        self._refs = refs
+        self._cache: dict[str, dict] = {}
+
+    def get(self, name: str) -> dict | None:
+        fm = self._cache.get(name)
+        if fm is None:
+            ref = self._refs.get(name)
+            if ref is None:
+                return None
+            fm = self._cache[name] = _font_metrics(self._objs, ref)
+        return fm
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> _FontTable:
+    # /Resources may be inline or an indirect reference (common in the
+    # wild); same for the /Font subdictionary
+    res = page_body
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+    if rm:
+        res = objs.get(int(rm.group(1)), b"")
+    m = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
     if not m:
-        return {}
-    fonts: dict[str, dict] = {}
-    for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", m.group(1)):
-        fonts[fm.group(1).decode()] = _font_metrics(objs, int(fm.group(2)))
-    return fonts
+        fm_ref = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+        if fm_ref:
+            inner = objs.get(int(fm_ref.group(1)), b"")
+        else:
+            inner = b""
+    else:
+        inner = m.group(1)
+    refs = {
+        fm.group(1).decode(): int(fm.group(2))
+        for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", inner)
+    }
+    return _FontTable(objs, refs)
 
 
 def _word_from_state(
@@ -684,12 +817,34 @@ def _word_from_state(
     raw: bytes,
     font_name: str,
     page_h: float,
-) -> dict:
+    tc: float = 0.0,
+    tw: float = 0.0,
+) -> tuple[dict, float]:
     """Glyph-box math shared by the fast and generic content parsers
-    (see module docstring)."""
-    text = raw.decode("utf-16-be")
-    n_cids = len(raw) // 2
-    adv = n_cids * size * (fm["dw"] / 1000.0) * (tz / 100.0)
+    (see module docstring). Returns (word dict, advance in text-space
+    units) so the caller can carry the text position across Tj/TJ runs.
+    tc/tw are the Tc character- and Tw word-spacing registers (§9.3.2-3;
+    Tw applies to 1-byte code 32 only, i.e. never to 2-byte CID text)."""
+    if fm["kind"] == "cid":
+        try:
+            text = raw.decode("utf-16-be")
+        except UnicodeDecodeError as exc:
+            raise UnsupportedPdfError(
+                "CID string is not UTF-16 text (glyph-id CIDs need a /ToUnicode CMap)"
+            ) from exc
+        n = len(raw) // 2
+        glyph_w = n * size * (fm["dw"] / 1000.0)
+        adv = (glyph_w + n * tc) * (tz / 100.0)
+    else:
+        text = raw.decode("cp1252", errors="replace")
+        widths = fm["widths"]
+        first = fm["first_char"]
+        glyph_w = 0.0
+        for b in raw:
+            i = b - first
+            glyph_w += widths[i] if 0 <= i < len(widths) else 0.0
+        glyph_w = glyph_w / 1000.0 * size
+        adv = (glyph_w + len(raw) * tc + raw.count(b" ") * tw) * (tz / 100.0)
     asc = fm["ascent"] / 1000.0 * size
     desc = -fm["descent"] / 1000.0 * size
     a, b_, c, d, tx, ty = tm
@@ -702,7 +857,7 @@ def _word_from_state(
             "bottom": page_h - ty + desc,
             "size": size,
             "fontname": font_name,
-        }
+        }, adv
     if (a, b_, c, d) == (0.0, 1.0, -1.0, 0.0):
         return {
             "text": text,
@@ -713,7 +868,7 @@ def _word_from_state(
             "size": size,
             "fontname": font_name,
             "upright": False,
-        }
+        }, adv
     raise UnsupportedPdfError(f"unsupported text matrix {tm}")
 
 
@@ -769,7 +924,7 @@ def _parse_content_fast(
                 words.append(
                     _word_from_state(
                         fm, size, tz, tm, binascii.unhexlify(g[9]), font_name, page_h
-                    )
+                    )[0]
                 )
             except UnsupportedPdfError:
                 return None
@@ -793,16 +948,29 @@ def _parse_content_fast(
 
 
 def _parse_content(
-    content: bytes, fonts: dict[str, dict], page_h: float
+    content: bytes, fonts: "_FontTable", page_h: float
 ) -> tuple[list[dict], list[dict], list[dict]]:
+    """Generic tokenizer for foreign content streams. Beyond the
+    writer-canonical subset it reads: literal strings (with escapes),
+    TJ arrays with kerning adjustments, simple-font text, the
+    Td/TD/T*/TL line-positioning family, '/\" move-and-show, Tc/Tw
+    spacing, curve flattening (c/v/y -> endpoint segment), and the
+    common no-op color/state operators. The text position carries
+    across show operators, so `(A) Tj (B) Tj` lays out correctly."""
     words: list[dict] = []
     lines: list[dict] = []
     rects: list[dict] = []
-    operands: list = []  # numbers / names / hex strings in order
+    operands: list = []  # numbers / names / strings in order
+    arr: list | None = None  # open [ ... ] collection (for TJ)
     font_name: str | None = None
+    fm_cur: dict | None = None
     size = 0.0
     tz = 100.0
+    tc = 0.0
+    tw = 0.0
+    tl = 0.0
     tm: tuple[float, ...] | None = None
+    tlm: tuple[float, ...] | None = None
     # current path = list of subpaths; materialized ONLY by a paint
     # operator (§8.5.3) — 'n' (no-op terminator, e.g. after W clipping
     # setup) and an unpainted trailing path are DISCARDED, so clipping
@@ -834,18 +1002,72 @@ def _parse_content(
         rects.extend(pending)
         clear_path()
 
+    def show(raw: bytes) -> None:
+        nonlocal tm, fm_cur
+        if tm is None or font_name is None:
+            raise UnsupportedPdfError("show operator without Tm/Tf state")
+        if fm_cur is None:
+            fm_cur = fonts.get(font_name)
+            if fm_cur is None:
+                raise UnsupportedPdfError(f"unknown font resource /{font_name}")
+        if fm_cur["kind"] == "simple" and b" " in raw:
+            # split space-separated runs into WORDS with exact per-run
+            # positions (pdfplumber extract_words semantics); the total
+            # advance is identical to showing the string whole
+            first = fm_cur["first_char"]
+            widths = fm_cur["widths"]
+            si = 32 - first
+            sw = widths[si] if 0 <= si < len(widths) else 0.0
+            space_adv = (sw / 1000.0 * size + tc + tw) * (tz / 100.0)
+            parts = raw.split(b" ")
+            for pi, run in enumerate(parts):
+                if run:
+                    word, adv = _word_from_state(
+                        fm_cur, size, tz, tm, run, font_name, page_h, tc, 0.0
+                    )
+                    if word["text"]:
+                        words.append(word)
+                    tm = _advance_tm(tm, adv)
+                if pi < len(parts) - 1:
+                    tm = _advance_tm(tm, space_adv)
+            return
+        word, adv = _word_from_state(
+            fm_cur, size, tz, tm, raw, font_name, page_h, tc, tw
+        )
+        if word["text"]:
+            words.append(word)
+        tm = _advance_tm(tm, adv)
+
+    def next_line() -> None:  # T* — move to the start of the next line
+        nonlocal tm, tlm
+        if tlm is None:
+            raise UnsupportedPdfError("T* without a text line matrix")
+        tlm = _translate(0.0, -tl, tlm)
+        tm = tlm
+
     for tok in _TOKEN_RE.finditer(content):
-        hex_s, num, name, delim, lit, op = tok.groups()
+        hex_s, lit_s, num, name, delim, lit_bad, op = tok.groups()
         if hex_s is not None:
-            operands.append(("str", bytes.fromhex(hex_s.decode().replace(" ", ""))))
+            item = ("str", bytes.fromhex(hex_s.decode().replace(" ", "")))
+        elif lit_s is not None:
+            item = ("str", _decode_literal(lit_s))
         elif num is not None:
-            operands.append(("num", float(num)))
+            item = ("num", float(num))
         elif name is not None:
-            operands.append(("name", name.decode()))
+            item = ("name", name.decode())
         elif delim is not None:
-            raise UnsupportedPdfError("TJ arrays not supported")
-        elif lit is not None:
-            raise UnsupportedPdfError("literal strings not supported (hex/Identity-H only)")
+            if delim == b"[":
+                if arr is not None:
+                    raise UnsupportedPdfError("nested array operand")
+                arr = []
+            else:
+                if arr is None:
+                    raise UnsupportedPdfError("unbalanced ']'")
+                operands.append(("arr", arr))
+                arr = None
+            continue
+        elif lit_bad is not None:
+            raise UnsupportedPdfError("nested literal string")
         else:
             o = op.decode()
             vals = [v for k, v in operands if k == "num"]
@@ -854,40 +1076,103 @@ def _parse_content(
                 if not names or not vals:
                     raise UnsupportedPdfError("malformed Tf")
                 font_name, size = names[-1], vals[-1]
+                fm_cur = None  # re-resolve lazily on next show
             elif o == "Tz":
                 tz = vals[-1]
+            elif o == "Tc":
+                tc = vals[-1]
+            elif o == "Tw":
+                tw = vals[-1]
+            elif o == "TL":
+                tl = vals[-1]
+            elif o == "Ts":
+                if vals[-1] != 0.0:
+                    raise UnsupportedPdfError("nonzero text rise (Ts) unsupported")
             elif o == "Tm":
-                tm = tuple(vals[-6:])
+                tm = tlm = tuple(vals[-6:])
+            elif o == "Td":
+                if tlm is None:
+                    raise UnsupportedPdfError("Td without a text line matrix")
+                tlm = _translate(vals[-2], vals[-1], tlm)
+                tm = tlm
+            elif o == "TD":
+                if tlm is None:
+                    raise UnsupportedPdfError("TD without a text line matrix")
+                tl = -vals[-1]
+                tlm = _translate(vals[-2], vals[-1], tlm)
+                tm = tlm
+            elif o == "T*":
+                next_line()
             elif o == "Tj":
                 strs = [v for k, v in operands if k == "str"]
-                if not strs or tm is None or font_name is None:
-                    raise UnsupportedPdfError("Tj without Tm/Tf state")
-                fm = fonts.get(font_name)
-                if fm is None:
-                    raise UnsupportedPdfError(f"unknown font resource /{font_name}")
-                words.append(
-                    _word_from_state(fm, size, tz, tm, strs[-1], font_name, page_h)
-                )
+                if not strs:
+                    raise UnsupportedPdfError("Tj without a string")
+                show(strs[-1])
+            elif o == "'":
+                strs = [v for k, v in operands if k == "str"]
+                if not strs:
+                    raise UnsupportedPdfError("' without a string")
+                next_line()
+                show(strs[-1])
+            elif o == '"':
+                strs = [v for k, v in operands if k == "str"]
+                if not strs or len(vals) < 2:
+                    raise UnsupportedPdfError('malformed " operator')
+                tw, tc = vals[-2], vals[-1]
+                next_line()
+                show(strs[-1])
+            elif o == "TJ":
+                arrs = [v for k, v in operands if k == "arr"]
+                if not arrs:
+                    raise UnsupportedPdfError("TJ without an array")
+                for kind, v in arrs[-1]:
+                    if kind == "str":
+                        show(v)
+                    else:  # kerning adjustment: -v/1000 em in text space
+                        if tm is None:
+                            raise UnsupportedPdfError("TJ without Tm state")
+                        tm = _advance_tm(tm, -v / 1000.0 * size * (tz / 100.0))
             elif o == "m":
                 if path:
                     subpaths.append(path)
                 path = [(vals[-2], vals[-1])]
             elif o == "l":
                 path.append((vals[-2], vals[-1]))
+            elif o in ("c", "v", "y"):
+                # curve flattened to its endpoint segment: only the
+                # coarse ruling geometry matters downstream
+                path.append((vals[-2], vals[-1]))
+            elif o == "h":  # closepath
+                if path:
+                    path.append(path[0])
             elif o == "re":
                 x, y, w_, h_ = vals[-4:]
                 pending.append(
                     {"x0": x, "x1": x + w_, "top": page_h - (y + h_), "bottom": page_h - y}
                 )
-            elif o in ("S", "s", "f", "F", "B", "b"):
+            elif o in ("S", "s", "f", "F", "B", "b", "f*", "B*", "b*"):
                 flush_paint()
             elif o == "n":  # end path WITHOUT painting (clip setup)
                 clear_path()
-            elif o in ("BT", "ET", "q", "Q", "w", "W"):
-                pass
+            elif o == "BT":
+                tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+            elif o == "cm":
+                if tuple(vals[-6:]) != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+                    raise UnsupportedPdfError("non-identity CTM (cm) unsupported")
+            elif o in ("BI", "Do"):
+                raise UnsupportedPdfError(f"XObject/inline image ({o}) unsupported")
+            elif o in (
+                "ET", "q", "Q", "w", "W", "W*", "Tr",
+                "g", "G", "rg", "RG", "k", "K", "cs", "CS",
+                "sc", "SC", "scn", "SCN", "gs", "ri", "i", "j", "J", "M", "d",
+            ):
+                pass  # color / general graphics state: no text/geometry effect
             else:
                 raise UnsupportedPdfError(f"unsupported content operator {o!r}")
             operands = []
+            continue
+        # operand token: route into the open array or the operand list
+        (arr if arr is not None else operands).append(item)
     clear_path()  # trailing unpainted path is never materialized
     return words, lines, rects
 

@@ -442,3 +442,135 @@ def test_endobj_inside_stream_bytes_no_longer_truncates():
 
     objs = _scan_objects(spliced)
     assert any(b"endobj endstream trick" in b for b in objs.values())
+
+
+# ---------------------------------------------------------------------------
+# Foreign (wild-style) content streams: simple fonts, literal strings,
+# TJ arrays, Td/TD/T*/'/" positioning, Tc/Tw spacing
+# ---------------------------------------------------------------------------
+
+
+def _obj(n, body):
+    return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+
+def _simple_font_pdf(content, widths=None, descriptor=True):
+    w = widths if widths is not None else b" ".join(b"500" for _ in range(95))
+    font = (b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+            b"/FirstChar 32 /LastChar 126 ")
+    if widths is not None or widths is None:
+        font += b"/Widths [" + w + b"] "
+    if descriptor:
+        font += b"/FontDescriptor 6 0 R "
+    font += b">>"
+    bodies = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        _obj(4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"),
+        _obj(5, font),
+        _obj(6, b"<< /Type /FontDescriptor /FontName /Arial /Ascent 900 /Descent -210 >>"),
+    ]
+    return b"%PDF-1.4\n" + b"".join(bodies) + b"%%EOF\n"
+
+
+def test_simple_font_tj_literals_positioning():
+    """The wild-PDF grammar: TJ arrays with kerning, literal-string
+    escapes, Td/T*/TL line stepping, ' move-and-show, Tc spacing —
+    exact glyph-box math from the embedded /Widths."""
+    content = (b"BT /F1 12 Tf 14 TL 72 720 Td "
+               b"[(Hel) -20 (lo,) ] TJ ( world! \\(esc\\)) Tj T* "
+               b"(next line) Tj 0.5 Tc (spaced) ' ET")
+    pages = parse_pdf_bytes(_simple_font_pdf(content))
+    words = pages[0]["words"]
+    texts = [w["text"] for w in words]
+    assert texts == ["Hel", "lo,", "world!", "(esc)", "next", "line", "spaced"]
+    by = {w["text"]: w for w in words}
+    # TJ kerning -20/1000 * 12 = +0.24 shifts 'lo,' right of Hel's end
+    assert by["Hel"]["x1"] == pytest.approx(90.0)
+    assert by["lo,"]["x0"] == pytest.approx(90.24)
+    # each char 500/1000*12 = 6pt wide; 'spaced' has Tc 0.5 -> 6.5/char
+    assert by["spaced"]["x1"] - by["spaced"]["x0"] == pytest.approx(6 * 6.5)
+    # T* moved down by TL=14 twice from y=720
+    assert by["next"]["top"] == pytest.approx(by["Hel"]["top"] + 14)
+    assert by["spaced"]["top"] == pytest.approx(by["Hel"]["top"] + 28)
+    # ascent/descent from the FontDescriptor (900/-210 at size 12)
+    assert by["Hel"]["bottom"] - by["Hel"]["top"] == pytest.approx(12 * 1.11)
+
+
+def test_simple_font_space_split_positions_exact():
+    """A space-separated literal splits into words whose summed
+    advances equal showing the string whole."""
+    content = b"BT /F1 10 Tf 1 0 0 1 100 400 Tm (one two  three) Tj (X) Tj ET"
+    words = parse_pdf_bytes(_simple_font_pdf(content))[0]["words"]
+    assert [w["text"] for w in words] == ["one", "two", "three", "X"]
+    # every char is 500/1000*10 = 5pt: 'one'=[100,115], space, 'two'=[120,135],
+    # two spaces, 'three'=[145,170], X continues at 170
+    assert words[0]["x0"] == pytest.approx(100) and words[0]["x1"] == pytest.approx(115)
+    assert words[1]["x0"] == pytest.approx(120)
+    assert words[2]["x0"] == pytest.approx(145) and words[2]["x1"] == pytest.approx(170)
+    assert words[3]["x0"] == pytest.approx(170)
+
+
+def test_simple_font_extraction_end_to_end():
+    content = (b"BT /F1 12 Tf 20 TL 72 600 Td "
+               b"(This is the first line of body text here.) Tj T* "
+               b"(And a second line continues the paragraph.) Tj ET")
+    res = extract_pdf_bytes(_simple_font_pdf(content))
+    assert res["text"] == (
+        "This is the first line of body text here.\n"
+        "And a second line continues the paragraph."
+    )
+
+
+def test_foreign_unsupported_constructs_raise():
+    for bad, msg in [
+        (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET /Im0 Do", "XObject"),
+        (b"2 0 0 2 0 0 cm BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET", "CTM"),
+        (b"BT /F1 12 Tf 3 Ts 1 0 0 1 72 600 Tm (x) Tj ET", "rise"),
+        (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (a(b)c) Tj ET", "literal"),
+    ]:
+        with pytest.raises(UnsupportedPdfError, match=msg):
+            parse_pdf_bytes(_simple_font_pdf(bad))
+    # zero rise is fine
+    ok = parse_pdf_bytes(_simple_font_pdf(b"BT /F1 12 Tf 0 Ts 1 0 0 1 72 600 Tm (x) Tj ET"))
+    assert ok[0]["words"][0]["text"] == "x"
+
+
+def test_standard14_font_without_widths_raises():
+    pdf = _simple_font_pdf(b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET")
+    # strip the /Widths array -> metrics live in external AFMs -> out of subset
+    import re
+
+    stripped = re.sub(rb"/Widths \[[^\]]*\] ", b"", pdf)
+    with pytest.raises(UnsupportedPdfError, match="Widths"):
+        parse_pdf_bytes(stripped)
+
+
+def test_unused_unsupported_font_is_ignored():
+    """Font resolution is lazy: a declared-but-unused standard-14 font
+    (no widths) must not fail the page."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (fine) Tj ET"
+    pdf = _simple_font_pdf(content)
+    pdf = pdf.replace(
+        b"/Font << /F1 5 0 R >>",
+        b"/Font << /F1 5 0 R /F9 7 0 R >>",
+    ).replace(
+        b"%%EOF",
+        _obj(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") + b"%%EOF",
+    )
+    assert parse_pdf_bytes(pdf)[0]["words"][0]["text"] == "fine"
+    # ...but USING it raises
+    bad = pdf.replace(b"/F1 12 Tf", b"/F9 12 Tf")
+    with pytest.raises(UnsupportedPdfError):
+        parse_pdf_bytes(bad)
+
+
+def test_literal_escape_decoding():
+    from pdf_extractor_ray.functions.pdf_codec import _decode_literal
+
+    assert _decode_literal(rb"a\nb\tc\\d\(e\)") == b"a\nb\tc\\d(e)"
+    assert _decode_literal(rb"\101\102\60") == b"AB0"  # octal, 3 and 2 digits
+    assert _decode_literal(b"split\\\nline") == b"splitline"  # continuation
+    assert _decode_literal(rb"\q") == b"q"  # unknown escape: backslash dropped
