@@ -1209,12 +1209,23 @@ def parse_pdf_bytes(payload: bytes) -> list[dict]:
             raise UnsupportedPdfError("page without /MediaBox")
         x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
         width, height = x1 - x0, y1 - y0
-        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", page_body)
-        if not cm:
-            raise UnsupportedPdfError("page without single /Contents ref")
-        content = _decode_stream(objs.get(int(cm.group(1)), b""))
-        if content is None:
-            raise UnsupportedPdfError("contents object without stream")
+        # /Contents: single ref or an array of refs (§7.8.2 — the array
+        # concatenates to ONE logical stream, newline-joined)
+        am = re.search(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]", page_body)
+        if am:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+        else:
+            cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", page_body)
+            if not cm:
+                raise UnsupportedPdfError("page without /Contents")
+            refs = [int(cm.group(1))]
+        parts = []
+        for r in refs:
+            part = _decode_stream(objs.get(r, b""))
+            if part is None:
+                raise UnsupportedPdfError("contents object without stream")
+            parts.append(part)
+        content = b"\n".join(parts)
         fonts = _page_fonts(objs, page_body)
         parsed = _parse_content_fast(content, fonts, height)
         words, lines, rects = parsed if parsed is not None else _parse_content(

@@ -574,3 +574,21 @@ def test_literal_escape_decoding():
     assert _decode_literal(rb"\101\102\60") == b"AB0"  # octal, 3 and 2 digits
     assert _decode_literal(b"split\\\nline") == b"splitline"  # continuation
     assert _decode_literal(rb"\q") == b"q"  # unknown escape: backslash dropped
+
+
+def test_contents_array_concatenates_streams():
+    """/Contents may be an ARRAY of stream refs (§7.8.2); they parse
+    as one logical stream with text state carrying across."""
+    c1 = b"BT /F1 12 Tf 20 TL 72 600 Td (first stream words here) Tj"
+    c2 = b"T* (second stream continues) Tj ET"
+    pdf = _simple_font_pdf(b"")  # build then splice a 2-element array
+    pdf = pdf.replace(b"/Contents 4 0 R", b"/Contents [4 0 R 7 0 R]")
+    pdf = pdf.replace(
+        _obj(4, b"<< /Length 0 >>\nstream\n\nendstream"),
+        _obj(4, b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream"),
+    ).replace(
+        b"%%EOF",
+        _obj(7, b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream") + b"%%EOF",
+    )
+    res = extract_pdf_bytes(pdf)
+    assert res["text"] == "first stream words here\nsecond stream continues"
