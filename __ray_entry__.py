@@ -902,6 +902,36 @@ def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return embedding_neardup_pairs(ds, threshold=0.4)
 
 
+def _docs_source_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-source document cap — the per-domain cap step of every
+    crawl pipeline (a handful of hosts dominate raw crawls): keep the
+    K lowest-doc_id documents of each source. Same pre-pruned
+    hash-mod-P machinery as topk_per_group, ascending order."""
+    from pdf_extractor_ray.ops.windows import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = topk_per_group(ds, key="source", val="doc_id", k=10, ascending=True).to_pandas()
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+def _similarity_topk_filtered(sf_dir: str) -> pd.DataFrame:
+    """Metadata-filtered ANN: exact cosine top-k restricted to a label
+    predicate, with the filter pushed INTO the parquet read (only
+    qualifying row groups leave storage) — the filtered-search mode
+    every vector store exposes."""
+    import pyarrow.dataset as pads
+
+    from pdf_extractor_ray.ops.similarity import brute_force_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pads.field("label") == 1),
+    )
+    out = brute_force_topk(ds, _query_vec(sf_dir), k=10)
+    return out[["vec_id", "cos"]]
+
+
 def _srp_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """Signed-random-projection cosine-LSH near-dup (ops/similarity.py
     srp_neardup_pairs) — the scale path for embedding dedup. Threshold
@@ -1145,16 +1175,17 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 58 entries
-# (57 + the new srp_neardup_docs) ordered by ROTATION so no query goes
-# two rounds without a driver row: the 7 queries past r3's cap plus
-# the new SRP query come FIRST, then the 8 rows-only extraction
-# pipelines, then 34 oracled queries; the 8 entries past position 50
-# are simple relational queries oracled GREEN in r1+r2+r3 (they rotate
-# back in next round). Operators whose dedicated entries were folded
-# into a superset query (lang-ID / fingerprints -> text_analysis_docs
-# columns, flag rollup -> extract_flags, sections chunking,
-# corpus_stats_by_lang) remain unit-tested in tests/.
+# 50 in dict order; r3: 57 -> first 50). The registry holds 60 entries
+# (57 + srp_neardup_docs + docs_source_cap + similarity_topk_filtered,
+# all new in r4) ordered by ROTATION so no query goes two rounds
+# without a driver row: the 7 queries past r3's cap plus the 3 new
+# ones come FIRST, then the 8 rows-only extraction pipelines, then 32
+# oracled queries; the 10 entries past position 50 are relational
+# queries oracled GREEN in r1+r2+r3 (they rotate back next round).
+# Operators whose dedicated entries were folded into a superset query
+# (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
+# -> extract_flags, sections chunking, corpus_stats_by_lang) remain
+# unit-tested in tests/.
 
 
 # ---------------------------------------------------------------------------
@@ -1178,6 +1209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_topk": _similarity_ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "srp_neardup_docs": _srp_neardup_docs,
+        "docs_source_cap": _docs_source_cap,
+        "similarity_topk_filtered": _similarity_topk_filtered,
         # -- extraction pipelines (rows-only by nature) ----------------
         "extract_corpus": _extract_corpus,
         "extract_dedup_sorted_urls": _extract_dedup_sorted_urls,
@@ -1206,9 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extreme_orders_union": _extreme_orders_union,
         "users_click_and_purchase": _users_click_and_purchase,
         "events_json_props": _events_json_props,
-        "promo_revenue_by_brand": _promo_revenue_by_brand,
         "supplier_balance_by_nation": _supplier_balance_by_nation,
-        "topk_orders_per_priority": _topk_orders_per_priority,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "doc_top_terms": _doc_top_terms,
@@ -1224,6 +1255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_quality": _docs_gopher_quality,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
+        "topk_orders_per_priority": _topk_orders_per_priority,
+        "promo_revenue_by_brand": _promo_revenue_by_brand,
         "orders_by_segment": _orders_by_segment,
         "customers_per_region": _customers_per_region,
         "events_hourly": _events_hourly,
@@ -1542,6 +1575,23 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) AS cos
             FROM embeddings e
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "similarity_topk_filtered": """
+            SELECT e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) AS cos
+            FROM embeddings e
+            WHERE e.label = 1
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "docs_source_cap": """
+            SELECT source, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ) t WHERE rn <= 10
+            ORDER BY source, doc_id
         """,
         # int-id pairs only (no float column) — the threshold compare
         # itself runs in float64 on both sides (DOUBLE[] cast)

@@ -308,15 +308,18 @@ def topk_per_group(
     k: int,
     tiebreak: str | None = None,
     num_partitions: int = 32,
+    ascending: bool = False,
 ) -> ray.data.Dataset:
     """Top-k rows per group by `val` desc (tie-broken by `tiebreak`
-    asc for determinism). Per-batch pre-prune keeps only each batch's
-    local top-k per key before the shuffle, so the exchange moves at
-    most k rows per key per batch — and the shuffle key is hash(key)
-    mod num_partitions, so the final pass is one vectorized pandas
-    groupby per partition regardless of key cardinality."""
+    asc for determinism); `ascending=True` keeps the k SMALLEST
+    instead (e.g. the first-k-docs-per-source cap). Per-batch
+    pre-prune keeps only each batch's local top-k per key before the
+    shuffle, so the exchange moves at most k rows per key per batch —
+    and the shuffle key is hash(key) mod num_partitions, so the final
+    pass is one vectorized pandas groupby per partition regardless of
+    key cardinality."""
     order_cols = [val] + ([tiebreak] if tiebreak else [])
-    asc = [False] + [True] * (1 if tiebreak else 0)
+    asc = [ascending] + [True] * (1 if tiebreak else 0)
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         out = (
