@@ -715,22 +715,124 @@ def _font_descriptor_metrics(objs: dict[int, bytes], body: bytes) -> tuple[float
     return _dict_num(fd, "Ascent"), _dict_num(fd, "Descent")
 
 
+def _parse_w_array(objs: dict[int, bytes], desc_body: bytes) -> dict[int, float]:
+    """Per-CID width overrides from the descendant's /W array
+    (ISO 32000 §9.7.4.3). Two entry forms, freely mixed:
+    ``c [w1 w2 ...]`` (consecutive cids from c) and ``c1 c2 w``
+    (every cid in c1..c2). Missing /W -> empty dict (all /DW)."""
+    wm = re.search(rb"/W\s*(?:(\[)|(\d+)\s+\d+\s+R)", desc_body)
+    if not wm:
+        return {}
+    if wm.group(1):
+        # direct form: /W [ ... ] with one level of nested brackets
+        start = wm.end(1) - 1
+        depth = 0
+        i = start
+        while i < len(desc_body):
+            if desc_body[i : i + 1] == b"[":
+                depth += 1
+            elif desc_body[i : i + 1] == b"]":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        arr = desc_body[start + 1 : i]
+    else:
+        ref_body = objs.get(int(wm.group(2)), b"")
+        am = re.search(rb"\[(.*)\]", ref_body, re.S)
+        if not am:
+            raise UnsupportedPdfError("/W reference without array")
+        arr = am.group(1)
+    toks = re.findall(rb"\[|\]|-?[\d.]+", arr)
+    widths: dict[int, float] = {}
+    i = 0
+    while i < len(toks):
+        if toks[i] in (b"[", b"]"):
+            raise UnsupportedPdfError("malformed /W array")
+        c1 = int(float(toks[i]))
+        if i + 1 < len(toks) and toks[i + 1] == b"[":
+            j = i + 2
+            cid = c1
+            while j < len(toks) and toks[j] != b"]":
+                widths[cid] = float(toks[j])
+                cid += 1
+                j += 1
+            i = j + 1
+        else:
+            if i + 2 >= len(toks):
+                raise UnsupportedPdfError("truncated /W range entry")
+            c2 = int(float(toks[i + 1]))
+            w = float(toks[i + 2])
+            for cid in range(c1, c2 + 1):
+                widths[cid] = w
+            i += 3
+    return widths
+
+
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _parse_tounicode(objs: dict[int, bytes], font_body: bytes) -> dict[int, str] | None:
+    """CID -> unicode map from the font's /ToUnicode CMap stream
+    (§9.10.3; Adobe CMap grammar): beginbfchar pairs and beginbfrange
+    runs (incrementing-dst and array-dst forms). None when the font
+    declares no /ToUnicode."""
+    tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", font_body)
+    if not tm:
+        return None
+    data = _decode_stream(objs.get(int(tm.group(1)), b""))
+    if data is None:
+        raise UnsupportedPdfError("/ToUnicode without stream data")
+
+    def hx(tok: bytes) -> bytes:
+        return bytes.fromhex(tok.decode("ascii").replace(" ", ""))
+
+    out: dict[int, str] = {}
+    for seg in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _HEXSTR_RE.findall(seg)
+        if len(toks) % 2:
+            raise UnsupportedPdfError("odd bfchar token count")
+        for src, dst in zip(toks[::2], toks[1::2]):
+            out[int.from_bytes(hx(src), "big")] = hx(dst).decode("utf-16-be")
+    for seg in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        # entries: <lo> <hi> <dst>   OR   <lo> <hi> [<d1> <d2> ...]
+        for em in re.finditer(
+            rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*(?:<([0-9A-Fa-f\s]*)>|\[((?:\s*<[0-9A-Fa-f\s]*>)*)\s*\])",
+            seg,
+        ):
+            lo = int.from_bytes(hx(em.group(1)), "big")
+            hi = int.from_bytes(hx(em.group(2)), "big")
+            if em.group(3) is not None:
+                dst = hx(em.group(3))
+                base = int.from_bytes(dst, "big")
+                nbytes = len(dst)
+                for cid in range(lo, hi + 1):
+                    out[cid] = (base + cid - lo).to_bytes(nbytes, "big").decode("utf-16-be")
+            else:
+                dsts = _HEXSTR_RE.findall(em.group(4))
+                if len(dsts) != hi - lo + 1:
+                    raise UnsupportedPdfError("bfrange array length mismatch")
+                for cid, d in zip(range(lo, hi + 1), dsts):
+                    out[cid] = hx(d).decode("utf-16-be")
+    return out
+
+
 def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
     """Font model for the tokenizer. Two kinds:
 
-    - "cid": Type0/Identity-H composite fonts (the writer's own) —
-      2-byte codes, /DW default width from the descendant.
+    - "cid": Type0/Identity-H composite fonts — 2-byte codes, /DW
+      default width plus per-CID /W overrides from the descendant
+      (§9.7.4.3). Text decodes through the font's /ToUnicode CMap
+      when present (§9.10.3 — how every modern subset-embedded font
+      maps glyph-id CIDs back to text); without one, codes are
+      decoded as UTF-16BE (exact for the writer's identity mapping) —
+      glyph-id text without a CMap typically fails UTF-16 validation
+      and raises rather than mis-parses.
     - "simple": Type1/TrueType fonts with embedded /FirstChar +
       /Widths + /FontDescriptor (what ordinary word-processor PDFs
       carry) — 1-byte codes, per-glyph widths. Standard-14 fonts that
       OMIT the widths (legal per spec, metrics live in Adobe AFM
-      files) stay outside the subset.
-
-    Boundary note: CID text decodes as UTF-16BE (exact for the
-    writer's identity mapping); a foreign CID font whose codes are
-    raw glyph ids would need its /ToUnicode CMap, which this subset
-    does not parse — such fonts typically fail UTF-16 validation and
-    raise rather than mis-parse."""
+      files) stay outside the subset."""
     body = objs.get(font_ref, b"")
     if b"/Type0" in body:
         m = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", body)
@@ -739,7 +841,14 @@ def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
         desc_body = objs.get(int(m.group(1)), b"")
         dw = _dict_num(desc_body, "DW", 1000.0)
         asc, desc = _font_descriptor_metrics(objs, desc_body)
-        return {"kind": "cid", "ascent": asc, "descent": desc, "dw": dw}
+        return {
+            "kind": "cid",
+            "ascent": asc,
+            "descent": desc,
+            "dw": dw,
+            "w": _parse_w_array(objs, desc_body),
+            "tounicode": _parse_tounicode(objs, body),
+        }
     if re.search(rb"/Subtype\s*/(?:Type1|TrueType|MMType1)\b", body):
         wm = re.search(rb"/Widths\s*(?:\[([^\]]*)\]|(\d+)\s+\d+\s+R)", body)
         if not wm:
@@ -826,14 +935,37 @@ def _word_from_state(
     tc/tw are the Tc character- and Tw word-spacing registers (§9.3.2-3;
     Tw applies to 1-byte code 32 only, i.e. never to 2-byte CID text)."""
     if fm["kind"] == "cid":
-        try:
-            text = raw.decode("utf-16-be")
-        except UnicodeDecodeError as exc:
-            raise UnsupportedPdfError(
-                "CID string is not UTF-16 text (glyph-id CIDs need a /ToUnicode CMap)"
-            ) from exc
         n = len(raw) // 2
-        glyph_w = n * size * (fm["dw"] / 1000.0)
+        tou = fm.get("tounicode")
+        w_over = fm.get("w")
+        dw = fm["dw"]
+        if tou is None and not w_over:
+            # identity UTF-16 text + uniform /DW (the writer's own
+            # fonts) — no per-CID work on the hot path
+            try:
+                text = raw.decode("utf-16-be")
+            except UnicodeDecodeError as exc:
+                raise UnsupportedPdfError(
+                    "CID string is not UTF-16 text (glyph-id CIDs need a /ToUnicode CMap)"
+                ) from exc
+            glyph_w = n * size * (dw / 1000.0)
+        else:
+            cids = [int.from_bytes(raw[i : i + 2], "big") for i in range(0, 2 * n, 2)]
+            if tou is not None:
+                try:
+                    text = "".join(tou[c] for c in cids)
+                except KeyError as exc:
+                    raise UnsupportedPdfError(
+                        f"CID {exc.args[0]} missing from /ToUnicode CMap"
+                    ) from exc
+            else:
+                try:
+                    text = raw.decode("utf-16-be")
+                except UnicodeDecodeError as exc:
+                    raise UnsupportedPdfError(
+                        "CID string is not UTF-16 text (glyph-id CIDs need a /ToUnicode CMap)"
+                    ) from exc
+            glyph_w = sum(w_over.get(c, dw) for c in cids) / 1000.0 * size if w_over else n * size * (dw / 1000.0)
         adv = (glyph_w + n * tc) * (tz / 100.0)
     else:
         text = raw.decode("cp1252", errors="replace")

@@ -592,3 +592,82 @@ def test_contents_array_concatenates_streams():
     )
     res = extract_pdf_bytes(pdf)
     assert res["text"] == "first stream words here\nsecond stream continues"
+
+
+def _cid_tounicode_pdf(content, cmap, w_array=b"", to_unicode=True):
+    """Type0 font whose codes are GLYPH IDS (not unicode): text comes
+    back only through the /ToUnicode CMap — the modern
+    subset-embedded-font shape."""
+    font = b"<< /Type /Font /Subtype /Type0 /BaseFont /SubsetFont "
+    font += b"/Encoding /Identity-H /DescendantFonts [8 0 R] "
+    if to_unicode:
+        font += b"/ToUnicode 7 0 R "
+    font += b">>"
+    desc = b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SubsetFont /DW 1000 "
+    if w_array:
+        desc += b"/W " + w_array + b" "
+    desc += b"/FontDescriptor 6 0 R >>"
+    bodies = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        _obj(4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"),
+        _obj(5, font),
+        _obj(6, b"<< /Type /FontDescriptor /FontName /SubsetFont /Ascent 1000 /Descent -200 >>"),
+        _obj(7, b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"),
+        _obj(8, desc),
+    ]
+    return b"%PDF-1.4\n" + b"".join(bodies) + b"%%EOF\n"
+
+
+_CMAP = (b"/CIDInit /ProcSet findresource begin\n"
+         b"begincmap\n"
+         b"2 beginbfchar\n<0003> <0048> <0004> <0069>\nendbfchar\n"     # 3->H 4->i
+         b"2 beginbfrange\n"
+         b"<0010> <0012> <0061>\n"                                       # 16..18 -> a b c
+         b"<0020> <0021> [<0058> <00660066>]\n"                          # 32->X 33->'ff'
+         b"endbfrange\nendcmap\nend\n")
+
+
+def test_cid_tounicode_glyph_ids_decode():
+    """Glyph-id CIDs decode through the /ToUnicode CMap: bfchar pairs,
+    incrementing bfrange, array bfrange with a multi-unit (ligature)
+    destination."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm <00030004> Tj <001000110012> Tj <00200021> Tj ET"
+    pages = parse_pdf_bytes(_cid_tounicode_pdf(content, _CMAP))
+    assert [w["text"] for w in pages[0]["words"]] == ["Hi", "abc", "Xff"]
+    # identity advance (/DW 1000 at size 10 -> 10pt per cid)
+    w0 = pages[0]["words"][0]
+    assert w0["x1"] - w0["x0"] == pytest.approx(20.0)
+
+    # an unmapped CID raises (never silently mis-parses)
+    bad = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm <0099> Tj ET"
+    with pytest.raises(UnsupportedPdfError, match="missing from /ToUnicode"):
+        parse_pdf_bytes(_cid_tounicode_pdf(bad, _CMAP))
+
+    # glyph ids WITHOUT a ToUnicode: 0x0003/0x0004 are control chars in
+    # UTF-16 -> decodes as garbage control text is avoided because the
+    # writer identity path only accepts valid UTF-16; these decode but
+    # the advance still uses /DW. (No assertion beyond not crashing.)
+    pages2 = parse_pdf_bytes(
+        _cid_tounicode_pdf(b"BT /F1 10 Tf 1 0 0 1 72 600 Tm <00480069> Tj ET", _CMAP, to_unicode=False)
+    )
+    assert pages2[0]["words"][0]["text"] == "Hi"  # identity mapping
+
+
+def test_cid_w_array_per_glyph_widths():
+    """/W overrides: consecutive-list form and range form, mixed; CIDs
+    outside /W fall back to /DW."""
+    w = b"[ 3 [500 600] 16 18 250 ]"
+    content = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm <00030004> Tj <001000110012> Tj <0020> Tj ET"
+    pages = parse_pdf_bytes(_cid_tounicode_pdf(content, _CMAP, w_array=w))
+    words = pages[0]["words"]
+    # cid3=500, cid4=600 -> (0.5+0.6)*10 = 11pt
+    assert words[0]["x1"] - words[0]["x0"] == pytest.approx(11.0)
+    # cids 16,17,18 at 250 -> 7.5pt
+    assert words[1]["x1"] - words[1]["x0"] == pytest.approx(7.5)
+    # cid 32 not in /W -> /DW 1000 -> 10pt
+    assert words[2]["x1"] - words[2]["x0"] == pytest.approx(10.0)
+    # and the next word starts exactly after the accumulated advances
+    assert words[1]["x0"] == pytest.approx(72.0 + 11.0)
