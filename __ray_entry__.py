@@ -1012,7 +1012,8 @@ def _media_table(sf_dir: str, kind: str) -> "ray.data.Dataset":
                 img[:, :, 1] = (np.arange(h)[:, None] * (5 + i % 13)) % 256
                 img[:, :, 2] = i % 256
                 if sel == 3:
-                    payloads.append(encode_jpeg(img, quality=80 + (i % 3) * 5))
+                    sub = "420" if i % 8 == 7 else "444"  # both JPEG layouts flow
+                    payloads.append(encode_jpeg(img, quality=80 + (i % 3) * 5, subsample=sub))
                 else:
                     payloads.append(encode_png(img) if sel == 0 else encode_bmp(img))
         elif kind == "video":

@@ -6,21 +6,23 @@ Crawl-scale image columns are ~90% JPEG, so the r3 lossless codec trio
 (VERDICT r3 "What's missing" #3). This module closes the baseline
 subset with the same discipline as the PNG/MD5 work:
 
-- ``encode_jpeg(img, quality)``: RGB (H,W,3) or grayscale (H,W) uint8
-  -> JFIF bytes. Level shift, 8x8 forward DCT (orthonormal matrix
-  product), quantization with the Annex-K example tables scaled by the
-  common 1-100 quality mapping, zigzag, DC-differential + AC
-  run-length (ZRL/EOB) entropy coding with the Annex-K "typical"
-  Huffman tables, 0xFF byte stuffing. 4:4:4 (no subsampling) — a
-  legal baseline stream every decoder reads.
+- ``encode_jpeg(img, quality, subsample)``: RGB (H,W,3) or grayscale
+  (H,W) uint8 -> JFIF bytes. Level shift, 8x8 forward DCT
+  (orthonormal matrix product), quantization with the Annex-K example
+  tables scaled by the common 1-100 quality mapping, zigzag,
+  DC-differential + AC run-length (ZRL/EOB) entropy coding with the
+  Annex-K "typical" Huffman tables, 0xFF byte stuffing.
+  ``subsample="420"`` emits 2x2-subsampled chroma (MCU = 4 Y blocks +
+  Cb + Cr — the dominant wild layout); "444" keeps full chroma.
 - ``decode_jpeg(payload)``: marker parse (DQT/SOF0/DHT/DRI/SOS, APPn
   and COM skipped), Huffman tables read FROM THE FILE (never assumed),
   restart-marker segmentation, entropy decode, dequantize, batched
-  inverse DCT, YCbCr->RGB. Supported: 8-bit baseline (SOF0), 1 or 3
-  components, sampling factors 1x1 (4:4:4) — chroma-subsampled
-  (4:2:0/4:2:2), progressive (SOF2), arithmetic-coded and 12-bit
-  streams raise ``UnsupportedMediaError`` (the honest boundary;
-  callers fall back exactly as for the other codecs).
+  inverse DCT, chroma upsampling by replication, YCbCr->RGB.
+  Supported: 8-bit baseline (SOF0/1), 1 or 3 components, sampling
+  factors 1 or 2 per axis (4:4:4, 4:2:0, 4:2:2, 4:4:0) — progressive
+  (SOF2), arithmetic-coded, 12-bit and >2x sampling streams raise
+  ``UnsupportedMediaError`` (the honest boundary; callers fall back
+  exactly as for the other codecs).
 
 Round-trip is LOSSY by design: tests bound the reconstruction error
 (quantization is the only loss at 4:4:4) instead of asserting byte
@@ -210,27 +212,68 @@ def _csize(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _blockify(plane: np.ndarray) -> np.ndarray:
-    """(H, W) float -> (n_blocks, 8, 8), edge-replicated to x8."""
-    h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
+def _mcu_blocks(plane: np.ndarray, hs: int, vs: int, mcus_y: int, mcus_x: int) -> np.ndarray:
+    """(H, W) float -> (n_mcu, vs*hs, 8, 8) in MCU raster order with
+    blocks left-to-right, top-to-bottom inside each MCU (T.81 A.2.3);
+    edge-replicates to the exact mcus_y*8*vs x mcus_x*8*hs grid."""
+    th, tw = mcus_y * 8 * vs, mcus_x * 8 * hs
+    ph, pw = th - plane.shape[0], tw - plane.shape[1]
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    hh, ww = plane.shape
     return (
-        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        plane.reshape(mcus_y, vs, 8, mcus_x, hs, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(mcus_y * mcus_x, vs * hs, 8, 8)
     )
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+def _encode_block(zz: np.ndarray, t: int, pred: int, dc_codes, ac_codes, bw: _BitWriter) -> int:
+    """Entropy-code one quantized zigzag block; returns the new DC
+    predictor."""
+    diff = int(zz[0]) - pred
+    s = _csize(diff)
+    c, ln = dc_codes[t][s]
+    bw.put(c, ln)
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[t][0xF0]
+            bw.put(c, ln)
+            run -= 16
+        s = _csize(v)
+        c, ln = ac_codes[t][(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[t][0x00]
+        bw.put(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0, subsample: str = "444"
+) -> bytes:
     """uint8 (H, W, 3) RGB or (H, W) grayscale -> baseline JFIF bytes
-    (4:4:4, Annex-K tables scaled by `quality`). `restart_interval` > 0
+    (Annex-K tables scaled by `quality`). `subsample="420"` emits
+    2x2-subsampled chroma (the dominant wild-JPEG layout: MCU = 4 Y
+    blocks + Cb + Cr); "444" keeps full chroma. `restart_interval` > 0
     emits a DRI marker and RSTn boundaries every N MCUs (resumable
     scans — and the decoder's restart path gets a genuine producer)."""
     if img.ndim == 2:
         img = img[:, :, None]
     if img.ndim != 3 or img.shape[2] not in (1, 3) or img.dtype != np.uint8:
         raise ValueError("encode_jpeg wants uint8 (H,W), (H,W,1) or (H,W,3)")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     h, w = img.shape[:2]
     f = img.astype(np.float64)
     if img.shape[2] == 3:
@@ -242,73 +285,61 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
         ]
     else:
         planes = [f[:, :, 0]]
+    nf = len(planes)
+    samp = [(2, 2), (1, 1), (1, 1)] if (subsample == "420" and nf == 3) else [(1, 1)] * nf
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     qts = [_quality_scale(_QT_LUM, quality), _quality_scale(_QT_CHROM, quality)]
-    comp_qt = [0] + [1] * (len(planes) - 1)
+    comp_qt = [0] + [1] * (nf - 1)
 
-    # quantized zigzag blocks per component
+    # quantized zigzag blocks per component, MCU-ordered
     zz_blocks = []
     for ci, plane in enumerate(planes):
-        blocks = _blockify(plane) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+        hs, vs = samp[ci]
+        if (hs, vs) != (hmax, vmax):
+            # chroma subsample: pad the full-res plane to the MCU grid,
+            # then box-mean down by the sampling ratio
+            fy, fx = vmax // vs, hmax // hs
+            th, tw = mcus_y * 8 * vmax, mcus_x * 8 * hmax
+            p = np.pad(plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])), mode="edge")
+            plane = p.reshape(th // fy, fy, tw // fx, fx).mean(axis=(1, 3))
+        blocks = _mcu_blocks(plane, hs, vs, mcus_y, mcus_x) - 128.0
+        n_mcu, bpm = blocks.shape[0], blocks.shape[1]
+        coef = np.einsum("ij,nbjk,lk->nbil", _DCT_M, blocks, _DCT_M)
         qt = qts[comp_qt[ci]].reshape(8, 8)
         quant = np.round(coef / qt).astype(np.int64)
-        zz_blocks.append(quant.reshape(-1, 64)[:, _ZIGZAG])
+        zz_blocks.append(quant.reshape(n_mcu, bpm, 64)[:, :, _ZIGZAG])
 
     dc_codes = [_build_codes(*_HT_DC_LUM), _build_codes(*_HT_DC_CHROM)]
     ac_codes = [_build_codes(*_HT_AC_LUM), _build_codes(*_HT_AC_CHROM)]
 
-    # interleaved scan: MCU = one block per component (4:4:4)
     bw = _BitWriter()
-    n_mcu = zz_blocks[0].shape[0]
-    preds = [0] * len(planes)
+    n_mcu = mcus_x * mcus_y
+    preds = [0] * nf
     rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             bw.restart(rst)
             rst += 1
-            preds = [0] * len(planes)
-        for ci in range(len(planes)):
-            zz = zz_blocks[ci][m]
+            preds = [0] * nf
+        for ci in range(nf):
             t = comp_qt[ci]
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
-            s = _csize(diff)
-            c, ln = dc_codes[t][s]
-            bw.put(c, ln)
-            if s:
-                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if len(nz) else 0
-            for i in range(1, last + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[t][0xF0]
-                    bw.put(c, ln)
-                    run -= 16
-                s = _csize(v)
-                c, ln = ac_codes[t][(run << 4) | s]
-                bw.put(c, ln)
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                c, ln = ac_codes[t][0x00]
-                bw.put(c, ln)
+            for blk in zz_blocks[ci][m]:
+                preds[ci] = _encode_block(blk, t, preds[ci], dc_codes, ac_codes, bw)
     scan = bw.finish()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, qt in enumerate(qts[: 1 + (len(planes) > 1)]):
+    for tid, qt in enumerate(qts[: 1 + (nf > 1)]):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
             int(qt[z]) for z in _ZIGZAG
         )
-    nf = len(planes)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for ci in range(nf):
-        out += bytes([ci + 1, 0x11, comp_qt[ci]])  # id, 1x1 sampling, qt id
+        hs, vs = samp[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, comp_qt[ci]])
     hts = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_LUM)]
     if nf > 1:
         hts += [(0x01, _HT_DC_CHROM), (0x11, _HT_AC_CHROM)]
@@ -446,11 +477,12 @@ def _parse_markers(payload, i, n, qts, dc_luts, ac_luts, frame, restart_interval
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise UnsupportedMediaError(
-                        "chroma-subsampled JPEG (non-1x1 sampling) unsupported; 4:4:4 only"
+                        f"sampling factors {hs}x{vs} unsupported (1 or 2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hs, vs))
             if nf not in (1, 3):
                 raise UnsupportedMediaError(f"{nf}-component JPEG unsupported")
             frame = (h, w, comps)
@@ -475,9 +507,13 @@ def _parse_markers(payload, i, n, qts, dc_luts, ac_luts, frame, restart_interval
 
 def _decode_scan(frame, scan_tabs, qts, dc_luts, ac_luts, segs, restart_interval):
     h, w, comps = frame
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    n_mcu = bw_ * bh_
-    coefs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in comps]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcu = mcus_x * mcus_y
+    bpm = [hs * vs for (_cid, _tq, hs, vs) in comps]  # blocks per MCU per comp
+    coefs = [np.zeros((n_mcu, b, 64), dtype=np.float64) for b in bpm]
     preds = [0] * len(comps)
     seg_i = 0
     reader = _BitReader(segs[0])
@@ -488,50 +524,61 @@ def _decode_scan(frame, scan_tabs, qts, dc_luts, ac_luts, segs, restart_interval
                 raise UnsupportedMediaError("JPEG missing restart segment")
             reader = _BitReader(segs[seg_i])
             preds = [0] * len(comps)
-        for ci, (cid, _tq) in enumerate(comps):
+        for ci, (cid, _tq, _hs, _vs) in enumerate(comps):
             td, ta = scan_tabs[cid]
             dsym, dlen = dc_luts[td]
             asym, alen = ac_luts[ta]
-            p16 = reader.peek16()
-            s = int(dsym[p16])
-            ln = int(dlen[p16])
-            if ln == 0:
-                raise UnsupportedMediaError("invalid DC Huffman code")
-            reader.pos += ln
-            diff = _extend(reader.read(s), s) if s else 0
-            preds[ci] += diff
-            zz = coefs[ci][m]
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
+            for b in range(bpm[ci]):
                 p16 = reader.peek16()
-                rs = int(asym[p16])
-                ln = int(alen[p16])
+                s = int(dsym[p16])
+                ln = int(dlen[p16])
                 if ln == 0:
-                    raise UnsupportedMediaError("invalid AC Huffman code")
+                    raise UnsupportedMediaError("invalid DC Huffman code")
                 reader.pos += ln
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise UnsupportedMediaError("AC run past block end")
-                zz[k] = _extend(reader.read(s), s)
-                k += 1
+                diff = _extend(reader.read(s), s) if s else 0
+                preds[ci] += diff
+                zz = coefs[ci][m, b]
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    p16 = reader.peek16()
+                    rs = int(asym[p16])
+                    ln = int(alen[p16])
+                    if ln == 0:
+                        raise UnsupportedMediaError("invalid AC Huffman code")
+                    reader.pos += ln
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise UnsupportedMediaError("AC run past block end")
+                    zz[k] = _extend(reader.read(s), s)
+                    k += 1
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, hs, vs) in enumerate(comps):
         if tq not in qts:
             raise UnsupportedMediaError(f"missing quant table {tq}")
-        nat = np.zeros((n_mcu, 64), dtype=np.float64)
-        nat[:, _ZIGZAG] = coefs[ci]
+        nat = np.zeros((n_mcu, bpm[ci], 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = coefs[ci]
         blocks = nat.reshape(-1, 8, 8) * qts[tq]
         pix = np.einsum("ji,njk,kl->nil", _DCT_M, blocks, _DCT_M) + 128.0
+        # (n_mcu*bpm, 8, 8) -> plane: MCU raster order, blocks
+        # left-to-right top-to-bottom inside each MCU (inverse of
+        # _mcu_blocks)
         plane = (
-            pix.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+            pix.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
         )
+        # upsample subsampled chroma by pixel replication, then crop
+        if vs != vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        if hs != hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255).astype(np.uint8)

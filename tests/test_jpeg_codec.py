@@ -93,11 +93,11 @@ def test_unsupported_features_raise():
     # progressive (SOF2)
     with pytest.raises(UnsupportedMediaError, match="progressive"):
         decode_jpeg(jp.replace(b"\xff\xc0", b"\xff\xc2", 1))
-    # chroma subsampling: patch Y's sampling byte (0x11 -> 0x22)
+    # sampling factors beyond 2 per axis: patch Y's byte (0x11 -> 0x33)
     i = jp.index(b"\xff\xc0")
     patched = bytearray(jp)
-    patched[i + 11] = 0x22
-    with pytest.raises(UnsupportedMediaError, match="subsampled"):
+    patched[i + 11] = 0x33
+    with pytest.raises(UnsupportedMediaError, match="sampling factors"):
         decode_jpeg(bytes(patched))
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(b"\x89PNG not a jpeg")
@@ -110,3 +110,41 @@ def test_decode_image_routes_jpeg():
     out = decode_image(encode_jpeg(img, quality=90))
     assert out.shape == (20, 28, 3)
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 (the dominant wild layout: MCU = 4 Y + Cb + Cr): smooth
+    image reconstructs within the lossy bound; chroma is 2x2
+    box-averaged so the bound is looser than 4:4:4 but tight on a
+    gradient."""
+    img = _gradient(40, 56)
+    jp420 = encode_jpeg(img, quality=90, subsample="420")
+    jp444 = encode_jpeg(img, quality=90)
+    assert len(jp420) < len(jp444)  # 6 blocks/MCU vs 3 per 4x pixels
+    i = jp420.index(b"\xff\xc0")
+    assert jp420[i + 11] == 0x22  # Y sampling 2x2 declared
+    back = decode_jpeg(jp420)
+    assert back.shape == img.shape
+    err = np.abs(back.astype(int) - img.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 24
+
+
+def test_420_odd_dimensions_and_restarts():
+    """Odd (non-multiple-of-16) dims pad per MCU grid and crop back;
+    restart markers compose with subsampling."""
+    img = _gradient(37, 51)
+    back = decode_jpeg(encode_jpeg(img, quality=85, subsample="420"))
+    assert back.shape == (37, 51, 3)
+    jp = encode_jpeg(img, quality=85, subsample="420", restart_interval=3)
+    assert b"\xff\xdd" in jp
+    assert np.array_equal(decode_jpeg(jp), back)  # segmentation bit-neutral
+
+
+def test_420_luma_is_not_subsampled():
+    """Only chroma is subsampled: a grayscale-content image (chroma
+    flat) round-trips 4:2:0 essentially as well as 4:4:4."""
+    g = _gradient(32, 32)[:, :, 0]
+    img = np.repeat(g[:, :, None], 3, axis=2)
+    e420 = np.abs(decode_jpeg(encode_jpeg(img, 90, subsample="420")).astype(int) - img.astype(int)).mean()
+    e444 = np.abs(decode_jpeg(encode_jpeg(img, 90)).astype(int) - img.astype(int)).mean()
+    assert abs(e420 - e444) < 0.5
