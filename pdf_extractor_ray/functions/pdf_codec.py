@@ -1103,6 +1103,11 @@ def _parse_content(
     tl = 0.0
     tm: tuple[float, ...] | None = None
     tlm: tuple[float, ...] | None = None
+    # CTM: translation-only subset (the ubiquitous `q 1 0 0 1 dx dy cm
+    # ... Q` positioning idiom); q/Q save/restore. Scaling/rotating
+    # CTMs stay outside the subset.
+    ctm = (0.0, 0.0)
+    ctm_stack: list[tuple[float, float]] = []
     # current path = list of subpaths; materialized ONLY by a paint
     # operator (§8.5.3) — 'n' (no-op terminator, e.g. after W clipping
     # setup) and an unpainted trailing path are DISCARDED, so clipping
@@ -1142,6 +1147,11 @@ def _parse_content(
             fm_cur = fonts.get(font_name)
             if fm_cur is None:
                 raise UnsupportedPdfError(f"unknown font resource /{font_name}")
+        def dev(m: tuple[float, ...]) -> tuple[float, ...]:
+            # device position = text matrix composed with the
+            # (translation-only) CTM
+            return (m[0], m[1], m[2], m[3], m[4] + ctm[0], m[5] + ctm[1])
+
         if fm_cur["kind"] == "simple" and b" " in raw:
             # split space-separated runs into WORDS with exact per-run
             # positions (pdfplumber extract_words semantics); the total
@@ -1155,7 +1165,7 @@ def _parse_content(
             for pi, run in enumerate(parts):
                 if run:
                     word, adv = _word_from_state(
-                        fm_cur, size, tz, tm, run, font_name, page_h, tc, 0.0
+                        fm_cur, size, tz, dev(tm), run, font_name, page_h, tc, 0.0
                     )
                     if word["text"]:
                         words.append(word)
@@ -1164,7 +1174,7 @@ def _parse_content(
                     tm = _advance_tm(tm, space_adv)
             return
         word, adv = _word_from_state(
-            fm_cur, size, tz, tm, raw, font_name, page_h, tc, tw
+            fm_cur, size, tz, dev(tm), raw, font_name, page_h, tc, tw
         )
         if word["text"]:
             words.append(word)
@@ -1267,18 +1277,19 @@ def _parse_content(
             elif o == "m":
                 if path:
                     subpaths.append(path)
-                path = [(vals[-2], vals[-1])]
+                path = [(vals[-2] + ctm[0], vals[-1] + ctm[1])]
             elif o == "l":
-                path.append((vals[-2], vals[-1]))
+                path.append((vals[-2] + ctm[0], vals[-1] + ctm[1]))
             elif o in ("c", "v", "y"):
                 # curve flattened to its endpoint segment: only the
                 # coarse ruling geometry matters downstream
-                path.append((vals[-2], vals[-1]))
+                path.append((vals[-2] + ctm[0], vals[-1] + ctm[1]))
             elif o == "h":  # closepath
                 if path:
                     path.append(path[0])
             elif o == "re":
                 x, y, w_, h_ = vals[-4:]
+                x, y = x + ctm[0], y + ctm[1]
                 pending.append(
                     {"x0": x, "x1": x + w_, "top": page_h - (y + h_), "bottom": page_h - y}
                 )
@@ -1289,12 +1300,21 @@ def _parse_content(
             elif o == "BT":
                 tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
             elif o == "cm":
-                if tuple(vals[-6:]) != (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
-                    raise UnsupportedPdfError("non-identity CTM (cm) unsupported")
+                a6 = tuple(vals[-6:])
+                if a6[:4] != (1.0, 0.0, 0.0, 1.0):
+                    raise UnsupportedPdfError(
+                        "scaling/rotating CTM (cm) unsupported; translations compose"
+                    )
+                # pure translations compose additively onto the CTM
+                ctm = (ctm[0] + a6[4], ctm[1] + a6[5])
+            elif o == "q":
+                ctm_stack.append(ctm)
+            elif o == "Q":
+                ctm = ctm_stack.pop() if ctm_stack else (0.0, 0.0)
             elif o in ("BI", "Do"):
                 raise UnsupportedPdfError(f"XObject/inline image ({o}) unsupported")
             elif o in (
-                "ET", "q", "Q", "w", "W", "W*", "Tr",
+                "ET", "w", "W", "W*", "Tr",
                 "g", "G", "rg", "RG", "k", "K", "cs", "CS",
                 "sc", "SC", "scn", "SCN", "gs", "ri", "i", "j", "J", "M", "d",
             ):

@@ -671,3 +671,29 @@ def test_cid_w_array_per_glyph_widths():
     assert words[2]["x1"] - words[2]["x0"] == pytest.approx(10.0)
     # and the next word starts exactly after the accumulated advances
     assert words[1]["x0"] == pytest.approx(72.0 + 11.0)
+
+
+def test_translation_ctm_q_cm_Q():
+    """The ubiquitous `q 1 0 0 1 dx dy cm ... Q` positioning idiom:
+    text and ruling geometry shift by the translation; Q restores; a
+    scaling cm still raises."""
+    content = (b"q 1 0 0 1 100 -50 cm "
+               b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (moved) Tj ET "
+               b"10 20 m 60 20 l S Q "
+               b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (home) Tj ET")
+    page = parse_pdf_bytes(_simple_font_pdf(content))[0]
+    by = {w["text"]: w for w in page["words"]}
+    assert by["moved"]["x0"] == pytest.approx(172.0)       # 72 + 100
+    assert by["moved"]["top"] == pytest.approx(by["home"]["top"] + 50)
+    assert by["home"]["x0"] == pytest.approx(72.0)         # Q restored
+    ln = page["lines"][0]
+    assert ln["x0"] == pytest.approx(110.0) and ln["x1"] == pytest.approx(160.0)
+    # nested q/q/Q/Q composes and unwinds
+    nested = (b"q 1 0 0 1 10 0 cm q 1 0 0 1 0 20 cm "
+              b"BT /F1 10 Tf 1 0 0 1 0 500 Tm (deep) Tj ET Q "
+              b"BT /F1 10 Tf 1 0 0 1 0 500 Tm (mid) Tj ET Q")
+    page2 = parse_pdf_bytes(_simple_font_pdf(nested))[0]
+    by2 = {w["text"]: w for w in page2["words"]}
+    assert by2["deep"]["x0"] == pytest.approx(10.0)
+    assert by2["deep"]["top"] == pytest.approx(by2["mid"]["top"] - 20)
+    assert by2["mid"]["x0"] == pytest.approx(10.0)
