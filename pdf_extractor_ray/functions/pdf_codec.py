@@ -864,14 +864,121 @@ def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
         widths = [float(t) for t in arr.split()]
         first = int(_dict_num(body, "FirstChar"))
         asc, desc = _font_descriptor_metrics(objs, body)
+        codec, diff = _parse_simple_encoding(objs, body)
         return {
             "kind": "simple",
             "ascent": asc,
             "descent": desc,
             "first_char": first,
             "widths": widths,
+            "codec": codec,
+            "diff": diff,
         }
     raise UnsupportedPdfError("font subset is Type0/Identity-H and simple Type1/TrueType with /Widths")
+
+
+# Adobe Glyph List subset: ASCII names, common western punctuation /
+# ligature / accented-letter names (the ones wild /Differences arrays
+# overwhelmingly use); /uniXXXX and /uXXXX names resolve directly.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@",
+    "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+    "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "guillemotleft": "«", "guillemotright": "»",
+    "fi": "ﬁ", "fl": "ﬂ", "germandbls": "ß",
+    "AE": "Æ", "oe": "œ", "OE": "Œ",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "copyright": "©", "registered": "®",
+    "trademark": "™", "degree": "°", "plusminus": "±",
+    "section": "§", "paragraph": "¶", "middot": "·",
+    "periodcentered": "·", "multiply": "×", "divide": "÷",
+    "exclamdown": "¡", "questiondown": "¿",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "oslash": "ø",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "thorn": "þ",
+    "ydieresis": "ÿ",
+}
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_ch] = _ch
+for _lo, _name in list(_AGL.items()):
+    if len(_lo) > 1 and _lo[0].islower() and _name and 0xE0 <= ord(_name[0]) <= 0xFF:
+        _AGL[_lo.capitalize()] = _name.upper()  # Agrave, Odieresis, ...
+del _ch, _lo, _name
+
+
+def _glyph_to_unicode(name: str) -> str:
+    u = _AGL.get(name)
+    if u is not None:
+        return u
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    raise UnsupportedPdfError(f"glyph name /{name} outside the AGL subset")
+
+
+def _parse_simple_encoding(objs: dict[int, bytes], body: bytes) -> tuple[str, dict[int, str]]:
+    """(base codec, /Differences overrides) for a simple font's
+    /Encoding entry (§9.6.5): a bare base-encoding name, or a dict
+    (inline or indirect) with /BaseEncoding + /Differences
+    [code /name /name code /name ...]."""
+    em = re.search(rb"/Encoding\s*(?:/(\w+)|(<<.*?>>)|(\d+)\s+\d+\s+R)", body, re.S)
+    if not em:
+        return "cp1252", {}  # TrueType default in practice: WinAnsi
+    enc_dict = None
+    base_name = em.group(1)
+    if em.group(2) is not None:
+        enc_dict = em.group(2)
+    elif em.group(3) is not None:
+        enc_dict = objs.get(int(em.group(3)), b"")
+    if enc_dict is not None:
+        bm = re.search(rb"/BaseEncoding\s*/(\w+)", enc_dict)
+        base_name = bm.group(1) if bm else None
+    codec = {
+        None: "cp1252",
+        b"WinAnsiEncoding": "cp1252",
+        b"MacRomanEncoding": "mac_roman",
+    }.get(base_name)
+    if codec is None:
+        raise UnsupportedPdfError(f"base encoding /{base_name.decode()} unsupported")
+    diff: dict[int, str] = {}
+    if enc_dict is not None:
+        dm = re.search(rb"/Differences\s*\[([^\]]*)\]", enc_dict, re.S)
+        if dm:
+            code = 0
+            for tok in re.findall(rb"/([^\s/\[\]<>()]+)|(\d+)", dm.group(1)):
+                if tok[1]:
+                    code = int(tok[1])
+                else:
+                    diff[code] = _glyph_to_unicode(tok[0].decode("ascii", "replace"))
+                    code += 1
+    return codec, diff
 
 
 class _FontTable:
@@ -968,7 +1075,14 @@ def _word_from_state(
             glyph_w = sum(w_over.get(c, dw) for c in cids) / 1000.0 * size if w_over else n * size * (dw / 1000.0)
         adv = (glyph_w + n * tc) * (tz / 100.0)
     else:
-        text = raw.decode("cp1252", errors="replace")
+        diff = fm.get("diff")
+        codec = fm.get("codec", "cp1252")
+        if diff:
+            text = "".join(
+                diff.get(b) or bytes([b]).decode(codec, errors="replace") for b in raw
+            )
+        else:
+            text = raw.decode(codec, errors="replace")
         widths = fm["widths"]
         first = fm["first_char"]
         glyph_w = 0.0

@@ -697,3 +697,39 @@ def test_translation_ctm_q_cm_Q():
     assert by2["deep"]["x0"] == pytest.approx(10.0)
     assert by2["deep"]["top"] == pytest.approx(by2["mid"]["top"] - 20)
     assert by2["mid"]["x0"] == pytest.approx(10.0)
+
+
+def test_simple_font_encoding_differences():
+    """/Encoding dict with /BaseEncoding + /Differences: remapped codes
+    decode through the AGL-subset glyph names (incl. uniXXXX forms);
+    unmapped codes keep the base codec; unknown glyph names raise."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (\x80a\x81\x82) Tj ET"
+    pdf = _simple_font_pdf(content).replace(
+        b"/FontDescriptor 6 0 R >>",
+        b"/FontDescriptor 6 0 R /Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 128 /emdash /eacute 130 /uni00E9 ] >> >>",
+        1,
+    )
+    # 0x80 -> emdash, 0x81 would be eacute BUT the string uses 0x81 and
+    # 0x82: 129 -> eacute, 130 -> uni00E9; 'a' passes through WinAnsi
+    words = parse_pdf_bytes(pdf)[0]["words"]
+    assert words[0]["text"] == "—aéé"
+
+    bad = _simple_font_pdf(content).replace(
+        b"/FontDescriptor 6 0 R >>",
+        b"/FontDescriptor 6 0 R /Encoding << /Differences [ 128 /nosuchglyph ] >> >>",
+        1,
+    )
+    with pytest.raises(UnsupportedPdfError, match="AGL subset"):
+        parse_pdf_bytes(bad)
+
+    # a bare MacRomanEncoding name switches the base codec: 0x8A is
+    # adieresis in MacRoman (vs S-caron in WinAnsi)
+    mac = _simple_font_pdf(
+        b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (\x8a) Tj ET"
+    ).replace(
+        b"/FontDescriptor 6 0 R >>",
+        b"/FontDescriptor 6 0 R /Encoding /MacRomanEncoding >>",
+        1,
+    )
+    assert parse_pdf_bytes(mac)[0]["words"][0]["text"] == "ä"
