@@ -1002,27 +1002,36 @@ class _FontTable:
         return fm
 
 
-def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> _FontTable:
-    # /Resources may be inline or an indirect reference (common in the
-    # wild); same for the /Font subdictionary
-    res = page_body
-    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
-    if rm:
-        res = objs.get(int(rm.group(1)), b"")
-    m = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+def _resources_of(objs: dict[int, bytes], body: bytes) -> bytes:
+    """The /Resources content for a page or form XObject body —
+    inline or an indirect reference (common in the wild)."""
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+    return objs.get(int(rm.group(1)), b"") if rm else body
+
+
+def _named_refs(objs: dict[int, bytes], res: bytes, key: bytes) -> dict[str, int]:
+    """name -> object number from a /Font or /XObject subdictionary
+    (inline ``<< ... >>`` or itself an indirect reference)."""
+    m = re.search(rb"/" + key + rb"\s*<<(.*?)>>", res, re.S)
     if not m:
-        fm_ref = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
-        if fm_ref:
-            inner = objs.get(int(fm_ref.group(1)), b"")
-        else:
-            inner = b""
+        ref = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", res)
+        inner = objs.get(int(ref.group(1)), b"") if ref else b""
     else:
         inner = m.group(1)
-    refs = {
+    return {
         fm.group(1).decode(): int(fm.group(2))
         for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", inner)
     }
-    return _FontTable(objs, refs)
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> _FontTable:
+    res = _resources_of(objs, page_body)
+    return _FontTable(objs, _named_refs(objs, res, b"Font"))
+
+
+def _page_xobjects(objs: dict[int, bytes], page_body: bytes) -> dict[str, int]:
+    res = _resources_of(objs, page_body)
+    return _named_refs(objs, res, b"XObject")
 
 
 def _word_from_state(
@@ -1194,15 +1203,23 @@ def _parse_content_fast(
 
 
 def _parse_content(
-    content: bytes, fonts: "_FontTable", page_h: float
+    content: bytes,
+    fonts: "_FontTable",
+    page_h: float,
+    objs: dict[int, bytes] | None = None,
+    xobj_refs: dict[str, int] | None = None,
+    ctm0: tuple[float, float] = (0.0, 0.0),
+    depth: int = 0,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Generic tokenizer for foreign content streams. Beyond the
     writer-canonical subset it reads: literal strings (with escapes),
     TJ arrays with kerning adjustments, simple-font text, the
     Td/TD/T*/TL line-positioning family, '/\" move-and-show, Tc/Tw
-    spacing, curve flattening (c/v/y -> endpoint segment), and the
-    common no-op color/state operators. The text position carries
-    across show operators, so `(A) Tj (B) Tj` lays out correctly."""
+    spacing, curve flattening (c/v/y -> endpoint segment), form
+    XObjects (Do recurses with the form's resources and translation
+    /Matrix; image XObjects are text-free no-ops), and the common
+    no-op color/state operators. The text position carries across show
+    operators, so `(A) Tj (B) Tj` lays out correctly."""
     words: list[dict] = []
     lines: list[dict] = []
     rects: list[dict] = []
@@ -1220,7 +1237,7 @@ def _parse_content(
     # CTM: translation-only subset (the ubiquitous `q 1 0 0 1 dx dy cm
     # ... Q` positioning idiom); q/Q save/restore. Scaling/rotating
     # CTMs stay outside the subset.
-    ctm = (0.0, 0.0)
+    ctm = ctm0
     ctm_stack: list[tuple[float, float]] = []
     # current path = list of subpaths; materialized ONLY by a paint
     # operator (§8.5.3) — 'n' (no-op terminator, e.g. after W clipping
@@ -1425,8 +1442,53 @@ def _parse_content(
                 ctm_stack.append(ctm)
             elif o == "Q":
                 ctm = ctm_stack.pop() if ctm_stack else (0.0, 0.0)
-            elif o in ("BI", "Do"):
-                raise UnsupportedPdfError(f"XObject/inline image ({o}) unsupported")
+            elif o == "Do":
+                names = [v for k, v in operands if k == "name"]
+                if not names or objs is None or xobj_refs is None:
+                    raise UnsupportedPdfError("Do without XObject resources")
+                ref = xobj_refs.get(names[-1])
+                if ref is None:
+                    raise UnsupportedPdfError(f"unknown XObject /{names[-1]}")
+                xbody = objs.get(ref, b"")
+                xdict = xbody[: max(xbody.find(b"stream"), 0)] or xbody
+                if re.search(rb"/Subtype\s*/Image\b", xdict):
+                    pass  # images carry no text/ruling geometry
+                elif re.search(rb"/Subtype\s*/Form\b", xdict):
+                    if depth >= 8:
+                        raise UnsupportedPdfError("form XObject nesting too deep")
+                    data = _decode_stream(xbody)
+                    if data is None:
+                        raise UnsupportedPdfError("form XObject without stream")
+                    mm = re.search(
+                        rb"/Matrix\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
+                        rb"\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)", xdict
+                    )
+                    mx = my = 0.0
+                    if mm:
+                        fmx = tuple(float(mm.group(i)) for i in range(1, 7))
+                        if fmx[:4] != (1.0, 0.0, 0.0, 1.0):
+                            raise UnsupportedPdfError(
+                                "form /Matrix with scaling/rotation unsupported"
+                            )
+                        mx, my = fmx[4], fmx[5]
+                    # a form with its own /Resources scopes them;
+                    # otherwise it inherits the caller's tables (§8.10.1)
+                    if re.search(rb"/Resources\b", xdict):
+                        sub_fonts = _page_fonts(objs, xdict)
+                        sub_xobjs = _page_xobjects(objs, xdict)
+                    else:
+                        sub_fonts, sub_xobjs = fonts, xobj_refs
+                    w2, l2, r2 = _parse_content(
+                        data, sub_fonts, page_h, objs, sub_xobjs,
+                        (ctm[0] + mx, ctm[1] + my), depth + 1,
+                    )
+                    words.extend(w2)
+                    lines.extend(l2)
+                    rects.extend(r2)
+                else:
+                    raise UnsupportedPdfError("XObject subtype outside Image/Form")
+            elif o == "BI":
+                raise UnsupportedPdfError("inline image (BI) unsupported")
             elif o in (
                 "ET", "w", "W", "W*", "Tr",
                 "g", "G", "rg", "RG", "k", "K", "cs", "CS",
@@ -1495,7 +1557,7 @@ def parse_pdf_bytes(payload: bytes) -> list[dict]:
         fonts = _page_fonts(objs, page_body)
         parsed = _parse_content_fast(content, fonts, height)
         words, lines, rects = parsed if parsed is not None else _parse_content(
-            content, fonts, height
+            content, fonts, height, objs, _page_xobjects(objs, page_body)
         )
         out.append(
             {"width": width, "height": height, "words": words, "lines": lines, "rects": rects}

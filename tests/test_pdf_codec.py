@@ -733,3 +733,40 @@ def test_simple_font_encoding_differences():
         1,
     )
     assert parse_pdf_bytes(mac)[0]["words"][0]["text"] == "ä"
+
+
+def test_form_xobject_do_recurses_and_image_do_is_noop():
+    """Do: an image XObject is a text-free no-op (a page logo no
+    longer rejects the document); a form XObject's content parses with
+    its own resources, offset by its translation /Matrix and the
+    caller's CTM."""
+    form_content = b"BT /F1 10 Tf 1 0 0 1 0 0 Tm (stamp) Tj ET"
+    form = (b"<< /Type /XObject /Subtype /Form /BBox [0 0 100 20] "
+            b"/Matrix [1 0 0 1 5 7] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Length %d >>\nstream\n"
+            % len(form_content)) + form_content + b"\nendstream"
+    imgdata = b"\x00" * 12
+    img = (b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+           b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length %d >>\nstream\n"
+           % len(imgdata)) + imgdata + b"\nendstream"
+    content = (b"/Logo Do q 1 0 0 1 200 0 cm /Stamp Do Q "
+               b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (body) Tj ET")
+    pdf = _simple_font_pdf(content)
+    pdf = pdf.replace(
+        b"/Resources << /Font << /F1 5 0 R >> >>",
+        b"/Resources << /Font << /F1 5 0 R >> "
+        b"/XObject << /Stamp 7 0 R /Logo 9 0 R >> >>",
+        1,
+    ).replace(b"%%EOF", _obj(7, form) + _obj(9, img) + b"%%EOF")
+    page = parse_pdf_bytes(pdf)[0]
+    by = {w["text"]: w for w in page["words"]}
+    assert set(by) == {"stamp", "body"}
+    # stamp at form Matrix (5,7) + cm translation (200,0)
+    assert by["stamp"]["x0"] == pytest.approx(205.0)
+    assert by["stamp"]["bottom"] == pytest.approx(792.0 - 7 + 0.21 * 10)  # baseline y=7 + descent 210/1000*10
+    assert by["body"]["x0"] == pytest.approx(72.0)
+
+    # unknown XObject subtype still raises
+    bad = pdf.replace(b"/Subtype /Image", b"/Subtype /PS", 1)
+    with pytest.raises(UnsupportedPdfError, match="subtype"):
+        parse_pdf_bytes(bad)
