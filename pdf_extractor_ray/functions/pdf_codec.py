@@ -1521,21 +1521,37 @@ def parse_pdf_bytes(payload: bytes) -> list[dict]:
     m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", catalog)
     if not m:
         raise UnsupportedPdfError("catalog without /Pages")
-    pages_body = objs.get(int(m.group(1)), b"")
-    km = re.search(rb"/Kids\s*\[(.*?)\]", pages_body, re.S)
-    if not km:
-        raise UnsupportedPdfError("pages tree without /Kids")
-    out: list[dict] = []
-    for ref in _REF_RE.finditer(km.group(1)):
-        page_body = objs.get(int(ref.group(1)))
-        if page_body is None:
+
+    # walk the pages TREE (documents beyond ~25 pages use intermediate
+    # /Pages nodes), carrying the INHERITABLE attributes (§7.7.3.4):
+    # /MediaBox and /Resources flow down to pages that omit them
+    def collect_pages(num: int, mb_inh, res_inh: bytes | None, depth: int, acc: list) -> None:
+        if depth > 32:
+            raise UnsupportedPdfError("pages tree too deep")
+        body = objs.get(num)
+        if body is None:
             raise UnsupportedPdfError("dangling page reference")
         mb = re.search(
-            rb"/MediaBox\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)", page_body
+            rb"/MediaBox\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)", body
         )
-        if not mb:
-            raise UnsupportedPdfError("page without /MediaBox")
-        x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
+        mbox = tuple(float(mb.group(i)) for i in range(1, 5)) if mb else mb_inh
+        res = body if re.search(rb"/Resources\b", body) else res_inh
+        km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+        if km is not None:  # interior /Pages node
+            for ref in _REF_RE.finditer(km.group(1)):
+                collect_pages(int(ref.group(1)), mbox, res, depth + 1, acc)
+            return
+        if mbox is None:
+            raise UnsupportedPdfError("page without /MediaBox (own or inherited)")
+        acc.append((body, mbox, res if res is not None else body))
+
+    page_list: list = []
+    collect_pages(int(m.group(1)), None, None, 0, page_list)
+    if not page_list:
+        raise UnsupportedPdfError("pages tree without leaf pages")
+    out: list[dict] = []
+    for page_body, mbox, res_body in page_list:
+        x0, y0, x1, y1 = mbox
         width, height = x1 - x0, y1 - y0
         # /Contents: single ref or an array of refs (§7.8.2 — the array
         # concatenates to ONE logical stream, newline-joined)
@@ -1554,10 +1570,10 @@ def parse_pdf_bytes(payload: bytes) -> list[dict]:
                 raise UnsupportedPdfError("contents object without stream")
             parts.append(part)
         content = b"\n".join(parts)
-        fonts = _page_fonts(objs, page_body)
+        fonts = _page_fonts(objs, res_body)
         parsed = _parse_content_fast(content, fonts, height)
         words, lines, rects = parsed if parsed is not None else _parse_content(
-            content, fonts, height, objs, _page_xobjects(objs, page_body)
+            content, fonts, height, objs, _page_xobjects(objs, res_body)
         )
         out.append(
             {"width": width, "height": height, "words": words, "lines": lines, "rects": rects}

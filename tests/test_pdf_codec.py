@@ -770,3 +770,32 @@ def test_form_xobject_do_recurses_and_image_do_is_noop():
     bad = pdf.replace(b"/Subtype /Image", b"/Subtype /PS", 1)
     with pytest.raises(UnsupportedPdfError, match="subtype"):
         parse_pdf_bytes(bad)
+
+
+def test_nested_pages_tree_with_inherited_attributes():
+    """A pages TREE with an intermediate /Pages node; leaf pages omit
+    /MediaBox and /Resources and inherit both from the root node
+    (§7.7.3.4)."""
+    c1 = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (page one) Tj ET"
+    c2 = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (page two) Tj ET"
+    w = b" ".join(b"500" for _ in range(95))
+    bodies = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [10 0 R] /Count 2 "
+                b"/MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        _obj(10, b"<< /Type /Pages /Parent 2 0 R /Kids [3 0 R 11 0 R] /Count 2 >>"),
+        _obj(3, b"<< /Type /Page /Parent 10 0 R /Contents 4 0 R >>"),
+        _obj(11, b"<< /Type /Page /Parent 10 0 R /Contents 12 0 R >>"),
+        _obj(4, b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream"),
+        _obj(12, b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream"),
+        _obj(5, b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+                b"/FirstChar 32 /LastChar 126 /Widths [" + w + b"] /FontDescriptor 6 0 R >>"),
+        _obj(6, b"<< /Type /FontDescriptor /FontName /Arial /Ascent 900 /Descent -210 >>"),
+    ]
+    pdf = b"%PDF-1.4\n" + b"".join(bodies) + b"%%EOF\n"
+    pages = parse_pdf_bytes(pdf)
+    assert len(pages) == 2
+    assert pages[0]["width"] == 612.0 and pages[0]["height"] == 792.0
+    assert [w_["text"] for w_ in pages[0]["words"]] == ["page", "one"]
+    assert [w_["text"] for w_ in pages[1]["words"]] == ["page", "two"]
