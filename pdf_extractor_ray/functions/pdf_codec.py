@@ -431,6 +431,29 @@ def _advance_tm(m: tuple[float, ...], dx: float) -> tuple[float, ...]:
     return (a, b, c, d, e + dx * a, f + dx * b)
 
 
+_IDM = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _matmul(m1: tuple[float, ...], m2: tuple[float, ...]) -> tuple[float, ...]:
+    """PDF matrix composition m1 x m2 (row-vector convention §8.3.4):
+    points transform through m1 first, then m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _apply(m: tuple[float, ...], x: float, y: float) -> tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (x * a + y * c + e, x * b + y * d + f)
+
+
 def _object_end(payload: bytes, body_start: int) -> int:
     """End offset (start of ``endobj``) of the object whose body starts
     at ``body_start``. Stream-aware: a stream's extent is sliced by its
@@ -1103,24 +1126,32 @@ def _word_from_state(
     asc = fm["ascent"] / 1000.0 * size
     desc = -fm["descent"] / 1000.0 * size
     a, b_, c, d, tx, ty = tm
-    if (a, b_, c, d) == (1.0, 0.0, 0.0, 1.0):
+    eps = 1e-9
+    if abs(b_) < eps and abs(c) < eps and a > 0 and d > 0:
+        # horizontal text, axis-aligned scaling: advance scales by a,
+        # vertical extents by d; reported size is the DEVICE height
+        # scale (pdfplumber semantics) — a==d==1 reduces to the
+        # writer-canonical math exactly
         return {
             "text": text,
             "x0": tx,
-            "x1": tx + adv,
-            "top": page_h - ty - asc,
-            "bottom": page_h - ty + desc,
-            "size": size,
+            "x1": tx + adv * a,
+            "top": page_h - ty - asc * d,
+            "bottom": page_h - ty + desc * d,
+            "size": size * d,
             "fontname": font_name,
         }, adv
-    if (a, b_, c, d) == (0.0, 1.0, -1.0, 0.0):
+    if abs(a) < eps and abs(d) < eps and b_ > 0 and c < 0:
+        # 90-degree-CCW text (possibly scaled): advance runs +y with
+        # scale b, ascent runs -x with scale -c
+        sx, sy = -c, b_
         return {
             "text": text,
-            "x0": tx - asc,
-            "x1": tx + desc,
-            "top": page_h - ty - adv,
+            "x0": tx - asc * sx,
+            "x1": tx + desc * sx,
+            "top": page_h - ty - adv * sy,
             "bottom": page_h - ty,
-            "size": size,
+            "size": size * sx,
             "fontname": font_name,
             "upright": False,
         }, adv
@@ -1208,7 +1239,7 @@ def _parse_content(
     page_h: float,
     objs: dict[int, bytes] | None = None,
     xobj_refs: dict[str, int] | None = None,
-    ctm0: tuple[float, float] = (0.0, 0.0),
+    ctm0: tuple[float, ...] = _IDM,
     depth: int = 0,
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Generic tokenizer for foreign content streams. Beyond the
@@ -1234,11 +1265,12 @@ def _parse_content(
     tl = 0.0
     tm: tuple[float, ...] | None = None
     tlm: tuple[float, ...] | None = None
-    # CTM: translation-only subset (the ubiquitous `q 1 0 0 1 dx dy cm
-    # ... Q` positioning idiom); q/Q save/restore. Scaling/rotating
-    # CTMs stay outside the subset.
+    # CTM: full affine composition with q/Q save/restore; cm operators
+    # compose freely. Constraints apply at USE: text needs an
+    # axis-aligned (or 90-degree) combined matrix, rects an
+    # axis-aligned non-flipping one — anything else raises there.
     ctm = ctm0
-    ctm_stack: list[tuple[float, float]] = []
+    ctm_stack: list[tuple[float, ...]] = []
     # current path = list of subpaths; materialized ONLY by a paint
     # operator (§8.5.3) — 'n' (no-op terminator, e.g. after W clipping
     # setup) and an unpainted trailing path are DISCARDED, so clipping
@@ -1279,9 +1311,8 @@ def _parse_content(
             if fm_cur is None:
                 raise UnsupportedPdfError(f"unknown font resource /{font_name}")
         def dev(m: tuple[float, ...]) -> tuple[float, ...]:
-            # device position = text matrix composed with the
-            # (translation-only) CTM
-            return (m[0], m[1], m[2], m[3], m[4] + ctm[0], m[5] + ctm[1])
+            # device matrix = text matrix composed with the CTM
+            return _matmul(m, ctm)
 
         if fm_cur["kind"] == "simple" and b" " in raw:
             # split space-separated runs into WORDS with exact per-run
@@ -1408,21 +1439,24 @@ def _parse_content(
             elif o == "m":
                 if path:
                     subpaths.append(path)
-                path = [(vals[-2] + ctm[0], vals[-1] + ctm[1])]
+                path = [_apply(ctm, vals[-2], vals[-1])]
             elif o == "l":
-                path.append((vals[-2] + ctm[0], vals[-1] + ctm[1]))
+                path.append(_apply(ctm, vals[-2], vals[-1]))
             elif o in ("c", "v", "y"):
                 # curve flattened to its endpoint segment: only the
                 # coarse ruling geometry matters downstream
-                path.append((vals[-2] + ctm[0], vals[-1] + ctm[1]))
+                path.append(_apply(ctm, vals[-2], vals[-1]))
             elif o == "h":  # closepath
                 if path:
                     path.append(path[0])
             elif o == "re":
+                if abs(ctm[1]) > 1e-9 or abs(ctm[2]) > 1e-9 or ctm[0] <= 0 or ctm[3] <= 0:
+                    raise UnsupportedPdfError("rect under rotated/flipped CTM unsupported")
                 x, y, w_, h_ = vals[-4:]
-                x, y = x + ctm[0], y + ctm[1]
+                x0d, y0d = _apply(ctm, x, y)
+                x1d, y1d = _apply(ctm, x + w_, y + h_)
                 pending.append(
-                    {"x0": x, "x1": x + w_, "top": page_h - (y + h_), "bottom": page_h - y}
+                    {"x0": x0d, "x1": x1d, "top": page_h - y1d, "bottom": page_h - y0d}
                 )
             elif o in ("S", "s", "f", "F", "B", "b", "f*", "B*", "b*"):
                 flush_paint()
@@ -1431,17 +1465,13 @@ def _parse_content(
             elif o == "BT":
                 tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
             elif o == "cm":
-                a6 = tuple(vals[-6:])
-                if a6[:4] != (1.0, 0.0, 0.0, 1.0):
-                    raise UnsupportedPdfError(
-                        "scaling/rotating CTM (cm) unsupported; translations compose"
-                    )
-                # pure translations compose additively onto the CTM
-                ctm = (ctm[0] + a6[4], ctm[1] + a6[5])
+                if len(vals) < 6:
+                    raise UnsupportedPdfError("malformed cm")
+                ctm = _matmul(tuple(vals[-6:]), ctm)
             elif o == "q":
                 ctm_stack.append(ctm)
             elif o == "Q":
-                ctm = ctm_stack.pop() if ctm_stack else (0.0, 0.0)
+                ctm = ctm_stack.pop() if ctm_stack else ctm0
             elif o == "Do":
                 names = [v for k, v in operands if k == "name"]
                 if not names or objs is None or xobj_refs is None:
@@ -1463,14 +1493,9 @@ def _parse_content(
                         rb"/Matrix\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
                         rb"\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)", xdict
                     )
-                    mx = my = 0.0
-                    if mm:
-                        fmx = tuple(float(mm.group(i)) for i in range(1, 7))
-                        if fmx[:4] != (1.0, 0.0, 0.0, 1.0):
-                            raise UnsupportedPdfError(
-                                "form /Matrix with scaling/rotation unsupported"
-                            )
-                        mx, my = fmx[4], fmx[5]
+                    fmx = (
+                        tuple(float(mm.group(i)) for i in range(1, 7)) if mm else _IDM
+                    )
                     # a form with its own /Resources scopes them;
                     # otherwise it inherits the caller's tables (§8.10.1)
                     if re.search(rb"/Resources\b", xdict):
@@ -1480,7 +1505,7 @@ def _parse_content(
                         sub_fonts, sub_xobjs = fonts, xobj_refs
                     w2, l2, r2 = _parse_content(
                         data, sub_fonts, page_h, objs, sub_xobjs,
-                        (ctm[0] + mx, ctm[1] + my), depth + 1,
+                        _matmul(fmx, ctm), depth + 1,
                     )
                     words.extend(w2)
                     lines.extend(l2)

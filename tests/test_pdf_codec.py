@@ -527,7 +527,7 @@ def test_simple_font_extraction_end_to_end():
 def test_foreign_unsupported_constructs_raise():
     for bad, msg in [
         (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET /Im0 Do", "XObject"),
-        (b"2 0 0 2 0 0 cm BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET", "CTM"),
+        (b"1 0.5 0 1 0 0 cm BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET", "text matrix"),
         (b"BT /F1 12 Tf 3 Ts 1 0 0 1 72 600 Tm (x) Tj ET", "rise"),
         (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (a(b)c) Tj ET", "literal"),
     ]:
@@ -799,3 +799,27 @@ def test_nested_pages_tree_with_inherited_attributes():
     assert pages[0]["width"] == 612.0 and pages[0]["height"] == 792.0
     assert [w_["text"] for w_ in pages[0]["words"]] == ["page", "one"]
     assert [w_["text"] for w_ in pages[1]["words"]] == ["page", "two"]
+
+
+def test_axis_aligned_scaling_ctm_and_tm():
+    """Scaled content: a uniform-scale cm and a scaled Tm both map text
+    and ruling geometry through the combined matrix; shear/rotation
+    CTMs raise at use."""
+    content = (b"q 0.5 0 0 0.5 36 300 cm "
+               b"BT /F1 20 Tf 1 0 0 1 72 600 Tm (half) Tj ET "
+               b"0 0 m 100 0 l S Q "
+               b"BT /F1 10 Tf 2 0 0 2 72 100 Tm (twice) Tj ET")
+    page = parse_pdf_bytes(_simple_font_pdf(content))[0]
+    by = {w["text"]: w for w in page["words"]}
+    # 'half': device pos = (72,600)*0.5 + (36,300) = (72, 600); width
+    # 4 chars * 500/1000*20 = 40 text units * 0.5 = 20; size 20*0.5=10
+    assert by["half"]["x0"] == pytest.approx(72.0)
+    assert by["half"]["x1"] - by["half"]["x0"] == pytest.approx(20.0)
+    assert by["half"]["size"] == pytest.approx(10.0)
+    # line (0,0)-(100,0) maps to (36,300)-(86,300)
+    ln = page["lines"][0]
+    assert ln["x0"] == pytest.approx(36.0) and ln["x1"] == pytest.approx(86.0)
+    assert ln["top"] == pytest.approx(792.0 - 300.0)
+    # 'twice': Tm scale 2 -> width 5 chars*5pt*2 = 50; size 10*2=20
+    assert by["twice"]["x1"] - by["twice"]["x0"] == pytest.approx(50.0)
+    assert by["twice"]["size"] == pytest.approx(20.0)
