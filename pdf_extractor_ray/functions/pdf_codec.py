@@ -1233,6 +1233,105 @@ def _parse_content_fast(
     return words, lines, rects
 
 
+_PRECLEAN_HOT = re.compile(rb"[(<B]")
+_INLINE_ID = re.compile(rb"(?:^|[\0\t\n\f\r >\]])ID[\0\t\n\f\r ]")
+_INLINE_EI_AT = re.compile(rb"[\0\t\n\f\r ]*EI(?=[\0\t\n\f\r ]|$)")
+_INLINE_EI_SCAN = re.compile(rb"[\0\t\n\f\r ]EI(?=[\0\t\n\f\r ]|$)")
+_DELIMS = frozenset(b"\0\t\n\f\r ()<>[]{}/%")
+
+
+def _preclean_content(content: bytes) -> bytes:
+    """Excise or normalize constructs the token grammar cannot carry:
+    inline images (``BI params ID binary EI``, §8.9.7 — sized by /L
+    when declared, else terminated by a delimited EI) and ``<< ... >>``
+    property dicts (operands of the marked-content operators, §14.6,
+    which themselves parse as no-ops) each become one space; literal
+    strings with legal UNESCAPED balanced nested parens (§7.3.4.2) are
+    rewritten with the inner parens escaped so the token regex can
+    read them. String interiors are never excised."""
+    if b"BI" not in content and b"<<" not in content and b"(" not in content:
+        return content
+    out = bytearray()
+    i = 0
+    n = len(content)
+    while i < n:
+        m = _PRECLEAN_HOT.search(content, i)
+        if m is None:
+            out += content[i:]
+            break
+        out += content[i : m.start()]
+        i = m.start()
+        c = content[i]
+        if c == 0x28:  # literal string: copy, escaping nested parens
+            depth = 1
+            out += b"("
+            j = i + 1
+            while j < n and depth:
+                b = content[j]
+                if b == 0x5C:
+                    out += content[j : j + 2]
+                    j += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                    out += b"\\("
+                elif b == 0x29:
+                    depth -= 1
+                    out += b")" if depth == 0 else b"\\)"
+                else:
+                    out += content[j : j + 1]
+                j += 1
+            i = j
+        elif c == 0x3C:
+            if content[i : i + 2] == b"<<":  # property dict: excise to matching >>
+                depth = 1
+                j = i + 2
+                while j < n and depth:
+                    if content[j : j + 2] == b"<<":
+                        depth += 1
+                        j += 2
+                    elif content[j : j + 2] == b">>":
+                        depth -= 1
+                        j += 2
+                    else:
+                        j += 1
+                if depth:
+                    raise UnsupportedPdfError("unterminated dictionary in content")
+                out += b" "
+                i = j
+            else:  # hex string: copy verbatim
+                j = content.find(b">", i + 1)
+                j = n if j < 0 else j + 1
+                out += content[i:j]
+                i = j
+        else:  # 'B': inline image opener?
+            if (
+                content[i : i + 2] == b"BI"
+                and (i == 0 or content[i - 1] in _DELIMS)
+                and (i + 2 >= n or content[i + 2] in _DELIMS)
+            ):
+                idm = _INLINE_ID.search(content, i + 2)
+                if idm is None:
+                    raise UnsupportedPdfError("inline image (BI) without ID")
+                params = content[i + 2 : idm.start()]
+                lm = re.search(rb"/L(?:ength)?\s+(\d+)", params)
+                if lm:
+                    j = idm.end() + int(lm.group(1))
+                    em = _INLINE_EI_AT.match(content, j)
+                    if em is None:
+                        raise UnsupportedPdfError("inline image /L does not reach EI")
+                else:
+                    em = _INLINE_EI_SCAN.search(content, idm.end())
+                    if em is None:
+                        raise UnsupportedPdfError("inline image without EI terminator")
+                out += b" "
+                i = em.end()
+            else:
+                out += content[i : i + 1]
+                i += 1
+    return bytes(out)
+
+
 def _parse_content(
     content: bytes,
     fonts: "_FontTable",
@@ -1265,6 +1364,7 @@ def _parse_content(
     tl = 0.0
     tm: tuple[float, ...] | None = None
     tlm: tuple[float, ...] | None = None
+    content = _preclean_content(content)
     # CTM: full affine composition with q/Q save/restore; cm operators
     # compose freely. Constraints apply at USE: text needs an
     # axis-aligned (or 90-degree) combined matrix, rects an
@@ -1512,14 +1612,13 @@ def _parse_content(
                     rects.extend(r2)
                 else:
                     raise UnsupportedPdfError("XObject subtype outside Image/Form")
-            elif o == "BI":
-                raise UnsupportedPdfError("inline image (BI) unsupported")
             elif o in (
                 "ET", "w", "W", "W*", "Tr",
                 "g", "G", "rg", "RG", "k", "K", "cs", "CS",
                 "sc", "SC", "scn", "SCN", "gs", "ri", "i", "j", "J", "M", "d",
+                "BDC", "BMC", "EMC", "MP", "DP",  # marked content (§14.6)
             ):
-                pass  # color / general graphics state: no text/geometry effect
+                pass  # color / state / structure: no text/geometry effect
             else:
                 raise UnsupportedPdfError(f"unsupported content operator {o!r}")
             operands = []

@@ -529,7 +529,9 @@ def test_foreign_unsupported_constructs_raise():
         (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET /Im0 Do", "XObject"),
         (b"1 0.5 0 1 0 0 cm BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET", "text matrix"),
         (b"BT /F1 12 Tf 3 Ts 1 0 0 1 72 600 Tm (x) Tj ET", "rise"),
-        (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (a(b)c) Tj ET", "literal"),
+        # UNBALANCED literal (never closed) stays outside the subset;
+        # balanced nesting is legal and normalized by the preclean pass
+        (b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (a(b c Tj ET", "literal"),
     ]:
         with pytest.raises(UnsupportedPdfError, match=msg):
             parse_pdf_bytes(_simple_font_pdf(bad))
@@ -823,3 +825,31 @@ def test_axis_aligned_scaling_ctm_and_tm():
     # 'twice': Tm scale 2 -> width 5 chars*5pt*2 = 50; size 10*2=20
     assert by["twice"]["x1"] - by["twice"]["x0"] == pytest.approx(50.0)
     assert by["twice"]["size"] == pytest.approx(20.0)
+
+
+def test_marked_content_and_inline_images():
+    """Tagged-PDF structure (BDC/EMC with <</MCID n>> property dicts)
+    parses as no-ops; inline images (BI..ID..EI, /L-sized or
+    EI-scanned, binary data containing 'EI' bytes) are excised without
+    touching string interiors."""
+    raw = bytes([0x45, 0x49, 0x20, 0xFF, 0x00, 0x45, 0x49])  # contains 'EI '
+    content = (b"/P <</MCID 0>> BDC "
+               b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (tagged (BI) text) Tj ET EMC "
+               b"BI /W 2 /H 2 /CS /RGB /BPC 8 /L %d ID " % len(raw)) + raw + (
+               b" EI q BI /W 1 /H 1 ID \x41\x42\x43 EI Q "
+               b"BT /F1 10 Tf 1 0 0 1 72 560 Tm (after) Tj ET")
+    page = parse_pdf_bytes(_simple_font_pdf(content))[0]
+    texts = [w["text"] for w in page["words"]]
+    assert texts == ["tagged", "(BI)", "text", "after"]
+
+    # malformed inline image still raises
+    with pytest.raises(UnsupportedPdfError, match="without EI"):
+        parse_pdf_bytes(_simple_font_pdf(b"BI /W 1 ID \x00\x01 no terminator"))
+
+
+def test_balanced_nested_literal_parses():
+    """§7.3.4.2: balanced unescaped parens inside a literal are legal;
+    the preclean pass normalizes them for the token grammar."""
+    content = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (a(b)c) Tj ET"
+    words = parse_pdf_bytes(_simple_font_pdf(content))[0]["words"]
+    assert words[0]["text"] == "a(b)c"
