@@ -676,11 +676,54 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> 
     return bytes(out)
 
 
+def _lzw_decode_pdf(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (§7.4.4.2): MSB-first packing, 9->12 bit codes,
+    256=clear / 257=EOD, EarlyChange width growth (default 1). Distinct
+    from the GIF LZW in media_codec (LSB-first, variable min code)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = ((acc << 8) | byte) & 0xFFFFFFFF
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise UnsupportedPdfError("corrupt LZW stream (first code)")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise UnsupportedPdfError("corrupt LZW stream (code gap)")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _decode_stream(content_body: bytes) -> bytes | None:
     """Raw stream bytes, inflating /FlateDecode (plain zlib — the
-    overwhelmingly common wild-PDF encoding), reversing a PNG
-    /Predictor from /DecodeParms when declared. Any other filter (or a
-    multi-element filter chain) stays outside the subset."""
+    overwhelmingly common wild-PDF encoding) or /LZWDecode (the
+    pre-Flate era), reversing a PNG /Predictor from /DecodeParms when
+    declared. Any other filter (or a multi-element filter chain) stays
+    outside the subset."""
     fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", content_body)
     raw = _stream_of(content_body)
     if raw is None:
@@ -693,15 +736,19 @@ def _decode_stream(content_body: bytes) -> bytes | None:
         if len(inner) != 1:
             raise UnsupportedPdfError(f"unsupported filter chain {name!r}")
         name = inner[0]
-    if name != b"/FlateDecode":
-        raise UnsupportedPdfError(f"unsupported stream filter {name!r}")
-    import zlib
-
-    try:
-        data = zlib.decompress(raw)
-    except zlib.error as exc:
-        raise UnsupportedPdfError(f"FlateDecode stream: {exc}") from exc
     dp = re.search(rb"/DecodeParms\s*<<([^>]*)>>", content_body)
+    if name == b"/FlateDecode":
+        import zlib
+
+        try:
+            data = zlib.decompress(raw)
+        except zlib.error as exc:
+            raise UnsupportedPdfError(f"FlateDecode stream: {exc}") from exc
+    elif name == b"/LZWDecode":
+        em = re.search(rb"/EarlyChange\s+(\d+)", dp.group(1)) if dp else None
+        data = _lzw_decode_pdf(raw, early=int(em.group(1)) if em else 1)
+    else:
+        raise UnsupportedPdfError(f"unsupported stream filter {name!r}")
     if dp:
         params = dp.group(1)
         pm = re.search(rb"/Predictor\s+(\d+)", params)

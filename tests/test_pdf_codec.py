@@ -853,3 +853,58 @@ def test_balanced_nested_literal_parses():
     content = b"BT /F1 10 Tf 1 0 0 1 72 600 Tm (a(b)c) Tj ET"
     words = parse_pdf_bytes(_simple_font_pdf(content))[0]["words"]
     assert words[0]["text"] == "a(b)c"
+
+
+def test_lzw_content_stream_parses():
+    """A /LZWDecode content stream (the pre-Flate era) parses to the
+    same words as the uncompressed writer output — MSB-first packing,
+    clear/EOD codes, EarlyChange width growth."""
+    import re
+
+    plain = pages_to_pdf_bytes([_page([_word("Hello", 72.0, 20.0), _word("World", 120.0, 20.0)])])
+    m = re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", plain, re.S)
+    content = m.group(2)
+
+    def lzw_encode_literals(data, early=1):
+        # literal-only PDF LZW encoder (table still grows per emitted
+        # code, which drives the width schedule the decoder must match)
+        out = []
+        width = 9
+        size = 258
+        acc = 0
+        nbits = 0
+
+        def put(code):
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        put(256)  # clear
+        for i, b in enumerate(data):
+            put(b)
+            if i:
+                size += 1
+            if size + early >= (1 << width) and width < 12:
+                width += 1
+        put(257)  # EOD
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    comp = lzw_encode_literals(content)
+    replaced = plain.replace(
+        m.group(0),
+        b"<< /Filter /LZWDecode /Length %d >>\nstream\n%s\nendstream" % (len(comp), comp),
+    )
+    back = parse_pdf_bytes(replaced)
+    assert [w["text"] for w in back[0]["words"]] == ["Hello", "World"]
+    # long repetitive data exercises multi-width growth + KwKwK-free path
+    from pdf_extractor_ray.functions.pdf_codec import _lzw_decode_pdf
+
+    blob = (b"abcd" * 300)[:1100]
+    assert _lzw_decode_pdf(lzw_encode_literals(blob)) == blob
+    with pytest.raises(UnsupportedPdfError):
+        _lzw_decode_pdf(b"\xff\xff\xff\xff")  # code gap -> corrupt
