@@ -431,6 +431,10 @@ def _tpl_pdf(
         payload = pages_to_pdf_bytes(pages, pdf15=True)
     elif encoding == "pdf15p":
         payload = pages_to_pdf_bytes(pages, pdf15=True, xref_predictor=True)
+    elif encoding == "pdfwild":
+        from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes_wild
+
+        payload = pages_to_pdf_bytes_wild(pages)
     else:
         payload = FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False, sort_keys=True).encode("utf-8")
     golden = "\n\n".join(golden_pages)
@@ -479,7 +483,11 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
             # 5th PDF doc keeping the legacy %PDF-FIXTURE JSON encoding
             # so every router branch stays corpus-tested (same pages ->
             # same golden in all encodings).
-            enc = ("pdf", "pdf15", "pdf15p", "pdf", "fixture-json")[n_pdf_docs % 5]
+            # "pdfwild" serializes in the ordinary-producer grammar
+            # (simple fonts, literal strings, marked content) so the
+            # generic tokenizer is corpus-exercised, not just the
+            # writer-canonical fast path
+            enc = ("pdf", "pdf15", "pdfwild", "pdf15p", "fixture-json")[n_pdf_docs % 5]
             n_pdf_docs += 1
             payload, golden, n_blocks, visible = _tpl_pdf(rng, lang, fat, encoding=enc)
             add(i, lang, payload, golden, n_blocks, visible)

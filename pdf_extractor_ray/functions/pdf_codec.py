@@ -358,6 +358,134 @@ def _emit_pdf15(bodies: list[bytes], content_nums: set[int], xref_predictor: boo
     return bytes(out)
 
 
+def _lit_escape(text: str) -> str:
+    return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def pages_to_pdf_bytes_wild(pages: list[dict]) -> bytes:
+    """Serialize page dicts in WILD style — the grammar ordinary PDF
+    producers emit, exercising the generic tokenizer end-to-end
+    instead of the writer-canonical fast path:
+
+    - ASCII upright words use simple TrueType fonts (/S0 or /S1 by
+      box-height ratio, uniform /Widths 500) shown as LITERAL strings
+      with escapes; Tz encodes the exact word width;
+    - non-ASCII / rotated words keep the Type0/Identity-H hex path;
+    - the content wraps in a marked-content sequence (/Doc <</MCID 0>>
+      BDC ... EMC) and a no-op q/cm/Q pair, so the fast parser bails
+      and preclean + the generic grammar carry the corpus rows.
+
+    Parses back to the same page dicts as pages_to_pdf_bytes (modulo
+    fontname labels), so the extraction goldens are encoding-blind.
+    """
+    for p in pages:
+        if p.get("tables") or p.get("boxes"):
+            raise ValueError("page carries tables/boxes hints (see pages_to_pdf_bytes)")
+    # objects: 1 catalog, 2 pages, 3.. CID fonts (6), then simple fonts
+    # S0/S1 (font + descriptor each), then (page, contents) pairs
+    font_objs, font_refs = _font_objects(3)
+    simple_first = 3 + len(font_objs)
+    simple_objs: list[bytes] = []
+    simple_refs: dict[str, int] = {}
+    widths = " ".join("500" for _ in range(95))
+    for idx, (sname, m) in enumerate((("S0", _FONTS["F0"]), ("S1", _FONTS["F1"]))):
+        num = simple_first + 2 * idx
+        simple_refs[sname] = num
+        simple_objs.append(
+            (
+                f"<< /Type /Font /Subtype /TrueType /BaseFont /{sname}Mono "
+                f"/FirstChar 32 /LastChar 126 /Widths [{widths}] "
+                f"/FontDescriptor {num + 1} 0 R >>"
+            ).encode()
+        )
+        simple_objs.append(
+            (
+                f"<< /Type /FontDescriptor /FontName /{sname}Mono /Flags 4 "
+                f"/FontBBox [0 {m['descent']} 1000 {m['ascent']}] /ItalicAngle 0 "
+                f"/Ascent {m['ascent']} /Descent {m['descent']} "
+                f"/CapHeight {m['ascent']} /StemV 80 >>"
+            ).encode()
+        )
+    first_page_num = simple_first + len(simple_objs)
+    res = " ".join(f"/{n} {r} 0 R" for n, r in {**font_refs, **simple_refs}.items())
+
+    def wild_word_ops(w: dict, page_h: float) -> str:
+        text = w["text"]
+        s = float(w["size"])
+        x0, x1, top, bottom = float(w["x0"]), float(w["x1"]), float(w["top"]), float(w["bottom"])
+        upright = w.get("upright", True) is not False
+        if upright and text and all(32 <= ord(ch) <= 126 for ch in text):
+            font = _pick_font((bottom - top) / s)
+            if font is None:
+                raise ValueError(f"no metrics reproduce box height for {text!r}")
+            sfont = "S0" if font == "F0" else "S1"
+            desc = -_FONTS[font]["descent"] / 1000.0
+            baseline = page_h - bottom + desc * s
+            tz = 100.0 * (x1 - x0) / (len(text) * 0.5 * s)
+            return (
+                f"/{sfont} {_fmt(s)} Tf {_fmt(tz)} Tz "
+                f"1 0 0 1 {_fmt(x0)} {_fmt(baseline)} Tm ({_lit_escape(text)}) Tj"
+            )
+        return _word_ops(w, page_h, {})  # CID hex path, stateless emission
+
+    bodies: list[bytes] = [b"", b""]
+    bodies.extend(font_objs)
+    bodies.extend(simple_objs)
+    kids: list[int] = []
+    for i, page in enumerate(pages):
+        page_num = first_page_num + 2 * i
+        h = float(page["height"])
+        parts = ["q 1 0 0 1 0 0 cm", "/Doc <</MCID 0>> BDC"]
+        for ln in page.get("lines", []):
+            parts.append(
+                f"{_fmt(ln['x0'])} {_fmt(h - ln['top'])} m "
+                f"{_fmt(ln['x1'])} {_fmt(h - ln['bottom'])} l S"
+            )
+        for r in page.get("rects", []):
+            parts.append(
+                f"{_fmt(r['x0'])} {_fmt(h - r['bottom'])} "
+                f"{_fmt(r['x1'] - r['x0'])} {_fmt(r['bottom'] - r['top'])} re S"
+            )
+        if page.get("words"):
+            parts.append("BT")
+            for w in page["words"]:
+                parts.append(wild_word_ops(w, h))
+            parts.append("ET")
+        parts.append("EMC")
+        parts.append("Q")
+        content = "\n".join(parts).encode("utf-8")
+        kids.append(page_num)
+        bodies.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_fmt(float(page['width']))} "
+                f"{_fmt(float(page['height']))}] /Resources << /Font << {res} >> >> "
+                f"/Contents {page_num + 1} 0 R >>"
+            ).encode()
+        )
+        bodies.append(
+            f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
+        )
+    bodies[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    bodies[1] = (
+        f"<< /Type /Pages /Kids [{' '.join(f'{k} 0 R' for k in kids)}] "
+        f"/Count {len(kids)} >>"
+    ).encode()
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: list[int] = []
+    for i, body in enumerate(bodies):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(bodies) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Parser
 # ---------------------------------------------------------------------------

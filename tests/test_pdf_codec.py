@@ -151,10 +151,14 @@ def test_generator_emits_real_pdf_payloads():
     from pdf_extractor_ray.fixtures.generator import generate_corpus
     from pdf_extractor_ray.stages.extractor import Extractor
 
+    # 160 docs, not more: at other corpus sizes the rng stream shifts
+    # and one known layout collision (a subscript equidistant between
+    # two lines) makes the intent-golden ambiguous — the committed
+    # golden corpus pins the canonical sizes
     pages_t, golden_t = generate_corpus(160)
     gmap = dict(zip(golden_t["url"].to_pylist(), golden_t["golden_text"].to_pylist()))
     ex = Extractor()
-    n_14 = n_15 = n_pred = n_json = 0
+    n_14 = n_15 = n_pred = n_wild = n_json = 0
     for url, payload in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
         if not payload.startswith(b"%PDF") or url not in gmap or "malformed" in url:
             continue
@@ -166,13 +170,16 @@ def test_generator_emits_real_pdf_payloads():
             else:
                 n_15 += 1
             assert b"/Type /ObjStm" in payload and b"/Type /XRef" in payload
+        elif b"BDC" in payload:  # wild grammar: simple fonts + literals
+            n_wild += 1
+            assert b"/Subtype /TrueType" in payload
         else:
             n_14 += 1
             assert payload.startswith(b"%PDF-1.4")
         r = ex.extract_one(payload)
         assert r["kind"] == "pdf"
         assert r["text"] == gmap[url], url
-    assert n_14 >= 2 and n_15 >= 2 and n_pred >= 2 and n_json >= 1
+    assert n_14 >= 2 and n_15 >= 2 and n_pred >= 2 and n_wild >= 2 and n_json >= 1
 
 
 def test_roundtrip_property_random_pages():
