@@ -915,3 +915,45 @@ def test_lzw_content_stream_parses():
     assert _lzw_decode_pdf(lzw_encode_literals(blob)) == blob
     with pytest.raises(UnsupportedPdfError):
         _lzw_decode_pdf(b"\xff\xff\xff\xff")  # code gap -> corrupt
+
+
+def test_wild_encoding_parity_hypothesis():
+    """Hypothesis sweep: random pages serialize through BOTH writers
+    (canonical fast-path grammar and the wild simple-font/literal
+    grammar) and parse back to identical geometry and text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes_wild
+
+    alphabet = st.sampled_from(list("abcXYZ09*.:-日本語ü()\\ _"))
+    word_st = st.builds(
+        lambda text, size, ratio, x0, top, width: {
+            "text": text,
+            "x0": x0,
+            "x1": x0 + width,
+            "top": top,
+            "bottom": top + ratio * size,
+            "size": size,
+            "fontname": "F0",
+        },
+        text=st.text(alphabet, min_size=1, max_size=10),
+        size=st.sampled_from([6.0, 8.0, 10.0, 12.0]),
+        ratio=st.sampled_from([1.0, 1.2]),
+        x0=st.floats(0, 550).map(lambda v: round(v, 2)),
+        top=st.floats(0, 750).map(lambda v: round(v, 2)),
+        width=st.floats(1, 90).map(lambda v: round(v, 2)),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(word_st, min_size=0, max_size=12))
+    def prop(words):
+        page = _page(words)
+        a = parse_pdf_bytes(pages_to_pdf_bytes([page]))[0]
+        b = parse_pdf_bytes(pages_to_pdf_bytes_wild([page]))[0]
+        assert [w["text"] for w in a["words"]] == [w["text"] for w in b["words"]]
+        for wa, wb in zip(a["words"], b["words"]):
+            for k in ("x0", "x1", "top", "bottom", "size"):
+                assert abs(wa[k] - wb[k]) < 5e-3, (k, wa, wb)
+
+    prop()
