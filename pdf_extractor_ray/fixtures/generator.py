@@ -431,10 +431,15 @@ def _tpl_pdf(
         payload = pages_to_pdf_bytes(pages, pdf15=True)
     elif encoding == "pdf15p":
         payload = pages_to_pdf_bytes(pages, pdf15=True, xref_predictor=True)
-    elif encoding == "pdfwild":
+    elif encoding.startswith("pdfwild"):
         from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes_wild
 
-        payload = pages_to_pdf_bytes_wild(pages)
+        # "pdfwild" or "pdfwild:<stream_filter>" — the suffix encodes the
+        # content streams through a wild transport filter/chain
+        # (flate, a85+flate, ahx, rl, ahx+rl), corpus-testing the
+        # decoder's /Filter pipeline
+        _, _, filt = encoding.partition(":")
+        payload = pages_to_pdf_bytes_wild(pages, stream_filter=filt or None)
     else:
         payload = FIXTURE_MAGIC + json.dumps({"pages": pages}, ensure_ascii=False, sort_keys=True).encode("utf-8")
     golden = "\n\n".join(golden_pages)
@@ -488,6 +493,15 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
             # generic tokenizer is corpus-exercised, not just the
             # writer-canonical fast path
             enc = ("pdf", "pdf15", "pdfwild", "pdf15p", "fixture-json")[n_pdf_docs % 5]
+            if enc == "pdfwild":
+                # sub-rotate the wild content streams through the
+                # transport filters so every /Filter decoder branch
+                # (and the a85+flate / ahx+rl chains) is corpus-tested
+                filt = ("", "a85+flate", "flate", "rl", "ahx", "ahx+rl")[
+                    (n_pdf_docs // 5) % 6
+                ]
+                if filt:
+                    enc = f"pdfwild:{filt}"
             n_pdf_docs += 1
             payload, golden, n_blocks, visible = _tpl_pdf(rng, lang, fat, encoding=enc)
             add(i, lang, payload, golden, n_blocks, visible)

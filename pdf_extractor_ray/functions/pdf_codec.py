@@ -362,22 +362,112 @@ def _lit_escape(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def pages_to_pdf_bytes_wild(pages: list[dict]) -> bytes:
+def _asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data) - len(data) % 4, 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        if acc == 0:
+            out.append(0x7A)  # 'z' zero-group shorthand
+            continue
+        digits = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            digits.append(rem + 0x21)
+        out += bytes(reversed(digits))
+    tail = data[len(data) - len(data) % 4 :]
+    if tail:
+        acc = int.from_bytes(tail + b"\0" * (4 - len(tail)), "big")
+        digits = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            digits.append(rem + 0x21)
+        out += bytes(reversed(digits))[: len(tail) + 1]
+    return bytes(out) + b"~>"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal chunk: until the next >=3 repeat run or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+# writer-side stream_filter options for pages_to_pdf_bytes_wild: the
+# /Filter dict fragment and the encoder pipeline for each
+_WILD_STREAM_FILTERS: dict[str, tuple[str, object]] = {}
+
+
+def _register_wild_filters() -> None:
+    import zlib
+
+    _WILD_STREAM_FILTERS.update(
+        {
+            "flate": ("/Filter /FlateDecode ", zlib.compress),
+            "a85+flate": (
+                "/Filter [/ASCII85Decode /FlateDecode] ",
+                lambda d: _ascii85_encode(zlib.compress(d)),
+            ),
+            "ahx": ("/Filter /ASCIIHexDecode ", _asciihex_encode),
+            "rl": ("/Filter /RunLengthDecode ", _rle_encode),
+            "ahx+rl": (
+                "/Filter [/ASCIIHexDecode /RunLengthDecode] ",
+                lambda d: _asciihex_encode(_rle_encode(d)),
+            ),
+        }
+    )
+
+
+def pages_to_pdf_bytes_wild(pages: list[dict], *, stream_filter: str | None = None) -> bytes:
     """Serialize page dicts in WILD style — the grammar ordinary PDF
     producers emit, exercising the generic tokenizer end-to-end
     instead of the writer-canonical fast path:
 
-    - ASCII upright words use simple TrueType fonts (/S0 or /S1 by
-      box-height ratio, uniform /Widths 500) shown as LITERAL strings
-      with escapes; Tz encodes the exact word width;
-    - non-ASCII / rotated words keep the Type0/Identity-H hex path;
+    - space-free ASCII upright words use simple TrueType fonts (/S0 or
+      /S1 by box-height ratio, uniform /Widths 500) shown as LITERAL
+      strings with escapes; Tz encodes the exact word width;
+    - non-ASCII / rotated / space-containing words keep the
+      Type0/Identity-H hex path (the generic tokenizer space-splits
+      simple-font show strings, so a space inside a word's text would
+      change the parsed word list);
     - the content wraps in a marked-content sequence (/Doc <</MCID 0>>
       BDC ... EMC) and a no-op q/cm/Q pair, so the fast parser bails
       and preclean + the generic grammar carry the corpus rows.
 
     Parses back to the same page dicts as pages_to_pdf_bytes (modulo
     fontname labels), so the extraction goldens are encoding-blind.
+
+    ``stream_filter`` encodes the page content streams through a wild
+    transport filter (or chain): ``"flate"``, ``"a85+flate"`` (the
+    classic mail-safe chain), ``"ahx"``, ``"rl"``, ``"ahx+rl"``.
     """
+    if stream_filter is not None:
+        if not _WILD_STREAM_FILTERS:
+            _register_wild_filters()
+        if stream_filter not in _WILD_STREAM_FILTERS:
+            raise ValueError(f"unknown stream_filter {stream_filter!r}")
     for p in pages:
         if p.get("tables") or p.get("boxes"):
             raise ValueError("page carries tables/boxes hints (see pages_to_pdf_bytes)")
@@ -414,7 +504,11 @@ def pages_to_pdf_bytes_wild(pages: list[dict]) -> bytes:
         s = float(w["size"])
         x0, x1, top, bottom = float(w["x0"]), float(w["x1"]), float(w["top"]), float(w["bottom"])
         upright = w.get("upright", True) is not False
-        if upright and text and all(32 <= ord(ch) <= 126 for ch in text):
+        # space-free ASCII only: the generic tokenizer space-splits
+        # simple-font show strings into words (wild-producer semantics),
+        # so a word whose TEXT contains a space must keep the CID hex
+        # path or it would parse back as several words / vanish
+        if upright and text and all(32 < ord(ch) <= 126 for ch in text):
             font = _pick_font((bottom - top) / s)
             if font is None:
                 raise ValueError(f"no metrics reproduce box height for {text!r}")
@@ -454,6 +548,10 @@ def pages_to_pdf_bytes_wild(pages: list[dict]) -> bytes:
         parts.append("EMC")
         parts.append("Q")
         content = "\n".join(parts).encode("utf-8")
+        filt = ""
+        if stream_filter is not None:
+            filt, enc = _WILD_STREAM_FILTERS[stream_filter]
+            content = enc(content)
         kids.append(page_num)
         bodies.append(
             (
@@ -463,7 +561,9 @@ def pages_to_pdf_bytes_wild(pages: list[dict]) -> bytes:
             ).encode()
         )
         bodies.append(
-            f"<< /Length {len(content)} >>\nstream\n".encode() + content + b"\nendstream"
+            f"<< {filt}/Length {len(content)} >>\nstream\n".encode()
+            + content
+            + b"\nendstream"
         )
     bodies[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
     bodies[1] = (
@@ -846,53 +946,207 @@ def _lzw_decode_pdf(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+def _asciihex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode (§7.4.2): hex digits, whitespace ignored, '>'
+    terminates; an odd trailing digit is padded with 0."""
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    hexdigits = re.sub(rb"[\0\t\n\f\r ]+", b"", data)
+    if re.search(rb"[^0-9A-Fa-f]", hexdigits):
+        raise UnsupportedPdfError("ASCIIHexDecode: non-hex character")
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode (§7.4.3): base-85 groups of 5 chars ('!'..'u')
+    per 4 bytes, 'z' shorthand for a zero group, '~>' EOD; a final
+    partial group of n chars yields n-1 bytes. Whitespace is ignored."""
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for byte in data:
+        if byte in (0, 9, 10, 12, 13, 32):
+            continue
+        if byte == 0x7A:  # 'z'
+            if group:
+                raise UnsupportedPdfError("ASCII85Decode: 'z' inside group")
+            out += b"\0\0\0\0"
+            continue
+        if not 0x21 <= byte <= 0x75:  # '!'..'u'
+            raise UnsupportedPdfError(f"ASCII85Decode: bad character {byte:#x}")
+        group.append(byte - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for d in group:
+                acc = acc * 85 + d
+            if acc > 0xFFFFFFFF:
+                raise UnsupportedPdfError("ASCII85Decode: group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise UnsupportedPdfError("ASCII85Decode: lone trailing character")
+        n = len(group)
+        acc = 0
+        for d in group + [84] * (5 - n):  # pad with 'u'
+            acc = acc * 85 + d
+        if acc > 0xFFFFFFFF:
+            raise UnsupportedPdfError("ASCII85Decode: group overflow")
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (§7.4.5): length byte 0..127 copies the next
+    length+1 bytes literally; 129..255 repeats the next byte
+    257-length times; 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            chunk = data[i + 1 : i + 2 + length]
+            if len(chunk) != length + 1:
+                raise UnsupportedPdfError("RunLengthDecode: truncated literal run")
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                raise UnsupportedPdfError("RunLengthDecode: truncated repeat run")
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    raise UnsupportedPdfError("RunLengthDecode: missing EOD")
+
+
+def _balanced_dict(body: bytes, start: int) -> tuple[bytes, int]:
+    """Return (inner bytes, end index past '>>') of the `<< ... >>`
+    dictionary starting at `start` (which must point at '<<'),
+    tracking nesting depth."""
+    depth = 0
+    i = start
+    n = len(body)
+    while i < n - 1:
+        pair = body[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start + 2 : i - 2], i
+        else:
+            i += 1
+    raise UnsupportedPdfError("unterminated dictionary in /DecodeParms")
+
+
+def _parse_decodeparms(body: bytes, n_filters: int) -> list[bytes | None]:
+    """Per-filter /DecodeParms entries aligned with the filter list:
+    a single dict applies to a single filter; an array holds one
+    `null` or `<<..>>` per filter (§7.3.8.2). Missing => all None."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*", body)
+    if m is None:
+        return [None] * n_filters
+    i = m.end()
+    if body[i : i + 2] == b"<<":
+        inner, _ = _balanced_dict(body, i)
+        if n_filters != 1:
+            raise UnsupportedPdfError("/DecodeParms dict with a filter chain")
+        return [inner]
+    if body[i : i + 1] != b"[":
+        if body[i : i + 4] == b"null":
+            return [None] * n_filters
+        raise UnsupportedPdfError("unsupported /DecodeParms form")
+    i += 1
+    out: list[bytes | None] = []
+    n = len(body)
+    while i < n:
+        while i < n and body[i] in b"\0\t\n\f\r ":
+            i += 1
+        if body[i : i + 1] == b"]":
+            break
+        if body[i : i + 4] == b"null":
+            out.append(None)
+            i += 4
+        elif body[i : i + 2] == b"<<":
+            inner, i = _balanced_dict(body, i)
+            out.append(inner)
+        else:
+            raise UnsupportedPdfError("unsupported /DecodeParms array entry")
+    if len(out) != n_filters:
+        raise UnsupportedPdfError("/DecodeParms array length != filter count")
+    return out
+
+
+def _apply_predictor(data: bytes, params: bytes | None) -> bytes:
+    if not params:
+        return data
+    pm = re.search(rb"/Predictor\s+(\d+)", params)
+    pred = int(pm.group(1)) if pm else 1
+    if pred >= 10:  # PNG family; tag byte per row decides the actual filter
+        cm = re.search(rb"/Columns\s+(\d+)", params)
+        km = re.search(rb"/Colors\s+(\d+)", params)
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", params)
+        return _png_unpredict(
+            data,
+            int(cm.group(1)) if cm else 1,
+            int(km.group(1)) if km else 1,
+            int(bm.group(1)) if bm else 8,
+        )
+    if pred != 1:
+        raise UnsupportedPdfError(f"unsupported predictor {pred}")
+    return data
+
+
 def _decode_stream(content_body: bytes) -> bytes | None:
-    """Raw stream bytes, inflating /FlateDecode (plain zlib — the
-    overwhelmingly common wild-PDF encoding) or /LZWDecode (the
-    pre-Flate era), reversing a PNG /Predictor from /DecodeParms when
-    declared. Any other filter (or a multi-element filter chain) stays
-    outside the subset."""
+    """Raw stream bytes through the declared /Filter pipeline — in
+    wild order: /FlateDecode (zlib), /LZWDecode, /ASCIIHexDecode,
+    /ASCII85Decode, /RunLengthDecode, applied left-to-right when
+    /Filter is an array (§7.4.1 filter chains, e.g. the classic
+    ``[/ASCII85Decode /FlateDecode]`` mail-safe transport). PNG
+    /Predictor from the matching /DecodeParms entry is reversed on
+    Flate/LZW output. Any other filter raises UnsupportedPdfError."""
     fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", content_body)
     raw = _stream_of(content_body)
     if raw is None:
         return None
     if fm is None:
         return raw
-    name = fm.group(1)
-    if name.startswith(b"["):  # single-element array form
-        inner = name[1:-1].split()
-        if len(inner) != 1:
-            raise UnsupportedPdfError(f"unsupported filter chain {name!r}")
-        name = inner[0]
-    dp = re.search(rb"/DecodeParms\s*<<([^>]*)>>", content_body)
-    if name == b"/FlateDecode":
-        import zlib
+    spec = fm.group(1)
+    names = spec[1:-1].split() if spec.startswith(b"[") else [spec]
+    if not names:
+        return raw
+    parms = _parse_decodeparms(content_body, len(names))
+    data = raw
+    for name, dp in zip(names, parms):
+        if name == b"/FlateDecode":
+            import zlib
 
-        try:
-            data = zlib.decompress(raw)
-        except zlib.error as exc:
-            raise UnsupportedPdfError(f"FlateDecode stream: {exc}") from exc
-    elif name == b"/LZWDecode":
-        em = re.search(rb"/EarlyChange\s+(\d+)", dp.group(1)) if dp else None
-        data = _lzw_decode_pdf(raw, early=int(em.group(1)) if em else 1)
-    else:
-        raise UnsupportedPdfError(f"unsupported stream filter {name!r}")
-    if dp:
-        params = dp.group(1)
-        pm = re.search(rb"/Predictor\s+(\d+)", params)
-        pred = int(pm.group(1)) if pm else 1
-        if pred >= 10:  # PNG family; tag byte per row decides the actual filter
-            cm = re.search(rb"/Columns\s+(\d+)", params)
-            km = re.search(rb"/Colors\s+(\d+)", params)
-            bm = re.search(rb"/BitsPerComponent\s+(\d+)", params)
-            data = _png_unpredict(
-                data,
-                int(cm.group(1)) if cm else 1,
-                int(km.group(1)) if km else 1,
-                int(bm.group(1)) if bm else 8,
-            )
-        elif pred != 1:
-            raise UnsupportedPdfError(f"unsupported predictor {pred}")
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise UnsupportedPdfError(f"FlateDecode stream: {exc}") from exc
+            data = _apply_predictor(data, dp)
+        elif name == b"/LZWDecode":
+            em = re.search(rb"/EarlyChange\s+(\d+)", dp) if dp else None
+            data = _lzw_decode_pdf(data, early=int(em.group(1)) if em else 1)
+            data = _apply_predictor(data, dp)
+        elif name == b"/ASCIIHexDecode":
+            data = _asciihex_decode(data)
+        elif name == b"/ASCII85Decode":
+            data = _ascii85_decode(data)
+        elif name == b"/RunLengthDecode":
+            data = _rle_decode(data)
+        else:
+            raise UnsupportedPdfError(f"unsupported stream filter {name!r}")
     return data
 
 

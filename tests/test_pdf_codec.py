@@ -158,7 +158,7 @@ def test_generator_emits_real_pdf_payloads():
     pages_t, golden_t = generate_corpus(160)
     gmap = dict(zip(golden_t["url"].to_pylist(), golden_t["golden_text"].to_pylist()))
     ex = Extractor()
-    n_14 = n_15 = n_pred = n_wild = n_json = 0
+    n_14 = n_15 = n_pred = n_wild = n_wild_filtered = n_json = 0
     for url, payload in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
         if not payload.startswith(b"%PDF") or url not in gmap or "malformed" in url:
             continue
@@ -170,9 +170,12 @@ def test_generator_emits_real_pdf_payloads():
             else:
                 n_15 += 1
             assert b"/Type /ObjStm" in payload and b"/Type /XRef" in payload
-        elif b"BDC" in payload:  # wild grammar: simple fonts + literals
+        elif b"/Subtype /TrueType" in payload:  # wild grammar: simple fonts
             n_wild += 1
-            assert b"/Subtype /TrueType" in payload
+            if b"/Filter" in payload:  # content streams through a wild
+                n_wild_filtered += 1  # transport filter/chain rotation
+            else:
+                assert b"BDC" in payload  # plain streams show the grammar
         else:
             n_14 += 1
             assert payload.startswith(b"%PDF-1.4")
@@ -180,6 +183,7 @@ def test_generator_emits_real_pdf_payloads():
         assert r["kind"] == "pdf"
         assert r["text"] == gmap[url], url
     assert n_14 >= 2 and n_15 >= 2 and n_pred >= 2 and n_wild >= 2 and n_json >= 1
+    assert n_wild_filtered >= 1  # filter sub-rotation reached the corpus
 
 
 def test_roundtrip_property_random_pages():
@@ -917,6 +921,107 @@ def test_lzw_content_stream_parses():
         _lzw_decode_pdf(b"\xff\xff\xff\xff")  # code gap -> corrupt
 
 
+def test_transport_filters_roundtrip():
+    """ASCIIHex / ASCII85 / RunLength decoders (§7.4.2-7.4.5) against
+    spec vectors, the stdlib base64.a85 oracle, and the writer-side
+    encoders."""
+    import base64
+    import random
+
+    from pdf_extractor_ray.functions.pdf_codec import (
+        _ascii85_decode,
+        _ascii85_encode,
+        _asciihex_decode,
+        _asciihex_encode,
+        _rle_decode,
+        _rle_encode,
+    )
+
+    # spec vectors
+    assert _asciihex_decode(b"48 65\n6c6C 6f>") == b"Hello"
+    assert _asciihex_decode(b"7>") == b"\x70"  # odd digit pads 0
+    assert _ascii85_decode(b"z~>") == b"\0\0\0\0"  # zero-group shorthand
+    assert _rle_decode(b"\x02abc\x80") == b"abc"
+    assert _rle_decode(b"\xfeA\x80") == b"AAA"  # 257-254 = 3 repeats
+
+    # error paths raise (never mis-decode)
+    with pytest.raises(UnsupportedPdfError):
+        _asciihex_decode(b"4G>")
+    with pytest.raises(UnsupportedPdfError):
+        _ascii85_decode(b"a~>")  # lone trailing char
+    with pytest.raises(UnsupportedPdfError):
+        _ascii85_decode(b"uuuuu~>")  # > 2^32 group
+    with pytest.raises(UnsupportedPdfError):
+        _rle_decode(b"\x05ab")  # truncated literal
+    with pytest.raises(UnsupportedPdfError):
+        _rle_decode(b"\x00a")  # missing EOD
+
+    # randomized round-trips; ASCII85 cross-checked against the stdlib
+    rng = random.Random(11)
+    for _ in range(50):
+        d = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        assert _ascii85_decode(_ascii85_encode(d)) == d
+        assert _ascii85_decode(base64.a85encode(d) + b"~>") == d
+        assert base64.a85decode(_ascii85_encode(d)[:-2].replace(b"z", b"!!!!!")) == d
+        assert _asciihex_decode(_asciihex_encode(d)) == d
+        assert _rle_decode(_rle_encode(d)) == d
+        runs = bytes(rng.choice(b"aab") for _ in range(100))
+        assert _rle_decode(_rle_encode(runs)) == runs
+
+
+def test_decodeparms_alignment():
+    """/DecodeParms parses as a single dict, an aligned array with
+    nulls, or raises on mismatch (§7.3.8.2)."""
+    from pdf_extractor_ray.functions.pdf_codec import _parse_decodeparms
+
+    assert _parse_decodeparms(b"<< /Filter /FlateDecode >>", 1) == [None]
+    assert _parse_decodeparms(
+        b"<< /DecodeParms << /Predictor 12 /Columns 5 >> >>", 1
+    ) == [b" /Predictor 12 /Columns 5 "]
+    got = _parse_decodeparms(
+        b"<< /DecodeParms [ null << /Predictor 2 >> ] >>", 2
+    )
+    assert got[0] is None and b"/Predictor 2" in got[1]
+    with pytest.raises(UnsupportedPdfError):
+        _parse_decodeparms(b"<< /DecodeParms [ null ] >>", 2)
+    with pytest.raises(UnsupportedPdfError):
+        _parse_decodeparms(b"<< /DecodeParms << /Predictor 12 >> >>", 2)
+
+
+def test_wild_stream_filter_chains_parse_identically():
+    """The wild writer's transport-filter rotations (including the
+    classic [/ASCII85Decode /FlateDecode] mail-safe chain) all parse
+    back to the canonical writer's words; an unknown filter in a chain
+    still raises."""
+    from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes_wild
+
+    words = [
+        {"text": "Filter", "x0": 72.0, "x1": 112.0, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"},
+        {"text": "chains日本", "x0": 130.0, "x1": 200.0, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"},
+    ]
+    page = _page(words)
+    ref = parse_pdf_bytes(pages_to_pdf_bytes([page]))[0]
+    for filt in (None, "flate", "a85+flate", "ahx", "rl", "ahx+rl"):
+        pdf = pages_to_pdf_bytes_wild([dict(page)], stream_filter=filt)
+        if filt is not None:
+            tag = filt.split("+")[0]
+            marker = {"flate": b"/FlateDecode", "a85": b"/ASCII85Decode",
+                      "ahx": b"/ASCIIHexDecode", "rl": b"/RunLengthDecode"}[tag]
+            assert marker in pdf
+        got = parse_pdf_bytes(pdf)[0]
+        assert [w["text"] for w in got["words"]] == [w["text"] for w in ref["words"]], filt
+        for wa, wb in zip(ref["words"], got["words"]):
+            for k in ("x0", "x1", "top", "bottom", "size"):
+                assert abs(wa[k] - wb[k]) < 5e-3, (filt, k)
+
+    plain = pages_to_pdf_bytes_wild([dict(page)])
+    bad = plain.replace(b"/Length", b"/Filter [/ASCIIHexDecode /DCTDecode] /Length", 1)
+    with pytest.raises(UnsupportedPdfError):
+        parse_pdf_bytes(bad)
+
+
 def test_wild_encoding_parity_hypothesis():
     """Hypothesis sweep: random pages serialize through BOTH writers
     (canonical fast-path grammar and the wild simple-font/literal
@@ -957,3 +1062,28 @@ def test_wild_encoding_parity_hypothesis():
                 assert abs(wa[k] - wb[k]) < 5e-3, (k, wa, wb)
 
     prop()
+
+
+def test_wild_encoding_parity_space_words():
+    """Regression (Hypothesis find): a word whose TEXT contains a space
+    must round-trip through the wild writer as ONE word — the simple-font
+    literal path space-splits show strings, so such words must take the
+    CID hex path."""
+    from pdf_extractor_ray.functions.pdf_codec import pages_to_pdf_bytes_wild
+
+    words = [
+        {"text": " ", "x0": 10.0, "x1": 14.0, "top": 100.0, "bottom": 110.0,
+         "size": 10.0, "fontname": "F0"},
+        {"text": "a b", "x0": 50.0, "x1": 80.0, "top": 100.0, "bottom": 110.0,
+         "size": 10.0, "fontname": "F0"},
+        {"text": "plain", "x0": 120.0, "x1": 160.0, "top": 100.0, "bottom": 110.0,
+         "size": 10.0, "fontname": "F0"},
+    ]
+    page = _page(words)
+    a = parse_pdf_bytes(pages_to_pdf_bytes([page]))[0]
+    b = parse_pdf_bytes(pages_to_pdf_bytes_wild([page]))[0]
+    assert [w["text"] for w in a["words"]] == [" ", "a b", "plain"]
+    assert [w["text"] for w in b["words"]] == [" ", "a b", "plain"]
+    for wa, wb in zip(a["words"], b["words"]):
+        for k in ("x0", "x1", "top", "bottom", "size"):
+            assert abs(wa[k] - wb[k]) < 5e-3, (k, wa, wb)
