@@ -38,33 +38,39 @@ Glyph-box math (both directions, straight from the spec):
   Identity-H CID encoding (§9.7.5.2), which also covers the corpus's
   Japanese text with zero escaping concerns.
 
-Feature boundary: ``/FlateDecode`` streams inflate via zlib (the
-overwhelmingly common wild-PDF encoding), including PNG-predicted
-streams (``/DecodeParms /Predictor 10-15``, §7.4.4.4 — near-universal
-on xref streams in the wild). PDF 1.5+ structure is supported
-(§7.5.7-7.5.8): ``/Type /XRef`` cross-reference streams (W-array typed
-entries, ``/Prev`` chains) are decoded as the primary object locator,
-and ``/Type /ObjStm`` compressed object containers are expanded so
-their member objects resolve like direct ones; the writer's
-``pdf15=True`` mode emits exactly that layout so the path is
-round-trip-tested. The generic content tokenizer additionally reads ordinary wild-PDF
-text streams: literal strings with escapes (§7.3.4.2), ``TJ`` arrays
-with kerning, simple Type1/TrueType fonts carrying embedded
-``/FirstChar``+``/Widths``+``/FontDescriptor`` (cp1252 text,
-space-split into words with exact per-run positions), the
+Feature boundary. Stream filters: ``/FlateDecode`` (zlib),
+``/LZWDecode``, ``/ASCIIHexDecode``, ``/ASCII85Decode``,
+``/RunLengthDecode``, and /Filter ARRAYS applying them left-to-right
+(§7.4.1), with PNG predictors (``/DecodeParms /Predictor 10-15``,
+§7.4.4.4 — near-universal on xref streams in the wild) reversed per
+the matching /DecodeParms entry. PDF 1.5+ structure (§7.5.7-7.5.8):
+``/Type /XRef`` cross-reference streams (W-array typed entries,
+``/Prev`` chains) decode as the primary object locator and ``/Type
+/ObjStm`` containers expand so member objects resolve like direct
+ones; the writer's ``pdf15=True`` mode emits exactly that layout so
+the path is round-trip-tested. The generic content tokenizer reads
+ordinary wild-PDF text streams: literal strings with escapes
+(§7.3.4.2), ``TJ`` arrays with kerning, simple Type1/TrueType fonts
+(embedded ``/FirstChar``+``/Widths``, /Encoding /Differences via an
+AGL subset, cp1252/MacRoman bases; space-split into words with exact
+per-run positions), standard-14 faces WITHOUT widths for the carried
+AFM tables (Courier family, Helvetica, Times-Roman — §9.6.2.2),
+Type0/Identity-H CID fonts with /ToUnicode CMaps and per-CID /W
+widths, full affine CTM composition with ``q``/``Q`` stacks, form
+XObjects (recursed; image XObjects are text-free no-ops), inline
+images (excised), marked-content operators, the
 ``Td``/``TD``/``T*``/``TL`` line-positioning family, ``'``/``"``
 move-and-show, ``Tc``/``Tw`` spacing, curve flattening, and the
-common color/state no-ops. Anything further — other filters, filter
-chains, encryption, XObjects/inline images, non-identity CTM,
-nonzero text rise, standard-14 fonts without embedded widths,
-/ToUnicode-dependent CID text — raises ``UnsupportedPdfError`` so the
-caller can fall through to the pdfplumber gate
-(functions/pdf_words.py extract_pdf_bytes). Honest about what this
-tokenizer is: a text+ruling-geometry reader, not a general PDF
-renderer. The object scanner is stream-aware: each stream's extent is
-sliced by its declared ``/Length`` before looking for ``endobj``, so
-compressed bytes that happen to contain that keyword no longer
-truncate the object.
+common color/state no-ops. Anything further — DCT/CCITT/JBIG2
+filters, encryption, Type3 fonts, uncarried standard-14 faces,
+nonzero text rise, vertical writing, glyph-id CID text without a
+CMap — raises ``UnsupportedPdfError`` so the caller can fall through
+to the pdfplumber gate (functions/pdf_words.py extract_pdf_bytes).
+Honest about what this tokenizer is: a text+ruling-geometry reader,
+not a general PDF renderer. The object scanner is stream-aware: each
+stream's extent is sliced by its declared ``/Length`` before looking
+for ``endobj``, so compressed bytes that happen to contain that
+keyword no longer truncate the object.
 """
 
 from __future__ import annotations
@@ -1269,6 +1275,43 @@ def _parse_tounicode(objs: dict[int, bytes], font_body: bytes) -> dict[int, str]
     return out
 
 
+# Standard-14 font metrics for codes 32..126, from the public Adobe
+# Core 14 AFM files (redistributed with the PDF spec; the same tables
+# every PDF consumer ships). Values are glyph widths in 1/1000 em for
+# StandardEncoding codes 32..126 (0x27 = quoteright, 0x60 = grave).
+# Only faces whose tables are carried verbatim here are supported;
+# other std-14 faces (bold/italic variants, Symbol, ZapfDingbats)
+# raise rather than approximate.
+_HELVETICA_W = [
+    278, 278, 355, 556, 556, 889, 667, 222, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+]
+_TIMES_ROMAN_W = [
+    250, 333, 408, 500, 500, 833, 778, 333, 333, 333, 500, 564, 250, 333,
+    250, 278, 500, 500, 500, 500, 500, 500, 500, 500, 500, 500, 278, 278,
+    564, 564, 564, 444, 921, 722, 667, 667, 722, 611, 556, 722, 722, 333,
+    389, 722, 611, 889, 722, 722, 556, 722, 667, 556, 611, 722, 722, 944,
+    722, 722, 611, 333, 278, 333, 469, 500, 333, 444, 500, 444, 500, 444,
+    333, 500, 500, 278, 278, 500, 278, 778, 500, 500, 500, 500, 333, 389,
+    278, 500, 500, 722, 500, 500, 444, 480, 200, 480, 541,
+]
+_COURIER_W = [600.0] * 95  # monospace: every glyph 600/1000 em
+# face -> (widths 32..126, AFM Ascender, AFM Descender)
+_STD14_METRICS: dict[str, tuple[list[float], float, float]] = {
+    "Courier": (_COURIER_W, 629.0, -157.0),
+    "Courier-Bold": (_COURIER_W, 629.0, -157.0),
+    "Courier-Oblique": (_COURIER_W, 629.0, -157.0),
+    "Courier-BoldOblique": (_COURIER_W, 629.0, -157.0),
+    "Helvetica": ([float(w) for w in _HELVETICA_W], 718.0, -207.0),
+    "Times-Roman": ([float(w) for w in _TIMES_ROMAN_W], 683.0, -217.0),
+}
+
+
 def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
     """Font model for the tokenizer. Two kinds:
 
@@ -1282,9 +1325,10 @@ def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
       and raises rather than mis-parses.
     - "simple": Type1/TrueType fonts with embedded /FirstChar +
       /Widths + /FontDescriptor (what ordinary word-processor PDFs
-      carry) — 1-byte codes, per-glyph widths. Standard-14 fonts that
-      OMIT the widths (legal per spec, metrics live in Adobe AFM
-      files) stay outside the subset."""
+      carry) — 1-byte codes, per-glyph widths. Standard-14 faces that
+      OMIT the widths (legal per §9.6.2.2) resolve from the carried
+      public AFM tables (_STD14_METRICS: Courier family, Helvetica,
+      Times-Roman); uncarried faces raise rather than approximate."""
     body = objs.get(font_ref, b"")
     if b"/Type0" in body:
         m = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", body)
@@ -1304,7 +1348,31 @@ def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
     if re.search(rb"/Subtype\s*/(?:Type1|TrueType|MMType1)\b", body):
         wm = re.search(rb"/Widths\s*(?:\[([^\]]*)\]|(\d+)\s+\d+\s+R)", body)
         if not wm:
-            raise UnsupportedPdfError("simple font without embedded /Widths")
+            # standard-14 face with AFM metrics (legal per §9.6.2.2:
+            # the 14 standard fonts may omit /Widths + /FontDescriptor)
+            bm = re.search(rb"/BaseFont\s*/([\w.+-]+)", body)
+            base = bm.group(1).decode("ascii", "replace") if bm else ""
+            base = base.split("+", 1)[-1]  # drop subset prefix
+            std = _STD14_METRICS.get(base)
+            if std is None:
+                raise UnsupportedPdfError(
+                    f"simple font /{base or '?'} without embedded /Widths "
+                    "(not a carried standard-14 face)"
+                )
+            codec, diff = _parse_simple_encoding(objs, body)
+            return {
+                "kind": "simple",
+                "ascent": std[1],
+                "descent": std[2],
+                "first_char": 32,
+                "widths": std[0],
+                "codec": codec,
+                "diff": diff,
+                # without an explicit /Encoding only printable-ASCII
+                # codes are unambiguous (StandardEncoding beyond 126
+                # differs from cp1252) — the tokenizer raises on others
+                "std14_ascii_only": b"/Encoding" not in body,
+            }
         if wm.group(1) is not None:
             arr = wm.group(1)
         else:
@@ -1326,7 +1394,10 @@ def _font_metrics(objs: dict[int, bytes], font_ref: int) -> dict:
             "codec": codec,
             "diff": diff,
         }
-    raise UnsupportedPdfError("font subset is Type0/Identity-H and simple Type1/TrueType with /Widths")
+    raise UnsupportedPdfError(
+        "font subset is Type0/Identity-H, simple Type1/TrueType with /Widths, "
+        "and widthless standard-14 (Courier family, Helvetica, Times-Roman)"
+    )
 
 
 # Adobe Glyph List subset: ASCII names, common western punctuation /
@@ -1536,6 +1607,10 @@ def _word_from_state(
             glyph_w = sum(w_over.get(c, dw) for c in cids) / 1000.0 * size if w_over else n * size * (dw / 1000.0)
         adv = (glyph_w + n * tc) * (tz / 100.0)
     else:
+        if fm.get("std14_ascii_only") and raw and (min(raw) < 32 or max(raw) > 126):
+            raise UnsupportedPdfError(
+                "standard-14 font without /Encoding: code outside printable ASCII"
+            )
         diff = fm.get("diff")
         codec = fm.get("codec", "cp1252")
         if diff:

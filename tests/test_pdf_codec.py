@@ -551,9 +551,10 @@ def test_foreign_unsupported_constructs_raise():
     assert ok[0]["words"][0]["text"] == "x"
 
 
-def test_standard14_font_without_widths_raises():
+def test_widthless_non_std14_font_raises():
+    """A widthless font whose BaseFont is NOT a carried standard-14
+    face (here /Arial) has no metrics source — out of subset."""
     pdf = _simple_font_pdf(b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (x) Tj ET")
-    # strip the /Widths array -> metrics live in external AFMs -> out of subset
     import re
 
     stripped = re.sub(rb"/Widths \[[^\]]*\] ", b"", pdf)
@@ -562,8 +563,8 @@ def test_standard14_font_without_widths_raises():
 
 
 def test_unused_unsupported_font_is_ignored():
-    """Font resolution is lazy: a declared-but-unused standard-14 font
-    (no widths) must not fail the page."""
+    """Font resolution is lazy: a declared-but-unused uncarried
+    standard-14 font (/Symbol, no widths) must not fail the page."""
     content = b"BT /F1 12 Tf 1 0 0 1 72 600 Tm (fine) Tj ET"
     pdf = _simple_font_pdf(content)
     pdf = pdf.replace(
@@ -571,7 +572,7 @@ def test_unused_unsupported_font_is_ignored():
         b"/Font << /F1 5 0 R /F9 7 0 R >>",
     ).replace(
         b"%%EOF",
-        _obj(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") + b"%%EOF",
+        _obj(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>") + b"%%EOF",
     )
     assert parse_pdf_bytes(pdf)[0]["words"][0]["text"] == "fine"
     # ...but USING it raises
@@ -919,6 +920,95 @@ def test_lzw_content_stream_parses():
     assert _lzw_decode_pdf(lzw_encode_literals(blob)) == blob
     with pytest.raises(UnsupportedPdfError):
         _lzw_decode_pdf(b"\xff\xff\xff\xff")  # code gap -> corrupt
+
+
+def _std14_pdf(content, basefont=b"/Courier", extra=b"", second_font=b""):
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont " + basefont + b" " + extra + b">>"
+    res = b"/F1 5 0 R"
+    bodies = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        _obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << " + res + (b" /F2 6 0 R" if second_font else b"")
+                + b" >> >> /Contents 4 0 R >>"),
+        _obj(4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"),
+        _obj(5, font),
+    ]
+    if second_font:
+        bodies.append(_obj(6, second_font))
+    return b"%PDF-1.4\n" + b"".join(bodies) + b"%%EOF\n"
+
+
+def test_std14_courier_exact_geometry():
+    """A widthless /Courier font resolves from the carried AFM table:
+    every glyph 600/1000 em, Ascender 629 / Descender -157."""
+    content = b"BT /F1 10 Tf 1 0 0 1 100 400 Tm (one two) Tj ET"
+    words = parse_pdf_bytes(_std14_pdf(content))[0]["words"]
+    assert [w["text"] for w in words] == ["one", "two"]
+    # 6pt per char at size 10: one=[100,118], space to 124, two=[124,142]
+    assert words[0]["x0"] == pytest.approx(100) and words[0]["x1"] == pytest.approx(118)
+    assert words[1]["x0"] == pytest.approx(124) and words[1]["x1"] == pytest.approx(142)
+    assert words[0]["top"] == pytest.approx(792 - 400 - 6.29)
+    assert words[0]["bottom"] == pytest.approx(792 - 400 + 1.57)
+    # the bold/oblique Courier faces share the monospace table
+    for face in (b"/Courier-Bold", b"/Courier-Oblique", b"/Courier-BoldOblique"):
+        w2 = parse_pdf_bytes(_std14_pdf(content, basefont=face))[0]["words"]
+        assert [w["text"] for w in w2] == ["one", "two"]
+        assert w2[1]["x1"] == pytest.approx(142)
+    # subset-prefixed name resolves to the same face
+    w3 = parse_pdf_bytes(_std14_pdf(content, basefont=b"/ABCDEF+Courier"))[0]["words"]
+    assert w3[0]["x1"] == pytest.approx(118)
+
+
+def test_std14_helvetica_times_afm_widths():
+    """Helvetica/Times-Roman widthless faces use the published AFM
+    widths (digits 556/500, space 278/250, caps per table)."""
+    content = b"BT /F1 10 Tf 1 0 0 1 100 400 Tm (01 AW) Tj ET"
+    hw = parse_pdf_bytes(_std14_pdf(content, basefont=b"/Helvetica"))[0]["words"]
+    assert [w["text"] for w in hw] == ["01", "AW"]
+    assert hw[0]["x1"] - hw[0]["x0"] == pytest.approx(2 * 5.56)  # digits 556
+    assert hw[1]["x0"] == pytest.approx(100 + 2 * 5.56 + 2.78)  # space 278
+    assert hw[1]["x1"] - hw[1]["x0"] == pytest.approx((667 + 944) / 100.0)
+    assert hw[0]["top"] == pytest.approx(792 - 400 - 7.18)  # Ascender 718
+    tw = parse_pdf_bytes(_std14_pdf(content, basefont=b"/Times-Roman"))[0]["words"]
+    assert tw[0]["x1"] - tw[0]["x0"] == pytest.approx(2 * 5.0)  # digits 500
+    assert tw[1]["x0"] == pytest.approx(100 + 2 * 5.0 + 2.5)  # space 250
+    assert tw[1]["x1"] - tw[1]["x0"] == pytest.approx((722 + 944) / 100.0)
+
+
+def test_std14_boundaries_raise_not_guess():
+    """Uncarried standard-14 faces raise; non-ASCII codes without an
+    explicit /Encoding raise; an explicit /WinAnsiEncoding decodes
+    them; an unused uncarried face must not fail the page."""
+    ascii_content = b"BT /F1 10 Tf 72 400 Td (plain) Tj ET"
+    for face in (b"/Helvetica-Bold", b"/Times-Italic", b"/Symbol", b"/ZapfDingbats"):
+        with pytest.raises(UnsupportedPdfError, match="standard-14|without embedded"):
+            parse_pdf_bytes(_std14_pdf(ascii_content, basefont=face))
+    hi_content = b"BT /F1 10 Tf 72 400 Td (caf\xe9) Tj ET"
+    with pytest.raises(UnsupportedPdfError, match="printable ASCII"):
+        parse_pdf_bytes(_std14_pdf(hi_content, basefont=b"/Helvetica"))
+    got = parse_pdf_bytes(
+        _std14_pdf(hi_content, basefont=b"/Helvetica", extra=b"/Encoding /WinAnsiEncoding ")
+    )[0]["words"]
+    assert [w["text"] for w in got] == ["café"]
+    # lazy resolution: an unused /Symbol in resources is never touched
+    lazy = parse_pdf_bytes(
+        _std14_pdf(
+            ascii_content,
+            second_font=b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>",
+        )
+    )[0]["words"]
+    assert [w["text"] for w in lazy] == ["plain"]
+
+
+def test_std14_extraction_end_to_end():
+    """extract_pdf_bytes consumes a widthless standard-14 document."""
+    content = (b"BT /F1 12 Tf 16 TL 72 600 Td "
+               b"(Body text set in bare Courier metrics.) Tj T* "
+               b"(Second line keeps the reading order.) Tj ET")
+    r = extract_pdf_bytes(_std14_pdf(content))
+    assert "Body text set in bare Courier metrics." in r["text"]
+    assert "Second line keeps the reading order." in r["text"]
 
 
 def test_transport_filters_roundtrip():
