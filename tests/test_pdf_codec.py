@@ -1011,6 +1011,21 @@ def test_std14_extraction_end_to_end():
     assert "Second line keeps the reading order." in r["text"]
 
 
+def test_incremental_update_takes_latest_object():
+    """An appended incremental-update section (§7.5.6) redefines an
+    object; the sequential scan must surface the LATEST definition."""
+    content = b"BT /F1 10 Tf 72 400 Td (original words) Tj ET"
+    pdf = _std14_pdf(content)
+    assert [w["text"] for w in parse_pdf_bytes(pdf)[0]["words"]] == ["original", "words"]
+    new = b"BT /F1 10 Tf 72 400 Td (updated body) Tj ET"
+    update = (
+        _obj(4, b"<< /Length %d >>\nstream\n" % len(new) + new + b"\nendstream")
+        + b"%%EOF\n"
+    )
+    got = parse_pdf_bytes(pdf + update)[0]["words"]
+    assert [w["text"] for w in got] == ["updated", "body"]
+
+
 def test_transport_filters_roundtrip():
     """ASCIIHex / ASCII85 / RunLength decoders (§7.4.2-7.4.5) against
     spec vectors, the stdlib base64.a85 oracle, and the writer-side
