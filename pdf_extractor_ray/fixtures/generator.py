@@ -427,6 +427,10 @@ def _tpl_pdf(
     n_pages += 1
     if encoding == "pdf":
         payload = pages_to_pdf_bytes(pages)
+    elif encoding.startswith("pdf:"):
+        # "pdf:rc4-40" / "pdf:rc4-128": classic layout behind the
+        # standard security handler, empty user password
+        payload = pages_to_pdf_bytes(pages, encrypt=encoding.partition(":")[2])
     elif encoding == "pdf15":
         payload = pages_to_pdf_bytes(pages, pdf15=True)
     elif encoding == "pdf15p":
@@ -493,7 +497,14 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
             # generic tokenizer is corpus-exercised, not just the
             # writer-canonical fast path
             enc = ("pdf", "pdf15", "pdfwild", "pdf15p", "fixture-json")[n_pdf_docs % 5]
-            if enc == "pdfwild":
+            if enc == "pdf":
+                # sub-rotate classic docs through the standard security
+                # handler (empty user password) so RC4 decryption is
+                # corpus-tested in both revisions
+                crypt = ("", "rc4-40", "", "rc4-128", "")[(n_pdf_docs // 5) % 5]
+                if crypt:
+                    enc = f"pdf:{crypt}"
+            elif enc == "pdfwild":
                 # sub-rotate the wild content streams through the
                 # transport filters so every /Filter decoder branch
                 # (and the a85+flate / ahx+rl chains) is corpus-tested

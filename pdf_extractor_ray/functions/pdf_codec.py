@@ -61,9 +61,12 @@ XObjects (recursed; image XObjects are text-free no-ops), inline
 images (excised), marked-content operators, the
 ``Td``/``TD``/``T*``/``TL`` line-positioning family, ``'``/``"``
 move-and-show, ``Tc``/``Tw`` spacing, curve flattening, and the
-common color/state no-ops. Anything further — DCT/CCITT/JBIG2
-filters, encryption, Type3 fonts, uncarried standard-14 faces,
-nonzero text rise, vertical writing, glyph-id CID text without a
+common color/state no-ops. Standard-security RC4 encryption
+(§7.6.3, /V 1-2 /R 2-3) with an EMPTY user password — the wild
+"permissions-only" case — decrypts in place. Anything further —
+DCT/CCITT/JBIG2 filters, AES encryption or non-empty user passwords,
+Type3 fonts, uncarried standard-14 faces, nonzero text rise,
+vertical writing, glyph-id CID text without a
 CMap — raises ``UnsupportedPdfError`` so the caller can fall through
 to the pdfplumber gate (functions/pdf_words.py extract_pdf_bytes).
 Honest about what this tokenizer is: a text+ruling-geometry reader,
@@ -209,7 +212,13 @@ def _font_objects(first_num: int) -> tuple[list[bytes], dict[str, int]]:
     return objs, refs
 
 
-def pages_to_pdf_bytes(pages: list[dict], *, pdf15: bool = False, xref_predictor: bool = False) -> bytes:
+def pages_to_pdf_bytes(
+    pages: list[dict],
+    *,
+    pdf15: bool = False,
+    xref_predictor: bool = False,
+    encrypt: str | None = None,
+) -> bytes:
     """Serialize page dicts into a genuine PDF byte stream.
 
     Default: ``%PDF-1.4`` — uncompressed content streams, classic
@@ -222,11 +231,21 @@ def pages_to_pdf_bytes(pages: list[dict], *, pdf15: bool = False, xref_predictor
     additionally encodes the xref entries with PNG Up predictor 12
     (``/DecodeParms``), the wild-PDF norm.
 
+    ``encrypt`` ("rc4-40" or "rc4-128") applies the standard security
+    handler (§7.6.3) with an EMPTY user password — the wild
+    "permissions-only" encryption: deterministic /ID from the content
+    md5, /O from the fixed owner password, every stream RC4-encrypted
+    with its per-object key. Classic layout only.
+
     Refuses pages carrying pre-detected ``tables``/``boxes`` hints —
     real PDFs have no hint channel; draw ruling lines / border rects
     instead and let the geometry detectors (functions/layout.py) find
     them, exactly as they would in a wild PDF.
     """
+    if encrypt is not None and pdf15:
+        raise ValueError("encrypt is supported for the classic layout only")
+    if encrypt not in (None, "rc4-40", "rc4-128"):
+        raise ValueError(f"unknown encrypt mode {encrypt!r}")
     for p in pages:
         if p.get("tables") or p.get("boxes"):
             raise ValueError(
@@ -276,6 +295,33 @@ def pages_to_pdf_bytes(pages: list[dict], *, pdf15: bool = False, xref_predictor
     if pdf15:
         return _emit_pdf15(bodies, content_nums, xref_predictor)
 
+    trailer_extra = ""
+    if encrypt is not None:
+        import hashlib
+
+        r, v, nbits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
+        nbytes = nbits // 8
+        id0 = hashlib.md5(b"".join(bodies)).digest()  # deterministic /ID
+        p = -44  # print allowed, modify/copy/annotate denied
+        o = _owner_value(b"owner", b"", r, nbytes)
+        key = _crypt_key(b"", o, p, id0, r, nbytes)
+        u = _user_value(key, id0, r)
+        enc_pieces = []
+        for i, body in enumerate(bodies):
+            span = _stream_span(body)
+            if span:
+                okey = _object_key(key, i + 1, 0)
+                body = body[: span[0]] + _rc4(okey, body[span[0] : span[1]]) + body[span[1] :]
+            enc_pieces.append(body)
+        bodies = enc_pieces
+        bodies.append(
+            (
+                f"<< /Filter /Standard /V {v} /R {r} /Length {nbits} /P {p} "
+                f"/O <{o.hex()}> /U <{u.hex()}> >>"
+            ).encode()
+        )
+        trailer_extra = f" /Encrypt {len(bodies)} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: list[int] = []
     for i, body in enumerate(bodies):
@@ -286,7 +332,7 @@ def pages_to_pdf_bytes(pages: list[dict], *, pdf15: bool = False, xref_predictor
     for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {len(bodies) + 1} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -841,15 +887,19 @@ def _object_map(payload: bytes) -> dict[int, bytes]:
         objs = _scan_objects(payload)
     if not objs:
         raise UnsupportedPdfError("no indirect objects found")
+    # decrypt BEFORE ObjStm expansion: members live inside the
+    # (encrypted) container stream and are not re-encrypted (§7.5.8)
+    _maybe_decrypt(payload, objs)
     _expand_objstm(objs)
     return objs
 
 
-def _stream_of(body: bytes) -> bytes | None:
-    """Stream payload of an object body. Sliced by /Length when the
-    dict declares it (mandatory for compressed streams, whose bytes
-    may contain 'endstream'); falls back to the keyword scan for
-    streams whose /Length is an indirect reference."""
+def _stream_span(body: bytes) -> tuple[int, int] | None:
+    """(start, end) byte span of an object body's stream payload.
+    Sliced by /Length when the dict declares it (mandatory for
+    compressed streams, whose bytes may contain 'endstream'); falls
+    back to the keyword scan for streams whose /Length is an indirect
+    reference."""
     i = body.find(b"stream")
     if i < 0:
         return None
@@ -865,9 +915,248 @@ def _stream_of(body: bytes) -> bytes | None:
     # the stream to 1 byte — a silent wrong parse.
     m = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", body[:i])
     if m:
-        return body[start : start + int(m.group(1))]
+        return start, start + int(m.group(1))
     j = body.find(b"endstream")
-    return body[start:j].rstrip(b"\r\n")
+    end = len(body[start:j].rstrip(b"\r\n")) + start
+    return start, end
+
+
+def _stream_of(body: bytes) -> bytes | None:
+    span = _stream_span(body)
+    if span is None:
+        return None
+    return body[span[0] : span[1]]
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 §7.6.3): RC4 revisions 2/3
+# with an EMPTY user password — the ubiquitous "permissions-only"
+# encryption on wild PDFs. AES (/V 4+), crypt filters, and non-empty
+# user passwords raise UnsupportedPdfError.
+# ---------------------------------------------------------------------------
+
+# §7.6.3.3 Algorithm 2 padding string (printed verbatim in the spec)
+_CRYPT_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (KSA + PRGA). Verified against the published
+    test vectors in the test suite."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _crypt_key(password: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int) -> bytes:
+    """§7.6.3.3 Algorithm 2: the file encryption key."""
+    import hashlib
+
+    padded = (password + _CRYPT_PAD)[:32]
+    h = hashlib.md5(
+        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    return h[:nbytes]
+
+
+def _owner_value(owner_pw: bytes, user_pw: bytes, r: int, nbytes: int) -> bytes:
+    """§7.6.3.4 Algorithm 3: the /O entry (writer side)."""
+    import hashlib
+
+    digest = hashlib.md5(((owner_pw or user_pw) + _CRYPT_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    rc4key = digest[:nbytes]
+    enc = _rc4(rc4key, (user_pw + _CRYPT_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            enc = _rc4(bytes(b ^ i for b in rc4key), enc)
+    return enc
+
+
+def _user_value(key: bytes, id0: bytes, r: int) -> bytes:
+    """§7.6.3.4 Algorithms 4/5: the /U entry for a given file key."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _CRYPT_PAD)
+    u = _rc4(key, hashlib.md5(_CRYPT_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\0" * 16  # 16 bytes of arbitrary padding (§ Algorithm 5 step f)
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """§7.6.2 Algorithm 1: per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+_HEXSTR_ONLY_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _dict_string(body: bytes, key: str) -> bytes | None:
+    """The string value of ``/key`` in a dict body: hex form ``<..>``
+    or literal ``(..)`` with escape handling (§7.3.4). An optional
+    leading ``[`` is skipped so ``/ID [<..><..>]`` yields its FIRST
+    element."""
+    m = re.search(rb"/" + key.encode() + rb"\s*\[?\s*(\(|<(?!<))", body)
+    if m is None:
+        return None
+    if m.group(1) == b"<":
+        hm = _HEXSTR_ONLY_RE.match(body, m.end() - 1)
+        if hm is None:
+            raise UnsupportedPdfError(f"malformed hex string for /{key}")
+        hx = re.sub(rb"\s+", b"", hm.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    # literal string: honor escapes, balanced parens, stop at the
+    # closing unescaped paren
+    out = bytearray()
+    i = m.end()
+    depth = 1
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = body[i]
+            mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}.get(e)
+            if mapped is not None:
+                out.append(mapped)
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = [e - 0x30]
+                while len(oct_digits) < 3 and i + 1 < n and 0x30 <= body[i + 1] <= 0x37:
+                    i += 1
+                    oct_digits.append(body[i] - 0x30)
+                val = 0
+                for d in oct_digits:
+                    val = val * 8 + d
+                out.append(val & 0xFF)
+            else:
+                out.append(e)  # \( \) \\ and any other escaped byte
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out)
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    raise UnsupportedPdfError(f"unterminated literal string for /{key}")
+
+
+def _find_encrypt(payload: bytes, objs: dict[int, bytes]) -> tuple[int, bytes] | None:
+    """(encrypt-dict object number, first /ID element) from the classic
+    trailer dict(s) or the xref-stream dict (§7.5.5, §7.5.8)."""
+    candidates: list[bytes] = []
+    for m in re.finditer(rb"trailer", payload):
+        i = payload.find(b"<<", m.end(), m.end() + 64)
+        if i < 0:
+            continue
+        try:
+            inner, _ = _balanced_dict(payload, i)
+        except UnsupportedPdfError:
+            continue
+        candidates.append(inner)
+    sm = re.search(rb"startxref\s+(\d+)", payload[-256:])
+    if sm:
+        try:
+            _, xbody = _object_at(payload, int(sm.group(1)))
+            candidates.append(xbody)
+        except UnsupportedPdfError:
+            pass
+    for inner in reversed(candidates):  # latest update wins
+        em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", inner)
+        if em is None:
+            continue
+        id0 = _dict_string(inner, "ID")
+        if id0 is None:
+            raise UnsupportedPdfError("encrypted PDF without a trailer /ID")
+        return int(em.group(1)), id0
+    return None
+
+
+def _maybe_decrypt(payload: bytes, objs: dict[int, bytes]) -> None:
+    """If the document carries a supported /Encrypt dictionary
+    (Standard handler, /V 1-2 / /R 2-3 RC4, empty user password),
+    RC4-decrypt every stream payload in place (strings in dict
+    positions this tokenizer never reads stay encrypted). XRef
+    streams are never encrypted (§7.5.8.2) and are skipped. Raises
+    for AES/V4+, non-Standard filters, non-empty user passwords, and
+    /Encrypt markers without a resolvable encrypt dictionary."""
+    if b"/Encrypt" not in payload:
+        return
+    found = _find_encrypt(payload, objs)
+    if found is None:
+        raise UnsupportedPdfError("encrypted PDF (unresolvable /Encrypt)")
+    enc_num, id0 = found
+    enc = objs.get(enc_num)
+    if enc is None:
+        raise UnsupportedPdfError("dangling /Encrypt reference")
+    fm = re.search(rb"/Filter\s*/(\w+)", enc)
+    if not fm or fm.group(1) != b"Standard":
+        raise UnsupportedPdfError("non-Standard security handler")
+    v = int(_dict_num(enc, "V", 0))
+    r = int(_dict_num(enc, "R", 0))
+    if v not in (1, 2) or r not in (2, 3):
+        raise UnsupportedPdfError(f"encryption V={v} R={r} unsupported (RC4 V1/V2 R2/R3 only)")
+    nbits = int(_dict_num(enc, "Length", 40.0))
+    if nbits % 8 or not 40 <= nbits <= 128:
+        raise UnsupportedPdfError(f"bad encryption key length {nbits}")
+    nbytes = 5 if v == 1 else nbits // 8
+    o = _dict_string(enc, "O")
+    u = _dict_string(enc, "U")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    if o is None or u is None or pm is None:
+        raise UnsupportedPdfError("encrypt dict missing /O, /U or /P")
+    p = int(pm.group(1))
+    key = _crypt_key(b"", o, p, id0, r, nbytes)
+    expect = _user_value(key, id0, r)
+    ok = expect[:16] == u[:16] if r >= 3 else expect == u[:32]
+    if not ok:
+        raise UnsupportedPdfError("password-protected PDF (empty user password rejected)")
+    gens = {int(m.group(1)): int(m.group(2)) for m in _OBJ_HDR_RE.finditer(payload)}
+    for num, body in objs.items():
+        if num == enc_num or re.search(rb"/Type\s*/XRef\b", body):
+            continue
+        span = _stream_span(body)
+        if span is None:
+            continue
+        start, end = span
+        okey = _object_key(key, num, gens.get(num, 0))
+        objs[num] = body[:start] + _rc4(okey, body[start:end]) + body[end:]
 
 
 def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
@@ -2134,14 +2423,15 @@ def _parse_content(
 
 
 def parse_pdf_bytes(payload: bytes) -> list[dict]:
-    """Tokenize a minimal uncompressed %PDF file back into page dicts
-    ({width, height, words, lines, rects}). Raises UnsupportedPdfError
-    for anything outside the subset (compressed streams, encryption,
-    non-Type0 fonts, exotic operators)."""
+    """Tokenize a %PDF file back into page dicts ({width, height,
+    words, lines, rects}). Raises UnsupportedPdfError for anything
+    outside the documented subset (see the module docstring's feature
+    boundary)."""
     if not payload.startswith(b"%PDF-"):
         raise UnsupportedPdfError("not a %PDF payload")
-    if b"/Encrypt" in payload:
-        raise UnsupportedPdfError("encrypted PDF")
+    # /Encrypt is handled inside _object_map: supported standard-
+    # security RC4 documents (empty user password) decrypt in place;
+    # anything else raises there
     objs = _object_map(payload)
     catalog = next((b for b in objs.values() if b"/Type /Catalog" in b or b"/Type/Catalog" in b), None)
     if catalog is None:

@@ -3,6 +3,8 @@ and the real-PDF routing in extract_pdf_bytes — the reference's
 flagship input path (reference extractor.py:101), previously an
 import-gated claim, now an executable tested branch."""
 
+import re
+
 import pytest
 
 from pdf_extractor_ray.functions.pdf_codec import (
@@ -158,7 +160,7 @@ def test_generator_emits_real_pdf_payloads():
     pages_t, golden_t = generate_corpus(160)
     gmap = dict(zip(golden_t["url"].to_pylist(), golden_t["golden_text"].to_pylist()))
     ex = Extractor()
-    n_14 = n_15 = n_pred = n_wild = n_wild_filtered = n_json = 0
+    n_14 = n_15 = n_pred = n_wild = n_wild_filtered = n_json = n_enc = 0
     for url, payload in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
         if not payload.startswith(b"%PDF") or url not in gmap or "malformed" in url:
             continue
@@ -179,11 +181,14 @@ def test_generator_emits_real_pdf_payloads():
         else:
             n_14 += 1
             assert payload.startswith(b"%PDF-1.4")
+            if b"/Encrypt" in payload:  # RC4 standard-security rotation
+                n_enc += 1
         r = ex.extract_one(payload)
         assert r["kind"] == "pdf"
         assert r["text"] == gmap[url], url
     assert n_14 >= 2 and n_15 >= 2 and n_pred >= 2 and n_wild >= 2 and n_json >= 1
     assert n_wild_filtered >= 1  # filter sub-rotation reached the corpus
+    assert n_enc >= 1  # encryption sub-rotation reached the corpus
 
 
 def test_roundtrip_property_random_pages():
@@ -1009,6 +1014,94 @@ def test_std14_extraction_end_to_end():
     r = extract_pdf_bytes(_std14_pdf(content))
     assert "Body text set in bare Courier metrics." in r["text"]
     assert "Second line keeps the reading order." in r["text"]
+
+
+def test_rc4_published_vectors():
+    """RC4 against the published test vectors, plus involution."""
+    from pdf_extractor_ray.functions.pdf_codec import _rc4
+
+    assert _rc4(b"Key", b"Plaintext") == bytes.fromhex("BBF316E8D940AF0AD3")
+    assert _rc4(b"Wiki", b"pedia") == bytes.fromhex("1021BF0420")
+    assert _rc4(b"Secret", b"Attack at dawn") == bytes.fromhex(
+        "45A01F645FC35B383552544B9BF5"
+    )
+    blob = bytes(range(256)) * 3
+    assert _rc4(b"k" * 16, _rc4(b"k" * 16, blob)) == blob
+
+
+def test_encrypted_pdf_roundtrip():
+    """Standard-security RC4 documents (empty user password) decrypt
+    and parse identically to their plaintext twins, in both the 40-bit
+    R2 and 128-bit R3 revisions."""
+    words = [
+        {"text": "Secret", "x0": 72.0, "x1": 112.0, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"},
+        {"text": "本文", "x0": 130.0, "x1": 160.0, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"},
+    ]
+    page = _page(words)
+    ref = parse_pdf_bytes(pages_to_pdf_bytes([page]))[0]
+    for mode in ("rc4-40", "rc4-128"):
+        pdf = pages_to_pdf_bytes([dict(page)], encrypt=mode)
+        assert b"/Encrypt" in pdf and b"/Filter /Standard" in pdf
+        # content streams are genuinely ciphered: the hex-string text
+        # operators of the plain twin must not appear
+        assert b"Tj" not in _extract_stream_probe(pdf)
+        got = parse_pdf_bytes(pdf)[0]
+        assert [w["text"] for w in got["words"]] == [w["text"] for w in ref["words"]]
+        for wa, wb in zip(ref["words"], got["words"]):
+            for k in ("x0", "x1", "top", "bottom", "size"):
+                assert abs(wa[k] - wb[k]) < 5e-3, (mode, k)
+    # deterministic: same pages -> byte-identical encrypted file
+    assert pages_to_pdf_bytes([dict(page)], encrypt="rc4-40") == pages_to_pdf_bytes(
+        [dict(page)], encrypt="rc4-40"
+    )
+
+
+def _extract_stream_probe(pdf: bytes) -> bytes:
+    """Raw bytes of the first content stream (between stream/endstream)
+    — used to assert ciphertext, not plaintext, is on disk."""
+    import re as _re
+
+    m = _re.search(rb"/Length \d+ >>\nstream\n(.*?)\nendstream", pdf, _re.S)
+    assert m is not None
+    return m.group(1)
+
+
+def test_encryption_boundaries_raise():
+    """Tampered /U (i.e. a real user password) reports password
+    protection; AES (/V 4) and non-Standard handlers raise; a loose
+    /Encrypt marker without a resolvable dict raises."""
+    page = _page([
+        {"text": "x", "x0": 72.0, "x1": 78.0, "top": 120.0, "bottom": 132.0,
+         "size": 12.0, "fontname": "F0"},
+    ])
+    pdf = pages_to_pdf_bytes([page], encrypt="rc4-128")
+    um = re.search(rb"/U <([0-9a-f]+)>", pdf)
+    tampered = pdf.replace(um.group(1), um.group(1)[::-1])
+    with pytest.raises(UnsupportedPdfError, match="password-protected"):
+        parse_pdf_bytes(tampered)
+    aes = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(UnsupportedPdfError, match="unsupported"):
+        parse_pdf_bytes(aes)
+    nonstd = pdf.replace(b"/Filter /Standard", b"/Filter /MySec")
+    with pytest.raises(UnsupportedPdfError, match="non-Standard"):
+        parse_pdf_bytes(nonstd)
+
+
+def test_encrypted_extraction_end_to_end():
+    """extract_pdf_bytes consumes a permissions-encrypted document and
+    emits the same text as the plaintext twin."""
+    content_words = [
+        {"text": w, "x0": 72.0 + i * 40, "x1": 104.0 + i * 40, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"}
+        for i, w in enumerate(["Body", "text", "under", "rc4"])
+    ]
+    page = _page(content_words)
+    plain = extract_pdf_bytes(pages_to_pdf_bytes([dict(page)]))
+    enc = extract_pdf_bytes(pages_to_pdf_bytes([dict(page)], encrypt="rc4-40"))
+    assert enc["text"] == plain["text"]
+    assert "Body text under rc4" in enc["text"]
 
 
 def test_incremental_update_takes_latest_object():
