@@ -700,6 +700,16 @@ def _doc_token_counts(sf_dir: str) -> pd.DataFrame:
     return token_counts(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style LM quality signal: per-doc log-likelihood under the
+    corpus's own unigram model (ops/text_analysis.unigram_logprob) —
+    fully SQL-oracled against the same exploded-token statistics."""
+    from pdf_extractor_ray.ops.text_analysis import unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-rule quality signals + keep verdict per document
     (ops/quality.py; Rae et al. 2021 §A1.1 heuristics) — row-local,
@@ -1225,7 +1235,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
-        "top10_orders": _top10_orders,
         "join_priority_agg": _join_priority_agg,
         "q3_shipping_priority": _q3_shipping_priority,
         "asof_purchase_view": _asof_purchase_view,
@@ -1254,8 +1263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "doc_chunks": _doc_chunks,
         "docs_gopher_quality": _docs_gopher_quality,
+        "docs_unigram_logprob": _docs_unigram_logprob,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
+        "top10_orders": _top10_orders,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "promo_revenue_by_brand": _promo_revenue_by_brand,
         "orders_by_segment": _orders_by_segment,
@@ -1482,6 +1493,24 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_unigram_logprob": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), t AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), c AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY term
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS total FROM t
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ws_tokens,
+                   sum(ln(c.c) - ln(n.total)) AS logprob,
+                   sum(ln(c.c) - ln(n.total)) / count(*) AS avg_logprob
+            FROM t JOIN c USING (term) CROSS JOIN n
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "top_docs_by_chars": """
             SELECT doc_id, n_chars FROM documents

@@ -224,6 +224,142 @@ def tfidf_topk(
     )
 
 
+def unigram_logprob(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    broadcast_max_terms: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document log-likelihood under the corpus's own unigram LM —
+    the CCNet-style language-model quality signal (Wenzek et al. 2020
+    score documents with an external KenLM; training the unigram model
+    on the corpus itself keeps the operator self-contained and
+    SQL-oracle-able). Per doc:
+
+        logprob     = sum_t tf_t * (ln c_t - ln C)
+        avg_logprob = logprob / n_ws_tokens   (perplexity = exp(-avg))
+
+    with c_t the corpus count of token t and C the corpus token total.
+    Token-less documents produce no row (the model has nothing to
+    score), matching the SQL oracle's GROUP BY over exploded tokens.
+
+    Two EXACT tiers, mirroring tfidf_topk's data-movement decision:
+
+    Broadcast tier (vocabulary with c >= 2 fits broadcast_max_terms):
+    one grouped_sum over per-batch value_counts builds the count
+    table; singleton tokens are PRUNED from the broadcast map — a
+    token absent from the map provably has c = 1, so its ln c is 0.0
+    exactly — and scoring is shuffle-free. Shuffle tier: (doc_id,
+    term, tf) rows co-shuffle on hash(term) mod P where c_t is just
+    the partition-local tf sum, then on hash(doc_id) mod P for the
+    per-doc reduction. Both tiers sum each document's terms in
+    (doc_id, term) order, so results are bit-identical across tiers."""
+    import math
+
+    import ray as _ray
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        return pd.DataFrame({"term": vc.index.astype(str), "n": vc.to_numpy().astype("int64")})
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_format="pandas"), ["term"], ["n"], counts=False
+    ).materialize()  # tier decision + (tier-1) collect must not re-aggregate
+    total = int(counts.sum("sum_n") or 0)
+    if total == 0:
+        return ds.map_batches(  # degenerate corpus: no tokens anywhere
+            lambda b: pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype="int64"),
+                    "n_ws_tokens": np.array([], dtype="int64"),
+                    "logprob": np.array([], dtype="float64"),
+                    "avg_logprob": np.array([], dtype="float64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    ln_total = math.log(total)
+
+    def per_doc(out: pd.DataFrame) -> pd.DataFrame:
+        # sum each doc in (doc_id, term) order (bit-determinism across
+        # tiers); out must carry doc_id, term, tf, _lp
+        out = out.sort_values(["doc_id", "term"], kind="stable")
+        g = out.groupby("doc_id", sort=True)
+        res = pd.DataFrame(
+            {
+                "n_ws_tokens": g["tf"].sum().astype("int64"),
+                "logprob": g["_lp"].sum(),
+            }
+        ).reset_index()
+        res["avg_logprob"] = res["logprob"] / res["n_ws_tokens"]
+        return res[["doc_id", "n_ws_tokens", "logprob", "avg_logprob"]]
+
+    def drop_singletons(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["sum_n"] >= 2]
+
+    multi = counts.map_batches(drop_singletons, batch_format="pandas")
+    if multi.count() <= broadcast_max_terms:
+        tbl = multi.to_pandas()  # bounded by broadcast_max_terms
+        ln_c = {t: math.log(int(n)) for t, n in zip(tbl["term"], tbl["sum_n"])}
+        ref = _ray.put(ln_c)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            key = ("unigram", ref.hex())
+            m = _ANALYZER_CACHE.get(key)
+            if m is None:  # resolve the broadcast once per worker process
+                m = _ANALYZER_CACHE[key] = _ray.get(ref)
+            out = _doc_term_tf(batch, text_col)
+            # absent => c == 1 => ln c == 0.0 exactly
+            out["_lp"] = out["tf"].astype("float64") * (
+                out["term"].map(m).fillna(0.0) - ln_total
+            )
+            return per_doc(out)
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- shuffle tier: exact at any vocabulary size ----
+    def add_term_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pd.util.hash_pandas_object(b["term"], index=False).to_numpy()
+        b["_part"] = (h % num_partitions).astype(np.int64)
+        return b
+
+    def score_term_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        c_tbl = g.groupby("term", sort=False)["tf"].sum()
+        # math.log per DISTINCT term, exactly like the broadcast tier
+        # (and tfidf_topk) — np.log's SIMD path can differ by 1 ulp
+        ln_c = {t: math.log(int(c)) for t, c in c_tbl.items()}
+        g["_lp"] = g["tf"].astype("float64") * (g["term"].map(ln_c) - ln_total)
+        return g
+
+    def add_doc_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["doc_id"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return b
+
+    def reduce_doc_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return per_doc(g.drop(columns=["_part"]))
+
+    scored = (
+        ds.map_batches(_doc_term_tf, fn_kwargs={"text_col": text_col}, batch_format="pandas")
+        .map_batches(add_term_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(score_term_partition, batch_format="pandas")
+    )
+    return (
+        scored.map_batches(add_doc_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(reduce_doc_partition, batch_format="pandas")
+    )
+
+
 def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_ws_tokens) — whitespace tokenization, SQL-oracle-able."""
 

@@ -554,6 +554,69 @@ def test_tfidf_topk_shuffle_tier_matches_broadcast(ray_session):
     assert len(bcast) > 0
 
 
+def test_unigram_logprob_hand_computed(ray_session):
+    """CCNet-style unigram LM score against a hand-computed model:
+    corpus 'a a b' / 'b c' => counts a=2 b=2 c=1, C=5."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import unigram_logprob
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a a b", "b c", ""]})
+    out = (
+        unigram_logprob(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ln = math.log
+    exp0 = 2 * (ln(2) - ln(5)) + 1 * (ln(2) - ln(5))
+    exp1 = (ln(2) - ln(5)) + (ln(1) - ln(5))
+    assert out.doc_id.tolist() == [0, 1]  # token-less doc emits no row
+    assert out.n_ws_tokens.tolist() == [3, 2]
+    assert abs(out.logprob.iloc[0] - exp0) < 1e-12
+    assert abs(out.logprob.iloc[1] - exp1) < 1e-12
+    assert abs(out.avg_logprob.iloc[0] - exp0 / 3) < 1e-12
+    assert out.n_ws_tokens.dtype == "int64"
+
+
+def test_unigram_logprob_shuffle_tier_matches_broadcast(ray_session):
+    """broadcast_max_terms=0 forces the fully-distributed tier; it must
+    be bit-identical to the broadcast tier (both sum each doc's terms
+    in (doc_id, term) order with math.log per distinct term), on a
+    vocabulary with a singleton tail (pruned from the broadcast map)."""
+    import random
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import unigram_logprob
+
+    rng = random.Random(7)
+    common = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = []
+    for i in range(40):
+        toks = [rng.choice(common) for _ in range(rng.randint(2, 8))]
+        toks += [f"once{i}_{j}" for j in range(rng.randint(0, 2))]  # c=1 tail
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+
+    def run(cap):
+        return (
+            unigram_logprob(
+                ray.data.from_pandas(df).repartition(5), broadcast_max_terms=cap
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    bcast, shuf = run(10**6), run(0)
+    pd.testing.assert_frame_equal(bcast, shuf)  # exact, incl. float logprob
+    assert len(bcast) == 40
+
+
 def test_hot_bucket_star_cap(ray_session):
     """A bucket bigger than the cap emits k-1 star pairs, not k^2/2,
     and mass-identical docs still dedup to one survivor."""
