@@ -710,6 +710,19 @@ def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return unigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
+    """C4-style duplicated-span scrub: every token covered by a
+    corpus-duplicated 8-token span is removed (ops/scrub.dup_span_scrub;
+    Raffel et al. 2020's three-sentence-span rule made deterministic by
+    removing ALL duplicated occurrences) — fully SQL-oracled."""
+    from pdf_extractor_ray.ops.scrub import dup_span_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        dup_span_scrub(ds, n=8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-rule quality signals + keep verdict per document
     (ops/quality.py; Rae et al. 2021 §A1.1 heuristics) — row-local,
@@ -1246,7 +1259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_bands": _orders_price_bands,
         "parts_standard_brands": _parts_standard_brands,
         "customers_without_big_orders": _customers_without_big_orders,
-        "extreme_orders_union": _extreme_orders_union,
         "users_click_and_purchase": _users_click_and_purchase,
         "events_json_props": _events_json_props,
         "supplier_balance_by_nation": _supplier_balance_by_nation,
@@ -1264,9 +1276,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "docs_gopher_quality": _docs_gopher_quality,
         "docs_unigram_logprob": _docs_unigram_logprob,
+        "docs_dup_span_scrub": _docs_dup_span_scrub,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
         "top10_orders": _top10_orders,
+        "extreme_orders_union": _extreme_orders_union,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "promo_revenue_by_brand": _promo_revenue_by_brand,
         "orders_by_segment": _orders_by_segment,
@@ -1464,6 +1478,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
             FROM documents
+        """,
+        "docs_dup_span_scrub": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), toks AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(generate_series(1, len(toks))) AS pos
+                FROM t
+            ), grams AS (
+                SELECT doc_id, u.i AS pos,
+                       array_to_string(toks[u.i:u.i+7], ' ') AS g
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            ), dup AS (
+                SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+            ), cov AS (
+                SELECT DISTINCT grams.doc_id, grams.pos + k.k AS pos
+                FROM grams JOIN dup USING (g),
+                     unnest(generate_series(0, 7)) AS k(k)
+            )
+            SELECT toks.doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY toks.pos)
+                            FILTER (cov.pos IS NULL), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(cov.pos) AS BIGINT) AS n_removed_tokens
+            FROM toks LEFT JOIN cov
+              ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+            GROUP BY toks.doc_id ORDER BY toks.doc_id
         """,
         "docs_gopher_quality": r"""
             WITH w AS (

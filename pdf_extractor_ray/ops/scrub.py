@@ -209,6 +209,270 @@ def dup_ngram_stats(
     return out.map_batches(finish, batch_format="pandas")
 
 
+def _scrub_tokens(toks: list[str], starts: np.ndarray, n: int) -> tuple[str, int, int]:
+    """Drop every token covered by a duplicated n-gram occurrence
+    starting at the (0-based) positions in `starts`; coverage expands
+    via a difference array so overlapping spans cost O(T), not O(T*n).
+    Returns (cleaned_text, n_tokens, n_removed_tokens)."""
+    t = len(toks)
+    if len(starts) == 0:
+        return " ".join(toks), t, 0
+    cov = np.zeros(t + 1, dtype=np.int32)
+    np.add.at(cov, starts, 1)
+    np.add.at(cov, np.minimum(starts + n, t), -1)
+    covered = np.cumsum(cov[:t]) > 0
+    kept = [tok for tok, c in zip(toks, covered) if not c]
+    return " ".join(kept), t, int(covered.sum())
+
+
+# Broadcast cap for the dup-gram set: above either bound the scrub
+# falls to the fully-distributed positional path. Grams are short
+# strings; 500k of them is ~tens of MB — cheap to ray.put once and
+# read per task, ruinous to re-ship per batch (which ray.put avoids).
+_DUP_SPAN_MAX_GRAMS = 500_000
+_DUP_SPAN_MAX_BYTES = 256 * 2**20
+
+# per-worker cache of broadcast dup-gram sets, keyed by ObjectRef hex
+# (same pattern as ops/dedup._TEXTS_CACHE)
+_DUPSET_CACHE: dict = {}
+
+
+def dup_span_scrub(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    max_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    broadcast_max_grams: int = _DUP_SPAN_MAX_GRAMS,
+    broadcast_max_bytes: int = _DUP_SPAN_MAX_BYTES,
+) -> ray.data.Dataset:
+    """Remove every token covered by a corpus-duplicated n-token span —
+    the C4-style repeated-span scrub (Raffel et al. 2020 discard
+    duplicated three-sentence spans; token-window coverage keeps the
+    semantics deterministic and SQL-expressible: ALL occurrences of a
+    duplicated span are removed, so no order-dependent "first survivor"
+    choice exists). A span is duplicated when its corpus-wide occurrence
+    count exceeds `max_count` (within-doc repeats count too, exactly
+    like the SQL oracle's GROUP BY over exploded grams). Token-less
+    documents emit no row; docs shorter than n tokens pass through
+    unchanged. Exact end-to-end: grams travel as STRINGS (the
+    dup_ngram_stats discipline), never as lossy hashes.
+
+    Emits (id_col, text, n_tokens, n_removed_tokens) with text rebuilt
+    as the space-join of surviving tokens in document order.
+
+    Scale shape, two tiers:
+
+    - broadcast tier (duplication is rare — the common crawl case):
+      one PRE-AGGREGATED count exchange (per-batch distinct
+      (gram, m) partials -> grouped_sum) finds the dup set; if it fits
+      the gram-count AND byte caps it broadcasts once (`ray.put`) and
+      one shuffle-free scoring pass rebuilds every doc locally.
+    - positional tier (duplication-heavy corpora): exchange A explodes
+      (doc_id, pos, gram) occurrences and co-shuffles on hash(gram)
+      mod P — each gram's global count is partition-local, so dup
+      START positions fall out of one vectorized pass with no count
+      table ever joined back; exchange B co-shuffles those (tiny)
+      removed-start rows with the corpus on hash(doc_id) mod P and
+      rebuilds each partition's docs in one pass. Never a JoinOperator
+      (per-query actor-pool spawn; see dup_ngram_stats).
+    """
+    import pyarrow as pa
+    import ray as _ray
+
+    from pdf_extractor_ray.ops.dedup import _typed_table
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def explode_distinct_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list[str] = []
+        for doc_id, t in zip(batch[id_col], batch[text_col]):
+            toks = str(t).split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            ids.extend([doc_id] * m)
+            grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+        df = pd.DataFrame({"gram": pd.Series(grams, dtype="object")})
+        g = df.groupby("gram", sort=False).size().reset_index(name="m")
+        g["m"] = g["m"].astype("int64")
+        return g
+
+    counts = grouped_sum(
+        ds.map_batches(explode_distinct_counts, batch_format="pandas"),
+        ["gram"],
+        ["m"],
+        counts=False,
+    )
+
+    def only_dups(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["sum_m"] > max_count, ["gram"]]
+
+    dups = counts.map_batches(only_dups, batch_format="pandas").materialize()
+    n_dups = dups.count()
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("text", pa.large_string()),
+            ("n_tokens", pa.int64()),
+            ("n_removed_tokens", pa.int64()),
+        ]
+    )
+
+    def rebuild_rows(ids, texts, starts_of) -> pa.Table:
+        out_ids: list[int] = []
+        out_text: list[str] = []
+        out_nt: list[int] = []
+        out_nr: list[int] = []
+        for doc_id, t in zip(ids, texts):
+            toks = str(t).split()
+            if not toks:
+                continue  # token-less doc: no row (mirrors the oracle)
+            cleaned, nt, nr = _scrub_tokens(toks, starts_of(doc_id, toks), n)
+            out_ids.append(int(doc_id))
+            out_text.append(cleaned)
+            out_nt.append(nt)
+            out_nr.append(nr)
+        return _typed_table(
+            out_schema,
+            **{
+                id_col: np.array(out_ids, dtype=np.int64),
+                "text": out_text,
+                "n_tokens": np.array(out_nt, dtype=np.int64),
+                "n_removed_tokens": np.array(out_nr, dtype=np.int64),
+            },
+        )
+
+    if n_dups <= broadcast_max_grams and dups.size_bytes() <= broadcast_max_bytes:
+        dupset = frozenset(dups.to_pandas()["gram"]) if n_dups else frozenset()
+        ref = _ray.put(dupset)
+
+        def score(batch: pd.DataFrame) -> pa.Table:
+            key = ("dupspan", ref.hex())
+            s = _DUPSET_CACHE.get(key)
+            if s is None:  # resolve the broadcast once per worker process
+                s = _DUPSET_CACHE[key] = _ray.get(ref)
+
+            def starts_of(_doc_id, toks):
+                m = len(toks) - n + 1
+                if m <= 0 or not s:
+                    return np.empty(0, dtype=np.int64)
+                return np.fromiter(
+                    (i for i in range(m) if " ".join(toks[i : i + n]) in s),
+                    dtype=np.int64,
+                )
+
+            return rebuild_rows(batch[id_col], batch[text_col], starts_of)
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- positional tier: exact at any duplication level ----
+    def explode_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        poss: list[int] = []
+        grams: list[str] = []
+        for doc_id, t in zip(batch[id_col], batch[text_col]):
+            toks = str(t).split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            ids.extend([doc_id] * m)
+            poss.extend(range(m))
+            grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+        g = pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "gram": pd.Series(grams, dtype="object"),
+            }
+        )
+        g["_part"] = (
+            pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return g
+
+    def find_dup_starts(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "gram" not in g.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                }
+            )
+        c = g.groupby("gram", sort=False)["gram"].transform("size")
+        return g.loc[c.to_numpy() > max_count, [id_col, "pos"]].reset_index(drop=True)
+
+    removed = (
+        ds.map_batches(explode_positions, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(find_dup_starts, batch_format="pandas")
+    )
+
+    side_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("pos", pa.int64()),
+            ("text", pa.large_string()),
+            ("side", pa.int8()),
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def proj_docs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(t.num_rows, pa.int64()),
+                t.column(text_col).cast(pa.large_string()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    def proj_removed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pos" not in t.column_names:
+            return _typed_table(side_schema)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                t.column("pos").cast(pa.int64()),
+                pa.nulls(t.num_rows, pa.large_string()),
+                pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    both = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(proj_docs, batch_format="pyarrow")
+        .union(removed.map_batches(proj_removed, batch_format="pyarrow"))
+    )
+
+    def rebuild_partition(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "side" not in g.columns:
+            return _typed_table(out_schema)
+        docs = g[g["side"] == 0]
+        rem = g[g["side"] == 1]
+        starts_by_doc = {
+            int(k): v.to_numpy(dtype=np.int64)
+            for k, v in rem.groupby(id_col, sort=False)["pos"]
+        }
+        empty = np.empty(0, dtype=np.int64)
+
+        def starts_of(doc_id, _toks):
+            return starts_by_doc.get(int(doc_id), empty)
+
+        return rebuild_rows(docs[id_col], docs["text"], starts_of)
+
+    return both.groupby("_part").map_groups(rebuild_partition, batch_format="pandas")
+
+
 # MD5 round constants (RFC 1321): K[i] = floor(abs(sin(i+1)) * 2^32),
 # per-round left-rotation amounts S. Public algorithm — implemented
 # here vectorized over numpy so the split assignment needs no per-row

@@ -617,6 +617,93 @@ def test_unigram_logprob_shuffle_tier_matches_broadcast(ray_session):
     assert len(bcast) == 40
 
 
+def test_dup_span_scrub_hand_computed(ray_session):
+    """C4-style duplicated-span removal against a hand-worked case:
+    the shared 3-gram 'a b c' covers tokens in both docs; overlapping
+    duplicated grams expand coverage without double-removal; token-less
+    docs emit no row; short docs pass through unchanged."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import dup_span_scrub
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b c d e f",  # grams 'a b c' (dup) -> drop a,b,c
+                "x a b c y z",  # same dup gram mid-doc
+                "unique tokens only here now",
+                "",  # token-less: no output row
+                "hi",  # shorter than n: unchanged
+            ],
+        }
+    )
+    out = (
+        dup_span_scrub(ray.data.from_pandas(df).repartition(2), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [0, 1, 2, 4]
+    assert out.text.tolist() == ["d e f", "x y z", "unique tokens only here now", "hi"]
+    assert out.n_tokens.tolist() == [6, 6, 5, 1]
+    assert out.n_removed_tokens.tolist() == [3, 3, 0, 0]
+    assert out.n_tokens.dtype == "int64"
+
+
+def test_dup_span_scrub_within_doc_repeat_and_overlap(ray_session):
+    """Within-doc repeats count toward the duplication threshold (the
+    gram occurs twice in ONE doc -> removed), and overlapping dup-gram
+    occurrences merge into one covered interval."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import dup_span_scrub
+
+    # 'p q p q p q': grams (n=2) 'p q' x3 and 'q p' x2 -> all covered
+    df = pd.DataFrame({"doc_id": [0], "text": ["p q p q p q"]})
+    out = dup_span_scrub(ray.data.from_pandas(df), n=2).to_pandas()
+    assert out.text.tolist() == [""]
+    assert out.n_removed_tokens.tolist() == [6]
+
+
+def test_dup_span_scrub_positional_tier_matches_broadcast(ray_session):
+    """broadcast_max_grams=0 forces the fully-distributed positional
+    tier; results must be identical to the broadcast tier on a corpus
+    with cross-doc, within-doc, and overlapping duplication."""
+    import random
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import dup_span_scrub
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(30)]
+    boiler = "the quick brown fox jumps over lazy dogs"
+    texts = []
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 25))]
+        if i % 3 == 0:  # inject shared boilerplate span
+            cut = rng.randint(0, len(toks))
+            toks = toks[:cut] + boiler.split() + toks[cut:]
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(30), "text": texts})
+
+    def run(cap):
+        return (
+            dup_span_scrub(
+                ray.data.from_pandas(df).repartition(4), n=4, broadcast_max_grams=cap
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    bcast, shuf = run(10**6), run(0)
+    pd.testing.assert_frame_equal(bcast, shuf)
+    assert len(bcast) == 30
+    assert (bcast.n_removed_tokens > 0).any()  # boilerplate actually removed
+
+
 def test_hot_bucket_star_cap(ray_session):
     """A bucket bigger than the cap emits k-1 star pairs, not k^2/2,
     and mass-identical docs still dedup to one survivor."""
