@@ -499,9 +499,10 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
             enc = ("pdf", "pdf15", "pdfwild", "pdf15p", "fixture-json")[n_pdf_docs % 5]
             if enc == "pdf":
                 # sub-rotate classic docs through the standard security
-                # handler (empty user password) so RC4 decryption is
-                # corpus-tested in both revisions
-                crypt = ("", "rc4-40", "", "rc4-128", "")[(n_pdf_docs // 5) % 5]
+                # handler (empty user password) so decryption is
+                # corpus-tested in every supported cipher: RC4 R2/R3,
+                # AESV2 (V4 crypt filter), AESV3 (V5/R6)
+                crypt = ("", "rc4-40", "aes-128", "rc4-128", "aes-256")[(n_pdf_docs // 5) % 5]
                 if crypt:
                     enc = f"pdf:{crypt}"
             elif enc == "pdfwild":

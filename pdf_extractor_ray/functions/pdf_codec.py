@@ -61,10 +61,12 @@ XObjects (recursed; image XObjects are text-free no-ops), inline
 images (excised), marked-content operators, the
 ``Td``/``TD``/``T*``/``TL`` line-positioning family, ``'``/``"``
 move-and-show, ``Tc``/``Tw`` spacing, curve flattening, and the
-common color/state no-ops. Standard-security RC4 encryption
-(§7.6.3, /V 1-2 /R 2-3) with an EMPTY user password — the wild
-"permissions-only" case — decrypts in place. Anything further —
-DCT/CCITT/JBIG2 filters, AES encryption or non-empty user passwords,
+common color/state no-ops. Standard-security encryption with an
+EMPTY user password — the wild "permissions-only" case — decrypts in
+place in every deployed revision: RC4 (§7.6.3, /V 1-2 /R 2-3),
+AESV2 crypt filters (/V 4 /R 4, §7.6.5), and AESV3 (/V 5 /R 5-6,
+ISO 32000-2 §7.6.4; AES via functions/aes_cipher.py, FIPS 197).
+Anything further — DCT/CCITT/JBIG2 filters, non-empty user passwords,
 Type3 fonts, uncarried standard-14 faces, nonzero text rise,
 vertical writing, glyph-id CID text without a
 CMap — raises ``UnsupportedPdfError`` so the caller can fall through
@@ -244,7 +246,7 @@ def pages_to_pdf_bytes(
     """
     if encrypt is not None and pdf15:
         raise ValueError("encrypt is supported for the classic layout only")
-    if encrypt not in (None, "rc4-40", "rc4-128"):
+    if encrypt not in (None, "rc4-40", "rc4-128", "aes-128", "aes-256"):
         raise ValueError(f"unknown encrypt mode {encrypt!r}")
     for p in pages:
         if p.get("tables") or p.get("boxes"):
@@ -299,27 +301,81 @@ def pages_to_pdf_bytes(
     if encrypt is not None:
         import hashlib
 
-        r, v, nbits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
-        nbytes = nbits // 8
         id0 = hashlib.md5(b"".join(bodies)).digest()  # deterministic /ID
         p = -44  # print allowed, modify/copy/annotate denied
-        o = _owner_value(b"owner", b"", r, nbytes)
-        key = _crypt_key(b"", o, p, id0, r, nbytes)
-        u = _user_value(key, id0, r)
+        if encrypt in ("rc4-40", "rc4-128", "aes-128"):
+            r, v, nbits = {
+                "rc4-40": (2, 1, 40),
+                "rc4-128": (3, 2, 128),
+                "aes-128": (4, 4, 128),  # AESV2 crypt filter (§7.6.5)
+            }[encrypt]
+            nbytes = nbits // 8
+            o = _owner_value(b"owner", b"", r, nbytes)
+            key = _crypt_key(b"", o, p, id0, r, nbytes)
+            u = _user_value(key, id0, r)
+            enc_dict = (
+                f"<< /Filter /Standard /V {v} /R {r} /Length {nbits} /P {p} "
+                f"/O <{o.hex()}> /U <{u.hex()}> >>"
+            )
+            if encrypt == "aes-128":
+                enc_dict = (
+                    f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
+                    f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                    f"/StmF /StdCF /StrF /StdCF "
+                    f"/O <{o.hex()}> /U <{u.hex()}> >>"
+                )
+        else:  # aes-256: AESV3, /V 5 /R 6 (ISO 32000-2 §7.6.4)
+            from pdf_extractor_ray.functions.aes_cipher import (
+                aes_cbc_encrypt,
+                aes_ecb_encrypt,
+            )
+
+            key = hashlib.sha256(b"filekey" + id0).digest()  # deterministic
+            vs = hashlib.md5(b"vs" + id0).digest()[:8]
+            ks = hashlib.md5(b"ks" + id0).digest()[:8]
+            u = _hash_r6(b"", vs) + vs + ks
+            ue = aes_cbc_encrypt(_hash_r6(b"", ks), b"\0" * 16, key, pad=False)
+            ovs = hashlib.md5(b"ovs" + id0).digest()[:8]
+            oks = hashlib.md5(b"oks" + id0).digest()[:8]
+            o = _hash_r6(b"owner", ovs, u) + ovs + oks
+            oe = aes_cbc_encrypt(_hash_r6(b"owner", oks, u), b"\0" * 16, key, pad=False)
+            perms_plain = (
+                (p & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xff"
+                + b"T"  # EncryptMetadata true
+                + b"adb"
+                + hashlib.md5(b"perms" + id0).digest()[:4]
+            )
+            perms = aes_ecb_encrypt(key, perms_plain)
+            enc_dict = (
+                f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {p} "
+                f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+                f"/StmF /StdCF /StrF /StdCF "
+                f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> /UE <{ue.hex()}> "
+                f"/Perms <{perms.hex()}> >>"
+            )
         enc_pieces = []
         for i, body in enumerate(bodies):
             span = _stream_span(body)
             if span:
-                okey = _object_key(key, i + 1, 0)
-                body = body[: span[0]] + _rc4(okey, body[span[0] : span[1]]) + body[span[1] :]
+                if encrypt.startswith("rc4"):
+                    okey = _object_key(key, i + 1, 0)
+                    body = (
+                        body[: span[0]]
+                        + _rc4(okey, body[span[0] : span[1]])
+                        + body[span[1] :]
+                    )
+                else:
+                    from pdf_extractor_ray.functions.aes_cipher import aes_cbc_encrypt
+
+                    okey = key if encrypt == "aes-256" else _object_key(key, i + 1, 0, aes=True)
+                    # deterministic per-object IV (fixtures, not secrecy)
+                    iv = hashlib.md5(b"iv" + id0 + str(i + 1).encode()).digest()
+                    ct = iv + aes_cbc_encrypt(okey, iv, body[span[0] : span[1]])
+                    body = _patch_length(body[: span[0]] + ct + body[span[1] :], len(ct))
             enc_pieces.append(body)
         bodies = enc_pieces
-        bodies.append(
-            (
-                f"<< /Filter /Standard /V {v} /R {r} /Length {nbits} /P {p} "
-                f"/O <{o.hex()}> /U <{u.hex()}> >>"
-            ).encode()
-        )
+        bodies.append(enc_dict.encode())
         trailer_extra = f" /Encrypt {len(bodies)} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -965,13 +1021,16 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _crypt_key(password: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int) -> bytes:
-    """§7.6.3.3 Algorithm 2: the file encryption key."""
+def _crypt_key(
+    password: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int, meta_extra: bytes = b""
+) -> bytes:
+    """§7.6.3.3 Algorithm 2: the file encryption key. For R4 with
+    /EncryptMetadata false the spec appends 0xFFFFFFFF (`meta_extra`)."""
     import hashlib
 
     padded = (password + _CRYPT_PAD)[:32]
     h = hashlib.md5(
-        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0 + meta_extra
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -1007,14 +1066,58 @@ def _user_value(key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\0" * 16  # 16 bytes of arbitrary padding (§ Algorithm 5 step f)
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """§7.6.2 Algorithm 1: per-object RC4 key."""
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """§7.6.2 Algorithm 1: per-object key. For AESV2 the spec appends
+    the fixed bytes 'sAlT' (0x73416C54) to the md5 input (step b)."""
     import hashlib
 
     h = hashlib.md5(
-        file_key + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B: the revision-6 password
+    hash — SHA-256 seeded, then rounds of AES-128-CBC over 64 repeats
+    of (password + K + udata) with the digest function cycling by the
+    first-16-byte sum mod 3, until >= 64 rounds have run and the last
+    byte of E is <= round - 32. (Revision 5 uses a single SHA-256.)"""
+    import hashlib
+
+    from pdf_extractor_ray.functions.aes_cipher import aes_cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _patch_length(body: bytes, new_len: int) -> bytes:
+    """Rewrite the stream dict's /Length to `new_len` — needed whenever
+    en/decryption changes the payload size (AES-CBC pads and prefixes
+    an IV). Only the dict head (before the `stream` keyword) is
+    touched; an indirect `/Length n 0 R` is replaced by the direct
+    value (the body is already standalone at this point)."""
+    i = body.find(b"stream")
+    if i < 0:
+        return body
+    head, rest = body[:i], body[i:]
+    head2, n = re.subn(
+        rb"/Length\s+\d+(\s+\d+\s+R)?", b"/Length %d" % new_len, head, count=1
+    )
+    if n == 0:
+        j = head.rfind(b">>")
+        head2 = head[:j] + b" /Length %d " % new_len + head[j:] if j >= 0 else head
+    return head2 + rest
 
 
 _HEXSTR_ONLY_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
@@ -1110,12 +1213,16 @@ def _find_encrypt(payload: bytes, objs: dict[int, bytes]) -> tuple[int, bytes] |
 
 def _maybe_decrypt(payload: bytes, objs: dict[int, bytes]) -> None:
     """If the document carries a supported /Encrypt dictionary
-    (Standard handler, /V 1-2 / /R 2-3 RC4, empty user password),
-    RC4-decrypt every stream payload in place (strings in dict
-    positions this tokenizer never reads stay encrypted). XRef
-    streams are never encrypted (§7.5.8.2) and are skipped. Raises
-    for AES/V4+, non-Standard filters, non-empty user passwords, and
-    /Encrypt markers without a resolvable encrypt dictionary."""
+    (Standard handler, empty user password: /V 1-2 R 2-3 RC4, /V 4
+    R 4 crypt filters with /CFM /V2 or /AESV2, or /V 5 R 5-6 /AESV3),
+    decrypt every stream payload in place (strings in dict positions
+    this tokenizer never reads stay encrypted). XRef streams are never
+    encrypted (§7.5.8.2) and are skipped; AES-CBC changes payload
+    length, so decrypted bodies get their /Length patched. Raises for
+    non-Standard filters, unknown crypt filters, non-empty user
+    passwords, and /Encrypt markers without a resolvable dictionary."""
+    import hashlib
+
     if b"/Encrypt" not in payload:
         return
     found = _find_encrypt(payload, objs)
@@ -1130,23 +1237,74 @@ def _maybe_decrypt(payload: bytes, objs: dict[int, bytes]) -> None:
         raise UnsupportedPdfError("non-Standard security handler")
     v = int(_dict_num(enc, "V", 0))
     r = int(_dict_num(enc, "R", 0))
-    if v not in (1, 2) or r not in (2, 3):
-        raise UnsupportedPdfError(f"encryption V={v} R={r} unsupported (RC4 V1/V2 R2/R3 only)")
-    nbits = int(_dict_num(enc, "Length", 40.0))
-    if nbits % 8 or not 40 <= nbits <= 128:
-        raise UnsupportedPdfError(f"bad encryption key length {nbits}")
-    nbytes = 5 if v == 1 else nbits // 8
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
     o = _dict_string(enc, "O")
     u = _dict_string(enc, "U")
-    pm = re.search(rb"/P\s+(-?\d+)", enc)
     if o is None or u is None or pm is None:
         raise UnsupportedPdfError("encrypt dict missing /O, /U or /P")
     p = int(pm.group(1))
-    key = _crypt_key(b"", o, p, id0, r, nbytes)
-    expect = _user_value(key, id0, r)
-    ok = expect[:16] == u[:16] if r >= 3 else expect == u[:32]
-    if not ok:
-        raise UnsupportedPdfError("password-protected PDF (empty user password rejected)")
+    cipher = "rc4"
+    if v in (1, 2) and r in (2, 3):
+        nbits = int(_dict_num(enc, "Length", 40.0))
+        if nbits % 8 or not 40 <= nbits <= 128:
+            raise UnsupportedPdfError(f"bad encryption key length {nbits}")
+        nbytes = 5 if v == 1 else nbits // 8
+        key = _crypt_key(b"", o, p, id0, r, nbytes)
+        expect = _user_value(key, id0, r)
+        ok = expect[:16] == u[:16] if r >= 3 else expect == u[:32]
+        if not ok:
+            raise UnsupportedPdfError("password-protected PDF (empty user password rejected)")
+    elif v == 4 and r == 4:
+        # crypt filters (§7.6.5): resolve /StmF through /CF; /Identity
+        # or an absent /StmF means streams are NOT encrypted
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+        stmf_name = stmf.group(1) if stmf else b"Identity"
+        if stmf_name == b"Identity":
+            return
+        cfm = re.search(
+            rb"/" + re.escape(stmf_name) + rb"\s*<<[^>]*?/CFM\s*/(\w+)", enc
+        )
+        if cfm is None:
+            raise UnsupportedPdfError("V4 encryption without a resolvable /CF crypt filter")
+        if cfm.group(1) == b"AESV2":
+            cipher = "aes"
+        elif cfm.group(1) != b"V2":
+            raise UnsupportedPdfError(f"crypt filter /CFM /{cfm.group(1).decode()} unsupported")
+        nbits = int(_dict_num(enc, "Length", 128.0))
+        if nbits % 8 or not 40 <= nbits <= 128:
+            raise UnsupportedPdfError(f"bad encryption key length {nbits}")
+        nbytes = nbits // 8
+        extra = b"\xff\xff\xff\xff" if re.search(rb"/EncryptMetadata\s+false", enc) else b""
+        key = _crypt_key(b"", o, p, id0, r, nbytes, meta_extra=extra)
+        if _user_value(key, id0, r)[:16] != u[:16]:
+            raise UnsupportedPdfError("password-protected PDF (empty user password rejected)")
+    elif v == 5 and r in (5, 6):
+        # AESV3 (ISO 32000-2 §7.6.4): SHA-2 key derivation, 256-bit
+        # file key carried encrypted in /UE, no per-object derivation
+        from pdf_extractor_ray.functions.aes_cipher import aes_cbc_decrypt, aes_ecb_decrypt
+
+        ue = _dict_string(enc, "UE")
+        if len(u) < 48 or ue is None or len(ue) != 32:
+            raise UnsupportedPdfError("V5 encrypt dict missing /U(48) or /UE(32)")
+        vs, ks = u[32:40], u[40:48]
+        if r == 6:
+            ok = _hash_r6(b"", vs) == u[:32]
+            inter = _hash_r6(b"", ks)
+        else:  # R5 (Adobe extension level 3): single SHA-256
+            ok = hashlib.sha256(vs).digest() == u[:32]
+            inter = hashlib.sha256(ks).digest()
+        if not ok:
+            raise UnsupportedPdfError("password-protected PDF (empty user password rejected)")
+        key = aes_cbc_decrypt(inter, b"\0" * 16, ue, unpad=False)
+        perms = _dict_string(enc, "Perms")
+        if perms is not None and len(perms) == 16:
+            if aes_ecb_decrypt(key, perms)[9:12] != b"adb":
+                raise UnsupportedPdfError("V5 /Perms failed to validate the file key")
+        cipher = "aes"
+    else:
+        raise UnsupportedPdfError(
+            f"encryption V={v} R={r} unsupported (RC4 V1/V2, AESV2 V4, AESV3 V5 only)"
+        )
     gens = {int(m.group(1)): int(m.group(2)) for m in _OBJ_HDR_RE.finditer(payload)}
     for num, body in objs.items():
         if num == enc_num or re.search(rb"/Type\s*/XRef\b", body):
@@ -1155,8 +1313,21 @@ def _maybe_decrypt(payload: bytes, objs: dict[int, bytes]) -> None:
         if span is None:
             continue
         start, end = span
-        okey = _object_key(key, num, gens.get(num, 0))
-        objs[num] = body[:start] + _rc4(okey, body[start:end]) + body[end:]
+        if cipher == "rc4":
+            okey = _object_key(key, num, gens.get(num, 0))
+            objs[num] = body[:start] + _rc4(okey, body[start:end]) + body[end:]
+        else:
+            from pdf_extractor_ray.functions.aes_cipher import aes_cbc_decrypt
+
+            data = body[start:end]
+            if len(data) < 16 or (len(data) - 16) % 16:
+                raise UnsupportedPdfError("AES stream payload not IV + whole blocks")
+            okey = key if v == 5 else _object_key(key, num, gens.get(num, 0), aes=True)
+            try:
+                dec = aes_cbc_decrypt(okey, data[:16], data[16:])
+            except ValueError as exc:
+                raise UnsupportedPdfError(f"AES stream decryption failed: {exc}") from None
+            objs[num] = _patch_length(body[:start] + dec + body[end:], len(dec))
 
 
 def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:

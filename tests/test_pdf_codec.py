@@ -160,7 +160,7 @@ def test_generator_emits_real_pdf_payloads():
     pages_t, golden_t = generate_corpus(160)
     gmap = dict(zip(golden_t["url"].to_pylist(), golden_t["golden_text"].to_pylist()))
     ex = Extractor()
-    n_14 = n_15 = n_pred = n_wild = n_wild_filtered = n_json = n_enc = 0
+    n_14 = n_15 = n_pred = n_wild = n_wild_filtered = n_json = n_enc = n_aes = 0
     for url, payload in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
         if not payload.startswith(b"%PDF") or url not in gmap or "malformed" in url:
             continue
@@ -181,14 +181,17 @@ def test_generator_emits_real_pdf_payloads():
         else:
             n_14 += 1
             assert payload.startswith(b"%PDF-1.4")
-            if b"/Encrypt" in payload:  # RC4 standard-security rotation
+            if b"/Encrypt" in payload:  # standard-security rotation
                 n_enc += 1
+                if b"/AESV2" in payload or b"/AESV3" in payload:
+                    n_aes += 1
         r = ex.extract_one(payload)
         assert r["kind"] == "pdf"
         assert r["text"] == gmap[url], url
     assert n_14 >= 2 and n_15 >= 2 and n_pred >= 2 and n_wild >= 2 and n_json >= 1
     assert n_wild_filtered >= 1  # filter sub-rotation reached the corpus
     assert n_enc >= 1  # encryption sub-rotation reached the corpus
+    assert n_aes >= 1  # ...including at least one AES revision
 
 
 def test_roundtrip_property_random_pages():
@@ -1070,7 +1073,8 @@ def _extract_stream_probe(pdf: bytes) -> bytes:
 
 def test_encryption_boundaries_raise():
     """Tampered /U (i.e. a real user password) reports password
-    protection; AES (/V 4) and non-Standard handlers raise; a loose
+    protection; V4 without a resolvable crypt filter, unknown /CFM
+    names, future revisions, and non-Standard handlers raise; a loose
     /Encrypt marker without a resolvable dict raises."""
     page = _page([
         {"text": "x", "x0": 72.0, "x1": 78.0, "top": 120.0, "bottom": 132.0,
@@ -1081,12 +1085,95 @@ def test_encryption_boundaries_raise():
     tampered = pdf.replace(um.group(1), um.group(1)[::-1])
     with pytest.raises(UnsupportedPdfError, match="password-protected"):
         parse_pdf_bytes(tampered)
-    aes = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    # V4 with /StmF /StdCF but no /CF dict: unresolvable crypt filter
+    v4_nocf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4 /StmF /StdCF")
+    with pytest.raises(UnsupportedPdfError, match="crypt filter"):
+        parse_pdf_bytes(v4_nocf)
+    future = pdf.replace(b"/V 2 /R 3", b"/V 6 /R 7")
     with pytest.raises(UnsupportedPdfError, match="unsupported"):
-        parse_pdf_bytes(aes)
+        parse_pdf_bytes(future)
     nonstd = pdf.replace(b"/Filter /Standard", b"/Filter /MySec")
     with pytest.raises(UnsupportedPdfError, match="non-Standard"):
         parse_pdf_bytes(nonstd)
+    # unknown crypt-filter method on a genuine AES file
+    aes = pages_to_pdf_bytes([dict(page)], encrypt="aes-128")
+    unknown_cfm = aes.replace(b"/CFM /AESV2", b"/CFM /MyCF")
+    with pytest.raises(UnsupportedPdfError, match="unsupported"):
+        parse_pdf_bytes(unknown_cfm)
+
+
+def test_aes_fips197_vectors():
+    """FIPS 197 Appendix C known-answer vectors pin the generated
+    tables and both key sizes; CBC padding round-trips at every
+    length class."""
+    from pdf_extractor_ray.functions.aes_cipher import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        aes_ecb_decrypt,
+        aes_ecb_encrypt,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    c128 = aes_ecb_encrypt(k128, pt)
+    c256 = aes_ecb_encrypt(k256, pt)
+    assert c128.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # C.1
+    assert c256.hex() == "8ea2b7ca516745bfeafc49904b496089"  # C.3
+    assert aes_ecb_decrypt(k128, c128) == pt
+    assert aes_ecb_decrypt(k256, c256) == pt
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 4096):
+        data = bytes((i * 7 + 3) % 256 for i in range(n))
+        ct = aes_cbc_encrypt(k128, iv, data)
+        assert len(ct) % 16 == 0 and len(ct) > len(data)  # always padded
+        assert aes_cbc_decrypt(k128, iv, ct) == data
+        assert aes_cbc_decrypt(k256, iv, aes_cbc_encrypt(k256, iv, data)) == data
+
+
+def test_aes_encrypted_pdf_roundtrip():
+    """AESV2 (V4/R4 crypt filter) and AESV3 (V5/R6) documents decrypt
+    and parse identically to their plaintext twins; the on-disk
+    content stream is genuine CBC ciphertext (IV + whole blocks, no
+    text operators)."""
+    words = [
+        {"text": "Secret", "x0": 72.0, "x1": 112.0, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"},
+        {"text": "本文", "x0": 130.0, "x1": 160.0, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"},
+    ]
+    page = _page(words)
+    ref = parse_pdf_bytes(pages_to_pdf_bytes([page]))[0]
+    for mode, marker in (("aes-128", b"/AESV2"), ("aes-256", b"/AESV3")):
+        pdf = pages_to_pdf_bytes([dict(page)], encrypt=mode)
+        assert b"/Encrypt" in pdf and marker in pdf
+        probe = _extract_stream_probe(pdf)
+        assert b"Tj" not in probe and len(probe) % 16 == 0
+        got = parse_pdf_bytes(pdf)[0]
+        assert [w["text"] for w in got["words"]] == [w["text"] for w in ref["words"]]
+        for wa, wb in zip(ref["words"], got["words"]):
+            for k in ("x0", "x1", "top", "bottom", "size"):
+                assert abs(wa[k] - wb[k]) < 5e-3, (mode, k)
+        # deterministic: same pages -> byte-identical encrypted file
+        assert pdf == pages_to_pdf_bytes([dict(page)], encrypt=mode)
+
+
+def test_aes_encrypted_extraction_end_to_end():
+    """extract_pdf_bytes consumes AES-encrypted documents and emits
+    the same text as the plaintext twin, both key sizes."""
+    content_words = [
+        {"text": w, "x0": 72.0 + i * 40, "x1": 104.0 + i * 40, "top": 120.0,
+         "bottom": 132.0, "size": 12.0, "fontname": "F0"}
+        for i, w in enumerate(["Body", "text", "under", "aes"])
+    ]
+    page = _page(content_words)
+    plain = extract_pdf_bytes(pages_to_pdf_bytes([dict(page)]))
+    for mode in ("aes-128", "aes-256"):
+        enc = extract_pdf_bytes(pages_to_pdf_bytes([dict(page)], encrypt=mode))
+        assert enc["text"] == plain["text"], mode
+    assert "Body text under aes" in plain["text"]
 
 
 def test_encrypted_extraction_end_to_end():
