@@ -723,6 +723,23 @@ def _docs_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_dup_components(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTER ids: connected components over the duplicated-
+    8-gram co-occurrence graph (ops/dedup.dup_ngram_components — star
+    edges per dup gram, BSP min-label propagation), oracled against a
+    DuckDB recursive CTE."""
+    from pdf_extractor_ray.ops.dedup import dup_ngram_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        dup_ngram_components(ds, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def _docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-rule quality signals + keep verdict per document
     (ops/quality.py; Rae et al. 2021 §A1.1 heuristics) — row-local,
@@ -1265,7 +1282,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_bands": _orders_price_bands,
         "parts_standard_brands": _parts_standard_brands,
         "customers_without_big_orders": _customers_without_big_orders,
-        "users_click_and_purchase": _users_click_and_purchase,
         "events_json_props": _events_json_props,
         "supplier_balance_by_nation": _supplier_balance_by_nation,
         "doc_stats_by_lang": _doc_stats_by_lang,
@@ -1283,10 +1299,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_quality": _docs_gopher_quality,
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
+        "docs_dup_components": _docs_dup_components,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
         "top10_orders": _top10_orders,
         "extreme_orders_union": _extreme_orders_union,
+        "users_click_and_purchase": _users_click_and_purchase,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "promo_revenue_by_brand": _promo_revenue_by_brand,
         "orders_by_segment": _orders_by_segment,
@@ -1484,6 +1502,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
             FROM documents
+        """,
+        "docs_dup_components": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), grams AS (
+                SELECT doc_id, array_to_string(toks[u.i:u.i+7], ' ') AS g
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            ), dup AS (
+                SELECT g, min(doc_id) AS root FROM grams GROUP BY g HAVING count(*) > 1
+            ), edges AS (
+                SELECT DISTINCT dup.root AS a, grams.doc_id AS b FROM grams JOIN dup USING (g)
+            ), sym AS (
+                SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ), nodes AS (
+                SELECT DISTINCT a AS node FROM sym
+            ), reach AS (
+                SELECT node, node AS comp FROM nodes
+                UNION
+                SELECT s.b AS node, r.comp FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "docs_dup_span_scrub": r"""
             WITH t AS (

@@ -925,3 +925,271 @@ def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) ->
     if drops.count() == 0:
         return ds
     return anti_join_ids(ds, drops, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a dup-pair graph (cluster ids)
+# ---------------------------------------------------------------------------
+
+_CC_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+_CC_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("_part", pa.int64())])
+_CC_OUT_SCHEMA = pa.schema([("node", pa.int64()), ("component", pa.int64())])
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    num_partitions: int = 32,
+    max_iters: int = 64,
+) -> ray.data.Dataset:
+    """Connected components over an undirected (a, b) pair Dataset —
+    turns near-dup PAIRS into CLUSTER ids (component = min node id in
+    the component), the standard last step of corpus dedup when
+    callers need groups rather than a drop-set (e.g. keep-best-per-
+    cluster policies).
+
+    BSP min-label propagation (the classic Pregel/hash-min shape, cf.
+    Kiveris et al. 2014 "Connected Components in MapReduce and
+    Beyond" for the family): labels start as the node id; each round,
+    every node takes the min of its own label and its neighbors'
+    labels, via two hash-mod-P exchanges (edges+labels co-shuffled on
+    src to stamp messages, messages reduced on dst) — never a
+    JoinOperator. Rounds = O(component diameter), bounded by
+    `max_iters` (raises if not converged — a diameter that large means
+    the pair graph is degenerate and the caller should star-cap its
+    pair generation, see _pairs_in_buckets). The label table is one
+    row per node APPEARING IN A PAIR — the small side by construction;
+    the corpus itself is never touched.
+
+    Output: (node, component), one row per distinct node in `pairs`.
+    """
+    edges = pairs.materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(_typed_table(_CC_OUT_SCHEMA))
+    # blocks out of upstream groupbys may be schema-less when empty
+    edges = edges.map_batches(
+        lambda t: _typed_table(
+            _PAIR_SCHEMA,
+            a=(t.column("a").to_numpy(zero_copy_only=False) if "a" in t.column_names else []),
+            b=(t.column("b").to_numpy(zero_copy_only=False) if "b" in t.column_names else []),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a").to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.Table.from_arrays(
+            [
+                pa.array(src, pa.int64()),
+                pa.array(dst, pa.int64()),
+                pa.array(src % num_partitions, pa.int64()),
+            ],
+            schema=_CC_EDGE_SCHEMA,
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        nodes = np.unique(np.asarray(t.column("src").to_numpy(zero_copy_only=False)))
+        return _typed_table(_CC_LABEL_SCHEMA, node=nodes, lbl=nodes)
+
+    # per-block unique then one grouped min -> distinct nodes
+    labels = (
+        sym.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .min("lbl")
+        .map_batches(
+            lambda t: _typed_table(
+                _CC_LABEL_SCHEMA,
+                node=t.column("node").to_numpy(zero_copy_only=False),
+                lbl=t.column("min(lbl)").to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    msg_schema = pa.schema(
+        [("node", pa.int64()), ("lbl", pa.int64()), ("own", pa.int8()), ("_part", pa.int64())]
+    )
+
+    def proj_labels_by_node(t: pa.Table) -> pa.Table:
+        n = np.asarray(t.column("node").to_numpy(zero_copy_only=False), dtype=np.int64)
+        lb = np.asarray(t.column("lbl").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(n, pa.int64()),
+                pa.array(lb, pa.int64()),
+                pa.array(np.ones(len(n), dtype=np.int8)),
+                pa.array(n % num_partitions, pa.int64()),
+            ],
+            schema=msg_schema,
+        )
+
+    def stamp_messages(g: pd.DataFrame) -> pa.Table:
+        # partition keyed by src: attach lbl[src] to each outgoing edge
+        if g.empty or "own" not in g.columns:
+            return _typed_table(msg_schema)
+        lab = g[g["own"] == 1]
+        edg = g[g["own"] == 0]
+        if edg.empty:
+            return _typed_table(msg_schema)
+        lookup = pd.Series(lab["lbl"].to_numpy(), index=lab["node"].to_numpy())
+        dst = edg["dst_"].to_numpy(dtype=np.int64)
+        lb = edg["node"].map(lookup).to_numpy(dtype=np.int64)
+        return _typed_table(
+            msg_schema,
+            node=dst,
+            lbl=lb,
+            own=np.zeros(len(dst), dtype=np.int8),
+            _part=dst % num_partitions,
+        )
+
+    def proj_edges_as_msgs(t: pa.Table) -> pa.Table:
+        # edges enter the src-keyed exchange as (node=src, dst_=dst)
+        src = np.asarray(t.column("src").to_numpy(zero_copy_only=False), dtype=np.int64)
+        dst = np.asarray(t.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(src, pa.int64()),
+                pa.array(dst, pa.int64()),
+                pa.array(np.zeros(len(src), dtype=np.int8)),
+                pa.array(src % num_partitions, pa.int64()),
+            ],
+            schema=pa.schema(
+                [("node", pa.int64()), ("dst_", pa.int64()), ("own", pa.int8()), ("_part", pa.int64())]
+            ),
+        )
+
+    def reduce_min(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "lbl" not in g.columns:
+            return _typed_table(pa.schema(
+                [("node", pa.int64()), ("lbl", pa.int64()), ("changed", pa.int64())]
+            ))
+        own = g[g["own"] == 1].set_index("node")["lbl"]
+        new = g.groupby("node", sort=False)["lbl"].min()
+        changed = (new < own.reindex(new.index)).sum()
+        return _typed_table(
+            pa.schema([("node", pa.int64()), ("lbl", pa.int64()), ("changed", pa.int64())]),
+            node=new.index.to_numpy(dtype=np.int64),
+            lbl=new.to_numpy(dtype=np.int64),
+            changed=np.full(len(new), 0, dtype=np.int64) if len(new) == 0 else
+            np.concatenate([[int(changed)], np.zeros(len(new) - 1, dtype=np.int64)]),
+        )
+
+    for _ in range(max_iters):
+        # exchange 1 (on src): stamp each edge with its source's label
+        msgs = (
+            labels.map_batches(proj_labels_by_node, batch_format="pyarrow")
+            .union(sym.map_batches(proj_edges_as_msgs, batch_format="pyarrow"))
+            .groupby("_part")
+            .map_groups(stamp_messages, batch_format="pandas")
+        )
+        # exchange 2 (on dst): fold neighbor labels into each node's own
+        folded = (
+            msgs.union(labels.map_batches(proj_labels_by_node, batch_format="pyarrow"))
+            .groupby("_part")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = int(folded.sum("changed") or 0)
+        labels = folded.map_batches(
+            lambda t: _typed_table(
+                _CC_LABEL_SCHEMA,
+                node=t.column("node").to_numpy(zero_copy_only=False),
+                lbl=t.column("lbl").to_numpy(zero_copy_only=False),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(pathological pair-graph diameter; star-cap the pair generation)"
+        )
+
+    return labels.map_batches(
+        lambda t: _typed_table(
+            _CC_OUT_SCHEMA,
+            node=t.column("node").to_numpy(zero_copy_only=False),
+            component=t.column("lbl").to_numpy(zero_copy_only=False),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dup_ngram_components(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    max_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Cluster ids over the duplicated-n-gram co-occurrence graph:
+    documents sharing any corpus-duplicated n-token span (occurrence
+    count > max_count, within-doc repeats included — the
+    dup_span_scrub definition) land in one component. Emits
+    (id_col, component) for every PARTICIPATING document, component =
+    min doc id in the cluster.
+
+    Edges are STARS per duplicated gram — (min doc, each sharing doc)
+    — which preserves connectivity exactly while staying linear in
+    group size (a clique would be quadratic; same trick as
+    _pairs_in_buckets' hot-bucket cap, but lossless for components).
+    One gram-keyed exchange builds the stars (each gram's global count
+    is partition-local, like dup_ngram_stats), then BSP min-label
+    propagation (connected_components) resolves the clusters."""
+
+    def explode_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list[str] = []
+        for doc_id, t in zip(batch[id_col], batch[text_col]):
+            toks = str(t).split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            ids.extend([doc_id] * m)
+            grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+        df = pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "gram": pd.Series(grams, dtype="object")}
+        )
+        g = df.groupby(["doc_id", "gram"], sort=False).size().reset_index(name="m")
+        g["m"] = g["m"].astype("int64")
+        g["_part"] = (
+            pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return g
+
+    def star_edges(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "gram" not in g.columns:
+            return _typed_table(_PAIR_SCHEMA)
+        tot = g.groupby("gram", sort=False)["m"].transform("sum")
+        dup = g[tot.to_numpy() > max_count]
+        if dup.empty:
+            return _typed_table(_PAIR_SCHEMA)
+        root = dup.groupby("gram", sort=False)["doc_id"].transform("min")
+        return _typed_table(
+            _PAIR_SCHEMA,
+            a=root.to_numpy(dtype=np.int64),
+            b=dup["doc_id"].to_numpy(dtype=np.int64),
+        )
+
+    pairs = (
+        ds.map_batches(explode_grams, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(star_edges, batch_format="pandas")
+    )
+    out = connected_components(pairs, num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column("node"),
+                "component": t.column("component"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

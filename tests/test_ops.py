@@ -704,6 +704,64 @@ def test_dup_span_scrub_positional_tier_matches_broadcast(ray_session):
     assert (bcast.n_removed_tokens > 0).any()  # boilerplate actually removed
 
 
+def test_connected_components_shapes(ray_session):
+    """BSP min-label propagation resolves chains (diameter > 1 round),
+    stars, self-loops and isolated pairs to min-id components."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import connected_components
+
+    pairs = pd.DataFrame(
+        {
+            "a": [1, 2, 3, 4, 10, 10, 10, 20, 30, 7, 5],
+            "b": [2, 3, 4, 5, 11, 12, 13, 20, 31, 1, 7],
+        }
+    )  # 1-2-3-4-5 chain closed into a ring via 7; star at 10; loop 20; pair 30-31
+    out = (
+        connected_components(ray.data.from_pandas(pairs).repartition(3))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    comp = dict(zip(out.node, out.component))
+    assert {comp[k] for k in (1, 2, 3, 4, 5, 7)} == {1}
+    assert {comp[k] for k in (10, 11, 12, 13)} == {10}
+    assert comp[20] == 20 and comp[30] == 30 and comp[31] == 30
+    # empty input -> empty typed output
+    empty = connected_components(ray.data.from_pandas(pd.DataFrame({"a": [], "b": []})))
+    assert empty.count() == 0
+
+
+def test_dup_ngram_components_hand_computed(ray_session):
+    """Docs sharing a duplicated n-gram cluster together; transitive
+    sharing merges clusters; within-doc-only duplication makes a
+    singleton component; clean docs emit nothing."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import dup_ngram_components
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b c x1 y1",      # shares 'a b c' with doc1
+                "a b c x2 y2 d e f",  # ...and 'd e f' with doc2 -> {0,1,2}
+                "d e f x3 y3",
+                "q r s q r s",      # within-doc repeat -> singleton {3}
+                "totally clean words here",
+            ],
+        }
+    )
+    out = (
+        dup_ngram_components(ray.data.from_pandas(df).repartition(2), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [0, 1, 2, 3]
+    assert out.component.tolist() == [0, 0, 0, 3]
+
+
 def test_hot_bucket_star_cap(ray_session):
     """A bucket bigger than the cap emits k-1 star pairs, not k^2/2,
     and mass-identical docs still dedup to one survivor."""
