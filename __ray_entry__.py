@@ -1045,7 +1045,8 @@ def _media_payload(i: int, kind: str) -> bytes:
         img[:, :, 2] = i % 256
         if sel == 3:
             sub = "420" if i % 8 == 7 else "444"  # both JPEG layouts flow
-            return encode_jpeg(img, quality=80 + (i % 3) * 5, subsample=sub)
+            prog = i % 16 == 3  # ...and the progressive (SOF2) scan script
+            return encode_jpeg(img, quality=80 + (i % 3) * 5, subsample=sub, progressive=prog)
         return encode_png(img) if sel == 0 else encode_bmp(img)
     if kind == "video":
         w, h, nf = 16, 12, 6 + (i % 5)

@@ -1,28 +1,36 @@
-"""Baseline sequential-DCT JPEG codec in pure numpy/stdlib (public
-ITU-T T.81 / ISO 10918-1 knowledge only; JFIF container).
+"""Sequential + progressive DCT JPEG codec in pure numpy/stdlib
+(public ITU-T T.81 / ISO 10918-1 knowledge only; JFIF container).
 
 Crawl-scale image columns are ~90% JPEG, so the r3 lossless codec trio
 (PNG/BMP/GIF) left the dominant wild format outside the boundary
-(VERDICT r3 "What's missing" #3). This module closes the baseline
-subset with the same discipline as the PNG/MD5 work:
+(VERDICT r3 "What's missing" #3). This module closes the baseline AND
+progressive subsets with the same discipline as the PNG/MD5 work:
 
-- ``encode_jpeg(img, quality, subsample)``: RGB (H,W,3) or grayscale
-  (H,W) uint8 -> JFIF bytes. Level shift, 8x8 forward DCT
+- ``encode_jpeg(img, quality, subsample, progressive)``: RGB (H,W,3)
+  or grayscale (H,W) uint8 -> JFIF bytes. Level shift, 8x8 forward DCT
   (orthonormal matrix product), quantization with the Annex-K example
   tables scaled by the common 1-100 quality mapping, zigzag,
   DC-differential + AC run-length (ZRL/EOB) entropy coding with the
   Annex-K "typical" Huffman tables, 0xFF byte stuffing.
   ``subsample="420"`` emits 2x2-subsampled chroma (MCU = 4 Y blocks +
   Cb + Cr — the dominant wild layout); "444" keeps full chroma.
-- ``decode_jpeg(payload)``: marker parse (DQT/SOF0/DHT/DRI/SOS, APPn
+  ``progressive=True`` emits SOF2 with a spectral-selection +
+  successive-approximation scan script (T.81 Annex G) exercising all
+  four scan kinds: DC first (Al=1), per-component AC first (Al=1),
+  per-component AC refinement, DC refinement.
+- ``decode_jpeg(payload)``: marker parse (DQT/SOF0/2/DHT/DRI/SOS, APPn
   and COM skipped), Huffman tables read FROM THE FILE (never assumed),
   restart-marker segmentation, entropy decode, dequantize, batched
   inverse DCT, chroma upsampling by replication, YCbCr->RGB.
-  Supported: 8-bit baseline (SOF0/1), 1 or 3 components, sampling
-  factors 1 or 2 per axis (4:4:4, 4:2:0, 4:2:2, 4:4:0) — progressive
-  (SOF2), arithmetic-coded, 12-bit and >2x sampling streams raise
-  ``UnsupportedMediaError`` (the honest boundary; callers fall back
-  exactly as for the other codecs).
+  Progressive (SOF2) streams accumulate per-component coefficient
+  grids across scans: spectral selection, successive approximation
+  (DC/AC first + refinement) and EOB-run coding (EOBn) per §G.1.2 —
+  including EOBn runs the in-repo producer never emits, pinned by a
+  hand-built-stream test. Supported: 8-bit (SOF0/1/2), 1 or 3
+  components, sampling factors 1 or 2 per axis (4:4:4, 4:2:0, 4:2:2,
+  4:4:0) — lossless/arithmetic-coded, 12-bit and >2x sampling streams
+  raise ``UnsupportedMediaError`` (the honest boundary; callers fall
+  back exactly as for the other codecs).
 
 Round-trip is LOSSY by design: tests bound the reconstruction error
 (quantization is the only loss at 4:4:4) instead of asserting byte
@@ -259,15 +267,135 @@ def _encode_block(zz: np.ndarray, t: int, pred: int, dc_codes, ac_codes, bw: _Bi
     return int(zz[0])
 
 
+def _emit_dc_first(grids_mcu, cis, al, dc_codes, comp_qt, bw):
+    """Progressive DC first scan (interleaved MCU order): Huffman-coded
+    diffs of the point-transformed (arithmetic >> Al) DC values."""
+    preds = [0] * len(cis)
+    n_mcu = grids_mcu[cis[0]].shape[0]
+    for m in range(n_mcu):
+        for si, ci in enumerate(cis):
+            for blk in grids_mcu[ci][m]:
+                v = int(blk[0]) >> al
+                diff = v - preds[si]
+                preds[si] = v
+                s = _csize(diff)
+                c, ln = dc_codes[comp_qt[ci]][s]
+                bw.put(c, ln)
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(grids_mcu, cis, al, bw):
+    """Progressive DC refinement: one raw bit (value >> Al & 1) per
+    block, interleaved MCU order — no entropy coding (T.81 G.1.2.1)."""
+    n_mcu = grids_mcu[cis[0]].shape[0]
+    for m in range(n_mcu):
+        for ci in cis:
+            for blk in grids_mcu[ci][m]:
+                bw.put((int(blk[0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(grid, bx, by, al, ac_table, bw):
+    """Progressive AC first scan over one component's block raster:
+    run/size coding of the point-transformed band 1..63 with a
+    single-block EOB (symbol 0x00) per block — EOB runs longer than 1
+    need EOBn symbols absent from the Annex-K tables, so this producer
+    never emits them (the decoder handles them for wild files)."""
+    for u in range(by * bx):
+        zz = grid[u // bx, u % bx]
+        run = 0
+        emitted_any = False
+        last = 0
+        red = [0] * 64
+        for k in range(1, 64):
+            v = int(zz[k])
+            red[k] = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if red[k]:
+                last = k
+        for k in range(1, last + 1):
+            v = red[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_table[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            s = _csize(v)
+            c, ln = ac_table[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+            emitted_any = True
+        if last < 63 or not emitted_any:
+            c, ln = ac_table[0x00]
+            bw.put(c, ln)
+
+
+def _emit_ac_refine(grid, bx, by, al, ac_table, bw):
+    """Progressive AC refinement (T.81 G.1.2.3, the libjpeg jcphuff
+    shape): newly-significant coefs emit (run, 1) + sign; already-
+    significant coefs buffer a correction bit that flushes after the
+    next emitted symbol; a single-block EOB carries trailing
+    corrections. ZRLs only run inside the EOB span."""
+    for u in range(by * bx):
+        zz = grid[u // bx, u % bx]
+        absv = [0] * 64
+        eob = 0
+        for k in range(1, 64):
+            t = abs(int(zz[k])) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        pending: list[int] = []
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                c, ln = ac_table[0xF0]
+                bw.put(c, ln)
+                r -= 16
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending = []
+            if t > 1:  # already significant: correction bit only
+                pending.append(t & 1)
+                continue
+            c, ln = ac_table[(r << 4) | 1]
+            bw.put(c, ln)
+            bw.put(1 if int(zz[k]) >= 0 else 0, 1)
+            for bit in pending:
+                bw.put(bit, 1)
+            pending = []
+            r = 0
+        if r > 0 or pending:  # trailing zero-history and/or corrections
+            c, ln = ac_table[0x00]
+            bw.put(c, ln)
+            for bit in pending:
+                bw.put(bit, 1)
+
+
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, restart_interval: int = 0, subsample: str = "444"
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsample: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """uint8 (H, W, 3) RGB or (H, W) grayscale -> baseline JFIF bytes
     (Annex-K tables scaled by `quality`). `subsample="420"` emits
     2x2-subsampled chroma (the dominant wild-JPEG layout: MCU = 4 Y
     blocks + Cb + Cr); "444" keeps full chroma. `restart_interval` > 0
     emits a DRI marker and RSTn boundaries every N MCUs (resumable
-    scans — and the decoder's restart path gets a genuine producer)."""
+    scans — and the decoder's restart path gets a genuine producer).
+    `progressive=True` emits SOF2 with a spectral-selection +
+    successive-approximation scan script (DC Al=1 → per-component AC
+    first Al=1 → per-component AC refinement → DC refinement) so every
+    progressive decoder branch has a genuine producer; combining it
+    with restart_interval is not implemented."""
     if img.ndim == 2:
         img = img[:, :, None]
     if img.ndim != 3 or img.shape[2] not in (1, 3) or img.dtype != np.uint8:
@@ -314,6 +442,75 @@ def encode_jpeg(
 
     dc_codes = [_build_codes(*_HT_DC_LUM), _build_codes(*_HT_DC_CHROM)]
     ac_codes = [_build_codes(*_HT_AC_LUM), _build_codes(*_HT_AC_CHROM)]
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval not implemented")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(qts[: 1 + (nf > 1)]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(qt[z]) for z in _ZIGZAG
+        )
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 8 + 3 * nf, 8, h, w, nf
+    )
+    for ci in range(nf):
+        hs, vs = samp[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, comp_qt[ci]])
+    hts = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_LUM)]
+    if nf > 1:
+        hts += [(0x01, _HT_DC_CHROM), (0x11, _HT_AC_CHROM)]
+    for tc_th, (bits, vals) in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+
+    if progressive:
+        # per-comp block grids for the non-interleaved AC scans
+        grids = []
+        for ci in range(nf):
+            hs, vs = samp[ci]
+            grids.append(
+                zz_blocks[ci]
+                .reshape(mcus_y, mcus_x, vs, hs, 64)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(mcus_y * vs, mcus_x * hs, 64)
+            )
+        all_cis = list(range(nf))
+
+        def sos(comp_list, ss, se, ah, al, tds, tas) -> bytes:
+            hd = struct.pack(">HB", 6 + 2 * len(comp_list), len(comp_list))
+            for ci, td, ta in zip(comp_list, tds, tas):
+                hd += bytes([ci + 1, (td << 4) | ta])
+            return b"\xff\xda" + hd + bytes([ss, se, (ah << 4) | al])
+
+        # scan 1: DC first (interleaved), Al=1
+        bw = _BitWriter()
+        _emit_dc_first(zz_blocks, all_cis, 1, dc_codes, comp_qt, bw)
+        out += sos(all_cis, 0, 0, 0, 1, [comp_qt[c] for c in all_cis], [0] * nf)
+        out += bw.finish()
+        # scans 2..: AC first per component, Al=1
+        for ci in range(nf):
+            hs, vs = samp[ci]
+            bx, by = _comp_block_dims(w, h, hs, vs, hmax, vmax)
+            bw = _BitWriter()
+            _emit_ac_first(grids[ci], bx, by, 1, ac_codes[comp_qt[ci]], bw)
+            out += sos([ci], 1, 63, 0, 1, [0], [comp_qt[ci]])
+            out += bw.finish()
+        # AC refinement per component, Ah=1 Al=0
+        for ci in range(nf):
+            hs, vs = samp[ci]
+            bx, by = _comp_block_dims(w, h, hs, vs, hmax, vmax)
+            bw = _BitWriter()
+            _emit_ac_refine(grids[ci], bx, by, 0, ac_codes[comp_qt[ci]], bw)
+            out += sos([ci], 1, 63, 1, 0, [0], [comp_qt[ci]])
+            out += bw.finish()
+        # final scan: DC refinement (interleaved), Ah=1 Al=0
+        bw = _BitWriter()
+        _emit_dc_refine(zz_blocks, all_cis, 0, bw)
+        out += sos(all_cis, 0, 0, 1, 0, [0] * nf, [0] * nf)
+        out += bw.finish()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     bw = _BitWriter()
     n_mcu = mcus_x * mcus_y
@@ -329,23 +526,6 @@ def encode_jpeg(
             for blk in zz_blocks[ci][m]:
                 preds[ci] = _encode_block(blk, t, preds[ci], dc_codes, ac_codes, bw)
     scan = bw.finish()
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, qt in enumerate(qts[: 1 + (nf > 1)]):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
-            int(qt[z]) for z in _ZIGZAG
-        )
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
-    for ci in range(nf):
-        hs, vs = samp[ci]
-        out += bytes([ci + 1, (hs << 4) | vs, comp_qt[ci]])
-    hts = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_LUM)]
-    if nf > 1:
-        hts += [(0x01, _HT_DC_CHROM), (0x11, _HT_AC_CHROM)]
-    for tc_th, (bits, vals) in hts:
-        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
-        out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
@@ -439,6 +619,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _parse_markers(payload, i, n, qts, dc_luts, ac_luts, frame, restart_interval):
+    progressive = False
+    grids = None  # progressive: per-comp (BY, BX, 64) zigzag coefficients
     while i < n:
         if payload[i] != 0xFF:
             raise UnsupportedMediaError(f"JPEG marker expected at {i}")
@@ -470,7 +652,7 @@ def _parse_markers(payload, i, n, qts, dc_luts, ac_luts, frame, restart_interval
                 vals = list(seg[j + 17 : j + 17 + nv])
                 (dc_luts if tc == 0 else ac_luts)[th] = _build_decode_lut(bits, vals)
                 j += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nf = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise UnsupportedMediaError(f"{prec}-bit JPEG unsupported")
@@ -486,8 +668,18 @@ def _parse_markers(payload, i, n, qts, dc_luts, ac_luts, frame, restart_interval
             if nf not in (1, 3):
                 raise UnsupportedMediaError(f"{nf}-component JPEG unsupported")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise UnsupportedMediaError("progressive/extended/arithmetic JPEG unsupported")
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                grids = [
+                    np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                    for (_cid, _tq, hs, vs) in comps
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError("lossless/extended/arithmetic JPEG unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -495,13 +687,38 @@ def _parse_markers(payload, i, n, qts, dc_luts, ac_luts, frame, restart_interval
                 raise UnsupportedMediaError("SOS before SOF")
             ns = seg[0]
             scan_tabs = {}
+            scan_order = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tabs[cs] = (tdta >> 4, tdta & 15)
-            segs, _end = _unstuff(payload, i + 2 + seg_len)
-            return _decode_scan(frame, scan_tabs, qts, dc_luts, ac_luts, segs, restart_interval)
+                scan_order.append(cs)
+            segs, end = _unstuff(payload, i + 2 + seg_len)
+            if not progressive:
+                return _decode_scan(
+                    frame, scan_tabs, qts, dc_luts, ac_luts, segs, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _decode_prog_scan(
+                frame,
+                grids,
+                scan_order,
+                scan_tabs,
+                dc_luts,
+                ac_luts,
+                segs,
+                restart_interval,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 15,
+            )
+            i = end
+            continue
         # APPn / COM / others: skip
         i += 2 + seg_len
+    if progressive and grids is not None:
+        return _finish(frame, grids, qts)
     raise UnsupportedMediaError("JPEG has no SOS scan")
 
 
@@ -558,22 +775,34 @@ def _decode_scan(frame, scan_tabs, qts, dc_luts, ac_luts, segs, restart_interval
                         raise UnsupportedMediaError("AC run past block end")
                     zz[k] = _extend(reader.read(s), s)
                     k += 1
+    # MCU-major (n_mcu, bpm, 64) -> per-comp block grids (BY, BX, 64)
+    grids = [
+        coefs[ci]
+        .reshape(mcus_y, mcus_x, vs, hs, 64)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(mcus_y * vs, mcus_x * hs, 64)
+        for ci, (_cid, _tq, hs, vs) in enumerate(comps)
+    ]
+    return _finish(frame, grids, qts)
+
+
+def _finish(frame, grids, qts):
+    """Dequantize + IDCT per-component zigzag coefficient grids
+    (BY, BX, 64), upsample subsampled chroma, crop, color-convert."""
+    h, w, comps = frame
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
     planes = []
     for ci, (_cid, tq, hs, vs) in enumerate(comps):
         if tq not in qts:
             raise UnsupportedMediaError(f"missing quant table {tq}")
-        nat = np.zeros((n_mcu, bpm[ci], 64), dtype=np.float64)
-        nat[:, :, _ZIGZAG] = coefs[ci]
+        grid = grids[ci]
+        by, bx = grid.shape[0], grid.shape[1]
+        nat = np.zeros((by * bx, 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = grid.reshape(-1, 64)
         blocks = nat.reshape(-1, 8, 8) * qts[tq]
         pix = np.einsum("ji,njk,kl->nil", _DCT_M, blocks, _DCT_M) + 128.0
-        # (n_mcu*bpm, 8, 8) -> plane: MCU raster order, blocks
-        # left-to-right top-to-bottom inside each MCU (inverse of
-        # _mcu_blocks)
-        plane = (
-            pix.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcus_y * vs * 8, mcus_x * hs * 8)
-        )
+        plane = pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         # upsample subsampled chroma by pixel replication, then crop
         if vs != vmax:
             plane = np.repeat(plane, vmax // vs, axis=0)
@@ -588,3 +817,156 @@ def _decode_scan(frame, scan_tabs, qts, dc_luts, ac_luts, segs, restart_interval
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _comp_block_dims(w, h, hs, vs, hmax, vmax):
+    """Non-interleaved block-grid dims of a component (T.81 A.2.2):
+    ceil(ceil(dim * sampling / max_sampling) / 8)."""
+    cw = -((-w * hs) // hmax)
+    ch = -((-h * vs) // vmax)
+    return -((-cw) // 8), -((-ch) // 8)
+
+
+def _huff(reader, sym_t, ln_t, what):
+    p16 = reader.peek16()
+    ln = int(ln_t[p16])
+    if ln == 0:
+        raise UnsupportedMediaError(f"invalid {what} Huffman code")
+    reader.pos += ln
+    return int(sym_t[p16])
+
+
+def _decode_prog_scan(
+    frame, grids, scan_order, scan_tabs, dc_luts, ac_luts, segs, restart_interval,
+    ss, se, ah, al,
+):
+    """One progressive scan (T.81 §G.1.2) into the persistent
+    coefficient grids: DC first/refinement (interleaved or single) and
+    AC first/refinement with EOB-run coding (single component, spec
+    rule). Restart markers byte-align and reset DC predictors and the
+    EOB run."""
+    h, w, comps = frame
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_comp = {cid: i for i, (cid, _tq, _hs, _vs) in enumerate(comps)}
+    cis = [by_comp[cid] for cid in scan_order]
+    if ss == 0:  # ---- DC scan (Se must be 0) ----
+        if se != 0:
+            raise UnsupportedMediaError("progressive scan mixes DC and AC bands")
+        preds = [0] * len(cis)
+        interleaved = len(cis) > 1
+        if interleaved:
+            units = mcus_y * mcus_x
+        else:
+            ci = cis[0]
+            _cid, _tq, hs, vs = comps[ci]
+            bx, by = _comp_block_dims(w, h, hs, vs, hmax, vmax)
+            units = by * bx
+        seg_i = 0
+        reader = _BitReader(segs[0])
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise UnsupportedMediaError("JPEG missing restart segment")
+                reader = _BitReader(segs[seg_i])
+                preds = [0] * len(cis)
+            for si, ci in enumerate(cis):
+                cid, _tq, hs, vs = comps[ci]
+                if interleaved:
+                    my, mx = u // mcus_x, u % mcus_x
+                    blocks = [(my * vs + v, mx * hs + uu) for v in range(vs) for uu in range(hs)]
+                else:
+                    blocks = [(u // bx, u % bx)]
+                for gy, gx in blocks:
+                    cell = grids[ci][gy, gx]
+                    if ah == 0:  # first DC scan: Huffman diffs at reduced precision
+                        td, _ta = scan_tabs[cid]
+                        dsym, dlen = dc_luts[td]
+                        s = _huff(reader, dsym, dlen, "DC")
+                        diff = _extend(reader.read(s), s) if s else 0
+                        preds[si] += diff
+                        cell[0] = preds[si] << al
+                    else:  # refinement: one raw bit per block
+                        if reader.read(1):
+                            cell[0] |= 1 << al
+        return
+    # ---- AC scan: exactly one component (T.81 G.1.1.1.1) ----
+    if len(cis) != 1:
+        raise UnsupportedMediaError("progressive AC scan with multiple components")
+    ci = cis[0]
+    cid, _tq, hs, vs = comps[ci]
+    bx, by = _comp_block_dims(w, h, hs, vs, hmax, vmax)
+    _td, ta = scan_tabs[cid]
+    asym, alen = ac_luts[ta]
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    eobrun = 0
+    p1 = 1 << al
+    for u in range(by * bx):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise UnsupportedMediaError("JPEG missing restart segment")
+            reader = _BitReader(segs[seg_i])
+            eobrun = 0
+        cell = grids[ci][u // bx, u % bx]
+        if ah == 0:  # ---- AC first scan ----
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff(reader, asym, alen, "AC")
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (reader.read(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise UnsupportedMediaError("AC run past band end")
+                cell[k] = _extend(reader.read(s), s) << al
+                k += 1
+            continue
+        # ---- AC refinement scan (the libjpeg-shape algorithm) ----
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff(reader, asym, alen, "AC")
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise UnsupportedMediaError("AC refinement magnitude must be 1")
+                    newval = p1 if reader.read(1) else -p1
+                elif r != 15:
+                    eobrun = (1 << r) + (reader.read(r) if r else 0)
+                    break
+                # advance over r zero-history coefficients, applying
+                # correction bits to already-nonzero ones on the way
+                while k <= se:
+                    if cell[k] != 0:
+                        if reader.read(1) and (cell[k] & p1) == 0:
+                            cell[k] += p1 if cell[k] >= 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise UnsupportedMediaError("AC refinement run past band end")
+                    cell[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if cell[k] != 0:
+                    if reader.read(1) and (cell[k] & p1) == 0:
+                        cell[k] += p1 if cell[k] >= 0 else -p1
+                k += 1
+            eobrun -= 1

@@ -148,3 +148,118 @@ def test_420_luma_is_not_subsampled():
     e420 = np.abs(decode_jpeg(encode_jpeg(img, 90, subsample="420")).astype(int) - img.astype(int)).mean()
     e444 = np.abs(decode_jpeg(encode_jpeg(img, 90)).astype(int) - img.astype(int)).mean()
     assert abs(e420 - e444) < 0.5
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """The progressive scan script (DC first Al=1, AC first Al=1 per
+    component, AC refinement, DC refinement) reconstructs the SAME
+    pixels as the baseline encoding of the same quantized
+    coefficients — bit-exact, since both carry the full coefficient
+    precision by the end."""
+    rng = np.random.RandomState(3)
+    cases = [
+        (_gradient(12, 16), "444"),
+        (_gradient(17, 23), "444"),
+        (_gradient(17, 23), "420"),
+        (_gradient(32, 40), "420"),
+        (rng.randint(0, 256, (24, 33, 3)).astype(np.uint8), "444"),  # AC churn
+    ]
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        pj = encode_jpeg(img, quality=90, subsample=sub, progressive=True)
+        assert b"\xff\xc2" in pj  # SOF2 on disk
+        assert pj.count(b"\xff\xda") >= 4  # multiple scans
+        assert np.array_equal(decode_jpeg(pj), base), (img.shape, sub)
+    g = (np.arange(20)[:, None] * np.arange(30)[None, :] % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=85, progressive=True)),
+        decode_jpeg(encode_jpeg(g, quality=85)),
+    )
+
+
+def test_progressive_eobrun_handbuilt():
+    """EOBn runs (> 1 block) never come out of the in-repo producer
+    (Annex-K tables lack EOBn symbols), so pin the decoder's EOB-run
+    branch with a hand-built two-scan progressive stream using a
+    custom AC table that carries the EOB2 symbol 0x10: the result
+    must equal the baseline encoding of the same coefficients."""
+    import struct
+
+    from pdf_extractor_ray.functions.jpeg_codec import (
+        _HT_DC_LUM,
+        _BitWriter,
+        _build_codes,
+    )
+
+    # grayscale 8x24 -> three 8x8 blocks, flat quant table
+    h, w = 8, 24
+    qt_zz = bytes([1] * 64)
+    # custom AC table: symbols 0x00 (EOB), 0x01 (r0 s1), 0x10 (EOB2), 0xF0
+    ac_bits = [0, 2, 2] + [0] * 13
+    ac_vals = [0x00, 0x01, 0x10, 0xF0]
+    ac = _build_codes(ac_bits, ac_vals)
+    dc = _build_codes(*_HT_DC_LUM)
+
+    def headers(sof: int) -> bytearray:
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qt_zz
+        out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        out += bytes([1, 0x11, 0])
+        out += b"\xff\xc4" + struct.pack(">H", 19 + 12) + b"\x00"
+        out += bytes(_HT_DC_LUM[0]) + bytes(_HT_DC_LUM[1])
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals)) + b"\x10"
+        out += bytes(ac_bits) + bytes(ac_vals)
+        return out
+
+    # progressive: scan 1 = DC first Al=0 (three zero diffs), scan 2 =
+    # AC first with block0 carrying coef k=1 == +1 then EOB2(extra=1)
+    # covering blocks 1 and 2
+    prog = headers(0xC2)
+    bw = _BitWriter()
+    for _ in range(3):
+        c, ln = dc[0]
+        bw.put(c, ln)
+    prog += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + bytes([0, 0, 0x00])
+    prog += bw.finish()
+    bw = _BitWriter()
+    c, ln = ac[0x01]
+    bw.put(c, ln)  # r=0 s=1 at k=1
+    bw.put(1, 1)  # value +1
+    c, ln = ac[0x10]
+    bw.put(c, ln)  # EOB2
+    bw.put(1, 1)  # extra bit -> eobrun covers this break + 2 more blocks? no:
+    # (1<<1)-1+1 = 2 more blocks after this one -> blocks 1 and 2
+    prog += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + bytes([1, 63, 0x00])
+    prog += bw.finish()
+    prog += b"\xff\xd9"
+
+    # baseline twin: same coefficients, per-block EOBs
+    base = headers(0xC0)
+    bw = _BitWriter()
+    c, ln = dc[0]
+    bw.put(c, ln)  # block0 DC 0
+    c, ln = ac[0x01]
+    bw.put(c, ln)
+    bw.put(1, 1)  # k=1 -> +1
+    c, ln = ac[0x00]
+    bw.put(c, ln)  # EOB
+    for _ in range(2):  # blocks 1, 2: DC 0, EOB
+        c, ln = dc[0]
+        bw.put(c, ln)
+        c, ln = ac[0x00]
+        bw.put(c, ln)
+    base += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + bytes([0, 63, 0x00])
+    base += bw.finish()
+    base += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(prog))
+    want = decode_jpeg(bytes(base))
+    assert np.array_equal(got, want)
+    assert got.shape == (8, 24, 3)
+    assert len(np.unique(got[:, :8])) > 1  # block0 carries the AC ripple
+    assert len(np.unique(got[:, 8:])) == 1  # EOB-run blocks stay flat
+
+
+def test_progressive_restart_combination_raises():
+    with pytest.raises(ValueError, match="not implemented"):
+        encode_jpeg(_gradient(16, 16), progressive=True, restart_interval=2)
