@@ -723,6 +723,36 @@ def _docs_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Token-length histogram (64-token buckets) — the sequence-packing
+    planning signal (ops/text_analysis.length_histogram); pre-aggregated
+    per batch, SQL-oracled."""
+    from pdf_extractor_ray.ops.text_analysis import length_histogram
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        length_histogram(ds, bucket_tokens=64)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+
+def _docs_term_postings(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build: (term, df, cf, sorted posting list) for
+    terms with df >= 2 (ops/text_analysis.term_postings) — one
+    term-keyed exchange, SQL-oracled."""
+    from pdf_extractor_ray.ops.text_analysis import term_postings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        term_postings(ds, min_df=2)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_dup_components(sf_dir: str) -> pd.DataFrame:
     """Near-dup CLUSTER ids: connected components over the duplicated-
     8-gram co-occurrence graph (ops/dedup.dup_ngram_components — star
@@ -1280,8 +1310,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _events_interarrival,
         "events_running_total": _events_running_total,
         "order_price_quantiles": _order_price_quantiles,
-        "orders_price_bands": _orders_price_bands,
-        "parts_standard_brands": _parts_standard_brands,
         "customers_without_big_orders": _customers_without_big_orders,
         "events_json_props": _events_json_props,
         "supplier_balance_by_nation": _supplier_balance_by_nation,
@@ -1301,10 +1329,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
         "docs_dup_components": _docs_dup_components,
+        "docs_length_histogram": _docs_length_histogram,
+        "docs_term_postings": _docs_term_postings,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
         "top10_orders": _top10_orders,
         "extreme_orders_union": _extreme_orders_union,
+        "parts_standard_brands": _parts_standard_brands,
+        "orders_price_bands": _orders_price_bands,
         "users_click_and_purchase": _users_click_and_purchase,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "promo_revenue_by_brand": _promo_revenue_by_brand,
@@ -1503,6 +1535,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
             FROM documents
+        """,
+        "docs_length_histogram": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_toks
+                FROM documents
+            )
+            SELECT CAST(n_toks // 64 AS BIGINT) AS bucket,
+                   CAST((n_toks // 64) * 64 AS BIGINT) AS lo_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+            FROM n GROUP BY 1, 2 ORDER BY bucket
+        """,
+        "docs_term_postings": r"""
+            WITH t AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents WHERE length(trim(text)) > 0
+            ), dt AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t WHERE term <> '' GROUP BY doc_id, term
+            )
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM dt GROUP BY term HAVING count(*) >= 2 ORDER BY term
         """,
         "docs_dup_components": r"""
             WITH RECURSIVE t AS (

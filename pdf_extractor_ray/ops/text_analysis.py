@@ -360,6 +360,99 @@ def unigram_logprob(
     )
 
 
+def length_histogram(
+    ds: ray.data.Dataset, bucket_tokens: int = 64, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Token-length histogram over the corpus — the sequence-packing
+    planning signal every training pipeline computes before choosing a
+    context length (how much of the token mass lives in each length
+    band; bucket = n_tokens // bucket_tokens). Emits
+    (bucket, lo_tokens, n_docs, sum_tokens): one pre-aggregated
+    combine per batch, one tiny grouped_sum — no wide shuffle ever
+    (the exchange carries at most #distinct-buckets rows per block)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.array([len(str(t).split()) for t in batch[text_col]], dtype=np.int64)
+        b = n // bucket_tokens
+        g = pd.DataFrame({"bucket": b, "toks": n}).groupby("bucket", sort=False)
+        out = g.agg(n_docs_p=("toks", "size"), sum_tokens_p=("toks", "sum")).reset_index()
+        out["n_docs_p"] = out["n_docs_p"].astype("int64")
+        out["sum_tokens_p"] = out["sum_tokens_p"].astype("int64")
+        return out
+
+    agg = grouped_sum(
+        ds.map_batches(local, batch_format="pandas"),
+        ["bucket"],
+        ["n_docs_p", "sum_tokens_p"],
+        counts=False,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch["bucket"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": b,
+                "lo_tokens": b * bucket_tokens,
+                "n_docs": batch["sum_n_docs_p"].to_numpy(dtype=np.int64),
+                "sum_tokens": batch["sum_sum_tokens_p"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def term_postings(
+    ds: ray.data.Dataset,
+    min_df: int = 2,
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Inverted-index build: per term with document frequency >= min_df,
+    (term, df, cf, postings) where postings is the comma-joined sorted
+    doc_id list — the corpus artifact behind retrieval/decontamination
+    tooling. Scale shape: per-batch distinct (doc_id, term, tf)
+    partials, ONE co-shuffle on hash(term) mod P (every posting of a
+    term lands in one partition), one vectorized pandas pass per
+    partition. The df filter runs in-partition so sub-threshold terms
+    (the long tail) never reach the output."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _doc_term_tf(batch, text_col)
+        out["_part"] = (
+            pd.util.hash_array(out["term"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return out
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "term" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "df": pd.Series([], dtype="int64"),
+                    "cf": pd.Series([], dtype="int64"),
+                    "postings": pd.Series([], dtype="object"),
+                }
+            )
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        grp = g.groupby("term", sort=False)
+        out = grp.agg(
+            df=("doc_id", "size"),
+            cf=("tf", "sum"),
+            postings=("doc_id", lambda s: ",".join(str(int(v)) for v in s)),
+        ).reset_index()
+        out = out[out["df"] >= min_df]
+        out["df"] = out["df"].astype("int64")
+        out["cf"] = out["cf"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_ws_tokens) — whitespace tokenization, SQL-oracle-able."""
 

@@ -704,6 +704,58 @@ def test_dup_span_scrub_positional_tier_matches_broadcast(ray_session):
     assert (bcast.n_removed_tokens > 0).any()  # boilerplate actually removed
 
 
+def test_length_histogram_hand_computed(ray_session):
+    """Bucketing by n_tokens // width with exact doc and token mass per
+    bucket; empty docs land in bucket 0."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import length_histogram
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c", "d e", "one " * 70, ""],  # 3, 2, 70, 0 tokens
+        }
+    )
+    out = (
+        length_histogram(ray.data.from_pandas(df).repartition(2), bucket_tokens=64)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert out.bucket.tolist() == [0, 1]
+    assert out.lo_tokens.tolist() == [0, 64]
+    assert out.n_docs.tolist() == [3, 1]
+    assert out.sum_tokens.tolist() == [5, 70]
+    assert out.n_docs.dtype == "int64"
+
+
+def test_term_postings_hand_computed(ray_session):
+    """df counts documents (not occurrences), cf counts occurrences,
+    postings are sorted doc ids, and sub-min_df terms are filtered
+    in-partition."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import term_postings
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["apple apple pear", "apple fig", "pear fig fig unique"],
+        }
+    )
+    out = (
+        term_postings(ray.data.from_pandas(df).repartition(2), min_df=2)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert out.term.tolist() == ["apple", "fig", "pear"]
+    assert out.df.tolist() == [2, 2, 2]
+    assert out.cf.tolist() == [3, 3, 2]  # apple 2+1, fig 1+2, pear 1+1
+    assert out.postings.tolist() == ["0,1", "1,2", "0,2"]
+
+
 def test_connected_components_shapes(ray_session):
     """BSP min-label propagation resolves chains (diameter > 1 round),
     stars, self-loops and isolated pairs to min-id components."""
