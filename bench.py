@@ -221,6 +221,11 @@ def run_queries() -> dict[str, float]:
         "docs_decontaminated",
         "docs_train_test_split",
         "docs_gopher_quality",
+        "docs_unigram_logprob",
+        "docs_dup_span_scrub",
+        "docs_dup_components",
+        "docs_length_histogram",
+        "docs_term_postings",
         "doc_chunks",
         "exact_dedup_docs",
         "minhash_dedup_docs",

@@ -936,10 +936,36 @@ _CC_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("_part",
 _CC_OUT_SCHEMA = pa.schema([("node", pa.int64()), ("component", pa.int64())])
 
 
+def _union_find_components(df: pd.DataFrame) -> pa.Table:
+    """Driver-side union-find for BOUNDED pair sets (the broadcast-tier
+    analog): path-halving find + union by min label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in zip(df["a"].astype(np.int64), df["b"].astype(np.int64)):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = np.array(sorted(parent), dtype=np.int64)
+    comp = np.array([find(int(x)) for x in nodes], dtype=np.int64)
+    return _typed_table(_CC_OUT_SCHEMA, node=nodes, component=comp)
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     num_partitions: int = 32,
     max_iters: int = 64,
+    broadcast_max_pairs: int = _BROADCAST_MAX_PAIRS,
 ) -> ray.data.Dataset:
     """Connected components over an undirected (a, b) pair Dataset —
     turns near-dup PAIRS into CLUSTER ids (component = min node id in
@@ -947,6 +973,9 @@ def connected_components(
     callers need groups rather than a drop-set (e.g. keep-best-per-
     cluster policies).
 
+    Two tiers. Pair sets within `broadcast_max_pairs` (the common case
+    — LSH exists to make candidate sets tiny) run ONE driver-side
+    union-find over a bounded frame, no exchange at all. Above the cap:
     BSP min-label propagation (the classic Pregel/hash-min shape, cf.
     Kiveris et al. 2014 "Connected Components in MapReduce and
     Beyond" for the family): labels start as the node id; each round,
@@ -963,8 +992,18 @@ def connected_components(
     Output: (node, component), one row per distinct node in `pairs`.
     """
     edges = pairs.materialize()
-    if edges.count() == 0:
+    n_pairs = edges.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(_typed_table(_CC_OUT_SCHEMA))
+    if n_pairs <= broadcast_max_pairs:
+        # tiny pair sets (LSH's whole point) skip the BSP rounds: one
+        # driver-side union-find over a BOUNDED frame — the same
+        # small-side budget as anti_join_ids' broadcast tier. Identical
+        # min-id components either way (tests force both tiers).
+        df = edges.to_pandas()
+        if "a" not in df.columns:
+            return ray.data.from_arrow(_typed_table(_CC_OUT_SCHEMA))
+        return ray.data.from_arrow(_union_find_components(df))
     # blocks out of upstream groupbys may be schema-less when empty
     edges = edges.map_batches(
         lambda t: _typed_table(

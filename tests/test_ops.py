@@ -769,13 +769,19 @@ def test_connected_components_shapes(ray_session):
             "b": [2, 3, 4, 5, 11, 12, 13, 20, 31, 1, 7],
         }
     )  # 1-2-3-4-5 chain closed into a ring via 7; star at 10; loop 20; pair 30-31
-    out = (
-        connected_components(ray.data.from_pandas(pairs).repartition(3))
-        .to_pandas()
-        .sort_values("node")
-        .reset_index(drop=True)
-    )
-    comp = dict(zip(out.node, out.component))
+    results = []
+    for cap in (10**6, 0):  # union-find fast tier AND the BSP scale tier
+        out = (
+            connected_components(
+                ray.data.from_pandas(pairs).repartition(3), broadcast_max_pairs=cap
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        results.append(out)
+    pd.testing.assert_frame_equal(results[0], results[1])  # tiers agree
+    comp = dict(zip(results[0].node, results[0].component))
     assert {comp[k] for k in (1, 2, 3, 4, 5, 7)} == {1}
     assert {comp[k] for k in (10, 11, 12, 13)} == {10}
     assert comp[20] == 20 and comp[30] == 30 and comp[31] == 30
