@@ -147,6 +147,67 @@ def _as_blocks(data: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
 
 
+# ---------------------------------------------------------------------------
+# Scalar fast path: classic 32-bit T-tables (SubBytes+ShiftRows+MixColumns
+# fused — the standard software-AES construction described in the Rijndael
+# proposal §5.2). CBC *encryption* is sequential across blocks, so the
+# vectorized kernel pays ~0.25 ms of numpy dispatch per block; the T-table
+# path runs a block in ~20 us of pure-int Python. Pinned equal to the
+# numpy kernel (and thus to FIPS 197) in tests.
+# ---------------------------------------------------------------------------
+
+def _build_ttables() -> list[list[int]]:
+    t0 = []
+    for x in range(256):
+        s = int(_SBOX[x])
+        s2 = _gf_mul(s, 2)
+        s3 = s2 ^ s
+        t0.append((s2 << 24) | (s << 16) | (s << 8) | s3)
+    rotr8 = lambda v: ((v >> 8) | (v << 24)) & 0xFFFFFFFF  # noqa: E731
+    t1 = [rotr8(v) for v in t0]
+    t2 = [rotr8(v) for v in t1]
+    t3 = [rotr8(v) for v in t2]
+    return [t0, t1, t2, t3]
+
+
+_T0, _T1, _T2, _T3 = _build_ttables()
+_SBOX_I = [int(v) for v in _SBOX]
+
+
+def _rk_words(rk: np.ndarray) -> list[list[int]]:
+    """(Nr+1, 16) byte round keys -> per-round big-endian 32-bit words."""
+    return [
+        [int.from_bytes(bytes(rk[r, 4 * i : 4 * i + 4]), "big") for i in range(4)]
+        for r in range(rk.shape[0])
+    ]
+
+
+def _encrypt_block_fast(block: bytes, rkw: list[list[int]]) -> bytes:
+    w = [int.from_bytes(block[4 * i : 4 * i + 4], "big") ^ rkw[0][i] for i in range(4)]
+    nr = len(rkw) - 1
+    for r in range(1, nr):
+        k = rkw[r]
+        w = [
+            _T0[(w[i] >> 24) & 0xFF]
+            ^ _T1[(w[(i + 1) & 3] >> 16) & 0xFF]
+            ^ _T2[(w[(i + 2) & 3] >> 8) & 0xFF]
+            ^ _T3[w[(i + 3) & 3] & 0xFF]
+            ^ k[i]
+            for i in range(4)
+        ]
+    k = rkw[nr]
+    out = bytearray(16)
+    for i in range(4):
+        v = (
+            (_SBOX_I[(w[i] >> 24) & 0xFF] << 24)
+            | (_SBOX_I[(w[(i + 1) & 3] >> 16) & 0xFF] << 16)
+            | (_SBOX_I[(w[(i + 2) & 3] >> 8) & 0xFF] << 8)
+            | _SBOX_I[w[(i + 3) & 3] & 0xFF]
+        ) ^ k[i]
+        out[4 * i : 4 * i + 4] = v.to_bytes(4, "big")
+    return bytes(out)
+
+
 def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
     return encrypt_blocks(_as_blocks(data).copy(), _key_schedule(key)).tobytes()
 
@@ -158,18 +219,21 @@ def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
     """CBC encryption; with pad=True applies the RFC 2898 §6.1.1-style
     1..16-byte padding the PDF spec mandates (§7.6.2 note on AESV2).
-    Sequential across blocks by construction (writer-side only)."""
+    Sequential across blocks by construction (writer + KDF side), so it
+    runs on the scalar T-table kernel instead of paying per-block
+    numpy dispatch."""
     if pad:
         k = 16 - (len(data) % 16)
         data = data + bytes([k]) * k
-    rk = _key_schedule(key)
-    blocks = _as_blocks(data)
-    prev = np.frombuffer(iv, dtype=np.uint8)
-    out = np.empty_like(blocks)
-    for i in range(blocks.shape[0]):
-        prev = encrypt_blocks((blocks[i] ^ prev).reshape(1, 16), rk)[0]
-        out[i] = prev
-    return out.tobytes()
+    rkw = _rk_words(_key_schedule(key))
+    out = bytearray()
+    prev = int.from_bytes(iv, "big")
+    for i in range(0, len(data), 16):
+        x = int.from_bytes(data[i : i + 16], "big") ^ prev
+        ct = _encrypt_block_fast(x.to_bytes(16, "big"), rkw)
+        out += ct
+        prev = int.from_bytes(ct, "big")
+    return bytes(out)
 
 
 def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:

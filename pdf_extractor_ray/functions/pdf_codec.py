@@ -246,7 +246,7 @@ def pages_to_pdf_bytes(
     """
     if encrypt is not None and pdf15:
         raise ValueError("encrypt is supported for the classic layout only")
-    if encrypt not in (None, "rc4-40", "rc4-128", "aes-128", "aes-256"):
+    if encrypt not in (None, "rc4-40", "rc4-128", "aes-128", "aes-256", "aes-256-r5"):
         raise ValueError(f"unknown encrypt mode {encrypt!r}")
     for p in pages:
         if p.get("tables") or p.get("boxes"):
@@ -324,21 +324,29 @@ def pages_to_pdf_bytes(
                     f"/StmF /StdCF /StrF /StdCF "
                     f"/O <{o.hex()}> /U <{u.hex()}> >>"
                 )
-        else:  # aes-256: AESV3, /V 5 /R 6 (ISO 32000-2 §7.6.4)
+        else:  # aes-256 / aes-256-r5: AESV3, /V 5 (ISO 32000-2 §7.6.4)
             from pdf_extractor_ray.functions.aes_cipher import (
                 aes_cbc_encrypt,
                 aes_ecb_encrypt,
             )
 
+            r5 = encrypt == "aes-256-r5"  # Adobe ext. level 3: single SHA-256 KDF
+            r = 5 if r5 else 6
+
+            def khash(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+                if r5:
+                    return hashlib.sha256(pwd + salt + udata).digest()
+                return _hash_r6(pwd, salt, udata)
+
             key = hashlib.sha256(b"filekey" + id0).digest()  # deterministic
             vs = hashlib.md5(b"vs" + id0).digest()[:8]
             ks = hashlib.md5(b"ks" + id0).digest()[:8]
-            u = _hash_r6(b"", vs) + vs + ks
-            ue = aes_cbc_encrypt(_hash_r6(b"", ks), b"\0" * 16, key, pad=False)
+            u = khash(b"", vs) + vs + ks
+            ue = aes_cbc_encrypt(khash(b"", ks), b"\0" * 16, key, pad=False)
             ovs = hashlib.md5(b"ovs" + id0).digest()[:8]
             oks = hashlib.md5(b"oks" + id0).digest()[:8]
-            o = _hash_r6(b"owner", ovs, u) + ovs + oks
-            oe = aes_cbc_encrypt(_hash_r6(b"owner", oks, u), b"\0" * 16, key, pad=False)
+            o = khash(b"owner", ovs, u) + ovs + oks
+            oe = aes_cbc_encrypt(khash(b"owner", oks, u), b"\0" * 16, key, pad=False)
             perms_plain = (
                 (p & 0xFFFFFFFF).to_bytes(4, "little")
                 + b"\xff\xff\xff\xff"
@@ -348,7 +356,7 @@ def pages_to_pdf_bytes(
             )
             perms = aes_ecb_encrypt(key, perms_plain)
             enc_dict = (
-                f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {p} "
+                f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P {p} "
                 f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
                 f"/StmF /StdCF /StrF /StdCF "
                 f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> /UE <{ue.hex()}> "
@@ -368,7 +376,7 @@ def pages_to_pdf_bytes(
                 else:
                     from pdf_extractor_ray.functions.aes_cipher import aes_cbc_encrypt
 
-                    okey = key if encrypt == "aes-256" else _object_key(key, i + 1, 0, aes=True)
+                    okey = key if encrypt.startswith("aes-256") else _object_key(key, i + 1, 0, aes=True)
                     # deterministic per-object IV (fixtures, not secrecy)
                     iv = hashlib.md5(b"iv" + id0 + str(i + 1).encode()).digest()
                     ct = iv + aes_cbc_encrypt(okey, iv, body[span[0] : span[1]])

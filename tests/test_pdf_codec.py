@@ -1146,7 +1146,11 @@ def test_aes_encrypted_pdf_roundtrip():
     ]
     page = _page(words)
     ref = parse_pdf_bytes(pages_to_pdf_bytes([page]))[0]
-    for mode, marker in (("aes-128", b"/AESV2"), ("aes-256", b"/AESV3")):
+    for mode, marker in (
+        ("aes-128", b"/AESV2"),
+        ("aes-256", b"/AESV3"),  # R6: Algorithm 2.B hash
+        ("aes-256-r5", b"/R 5"),  # R5: single-SHA-256 KDF (corpus rotation)
+    ):
         pdf = pages_to_pdf_bytes([dict(page)], encrypt=mode)
         assert b"/Encrypt" in pdf and marker in pdf
         probe = _extract_stream_probe(pdf)
