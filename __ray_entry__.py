@@ -723,6 +723,31 @@ def _docs_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _extract_page_links(sf_dir: str) -> pd.DataFrame:
+    """Anchor extraction over the fixture web corpus: (url, href,
+    absolute) per <a href> via ops/linkgraph.page_links — charset-
+    sniffed HTML, compiled-regex scan inside map_batches. Rows-only
+    (the pages table is not a DuckDB oracle view)."""
+    from pdf_extractor_ray.ops.linkgraph import page_links
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+    out = page_links(pages).to_pandas()
+    return out.sort_values(["url", "href"]).reset_index(drop=True)
+
+
+def _extract_host_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Damped PageRank over the corpus host link graph
+    (ops/linkgraph.pagerank — BSP rank exchanges, dangling-mass
+    redistribution). Rows-only; pytest pins the algorithm against a
+    hand-computed reference graph."""
+    from pdf_extractor_ray.ops.linkgraph import host_edges, page_links, pagerank
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+    edges = host_edges(page_links(pages))
+    out = pagerank(edges, n_iters=10).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _docs_length_histogram(sf_dir: str) -> pd.DataFrame:
     """Token-length histogram (64-token buckets) — the sequence-packing
     planning signal (ops/text_analysis.length_histogram); pre-aggregated
@@ -1310,9 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _events_interarrival,
         "events_running_total": _events_running_total,
         "order_price_quantiles": _order_price_quantiles,
-        "customers_without_big_orders": _customers_without_big_orders,
         "events_json_props": _events_json_props,
-        "supplier_balance_by_nation": _supplier_balance_by_nation,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "doc_top_terms": _doc_top_terms,
@@ -1331,12 +1354,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_components": _docs_dup_components,
         "docs_length_histogram": _docs_length_histogram,
         "docs_term_postings": _docs_term_postings,
+        "extract_page_links": _extract_page_links,
+        "extract_host_pagerank": _extract_host_pagerank,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
         "top10_orders": _top10_orders,
         "extreme_orders_union": _extreme_orders_union,
         "parts_standard_brands": _parts_standard_brands,
         "orders_price_bands": _orders_price_bands,
+        "supplier_balance_by_nation": _supplier_balance_by_nation,
+        "customers_without_big_orders": _customers_without_big_orders,
         "users_click_and_purchase": _users_click_and_purchase,
         "topk_orders_per_priority": _topk_orders_per_priority,
         "promo_revenue_by_brand": _promo_revenue_by_brand,

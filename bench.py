@@ -235,6 +235,8 @@ def run_queries() -> dict[str, float]:
         "similarity_topk",
         "similarity_ivf_topk",
         "multimodal_featurize",
+        "extract_page_links",
+        "extract_host_pagerank",
         "training_data_pipeline",
     ]
     qs = e.queries()

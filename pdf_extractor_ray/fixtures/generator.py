@@ -80,7 +80,17 @@ def _paragraph(rng: random.Random, lang: str, n_sents: int) -> str:
 
 def _nav_html(rng: random.Random) -> str:
     links = "".join(f'<a href="/{w.lower()}">{w}</a> ' for w in _NAV_WORDS[: rng.randint(5, 9)])
-    return f"<nav>{links}</nav>"
+    # two deterministic CROSS-SITE anchors so the corpus carries a real
+    # host link graph (ops/linkgraph.py). Derived from bytes already
+    # drawn — NO extra rng consumption, so the corpus text stream (and
+    # every committed golden) is unchanged; nav is boilerplate the
+    # extractor strips, so golden_text never sees these.
+    k = sum(links.encode()) % 37
+    ext = (
+        f'<a href="https://site{k}.example/partner">partner</a> '
+        f'<a href="https://site{(3 * k + 5) % 37}.example/mirror">mirror</a> '
+    )
+    return f"<nav>{links}{ext}</nav>"
 
 
 def _sidebar_html(rng: random.Random) -> str:
@@ -502,7 +512,11 @@ def generate_corpus(n_rows: int, seed: int = 42, skew: bool = True, fat: int = 1
                 # handler (empty user password) so decryption is
                 # corpus-tested in every supported cipher: RC4 R2/R3,
                 # AESV2 (V4 crypt filter), AESV3 (V5/R6)
-                crypt = ("", "rc4-40", "aes-128", "rc4-128", "aes-256")[(n_pdf_docs // 5) % 5]
+                # AESV3 rotates as R5 (single-SHA-256 KDF): the R6
+                # Algorithm-2.B hash costs ~0.4 s/doc in pure python —
+                # prohibitive at corpus scale — and stream decryption
+                # is identical; R6 stays covered by the codec tests
+                crypt = ("", "rc4-40", "aes-128", "rc4-128", "aes-256-r5")[(n_pdf_docs // 5) % 5]
                 if crypt:
                     enc = f"pdf:{crypt}"
             elif enc == "pdfwild":

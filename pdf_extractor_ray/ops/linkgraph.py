@@ -1,0 +1,369 @@
+"""Web link-graph operators: anchor extraction, host-edge
+aggregation, and distributed PageRank.
+
+The host link graph is a core curation signal for web-scale training
+data (host-level quality and spam scores propagate along links —
+PageRank, Brin & Page 1998), and it exercises the engine's second
+iterative BSP algorithm after connected components (ops/dedup.py):
+fixed-round rank exchanges over hash-partitioned nodes, never a
+JoinOperator, nothing corpus-sized on the driver.
+
+- page_links : (url, href, absolute) rows per anchor, compiled-regex
+  scan over charset-sniffed HTML inside map_batches (per-batch flat
+  explode; the non-HTML payloads contribute nothing).
+- host_edges : (src_host, dst_host, n) weighted cross-host edges —
+  absolute http(s) anchors only; same-host navigation collapses away.
+- pagerank   : damped PageRank over the host graph, `n_iters` BSP
+  rounds; per round ONE src-keyed exchange stamps each edge with its
+  source's rank/outdegree and ONE dst-keyed exchange reduces
+  contributions; dangling mass is redistributed uniformly (the
+  standard formulation). Rank mass is conserved to float precision.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pdf_extractor_ray.ops.dedup import _typed_table
+
+_HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["']""", re.IGNORECASE)
+_HOST_RE = re.compile(r"^https?://([^/:?#]+)", re.IGNORECASE)
+
+_LINK_SCHEMA = pa.schema(
+    [("url", pa.large_string()), ("href", pa.large_string()), ("absolute", pa.int8())]
+)
+_EDGE_SCHEMA = pa.schema(
+    [("src_host", pa.large_string()), ("dst_host", pa.large_string()), ("n", pa.int64())]
+)
+_RANK_SCHEMA = pa.schema([("host", pa.large_string()), ("rank", pa.float64())])
+
+
+def page_links(
+    ds: ray.data.Dataset, html_col: str = "html", url_col: str = "url"
+) -> ray.data.Dataset:
+    """One row per <a href> anchor: (url, href, absolute). HTML bytes
+    are charset-sniffed exactly like the extraction path."""
+    from pdf_extractor_ray.functions.html_extract import sniff_decode
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        urls: list[str] = []
+        hrefs: list[str] = []
+        for url, payload in zip(batch[url_col], batch[html_col]):
+            raw = bytes(payload)
+            if b"<" not in raw[:256]:  # non-HTML payloads carry no anchors
+                continue
+            text, _enc = sniff_decode(raw)
+            for m in _HREF_RE.finditer(text):
+                urls.append(str(url))
+                hrefs.append(m.group(1))
+        absolute = np.fromiter(
+            (1 if _HOST_RE.match(h) else 0 for h in hrefs), dtype=np.int8, count=len(hrefs)
+        )
+        return _typed_table(_LINK_SCHEMA, url=urls, href=hrefs, absolute=absolute)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def host_edges(links: ray.data.Dataset) -> ray.data.Dataset:
+    """Weighted cross-host edges (src_host, dst_host, n) from absolute
+    anchors; pre-aggregated per batch, then one grouped_sum."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        src = batch["url"].astype(str).str.extract(_HOST_RE.pattern, expand=False)
+        dst = batch["href"].astype(str).str.extract(_HOST_RE.pattern, expand=False)
+        ok = src.notna() & dst.notna() & (src != dst)
+        g = (
+            pd.DataFrame({"src_host": src[ok], "dst_host": dst[ok]})
+            .groupby(["src_host", "dst_host"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    return grouped_sum(
+        links.map_batches(f, batch_format="pandas"), ["src_host", "dst_host"], ["n"], counts=False
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "src_host": b["src_host"],
+                "dst_host": b["dst_host"],
+                "n": b["sum_n"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+_PR_BROADCAST_MAX_EDGES = 250_000
+
+
+def _pagerank_local(df: pd.DataFrame, damping: float, n_iters: int) -> pa.Table:
+    """Driver-side vectorized power iteration for BOUNDED edge sets —
+    identical damped/dangling formulation as the BSP tier (tests force
+    both and assert equality)."""
+    hosts = np.unique(np.concatenate([df["src_host"].to_numpy(), df["dst_host"].to_numpy()]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    src = df["src_host"].map(idx).to_numpy(dtype=np.int64)
+    dst = df["dst_host"].map(idx).to_numpy(dtype=np.int64)
+    wgt = df["n"].to_numpy(dtype=np.float64)
+    n = len(hosts)
+    outw = np.zeros(n)
+    np.add.at(outw, src, wgt)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        dangling = rank[outw == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, rank[src] * wgt / outw[src])
+        rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return _typed_table(_RANK_SCHEMA, host=hosts, rank=rank)
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    damping: float = 0.85,
+    n_iters: int = 10,
+    num_partitions: int = 32,
+    broadcast_max_edges: int = _PR_BROADCAST_MAX_EDGES,
+) -> ray.data.Dataset:
+    """Damped PageRank over weighted (src_host, dst_host, n) edges;
+    returns (host, rank) with sum(rank) == 1 to float precision.
+
+    Two tiers: a HOST graph is usually bounded (hosts, not pages), so
+    edge sets within `broadcast_max_edges` run one driver-side numpy
+    power iteration; above the cap, fixed `n_iters` BSP rounds — each
+    round one src-keyed exchange stamps edges with rank/outdegree and
+    one dst-keyed exchange reduces contributions; node and rank tables
+    are host-cardinality and edges are never collected."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(_typed_table(_RANK_SCHEMA))
+    if n_edges <= broadcast_max_edges:
+        df = edges.to_pandas()
+        if "src_host" not in df.columns:
+            return ray.data.from_arrow(_typed_table(_RANK_SCHEMA))
+        return ray.data.from_arrow(_pagerank_local(df, damping, n_iters))
+
+    def norm(t: pa.Table) -> pa.Table:
+        return _typed_table(
+            _EDGE_SCHEMA,
+            src_host=t.column("src_host").cast(pa.large_string()),
+            dst_host=t.column("dst_host").cast(pa.large_string()),
+            n=t.column("n").cast(pa.int64()),
+        )
+
+    edges = edges.map_batches(norm, batch_format="pyarrow").materialize()
+
+    # node table + per-src outweight (sum of edge weights per source)
+    def nodes_of(t: pa.Table) -> pa.Table:
+        hosts = np.unique(
+            np.concatenate(
+                [
+                    t.column("src_host").to_numpy(zero_copy_only=False),
+                    t.column("dst_host").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"host": pa.array(hosts, pa.large_string())})
+
+    nodes = (
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    outw = grouped_sum(edges, ["src_host"], ["n"], counts=False).materialize()
+
+    def part_of(s: pd.Series) -> np.ndarray:
+        return (
+            pd.util.hash_array(s.astype(str).to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+
+    msg_schema = pa.schema(
+        [
+            ("key", pa.large_string()),
+            ("dst", pa.large_string()),
+            ("val", pa.float64()),
+            ("side", pa.int8()),  # 0 = edge, 1 = rank/outw carrier
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def proj_edges(t: pa.Table) -> pa.Table:
+        src = t.column("src_host").to_numpy(zero_copy_only=False)
+        s = pd.Series(src, dtype="object")
+        return _typed_table(
+            msg_schema,
+            key=src,
+            dst=t.column("dst_host").to_numpy(zero_copy_only=False),
+            val=t.column("n").to_numpy(zero_copy_only=False).astype(np.float64),
+            side=np.zeros(t.num_rows, dtype=np.int8),
+            _part=part_of(s),
+        )
+
+    edges_proj = edges.map_batches(proj_edges, batch_format="pyarrow").materialize()
+
+    # rank state lives as a pandas-friendly Dataset (host, rank, outw)
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t.column("host").cast(pa.large_string()),
+                "rank": pa.array(
+                    np.full(t.num_rows, 1.0 / max(n_nodes, 1)), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    outw_pd_schema = pa.schema([("host", pa.large_string()), ("w", pa.float64())])
+    outw = outw.map_batches(
+        lambda t: _typed_table(
+            outw_pd_schema,
+            host=t.column("src_host").cast(pa.large_string()),
+            w=t.column("sum_n").to_numpy(zero_copy_only=False).astype(np.float64),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iters):
+        # dangling mass: ranks of nodes with no outgoing edges. Tiny
+        # grouped reduction (host-cardinality), computed distributed.
+        def carrier_rank(t: pa.Table) -> pa.Table:
+            host = t.column("host").to_numpy(zero_copy_only=False)
+            s = pd.Series(host, dtype="object")
+            return _typed_table(
+                msg_schema,
+                key=host,
+                dst=host,
+                val=t.column("rank").to_numpy(zero_copy_only=False),
+                side=np.ones(t.num_rows, dtype=np.int8),
+                _part=part_of(s),
+            )
+
+        def carrier_outw(t: pa.Table) -> pa.Table:
+            host = t.column("host").to_numpy(zero_copy_only=False)
+            s = pd.Series(host, dtype="object")
+            return _typed_table(
+                msg_schema,
+                key=host,
+                dst=host,
+                val=t.column("w").to_numpy(zero_copy_only=False),
+                side=np.full(t.num_rows, 2, dtype=np.int8),
+                _part=part_of(s),
+            )
+
+        contrib_schema = pa.schema(
+            [("dst", pa.large_string()), ("contrib", pa.float64()), ("dangling", pa.float64())]
+        )
+
+        def contribs(g: pd.DataFrame) -> pa.Table:
+            if g.empty or "side" not in g.columns:
+                return _typed_table(contrib_schema)
+            rk = g[g["side"] == 1].set_index("key")["val"]
+            ow = g[g["side"] == 2].set_index("key")["val"]
+            eg = g[g["side"] == 0]
+            dsts: list = []
+            cons: list = []
+            dangs: list = []
+            if not eg.empty:
+                src_rank = eg["key"].map(rk).to_numpy(dtype=np.float64)
+                src_outw = eg["key"].map(ow).to_numpy(dtype=np.float64)
+                contrib = src_rank * eg["val"].to_numpy(dtype=np.float64) / src_outw
+                dsts.extend(eg["dst"])
+                cons.extend(contrib)
+                dangs.extend([0.0] * len(eg))
+            # dangling: rank carriers whose host has no outweight entry
+            dang = rk[~rk.index.isin(ow.index)]
+            if len(dang):
+                dsts.extend(dang.index)
+                cons.extend([0.0] * len(dang))
+                dangs.extend(dang.to_numpy(dtype=np.float64))
+            return _typed_table(
+                contrib_schema,
+                dst=dsts,
+                contrib=np.array(cons, dtype=np.float64),
+                dangling=np.array(dangs, dtype=np.float64),
+            )
+
+        msgs = (
+            edges_proj.union(
+                ranks.map_batches(carrier_rank, batch_format="pyarrow"),
+                outw.map_batches(carrier_outw, batch_format="pyarrow"),
+            )
+            .groupby("_part")
+            .map_groups(contribs, batch_format="pandas")
+            .materialize()
+        )
+        dangling_mass = float(msgs.sum("dangling") or 0.0)
+
+        # reduce contributions on dst, then rebuild the full rank table
+        # with ONE host-keyed co-shuffle of (nodes UNION in-sums) — a
+        # web-scale host set is ~10^8 rows, so it never touches the
+        # driver; nodes with zero in-links still get the teleport share
+        agg = grouped_sum(msgs, ["dst"], ["contrib"], counts=False)
+        base = (1.0 - damping) / n_nodes + damping * dangling_mass / n_nodes
+
+        def proj_node(t: pa.Table) -> pa.Table:
+            host = t.column("host").to_numpy(zero_copy_only=False)
+            s = pd.Series(host, dtype="object")
+            return _typed_table(
+                msg_schema,
+                key=host,
+                dst=host,
+                val=np.zeros(t.num_rows, dtype=np.float64),
+                side=np.ones(t.num_rows, dtype=np.int8),
+                _part=part_of(s),
+            )
+
+        def proj_insum(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "dst" not in t.column_names:
+                return _typed_table(msg_schema)
+            host = t.column("dst").to_numpy(zero_copy_only=False)
+            s = pd.Series(host, dtype="object")
+            return _typed_table(
+                msg_schema,
+                key=host,
+                dst=host,
+                val=t.column("sum_contrib").to_numpy(zero_copy_only=False),
+                side=np.zeros(t.num_rows, dtype=np.int8),
+                _part=part_of(s),
+            )
+
+        def apply_rank(g: pd.DataFrame) -> pa.Table:
+            # Arrow return keeps column names on empty partitions
+            if g.empty or "side" not in g.columns:
+                return _typed_table(_RANK_SCHEMA)
+            hosts = g.loc[g["side"] == 1, "key"]
+            contrib = g[g["side"] == 0].groupby("key", sort=False)["val"].sum()
+            r = base + damping * hosts.map(contrib).fillna(0.0).to_numpy(dtype=np.float64)
+            return _typed_table(_RANK_SCHEMA, host=hosts.to_numpy(), rank=r)
+
+        ranks = (
+            nodes.map_batches(proj_node, batch_format="pyarrow")
+            .union(agg.map_batches(proj_insum, batch_format="pyarrow"))
+            .groupby("_part")
+            .map_groups(apply_rank, batch_format="pandas")
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: _typed_table(
+            _RANK_SCHEMA,
+            host=t.column("host").cast(pa.large_string()),
+            rank=t.column("rank").to_numpy(zero_copy_only=False),
+        ),
+        batch_format="pyarrow",
+    )

@@ -919,3 +919,74 @@ def test_video_featurize_real_avi(ray_session):
     assert (ok["width"], ok["height"]) == (16, 12) and abs(ok["fps"] - 8.0) < 1e-5
     assert abs(np.linalg.norm(np.asarray(ok["feature"])) - 1.0) < 1e-5
     assert out.iloc[1]["error"] is not None
+
+
+def test_page_links_and_host_edges(ray_session):
+    """Anchor extraction (absolute flag, non-HTML rows contribute
+    nothing) and weighted cross-host edge aggregation."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.linkgraph import host_edges, page_links
+
+    pages = pd.DataFrame(
+        {
+            "url": ["https://a.example/1", "https://b.example/2", "https://c.example/3"],
+            "html": [
+                b'<html><body><a href="https://b.example/x">b</a> '
+                b'<a href="/rel">rel</a> <a href="https://c.example/y">c</a></body></html>',
+                b'<html><body><a href="https://c.example/z">c</a> '
+                b'<a href="https://c.example/w">c2</a></body></html>',
+                b"%PDF-1.4 not html",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(pages).repartition(2)
+    links = page_links(ds).to_pandas().sort_values(["url", "href"]).reset_index(drop=True)
+    assert len(links) == 5
+    assert links.absolute.sum() == 4  # /rel is relative
+    edges = host_edges(page_links(ds)).to_pandas().sort_values(["src_host", "dst_host"])
+    assert edges.values.tolist() == [
+        ["a.example", "b.example", 1],
+        ["a.example", "c.example", 1],
+        ["b.example", "c.example", 2],
+    ]
+
+
+def test_pagerank_tiers_match_reference(ray_session):
+    """Both PageRank tiers (driver-side power iteration and the BSP
+    exchange path) agree with a hand-rolled dense reference, including
+    dangling-mass redistribution; rank mass is conserved."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.linkgraph import pagerank
+
+    edges = pd.DataFrame(
+        {
+            "src_host": ["a", "a", "b"],
+            "dst_host": ["b", "c", "c"],
+            "n": [1, 1, 1],
+        }
+    )  # c is dangling
+    ds = ray.data.from_pandas(edges).repartition(2)
+
+    def reference(n):
+        r = np.full(3, 1 / 3)
+        for _ in range(n):
+            dang = r[2]
+            new = np.full(3, 0.15 / 3 + 0.85 * dang / 3)
+            new[1] += 0.85 * (r[0] / 2)
+            new[2] += 0.85 * (r[0] / 2 + r[1])
+            r = new
+        return r
+
+    fast = pagerank(ds, n_iters=15).to_pandas().sort_values("host").reset_index(drop=True)
+    bsp = (  # fewer rounds: each BSP round is a real exchange
+        pagerank(ds, n_iters=4, broadcast_max_edges=0)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    for out, n in ((fast, 15), (bsp, 4)):
+        assert out.host.tolist() == ["a", "b", "c"]
+        assert np.allclose(out["rank"].to_numpy(), reference(n), atol=1e-12)
+        assert abs(out["rank"].sum() - 1.0) < 1e-9
