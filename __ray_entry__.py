@@ -710,6 +710,18 @@ def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return unigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Conditional-bigram LM quality signal: per-doc log-likelihood
+    under the corpus's own bigram model (ops/text_analysis.
+    bigram_logprob — the next rung after docs_unigram_logprob on the
+    CCNet-style ladder) — fully SQL-oracled against the same exploded
+    adjacent-pair statistics."""
+    from pdf_extractor_ray.ops.text_analysis import bigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
     """C4-style duplicated-span scrub: every token covered by a
     corpus-duplicated 8-token span is removed (ops/scrub.dup_span_scrub;
@@ -1333,8 +1345,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
         "events_interarrival": _events_interarrival,
-        "events_running_total": _events_running_total,
-        "order_price_quantiles": _order_price_quantiles,
         "events_json_props": _events_json_props,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
@@ -1350,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _doc_chunks,
         "docs_gopher_quality": _docs_gopher_quality,
         "docs_unigram_logprob": _docs_unigram_logprob,
+        "docs_bigram_logprob": _docs_bigram_logprob,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
         "docs_dup_components": _docs_dup_components,
         "docs_length_histogram": _docs_length_histogram,
@@ -1358,6 +1369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_host_pagerank": _extract_host_pagerank,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
+        "events_running_total": _events_running_total,
+        "order_price_quantiles": _order_price_quantiles,
         "top10_orders": _top10_orders,
         "extreme_orders_union": _extreme_orders_union,
         "parts_standard_brands": _parts_standard_brands,
@@ -1687,6 +1700,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(ln(c.c) - ln(n.total)) / count(*) AS avg_logprob
             FROM t JOIN c USING (term) CROSS JOIN n
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "docs_bigram_logprob": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                       FROM documents WHERE trim(text) <> ''),
+            g AS (SELECT doc_id, a[i] AS head, a[i] || ' ' || a[i+1] AS gram
+                  FROM t, UNNEST(range(1, len(a))) AS r(i)),
+            c2 AS (SELECT gram, CAST(count(*) AS DOUBLE) AS c2 FROM g GROUP BY gram),
+            c1 AS (SELECT head, CAST(count(*) AS DOUBLE) AS c1 FROM g GROUP BY head)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(ln(c2.c2) - ln(c1.c1)) AS logprob,
+                   sum(ln(c2.c2) - ln(c1.c1)) / count(*) AS avg_logprob
+            FROM g JOIN c2 USING (gram) JOIN c1 USING (head)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
         "top_docs_by_chars": """
             SELECT doc_id, n_chars FROM documents

@@ -360,6 +360,188 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    broadcast_max_terms: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document log-likelihood under the corpus's own CONDITIONAL
+    bigram LM — the next step up from unigram_logprob on the CCNet-style
+    quality ladder (Wenzek et al. 2020 score with a 5-gram KenLM;
+    training the model on the corpus itself keeps the operator
+    self-contained and SQL-oracle-able). Per doc with tokens w_1..w_T
+    (T >= 2; shorter docs have no bigram events and produce no row):
+
+        logprob     = sum_i ln P(w_{i+1} | w_i)
+                    = sum_i (ln c2(w_i, w_{i+1}) - ln c1(w_i))
+        avg_logprob = logprob / n_bigrams      (n_bigrams = T - 1)
+
+    where c2 is the corpus count of the adjacent pair and c1(w) is w's
+    corpus count as a bigram HEAD (the c2 marginal), i.e. maximum-
+    likelihood conditional probabilities.
+
+    Two EXACT tiers, mirroring unigram_logprob's data-movement shape:
+
+    Broadcast tier: one grouped_sum over per-batch (gram, head) partial
+    counts builds both tables; entries with count >= 2 are broadcast —
+    a gram/head absent from its map provably has count 1, so its ln is
+    0.0 exactly — and scoring is shuffle-free. Shuffle tier: (doc_id,
+    head, gram, tf) rows co-shuffle on hash(HEAD) mod P — every
+    occurrence of a gram shares its head, so both c2 (partition-local
+    tf sum per gram) and c1 (per head) are complete in one partition —
+    then on hash(doc_id) mod P for the per-doc reduction. Both tiers
+    use math.log per distinct value and sum each document's rows in
+    (doc_id, gram) order, so results are bit-identical across tiers."""
+    import math
+
+    import ray as _ray
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def _doc_bigram_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, head, gram, tf) — one row per distinct adjacent
+        pair per document (a doc's text lives in ONE row, so its tf is
+        complete here). One vectorized explode/shift pass, no per-row
+        Python loop."""
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "head": pd.Series([], dtype="object"),
+                "gram": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+            }
+        )
+        toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+        if toks.empty:
+            return empty
+        nxt = toks.groupby(level=0).shift(-1)  # next token within the doc
+        mask = nxt.notna()
+        if not mask.any():
+            return empty
+        head = toks[mask].astype(str)
+        ev = pd.DataFrame(
+            {
+                "doc_id": head.index.to_numpy(),
+                "head": head.to_numpy(),
+                "gram": (head + " " + nxt[mask].astype(str)).to_numpy(),
+            }
+        )
+        out = (
+            ev.groupby(["doc_id", "gram"], sort=False)
+            .agg(head=("head", "first"), tf=("head", "size"))
+            .reset_index()
+        )
+        out["tf"] = out["tf"].astype("int64")
+        return out[["doc_id", "head", "gram", "tf"]]
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ev = _doc_bigram_tf(batch)
+        g = ev.groupby("gram", sort=False)["tf"].sum()
+        h = ev.groupby("head", sort=False)["tf"].sum()
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([("g\x1f" + g.index).to_numpy(), ("h\x1f" + h.index).to_numpy()])
+                if len(g)
+                else np.array([], dtype=object),
+                "n": np.concatenate([g.to_numpy(), h.to_numpy()]).astype("int64")
+                if len(g)
+                else np.array([], dtype="int64"),
+            }
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_format="pandas"), ["key"], ["n"], counts=False
+    ).materialize()  # tier decision + (tier-1) collect must not re-aggregate
+
+    def per_doc(out: pd.DataFrame) -> pd.DataFrame:
+        # sum each doc in (doc_id, gram) order (bit-determinism across
+        # tiers); out must carry doc_id, gram, tf, _lp
+        out = out.sort_values(["doc_id", "gram"], kind="stable")
+        g = out.groupby("doc_id", sort=True)
+        res = pd.DataFrame(
+            {
+                "n_bigrams": g["tf"].sum().astype("int64"),
+                "logprob": g["_lp"].sum(),
+            }
+        ).reset_index()
+        res["avg_logprob"] = res["logprob"] / res["n_bigrams"]
+        return res[["doc_id", "n_bigrams", "logprob", "avg_logprob"]]
+
+    def drop_singletons(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["sum_n"] >= 2]
+
+    multi = counts.map_batches(drop_singletons, batch_format="pandas")
+    if multi.count() <= broadcast_max_terms:
+        tbl = multi.to_pandas()  # bounded by broadcast_max_terms
+        ln_map = {k: math.log(int(n)) for k, n in zip(tbl["key"], tbl["sum_n"])}
+        ref = _ray.put(ln_map)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            key = ("bigram", ref.hex())
+            m = _ANALYZER_CACHE.get(key)
+            if m is None:  # resolve the broadcast once per worker process
+                m = _ANALYZER_CACHE[key] = _ray.get(ref)
+            out = _doc_bigram_tf(batch)
+            if out.empty:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_bigrams": pd.Series([], dtype="int64"),
+                        "logprob": pd.Series([], dtype="float64"),
+                        "avg_logprob": pd.Series([], dtype="float64"),
+                    }
+                )
+            # absent => count == 1 => ln == 0.0 exactly
+            ln_c2 = ("g\x1f" + out["gram"]).map(m).fillna(0.0)
+            ln_c1 = ("h\x1f" + out["head"]).map(m).fillna(0.0)
+            out["_lp"] = out["tf"].astype("float64") * (ln_c2 - ln_c1)
+            return per_doc(out)
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- shuffle tier: exact at any vocabulary size ----
+    def add_head_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pd.util.hash_pandas_object(b["head"], index=False).to_numpy()
+        b["_part"] = (h % num_partitions).astype(np.int64)
+        return b
+
+    def score_head_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        c2_tbl = g.groupby("gram", sort=False)["tf"].sum()
+        c1_tbl = g.groupby("head", sort=False)["tf"].sum()
+        # math.log per DISTINCT value, exactly like the broadcast tier
+        ln_c2 = {t: math.log(int(c)) for t, c in c2_tbl.items()}
+        ln_c1 = {t: math.log(int(c)) for t, c in c1_tbl.items()}
+        g["_lp"] = g["tf"].astype("float64") * (
+            g["gram"].map(ln_c2) - g["head"].map(ln_c1)
+        )
+        return g
+
+    def add_doc_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["doc_id"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return b
+
+    def reduce_doc_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return per_doc(g.drop(columns=["_part"]))
+
+    scored = (
+        ds.map_batches(_doc_bigram_tf, batch_format="pandas")
+        .map_batches(add_head_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(score_head_partition, batch_format="pandas")
+    )
+    return (
+        scored.map_batches(add_doc_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(reduce_doc_partition, batch_format="pandas")
+    )
+
+
 def length_histogram(
     ds: ray.data.Dataset, bucket_tokens: int = 64, text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -617,6 +617,75 @@ def test_unigram_logprob_shuffle_tier_matches_broadcast(ray_session):
     assert len(bcast) == 40
 
 
+def test_bigram_logprob_hand_computed(ray_session):
+    """Conditional bigram LM against a hand-computed model: corpus
+    'a b a b' / 'a b c' / 'x' => bigram counts (a b)=3, (b a)=1,
+    (b c)=1; head counts a=3, b=2. P(b|a)=3/3, P(a|b)=1/2, P(c|b)=1/2.
+    Docs with <2 tokens emit no row."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import bigram_logprob
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["a b a b", "a b c", "x", ""]}
+    )
+    out = (
+        bigram_logprob(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ln = math.log
+    # doc 0: (a b) + (b a) + (a b) = 2*ln(3/3) + ln(1/2)
+    exp0 = 2 * (ln(3) - ln(3)) + (ln(1) - ln(2))
+    # doc 1: (a b) + (b c) = ln(3/3) + ln(1/2)
+    exp1 = (ln(3) - ln(3)) + (ln(1) - ln(2))
+    assert out.doc_id.tolist() == [0, 1]  # 1-token and empty docs: no row
+    assert out.n_bigrams.tolist() == [3, 2]
+    assert abs(out.logprob.iloc[0] - exp0) < 1e-12
+    assert abs(out.logprob.iloc[1] - exp1) < 1e-12
+    assert abs(out.avg_logprob.iloc[0] - exp0 / 3) < 1e-12
+    assert out.n_bigrams.dtype == "int64"
+
+
+def test_bigram_logprob_shuffle_tier_matches_broadcast(ray_session):
+    """broadcast_max_terms=0 forces the head-keyed shuffle tier; it must
+    be bit-identical to the broadcast tier (both sum each doc's rows in
+    (doc_id, gram) order with math.log per distinct count), on a corpus
+    with a singleton gram/head tail (pruned from the broadcast map)."""
+    import random
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import bigram_logprob
+
+    rng = random.Random(11)
+    common = ["alpha", "beta", "gamma", "delta"]
+    texts = []
+    for i in range(40):
+        toks = [rng.choice(common) for _ in range(rng.randint(2, 9))]
+        toks += [f"once{i}_{j}" for j in range(rng.randint(0, 2))]  # singleton tail
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+
+    def run(cap):
+        return (
+            bigram_logprob(
+                ray.data.from_pandas(df).repartition(5), broadcast_max_terms=cap
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    bcast, shuf = run(10**6), run(0)
+    pd.testing.assert_frame_equal(bcast, shuf)  # exact, incl. float logprob
+    assert len(bcast) == 40
+
+
 def test_dup_span_scrub_hand_computed(ray_session):
     """C4-style duplicated-span removal against a hand-worked case:
     the shared 3-gram 'a b c' covers tokens in both docs; overlapping
