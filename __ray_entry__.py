@@ -710,6 +710,28 @@ def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return unigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_decontaminated_bloom(sf_dir: str) -> pd.DataFrame:
+    """Huge-blocklist decontamination tier: multi-pattern Rabin-Karp
+    behind per-length Bloom filters with exact byte-set confirmation
+    (ops/scrub.bloom_decontaminate) — bit-identical semantics to the
+    alternation-scan `decontaminate`, so fully SQL-oracled with the
+    same NOT LIKE conjunction."""
+    from pdf_extractor_ray.ops.scrub import bloom_decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    phrases = [
+        "stream merge",
+        "batch window",
+        "row group",
+        "fast key scan",
+        "quantum flux capacitor",
+    ]
+    out = bloom_decontaminate(
+        ds, phrases, keep_cols=["doc_id", "lang", "n_chars"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Conditional-bigram LM quality signal: per-doc log-likelihood
     under the corpus's own bigram model (ops/text_analysis.
@@ -1354,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_ngrams": _docs_dup_ngrams,
         "events_redact_props": _events_redact_props,
         "docs_decontaminated": _docs_decontaminated,
+        "docs_decontaminated_bloom": _docs_decontaminated_bloom,
         "docs_train_test_split": _docs_train_test_split,
         "top_docs_by_chars": _top_docs_by_chars,
         "exact_dedup_docs": _exact_dedup_docs,
@@ -1776,6 +1799,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE text NOT LIKE '%hash value%'
               AND text NOT LIKE '%window table%'
               AND text NOT LIKE '%slow batch%'
+            ORDER BY doc_id
+        """,
+        "docs_decontaminated_bloom": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE text NOT LIKE '%stream merge%'
+              AND text NOT LIKE '%batch window%'
+              AND text NOT LIKE '%row group%'
+              AND text NOT LIKE '%fast key scan%'
+              AND text NOT LIKE '%quantum flux capacitor%'
             ORDER BY doc_id
         """,
         "docs_train_test_split": """

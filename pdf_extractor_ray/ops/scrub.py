@@ -127,6 +127,134 @@ def decontaminate(
 _COMBINE_THRESHOLD = 8
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the huge-blocklist scale tier)
+# ---------------------------------------------------------------------------
+
+# Polynomial rolling-hash base (FNV-64 prime) in uint64 wraparound
+# arithmetic. All constants are explicit np.uint64: mixing a Python int
+# into uint64 math silently promotes to float64 and corrupts hashes.
+_BLOOM_BASE = np.uint64(1099511628211)
+_BLOOM_K = 4  # probes per key; with m = 20n bits, FPR ~ 1e-3
+_BLOOM_CACHE: dict = {}  # per-worker resolved broadcast tables
+
+
+def _bloom_table(
+    phrases: Sequence[str], bits_per_key: int = 20
+) -> dict[int, tuple[int, np.ndarray, frozenset]]:
+    """{utf8_len: (m_bits, bit_array, frozenset_of_phrase_bytes)}.
+
+    Phrases are grouped by UTF-8 byte length so the scan runs ONE
+    rolling hash per distinct length; each group's filter is sized to
+    ~20 bits/key (m rounded up to a power of two for mask indexing).
+    The exact byte-set rides along for candidate confirmation — Bloom
+    hits are verified by set membership, never trusted."""
+    by_len: dict[int, list[bytes]] = {}
+    for p in phrases:
+        b = str(p).encode("utf-8")
+        if b:
+            by_len.setdefault(len(b), []).append(b)
+    tables: dict[int, tuple[int, np.ndarray, frozenset]] = {}
+    for L, blist in sorted(by_len.items()):
+        n = len(blist)
+        m = 1 << max(3, (bits_per_key * n - 1).bit_length())
+        bits = np.zeros(m >> 3, dtype=np.uint8)
+        mat = np.frombuffer(b"".join(blist), dtype=np.uint8).reshape(n, L).astype(np.uint64)
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(L):  # O(L) vectorized passes, build-time only
+            h = h * _BLOOM_BASE + mat[:, j]
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        for i in range(_BLOOM_K):
+            pos = (h + np.uint64(i) * h2) & np.uint64(m - 1)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+            )
+        tables[L] = (m, bits, frozenset(blist))
+    return tables
+
+
+def bloom_decontaminate(
+    ds: ray.data.Dataset,
+    phrases: Sequence[str],
+    text_col: str = "text",
+    keep_cols: Sequence[str] | None = None,
+    bits_per_key: int = 20,
+) -> ray.data.Dataset:
+    """Drop rows whose text contains ANY blocklisted phrase — EXACTLY
+    the `decontaminate` semantics (literal substring), via multi-pattern
+    Rabin-Karp behind a Bloom filter: the huge-blocklist scale tier.
+
+    `decontaminate`'s combined-alternation scan is the right shape for
+    hundreds of phrases, but its cost grows with the pattern count and
+    `re` alternations stop compiling at ~10^5 branches. Here the
+    blocklist is condensed into per-length Bloom filters (~20 bits per
+    phrase) broadcast ONCE via ray.put; each batch then makes one
+    vectorized rolling-hash pass per distinct phrase length over the
+    batch's CONCATENATED UTF-8 bytes (docs separated by 0xFF, a byte
+    that never occurs in valid UTF-8, so no window can falsely span
+    two docs and match) and probes the filter. Only Bloom-positive
+    windows — true hits plus the ~1e-3 false-positive tail — reach the
+    exact byte-set confirmation, so the output is bit-identical to
+    `decontaminate` at ANY filter size: a Bloom filter has no false
+    negatives, and every candidate is verified. UTF-8 byte-level
+    matching is sound for substring semantics because a phrase's
+    encoded bytes occur in a valid UTF-8 stream only at character
+    boundaries (lead bytes never double as continuation bytes)."""
+    import ray as _ray
+
+    plist = [str(p) for p in phrases]
+    ref = _ray.put(_bloom_table(plist, bits_per_key))
+    cols = list(keep_cols) if keep_cols else None
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("bloom", ref.hex())
+        tbl = _BLOOM_CACHE.get(key)
+        if tbl is None:  # resolve the broadcast once per worker process
+            tbl = _BLOOM_CACHE[key] = _ray.get(ref)
+        texts = batch[text_col].astype(str)
+        arrs = [t.encode("utf-8") for t in texts]
+        nd = len(arrs)
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=nd)
+        starts = np.zeros(nd + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=starts[1:])
+        buf = np.full(int(starts[-1]), 0xFF, dtype=np.uint8)
+        for i, a in enumerate(arrs):
+            buf[starts[i] : starts[i] + lens[i]] = np.frombuffer(a, dtype=np.uint8)
+        bufu = buf.astype(np.uint64)
+        flagged = np.zeros(nd, dtype=bool)
+        for L, (m, bits, pset) in tbl.items():
+            nwin = len(bufu) - L + 1
+            if nwin <= 0:
+                continue
+            h = np.zeros(nwin, dtype=np.uint64)
+            for j in range(L):  # O(L) vectorized passes over the batch
+                h = h * _BLOOM_BASE + bufu[j : j + nwin]
+            h2 = (h >> np.uint64(32)) | np.uint64(1)
+            cand = np.ones(nwin, dtype=bool)
+            for i in range(_BLOOM_K):
+                pos = (h + np.uint64(i) * h2) & np.uint64(m - 1)
+                cand &= (
+                    bits[(pos >> np.uint64(3)).astype(np.int64)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)
+                ) & 1 != 0
+                if not cand.any():
+                    break
+            for w in np.nonzero(cand)[0]:
+                d = int(np.searchsorted(starts, w, side="right")) - 1
+                if flagged[d]:
+                    continue
+                # a confirmed window contains no 0xFF separator byte, so
+                # it provably lies inside doc d
+                if buf[w : w + L].tobytes() in pset:
+                    flagged[d] = True
+        kept = batch.loc[~flagged]
+        return kept[cols] if cols else kept
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def dup_ngram_stats(
     ds: ray.data.Dataset, n: int = 5, num_partitions: int = 32
 ) -> ray.data.Dataset:

@@ -95,6 +95,80 @@ def test_decontaminate_drops_only_matching(ray_session):
     assert list(out.columns) == ["doc_id", "lang"]
 
 
+def test_bloom_decontaminate_matches_exact_scan(ray_session):
+    """The Bloom tier's output must be bit-identical to `decontaminate`
+    — even at bits_per_key=1, where nearly every window is a Bloom
+    false positive and only the exact byte-set confirm keeps docs
+    alive."""
+    import random
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import bloom_decontaminate, decontaminate
+
+    rng = random.Random(3)
+    words = ["aa", "bb", "cc", "dd", "é£", "x"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))) for _ in range(80)
+    ]
+    df = pd.DataFrame({"doc_id": range(80), "text": texts, "lang": ["en"] * 80})
+    phrases = [" ".join(rng.choice(words) for _ in range(rng.randint(1, 3))) for _ in range(10)]
+    ds = ray.data.from_pandas(df).repartition(4)
+    exact = (
+        decontaminate(ds, phrases, keep_cols=("doc_id", "lang"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for bpk in (1, 20):
+        got = (
+            bloom_decontaminate(ds, phrases, keep_cols=("doc_id", "lang"), bits_per_key=bpk)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exact)
+    assert 0 < len(exact) < 80  # the phrase list actually dropped something
+
+
+def test_bloom_decontaminate_utf8_boundaries(ray_session):
+    """Multibyte phrases and texts: UTF-8 byte-level windows must match
+    exactly at character boundaries (lead bytes never double as
+    continuation bytes), and the 0xFF doc separator must never join two
+    docs into a phantom match."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import bloom_decontaminate
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "héllo wörld ünïcode",
+                "日本語のテキストです",
+                "plain ascii text",
+                "the naïve café phrase here",
+                # split phrase across two adjacent docs: 'zz q' ends this
+                "ends with zz q",
+                "rst zz continues here",  # ...and 'q rst zz' starts this
+            ],
+        }
+    )
+    out = (
+        bloom_decontaminate(
+            ray.data.from_pandas(df),
+            ["naïve café", "語のテ", "zz qrst zz", "é"],
+            bits_per_key=1,  # max false-positive pressure
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc0/doc3 hit 'é'/'naïve café', doc1 hits '語のテ'; docs 4+5 only
+    # contain the long phrase if windows crossed the separator — they
+    # must survive
+    assert out.doc_id.tolist() == [2, 4, 5]
+
+
 def test_train_test_split_deterministic_and_md5_keyed(ray_session):
     import ray.data
 
