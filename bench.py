@@ -222,6 +222,8 @@ def run_queries() -> dict[str, float]:
         "docs_train_test_split",
         "docs_gopher_quality",
         "docs_unigram_logprob",
+        "docs_bigram_logprob",
+        "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",
         "docs_length_histogram",
@@ -234,6 +236,7 @@ def run_queries() -> dict[str, float]:
         "text_analysis_docs",
         "similarity_topk",
         "similarity_ivf_topk",
+        "docs_semantic_dedup",
         "multimodal_featurize",
         "extract_page_links",
         "extract_host_pagerank",

@@ -1,0 +1,199 @@
+"""Distributed embedding clustering + semantic deduplication.
+
+- kmeans_fit    : spherical k-means (Lloyd) where EVERY iteration is
+  one streaming map_batches pass emitting per-batch partial sums — the
+  only thing that ever reaches the driver is the k x d centroid table
+  (k rows per block pre-combined inside each batch), so the fit
+  streams 100 TB the same way it streams 100 MB.
+- kmeans_assign : one broadcast-and-matmul pass adding the cluster id
+  column (ray.put once, argmax per batch).
+- semantic_dedup: SemDeDup-style near-duplicate pruning (Abbas et al.
+  2023, arXiv:2303.09540): cluster the embedding space, then drop any
+  row whose cosine to an EARLIER (lower-id) member of its own cluster
+  meets the threshold. Clustering bounds the candidate set so the
+  quadratic scan runs per cluster, never corpus-wide; within a cluster
+  the scan is chunked upper-triangle tiles (same memory bound as
+  ops/similarity.embedding_neardup_pairs). Precision is exact by
+  construction (every drop is a verified true pair); recall misses
+  only pairs straddling clusters — pytest pins a recall floor against
+  the exact all-pairs baseline.
+
+Spherical k-means (unit-normalized vectors, cosine assignment,
+renormalized mean update) is the standard choice over embedding
+columns; it is also what ops/similarity.train_centroids runs on its
+driver-side sample — kmeans_fit is the distributed version of the
+same update rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from pdf_extractor_ray.ops.similarity import _normalize_rows, _QUERY_CACHE
+
+
+def _init_centroids(
+    ds: ray.data.Dataset, k: int, sample_rows: int, vec_col: str
+) -> np.ndarray:
+    """Deterministic stride-sample init (limit(), not random_sample —
+    reproducible run to run), normalized."""
+    sample = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in ds.limit(sample_rows).take_all()]
+    )
+    sample = _normalize_rows(sample)
+    cents = sample[:: max(1, len(sample) // k)][:k].copy()
+    return cents
+
+
+def _partial_sums(batch: pd.DataFrame, cref, k: int, vec_col: str) -> pd.DataFrame:
+    """Assign each row to its nearest centroid (cosine argmax; first
+    index wins ties) and emit ONE row per non-empty cluster:
+    (cluster, n, sum) — the batch's complete contribution to the Lloyd
+    update, pre-combined so the exchange carries k rows per block."""
+    if len(batch) == 0:
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "vsum": pd.Series(dtype="object"),
+            }
+        )
+    c = _QUERY_CACHE.get(("km", cref.hex()))
+    if c is None:
+        c = _QUERY_CACHE[("km", cref.hex())] = ray.get(cref)
+    m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+    assign = (m @ c.T).argmax(axis=1)
+    clusters, inv = np.unique(assign, return_inverse=True)
+    sums = np.zeros((len(clusters), m.shape[1]), dtype=np.float64)
+    np.add.at(sums, inv, m)
+    counts = np.bincount(inv, minlength=len(clusters)).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "cluster": clusters.astype(np.int64),
+            "n": counts,
+            "vsum": list(sums),
+        }
+    )
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+) -> np.ndarray:
+    """Distributed spherical k-means. Each Lloyd iteration is one
+    streaming pass: broadcast centroids (ray.put), map_batches emits
+    per-batch partial (cluster, n, sum) rows, and the driver reduces
+    the AT MOST k x #blocks tiny partial table into the next k x d
+    centroid matrix (renormalized mean; an empty cluster keeps its
+    previous centroid). Nothing data-sized ever reaches the driver.
+
+    Partial sums are float64 and the cross-block reduction is summed in
+    cluster-then-block order via pandas groupby — deterministic for a
+    fixed block layout; assignment ties break to the lowest cluster
+    index (np.argmax first-wins)."""
+    cents = _init_centroids(ds, k, sample_rows, vec_col)
+    for _ in range(iters):
+        cref = ray.put(cents)
+        partials = ds.map_batches(
+            _partial_sums,
+            fn_kwargs={"cref": cref, "k": k, "vec_col": vec_col},
+            batch_format="pandas",
+            batch_size=4096,
+        ).to_pandas()  # bounded: <= k rows per input block
+        if partials.empty:
+            break
+        g = partials.groupby("cluster", sort=True)
+        nxt = cents.copy()
+        for cl, grp in g:
+            v = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                nxt[int(cl)] = v / nv
+        cents = nxt
+    return cents
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> ray.data.Dataset:
+    """Add the nearest-centroid id column: broadcast once, one matmul
+    argmax per batch."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        if len(batch) == 0:
+            batch[out_col] = pd.Series(dtype="int64")
+            return batch
+        c = _QUERY_CACHE.get(("km", cref.hex()))
+        if c is None:
+            c = _QUERY_CACHE[("km", cref.hex())] = ray.get(cref)
+        m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        batch[out_col] = (m @ c.T).argmax(axis=1).astype(np.int64)
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=4096)
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic near-duplicate pruning: keep a row iff
+    NO earlier (lower-id) member of its k-means cluster has cosine >=
+    threshold to it. Returns (id_col, cluster) for the kept rows.
+
+    Scale shape: kmeans_fit streams (see above); the per-cluster scan
+    shuffles on the BOUNDED cluster id (n_clusters is the operator's
+    own parameter — the embedding_neardup_pairs precedent, not a
+    high-cardinality key) and runs chunked upper-triangle tiles, so
+    per-group memory is O(block_rows x cluster_size), never the dense
+    quadratic matrix. Every drop is a verified true pair (precision
+    1.0); only cross-cluster pairs can be missed, which is the
+    documented SemDeDup trade — size n_clusters ~ sqrt(N) to balance
+    cluster size against straddle rate."""
+    cents = kmeans_fit(ds, k=n_clusters, iters=iters, vec_col=vec_col)
+    bucketed = kmeans_assign(ds, cents, vec_col=vec_col)
+
+    def prune_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"), "cluster": pd.Series(dtype="int64")}
+        )
+        if g.empty or id_col not in g.columns:
+            return empty
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        cl = g["cluster"].to_numpy(dtype=np.int64)
+        n = len(g)
+        if n == 1:
+            return pd.DataFrame({id_col: ids, "cluster": cl})
+        m = _normalize_rows(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        drop = np.zeros(n, dtype=bool)
+        for i0 in range(0, n, block_rows):
+            i1 = min(i0 + block_rows, n)
+            s = m[i0:i1] @ m.T  # (tile, n) — bounded
+            # row j (global i0+ii) is dropped if ANY strictly-earlier
+            # column meets the threshold ("earlier" = lower id after the
+            # sort; the drop test deliberately includes earlier rows that
+            # are themselves dropped, making the verdict a pure pairwise
+            # predicate — order-free and fully vectorized)
+            earlier = np.arange(n)[None, :] < (np.arange(i0, i1)[:, None])
+            drop[i0:i1] = ((s >= threshold) & earlier).any(axis=1)
+        keep = ~drop
+        return pd.DataFrame({id_col: ids[keep], "cluster": cl[keep]})
+
+    return bucketed.groupby("cluster").map_groups(prune_cluster, batch_format="pandas")

@@ -941,6 +941,91 @@ def test_srp_neardup_matches_exact_on_clusters(ray_session):
     assert (got["cos"] >= 0.98).all()
 
 
+def test_kmeans_fit_recovers_separated_clusters(ray_session):
+    """Distributed spherical k-means on 3 well-separated direction
+    bundles: the fit recovers one centroid per bundle (every member's
+    nearest centroid is its bundle's), deterministically across runs."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(9)
+    base = np.eye(3).repeat(1, axis=0)  # 3 orthogonal directions in R^3
+    vecs, labels = [], []
+    for i in range(3):
+        for _ in range(40):
+            v = base[i] + rng.randn(3) * 0.05
+            vecs.append((v / np.linalg.norm(v)).tolist())
+            labels.append(i)
+    df = pd.DataFrame({"vec_id": range(120), "embedding": vecs, "label": labels})
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    cents = kmeans_fit(ds, k=3, iters=5)
+    assert cents.shape == (3, 3)
+    out = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    # perfect purity: each bundle maps to exactly one cluster id
+    tab = out.groupby("label")["cluster"].nunique()
+    assert (tab == 1).all()
+    assert out.groupby("cluster")["label"].nunique().eq(1).all()
+    # deterministic refit
+    cents2 = kmeans_fit(ds, k=3, iters=5)
+    np.testing.assert_array_equal(cents, cents2)
+
+
+def test_semantic_dedup_single_cluster_equals_exact_baseline(ray_session):
+    """With n_clusters=1 there is no cross-cluster blindness, so the
+    SemDeDup keep-set must EXACTLY equal the all-pairs baseline's
+    earlier-anchor keep-set; at n_clusters>1 every drop must still be a
+    true pair (precision 1.0 by construction)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.cluster import semantic_dedup
+    from pdf_extractor_ray.ops.similarity import embedding_neardup_exact
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).repartition(6)
+    pairs = embedding_neardup_exact(ds, threshold=0.45)
+    dropped_exact = set(pairs["b"].tolist())  # b > a: drop iff ANY earlier pair
+    assert len(dropped_exact) > 0
+
+    kept1 = semantic_dedup(ds, threshold=0.45, n_clusters=1).to_pandas()
+    assert set(range(500)) - set(kept1.vec_id.tolist()) == dropped_exact
+
+    kept8 = semantic_dedup(ds, threshold=0.45, n_clusters=8).to_pandas()
+    dropped8 = set(range(500)) - set(kept8.vec_id.tolist())
+    assert dropped8 <= dropped_exact  # precision 1.0
+    # deterministic
+    again = semantic_dedup(ds, threshold=0.45, n_clusters=8).to_pandas()
+    assert set(again.vec_id.tolist()) == set(kept8.vec_id.tolist())
+
+
+def test_semantic_dedup_drops_tight_duplicates(ray_session):
+    """The SemDeDup operating point: near-identical copies (cos ~0.999)
+    of well-separated bases land in their base's cluster and every copy
+    after the first is dropped — full recall when duplicates are tight,
+    the regime the method is designed for."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.cluster import semantic_dedup
+
+    rng = np.random.RandomState(4)
+    base = rng.randn(6, 16)
+    vecs, ids = [], []
+    vid = 0
+    for i in range(6):
+        for _ in range(5):  # 5 near-copies per base
+            v = base[i] + rng.randn(16) * 0.001
+            vecs.append((v / np.linalg.norm(v)).astype(np.float64).tolist())
+            ids.append(vid)
+            vid += 1
+    df = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    ds = ray.data.from_pandas(df).repartition(4)
+    kept = semantic_dedup(ds, threshold=0.99, n_clusters=6).to_pandas()
+    # exactly one representative per bundle: the lowest id (0,5,10,...)
+    assert sorted(kept.vec_id.tolist()) == [0, 5, 10, 15, 20, 25]
+
+
 def test_srp_neardup_recall_on_fixture_embeddings(ray_session):
     """Recall bound for the REGISTERED driver query's parameters
     (threshold 0.4, 16 bands x 4 bits — see __ray_entry__
