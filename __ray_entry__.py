@@ -758,6 +758,29 @@ def _docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     return bigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_quality_select(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style quality selection: keep the best 25% of documents by
+    corpus-LM avg log-prob via the distributed global-rank primitive
+    (ops/rank.global_rank — range-partition + exact prefix offsets,
+    row_number semantics; the score table is materialized once so the
+    three rank passes never re-run the LM job). Fully SQL-oracled
+    against row_number() OVER (ORDER BY avg_logprob DESC, doc_id)."""
+    from pdf_extractor_ray.ops.rank import select_top_frac
+    from pdf_extractor_ray.ops.text_analysis import unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scores = unigram_logprob(ds).materialize()
+    out = select_top_frac(
+        scores,
+        ["avg_logprob", "doc_id"],
+        [False, True],
+        0.25,
+        keep_cols=["doc_id"],
+        rank_col="lm_rank",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_dup_span_scrub(sf_dir: str) -> pd.DataFrame:
     """C4-style duplicated-span scrub: every token covered by a
     corpus-duplicated 8-token span is removed (ops/scrub.dup_span_scrub;
@@ -1326,16 +1349,16 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 70 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 71 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
 # similarity_topk_filtered, docs_unigram/bigram_logprob,
 # docs_decontaminated_bloom, docs_dup_span_scrub, docs_dup_components,
 # docs_length_histogram, docs_term_postings, extract_page_links,
-# extract_host_pagerank) comes FIRST-50; the 20 entries past position
-# 50 are relational queries oracled GREEN in r1+r2+r3 (they rotate
-# back next round).
+# docs_quality_select, extract_host_pagerank) comes FIRST-50; the 21
+# entries past position 50 are relational queries oracled GREEN in
+# r1+r2+r3 (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1383,7 +1406,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "asof_purchase_view": _asof_purchase_view,
         "events_sessions": _events_sessions,
-        "events_sliding_window": _events_sliding_window,
         "events_json_props": _events_json_props,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
@@ -1401,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_quality": _docs_gopher_quality,
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_bigram_logprob": _docs_bigram_logprob,
+        "docs_quality_select": _docs_quality_select,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
         "docs_dup_components": _docs_dup_components,
         "docs_length_histogram": _docs_length_histogram,
@@ -1409,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_host_pagerank": _extract_host_pagerank,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
+        "events_sliding_window": _events_sliding_window,
         "events_interarrival": _events_interarrival,
         "events_running_total": _events_running_total,
         "order_price_quantiles": _order_price_quantiles,
@@ -1817,6 +1841,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE text NOT LIKE '%hash value%'
               AND text NOT LIKE '%window table%'
               AND text NOT LIKE '%slow batch%'
+            ORDER BY doc_id
+        """,
+        "docs_quality_select": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), t AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), c AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY term
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS total FROM t
+            ), lp AS (
+                SELECT t.doc_id,
+                       sum(ln(c.c) - ln(n.total)) / count(*) AS avg_logprob
+                FROM t JOIN c USING (term) CROSS JOIN n GROUP BY t.doc_id
+            ), r AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS lm_rank,
+                       count(*) OVER () AS n_docs
+                FROM lp
+            )
+            SELECT doc_id, lm_rank FROM r
+            WHERE lm_rank <= CAST(ceil(0.25 * n_docs) AS BIGINT)
             ORDER BY doc_id
         """,
         "docs_decontaminated_bloom": """

@@ -223,6 +223,7 @@ def run_queries() -> dict[str, float]:
         "docs_gopher_quality",
         "docs_unigram_logprob",
         "docs_bigram_logprob",
+        "docs_quality_select",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

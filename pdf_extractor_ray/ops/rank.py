@@ -1,0 +1,163 @@
+"""Distributed global ranking / ordered selection.
+
+`global_rank` assigns the 1-based SQL `row_number() OVER (ORDER BY
+...)` to every row without ever sorting on the driver — the primitive
+behind quality-score selection ("keep the top X% of documents by LM
+score"), curriculum ordering, and ranked exports:
+
+1. **Boundary sample** — each batch contributes a few evenly-strided
+   values of the leading sort key (bounded by sample_per_block x
+   #blocks, the only data-dependent driver collect); their quantiles
+   become num_partitions-1 range boundaries.
+2. **Count pass** — one map_batches assigns each row's range partition
+   by searchsorted (values equal to a boundary consistently go right,
+   so equal leading keys NEVER straddle partitions) and a grouped_sum
+   reduces to one row per partition; the driver prefix-sums those <=P
+   counts into partition rank offsets (tiny, broadcast as a task arg).
+3. **Rank pass** — rows co-shuffle on the range-partition id; each
+   partition sorts locally by the FULL key list and adds offset +
+   local position.
+
+Skewed leading keys make partitions ragged, never wrong: equal values
+co-locate by construction and each partition's offset is exact. Ties
+in the full key list get an arbitrary-but-deterministic order within a
+partition — pass a unique id as the last key for total order (exactly
+like SQL row_number needs a deterministic ORDER BY).
+
+The input is executed once per pass (sample, count, rank). For a
+cheap-to-recompute upstream that is the right trade at scale; when the
+upstream is expensive (an LM-score table), `.materialize()` it first —
+the score table is one slim row per document, the natural artifact a
+training pipeline persists anyway.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def _boundaries(
+    ds: ray.data.Dataset, key: str, num_partitions: int, sample_per_block: int
+) -> np.ndarray:
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({key: batch[key] if key in batch.columns else []})
+        stride = max(1, len(batch) // sample_per_block)
+        return pd.DataFrame({key: batch[key].iloc[::stride].head(sample_per_block)})
+
+    vals = ds.map_batches(sample, batch_format="pandas").to_pandas()[key].to_numpy()
+    if len(vals) == 0:
+        return np.array([])
+    vals = np.sort(vals, kind="stable")
+    cuts = [int(i * len(vals) / num_partitions) for i in range(1, num_partitions)]
+    return np.unique(vals[cuts])
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    ascending: Sequence[bool] | None = None,
+    keep_cols: Sequence[str] | None = None,
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+    sample_per_block: int = 8,
+    top_n: int | None = None,
+    top_frac: float | None = None,
+) -> ray.data.Dataset:
+    """SQL `row_number() OVER (ORDER BY keys...)` as a Ray Dataset op
+    (see module docstring for the three-pass shape). With `top_n` (or
+    `top_frac`, resolved against the count pass's exact total — no
+    extra job), only rows with rank <= the cutoff are emitted —
+    partitions entirely past it are dropped by their offset alone,
+    before sorting a row."""
+    keys = list(keys)
+    asc = list(ascending) if ascending is not None else [True] * len(keys)
+    lead, lead_asc = keys[0], asc[0]
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    bnds = _boundaries(ds, lead, num_partitions, sample_per_block)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        if len(batch) == 0:
+            batch["_rpart"] = pd.Series(dtype="int64")
+            return batch
+        v = batch[lead].to_numpy()
+        batch["_rpart"] = (
+            np.searchsorted(bnds, v, side="right").astype(np.int64)
+            if len(bnds)
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        return batch
+
+    parted = ds.map_batches(add_part, batch_format="pandas")
+
+    # count pass: one tiny row per (block, partition), reduced below
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["_rpart"].value_counts()
+        return pd.DataFrame({"_rpart": vc.index.to_numpy(dtype=np.int64), "n": vc.to_numpy().astype("int64")})
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    counts = grouped_sum(
+        parted.map_batches(local_counts, batch_format="pandas"), ["_rpart"], ["n"], counts=False
+    ).to_pandas()  # <= num_partitions + 1 rows
+    counts = counts.sort_values("_rpart", ascending=lead_asc)  # rank-processing order
+    offs = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts["sum_n"].to_numpy()[:-1], out=offs[1:])
+    offsets = dict(zip(counts["_rpart"].astype(int), offs))
+    total = int(counts["sum_n"].sum())
+    cap = total
+    if top_frac is not None:
+        cap = min(cap, int(math.ceil(top_frac * total)))
+    if top_n is not None:
+        cap = min(cap, top_n)
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = (cols or [c for c in g.columns if c != "_rpart"]) + [rank_col]
+        if g.empty or "_rpart" not in g.columns or lead not in g.columns:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
+        off = offsets[int(g["_rpart"].iloc[0])]
+        if off >= cap:  # whole partition past the cutoff
+            return pd.DataFrame({c: g[c].iloc[:0] for c in out_cols if c != rank_col}).assign(
+                **{rank_col: pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(keys, ascending=asc, kind="stable")
+        g = g.drop(columns=["_rpart"])
+        g[rank_col] = np.arange(off + 1, off + 1 + len(g), dtype=np.int64)
+        if off + len(g) > cap:
+            g = g.iloc[: cap - off]
+        return g[out_cols] if cols is not None else g
+
+    return parted.groupby("_rpart").map_groups(rank_partition, batch_format="pandas")
+
+
+def select_top_frac(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    ascending: Sequence[bool],
+    frac: float,
+    keep_cols: Sequence[str] | None = None,
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Keep the best ceil(frac * N) rows under the given order — the
+    quality-selection pass (CCNet keeps the best-perplexity fraction of
+    each shard; Rae et al. 2021 filter on quality scores). N comes from
+    the count pass, so no extra job runs; the cutoff is exact, not a
+    per-partition approximation. Input is executed per pass —
+    materialize expensive upstreams first (see module docstring)."""
+    return global_rank(
+        ds,
+        keys,
+        ascending,
+        keep_cols=keep_cols,
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+        top_frac=frac,
+    )

@@ -1026,6 +1026,53 @@ def test_semantic_dedup_drops_tight_duplicates(ray_session):
     assert sorted(kept.vec_id.tolist()) == [0, 5, 10, 15, 20, 25]
 
 
+def test_global_rank_matches_row_number(ray_session):
+    """Distributed global rank vs pandas sort_values row numbering:
+    skewed leading key (a hot value bigger than any range partition's
+    fair share), descending lead + ascending tiebreak, string keys, and
+    the top-frac/top-n cutoffs (exact against the full ordering)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import global_rank, select_top_frac
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.randint(0, 50, 3000), np.full(500, 7)])  # hot 7
+    df = pd.DataFrame({"id": range(len(vals)), "v": vals})
+    ds = ray.data.from_pandas(df).repartition(9)
+    ref = df.sort_values(["v", "id"], ascending=[False, True]).reset_index(drop=True)
+
+    out = (
+        global_rank(ds, ["v", "id"], [False, True], rank_col="r")
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    assert (out.r.to_numpy() == np.arange(1, len(df) + 1)).all()
+    assert (out.id.to_numpy() == ref.id.to_numpy()).all()
+
+    sel = (
+        select_top_frac(ds, ["v", "id"], [False, True], 0.25, keep_cols=["id"], rank_col="r")
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    want = int(np.ceil(0.25 * len(df)))
+    assert len(sel) == want
+    assert (sel.id.to_numpy() == ref.id.to_numpy()[:want]).all()
+    assert list(sel.columns) == ["id", "r"]
+
+    # string lead key, ascending
+    sdf = pd.DataFrame({"id": range(200), "s": [f"k{(i * 37) % 50:03d}" for i in range(200)]})
+    sout = (
+        global_rank(ray.data.from_pandas(sdf).repartition(5), ["s", "id"], rank_col="r")
+        .to_pandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    sref = sdf.sort_values(["s", "id"]).reset_index(drop=True)
+    assert (sout.id.to_numpy() == sref.id.to_numpy()).all()
+
+
 def test_srp_neardup_recall_on_fixture_embeddings(ray_session):
     """Recall bound for the REGISTERED driver query's parameters
     (threshold 0.4, 16 bands x 4 bits — see __ray_entry__
