@@ -758,6 +758,23 @@ def _docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     return bigram_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition-signal family (Rae et al. 2021 §A1.1 second
+    table): per-doc top-2/3/4-gram character mass and duplicated-3-gram
+    token coverage (ops/quality.gopher_repetition; dup_n=3 here because
+    the synthetic corpus contains no in-doc duplicated 5-grams — the
+    op's default stays at Gopher's 5). Fully SQL-oracled."""
+    from pdf_extractor_ray.ops.quality import gopher_repetition
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        gopher_repetition(ds, dup_n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_quality_select(sf_dir: str) -> pd.DataFrame:
     """CCNet-style quality selection: keep the best 25% of documents by
     corpus-LM avg log-prob via the distributed global-rank primitive
@@ -1349,16 +1366,16 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 71 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 72 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
 # similarity_topk_filtered, docs_unigram/bigram_logprob,
 # docs_decontaminated_bloom, docs_dup_span_scrub, docs_dup_components,
 # docs_length_histogram, docs_term_postings, extract_page_links,
-# docs_quality_select, extract_host_pagerank) comes FIRST-50; the 21
-# entries past position 50 are relational queries oracled GREEN in
-# r1+r2+r3 (they rotate back next round).
+# docs_quality_select, docs_gopher_repetition, extract_host_pagerank)
+# comes FIRST-50; the 22 entries past position 50 are relational
+# queries oracled GREEN in r1+r2+r3 (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1405,7 +1422,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_agg": _join_priority_agg,
         "q3_shipping_priority": _q3_shipping_priority,
         "asof_purchase_view": _asof_purchase_view,
-        "events_sessions": _events_sessions,
         "events_json_props": _events_json_props,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
@@ -1424,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_bigram_logprob": _docs_bigram_logprob,
         "docs_quality_select": _docs_quality_select,
+        "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
         "docs_dup_components": _docs_dup_components,
         "docs_length_histogram": _docs_length_histogram,
@@ -1432,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_host_pagerank": _extract_host_pagerank,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
+        "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
         "events_interarrival": _events_interarrival,
         "events_running_total": _events_running_total,
@@ -1842,6 +1860,44 @@ def oracle_sql() -> dict[str, str]:
               AND text NOT LIKE '%window table%'
               AND text NOT LIKE '%slow batch%'
             ORDER BY doc_id
+        """,
+        "docs_gopher_repetition": r"""
+            WITH tt AS (SELECT doc_id, length(text) AS text_len,
+                               regexp_split_to_array(trim(text), '\s+') AS a
+                        FROM documents WHERE trim(text) <> ''),
+            g2 AS (SELECT doc_id, array_to_string(a[i:i+1], ' ') AS gram
+                   FROM tt, UNNEST(range(1, len(a))) r(i)),
+            c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id, c * length(gram) AS mass FROM c2
+                   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1),
+            g3 AS (SELECT doc_id, i, array_to_string(a[i:i+2], ' ') AS gram
+                   FROM tt, UNNEST(range(1, len(a)-1)) r(i)),
+            c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+            t3 AS (SELECT doc_id, c * length(gram) AS mass FROM c3
+                   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1),
+            g4 AS (SELECT doc_id, array_to_string(a[i:i+3], ' ') AS gram
+                   FROM tt, UNNEST(range(1, len(a)-2)) r(i)),
+            c4 AS (SELECT doc_id, gram, count(*) AS c FROM g4 GROUP BY doc_id, gram),
+            t4 AS (SELECT doc_id, c * length(gram) AS mass FROM c4
+                   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) = 1),
+            d3 AS (SELECT doc_id, gram FROM g3 GROUP BY doc_id, gram HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT g3.doc_id, r2.p
+                    FROM g3 JOIN d3 USING (doc_id, gram),
+                         UNNEST(range(g3.i, g3.i + 3)) r2(p)),
+            covn AS (SELECT doc_id, count(*) AS ncov FROM cov GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(len(tt.a), 0) AS BIGINT) AS n_words,
+                   COALESCE(CAST(t2.mass AS DOUBLE) / tt.text_len, 0.0) AS top2_frac,
+                   COALESCE(CAST(t3.mass AS DOUBLE) / tt.text_len, 0.0) AS top3_frac,
+                   COALESCE(CAST(t4.mass AS DOUBLE) / tt.text_len, 0.0) AS top4_frac,
+                   COALESCE(CAST(covn.ncov AS DOUBLE) / len(tt.a), 0.0) AS dup3_frac
+            FROM documents d
+            LEFT JOIN tt ON d.doc_id = tt.doc_id
+            LEFT JOIN t2 ON d.doc_id = t2.doc_id
+            LEFT JOIN t3 ON d.doc_id = t3.doc_id
+            LEFT JOIN t4 ON d.doc_id = t4.doc_id
+            LEFT JOIN covn ON d.doc_id = covn.doc_id
+            ORDER BY d.doc_id
         """,
         "docs_quality_select": r"""
             WITH toks AS (

@@ -224,6 +224,7 @@ def run_queries() -> dict[str, float]:
         "docs_unigram_logprob",
         "docs_bigram_logprob",
         "docs_quality_select",
+        "docs_gopher_repetition",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -11,6 +11,7 @@ oracle (docs_gopher_quality in __ray_entry__).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -94,4 +95,105 @@ def gopher_filter(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Data
     return ds.map_batches(drop, batch_format="pyarrow")
 
 
-__all__ = ["gopher_signals", "gopher_quality", "gopher_filter", "STOP_WORDS"]
+def _repetition_frame(texts: pd.Series, top_ns=(2, 3, 4), dup_n: int = 5) -> pd.DataFrame:
+    """Gopher REPETITION signals (Rae et al. 2021 §A1.1's second
+    family) for a positionally-indexed text series, one vectorized
+    pass, no per-row Python loop:
+
+    - top{n}_frac (n in top_ns): characters claimed by the single most
+      frequent in-document word n-gram — occurrences x gram length /
+      text length (ties break to the lexicographically smallest gram;
+      0.0 when the doc has fewer than n tokens).
+    - dup{dup_n}_frac: fraction of TOKEN POSITIONS covered by at least
+      one in-document word dup_n-gram that occurs 2+ times (interval
+      union, so overlapping duplicated grams never double-count).
+
+    Definitions are pinned here and mirrored verbatim by the
+    docs_gopher_repetition DuckDB oracle."""
+    texts = texts.reset_index(drop=True).astype(str)
+    text_len = texts.str.len().to_numpy()
+    toks = texts.str.split().explode().dropna()
+    toks = toks[toks != ""]
+    n_words = (
+        toks.groupby(level=0).size().reindex(pd.RangeIndex(len(texts))).fillna(0).astype("int64")
+    )
+    out = pd.DataFrame({"n_words": n_words})
+
+    def gram_series(n: int) -> tuple[pd.Series, np.ndarray]:
+        """(grams, start_positions): grams keep toks' row labels; the
+        start array is POSITIONALLY aligned (never .loc on the
+        duplicate-labeled row index)."""
+        g = toks
+        for j in range(1, n):
+            g = g + " " + toks.groupby(level=0).shift(-j)
+        valid = g.notna().to_numpy()  # NaN propagated through tail shifts
+        starts = toks.groupby(level=0).cumcount().to_numpy()[valid]
+        return g[valid], starts
+
+    for n in top_ns:
+        g, _ = gram_series(n)
+        if g.empty:
+            out[f"top{n}_frac"] = 0.0
+            continue
+        vc = g.groupby([g.index, g.values]).size().reset_index()
+        vc.columns = ["row", "gram", "cnt"]
+        vc = vc.sort_values(["row", "cnt", "gram"], ascending=[True, False, True], kind="stable")
+        top = vc.groupby("row", sort=False).first()
+        frac = (top["cnt"] * top["gram"].str.len()) / text_len[top.index]
+        out[f"top{n}_frac"] = (
+            pd.Series(frac, index=top.index).reindex(out.index).fillna(0.0).astype("float64")
+        )
+
+    g, starts = gram_series(dup_n)
+    col = f"dup{dup_n}_frac"
+    if g.empty:
+        out[col] = 0.0
+    else:
+        ev = pd.DataFrame({"row": g.index, "gram": g.values, "start": starts})
+        # dup occurrences: (row, gram) groups of size >= 2
+        sizes = ev.groupby(["row", "gram"])["start"].transform("size")
+        dup = ev[sizes >= 2]
+        if dup.empty:
+            out[col] = 0.0
+        else:
+            # interval union over fixed-length windows: explode starts to
+            # covered token positions, dedupe, count per row
+            rows = np.repeat(dup["row"].to_numpy(), dup_n)
+            cover = np.repeat(dup["start"].to_numpy(), dup_n) + np.tile(
+                np.arange(dup_n), len(dup)
+            )
+            covered = (
+                pd.DataFrame({"row": rows, "p": cover})
+                .drop_duplicates()
+                .groupby("row")
+                .size()
+            )
+            out[col] = (
+                (covered / n_words).reindex(out.index).fillna(0.0).astype("float64")
+            )
+    return out
+
+
+def gopher_repetition(
+    ds: ray.data.Dataset, text_col: str = "text", top_ns=(2, 3, 4), dup_n: int = 5
+) -> ray.data.Dataset:
+    """Per-document repetition signal table (doc_id, n_words,
+    top2/3/4_frac, dup5_frac) — row-local, shuffle-free, one vectorized
+    pandas pass per batch (see _repetition_frame for the pinned
+    definitions)."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = _repetition_frame(batch[text_col], top_ns=top_ns, dup_n=dup_n)
+        sig.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return sig
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+__all__ = [
+    "gopher_signals",
+    "gopher_quality",
+    "gopher_filter",
+    "gopher_repetition",
+    "STOP_WORDS",
+]

@@ -1026,6 +1026,40 @@ def test_semantic_dedup_drops_tight_duplicates(ray_session):
     assert sorted(kept.vec_id.tolist()) == [0, 5, 10, 15, 20, 25]
 
 
+def test_gopher_repetition_hand_computed(ray_session):
+    """Repetition signals against a hand-worked doc:
+    'a b a b a b c' -> top-2-gram 'a b' x3 (mass 9/13), dup-3-grams
+    'a b a' (x2, starts 0,2) and 'b a b' (x2, starts 1,3) cover token
+    positions 0..5 of 7 (interval union — no double count). Docs with
+    too few tokens and empty docs emit zeroed rows."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import gopher_repetition
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b a b a b c", "x y", ""]}
+    )
+    out = (
+        gopher_repetition(ray.data.from_pandas(df).repartition(2), dup_n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_words.tolist() == [7, 2, 0]
+    assert abs(out.top2_frac.iloc[0] - 3 * 3 / 13) < 1e-12
+    # 'a b a' and 'b a b' both repeat; 6 of 7 positions covered
+    assert abs(out.dup3_frac.iloc[0] - 6 / 7) < 1e-12
+    # doc 1: one 2-gram 'x y' (count 1, mass 3/3), no 3-grams
+    assert abs(out.top2_frac.iloc[1] - 3 / 3) < 1e-12
+    assert out.top3_frac.iloc[1] == 0.0 and out.dup3_frac.iloc[1] == 0.0
+    assert (out.iloc[2][["top2_frac", "top3_frac", "top4_frac", "dup3_frac"]] == 0).all()
+    # tie-break: two grams tied at count 2 -> lexicographically smallest
+    df2 = pd.DataFrame({"doc_id": [0], "text": ["z w z w q q q q"]})
+    out2 = gopher_repetition(ray.data.from_pandas(df2), dup_n=3).to_pandas()
+    # 2-gram counts: 'z w' x2, 'w z' x1, 'q q' x3 -> 'q q' wins (count)
+    assert abs(out2.top2_frac.iloc[0] - 3 * 3 / 15) < 1e-12
+
+
 def test_global_rank_matches_row_number(ray_session):
     """Distributed global rank vs pandas sort_values row numbering:
     skewed leading key (a hot value bigger than any range partition's
