@@ -775,6 +775,22 @@ def _docs_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_nb_lang(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes language classifier fit on the corpus's
+    own (lang, text) pairs and self-predicted (ops/classify — the
+    linear text-classifier gate of large-corpus quality pipelines;
+    Manning et al. 2008 ch. 13, Laplace alpha=1). Exact-term tier
+    here; the hashed-feature scale tier is pinned equal in pytest.
+    Fully SQL-oracled, including the argmax tie-break to the
+    lexicographically smallest class."""
+    from pdf_extractor_ray.ops.classify import nb_fit, nb_predict
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    model = nb_fit(ds, label_col="lang")
+    out = nb_predict(ds, model).to_pandas().rename(columns={"pred": "pred_lang"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_quality_select(sf_dir: str) -> pd.DataFrame:
     """CCNet-style quality selection: keep the best 25% of documents by
     corpus-LM avg log-prob via the distributed global-rank primitive
@@ -1366,16 +1382,17 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 72 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 73 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
 # similarity_topk_filtered, docs_unigram/bigram_logprob,
 # docs_decontaminated_bloom, docs_dup_span_scrub, docs_dup_components,
 # docs_length_histogram, docs_term_postings, extract_page_links,
-# docs_quality_select, docs_gopher_repetition, extract_host_pagerank)
-# comes FIRST-50; the 22 entries past position 50 are relational
-# queries oracled GREEN in r1+r2+r3 (they rotate back next round).
+# docs_quality_select, docs_gopher_repetition, docs_nb_lang,
+# extract_host_pagerank) comes FIRST-50; the 23 entries past position
+# 50 are relational queries oracled GREEN in r1+r2+r3 (they rotate
+# back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1422,7 +1439,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority_agg": _join_priority_agg,
         "q3_shipping_priority": _q3_shipping_priority,
         "asof_purchase_view": _asof_purchase_view,
-        "events_json_props": _events_json_props,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "doc_top_terms": _doc_top_terms,
@@ -1441,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_logprob": _docs_bigram_logprob,
         "docs_quality_select": _docs_quality_select,
         "docs_gopher_repetition": _docs_gopher_repetition,
+        "docs_nb_lang": _docs_nb_lang,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
         "docs_dup_components": _docs_dup_components,
         "docs_length_histogram": _docs_length_histogram,
@@ -1449,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_host_pagerank": _extract_host_pagerank,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
+        "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
         "events_interarrival": _events_interarrival,
@@ -1898,6 +1916,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t4 ON d.doc_id = t4.doc_id
             LEFT JOIN covn ON d.doc_id = covn.doc_id
             ORDER BY d.doc_id
+        """,
+        "docs_nb_lang": r"""
+            WITH tk AS (
+                SELECT doc_id, lang, t.term
+                FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) t(term)
+                WHERE t.term <> ''
+            ),
+            cls AS (SELECT lang AS c, count(*) AS nd FROM documents GROUP BY lang),
+            tot_docs AS (SELECT count(*) AS n FROM documents),
+            ct AS (SELECT lang AS c, term, count(*) AS cnt FROM tk GROUP BY lang, term),
+            ctot AS (SELECT c, sum(cnt) AS t FROM ct GROUP BY c),
+            voc AS (SELECT count(DISTINCT term) AS v FROM tk),
+            dt AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+            contrib AS (
+                SELECT dt.doc_id, cls.c,
+                       sum(dt.tf * (ln(COALESCE(ct.cnt, 0) + 1.0)
+                                    - ln(ctot.t + 1.0 * voc.v))) AS s
+                FROM dt
+                CROSS JOIN cls
+                JOIN ctot ON ctot.c = cls.c
+                CROSS JOIN voc
+                LEFT JOIN ct ON ct.c = cls.c AND ct.term = dt.term
+                GROUP BY dt.doc_id, cls.c, ctot.t, voc.v
+            ),
+            scores AS (
+                SELECT d.doc_id, cls.c,
+                       ln(cls.nd) - ln(tot_docs.n) + COALESCE(contrib.s, 0.0) AS score
+                FROM documents d CROSS JOIN cls CROSS JOIN tot_docs
+                LEFT JOIN contrib ON contrib.doc_id = d.doc_id AND contrib.c = cls.c
+            )
+            SELECT doc_id, c AS pred_lang, score
+            FROM scores
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) = 1
+            ORDER BY doc_id
         """,
         "docs_quality_select": r"""
             WITH toks AS (

@@ -225,6 +225,7 @@ def run_queries() -> dict[str, float]:
         "docs_bigram_logprob",
         "docs_quality_select",
         "docs_gopher_repetition",
+        "docs_nb_lang",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

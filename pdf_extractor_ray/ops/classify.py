@@ -1,0 +1,216 @@
+"""Multinomial Naive Bayes text classifier over the documents table —
+the classic linear text classifier that large-corpus pipelines run as
+a quality / language / domain gate (GPT-3 and LLaMA data recipes use a
+linear classifier over text features for quality filtering; the public
+formulation here is Manning, Raghavan & Schütze 2008 ch. 13 with
+Laplace smoothing).
+
+Fit is a distributed (label, term) count aggregate (one row per
+distinct (label, term), never one per token); the model is a bounded
+broadcast table; prediction is a shuffle-free vectorized pass per
+batch. Per document d and class c:
+
+    score(d, c) = ln(n_docs_c) - ln(n_docs)
+                + sum_t tf_t * (ln(count_{c,t} + alpha) - ln(T_c + alpha * V))
+
+with T_c the class token total and V the feature-vocabulary size; a
+term unseen in class c contributes the count_{c,t} = 0 default. The
+prediction is the argmax over classes, ties broken to the
+lexicographically smallest class name.
+
+Scale tiers (tfidf_topk's data-movement decision applied to the model
+table):
+
+- exact-term tier (vocabulary <= broadcast_max_terms): per-term
+  log-likelihood columns, V = distinct corpus terms; fully
+  SQL-expressible (docs_nb_lang oracle in __ray_entry__).
+- hashed-feature tier (the hashing trick, Weinberger et al. 2009,
+  "Feature Hashing for Large Scale Multitask Learning"): term ->
+  hash(term) mod n_buckets at BOTH fit and predict, so the model is at
+  most n_classes x n_buckets rows no matter how large the corpus
+  vocabulary grows, and V = the number of OCCUPIED buckets. Bucket
+  counts derive from the exact (label, term) count table
+  distributedly — no second corpus pass. With a collision-free bucket
+  assignment this tier reproduces the exact tier's predictions, with
+  scores equal up to float reassociation (the summands are the same
+  set, ordered by bucket instead of term) — pinned in
+  tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from pdf_extractor_ray.ops.text_analysis import _ANALYZER_CACHE, _doc_term_tf
+
+
+@dataclass
+class NBModel:
+    """Broadcastable fitted model: `table` holds one row per OBSERVED
+    (feature) with one float64 log-likelihood column per class;
+    features absent from the table take the per-class `default`
+    (the count-zero smoothing term)."""
+
+    classes: list[str]
+    log_prior: np.ndarray  # (n_classes,) float64, class order = self.classes
+    table: pd.DataFrame  # index: feature (str term | int64 bucket); cols: classes
+    default: np.ndarray  # (n_classes,) float64
+    n_buckets: int = 0  # 0 = exact-term tier
+    meta: dict = field(default_factory=dict)  # vocab size, token totals (for tests)
+
+
+def _bucketize(terms: pd.Series, n_buckets: int) -> np.ndarray:
+    """Stable term -> bucket assignment (pandas' deterministic
+    fixed-key hash — identical across workers and sessions)."""
+    return (
+        pd.util.hash_pandas_object(terms, index=False).to_numpy() % np.uint64(n_buckets)
+    ).astype("int64")
+
+
+def nb_fit(
+    ds: ray.data.Dataset,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    broadcast_max_terms: int = 1_000_000,
+    n_buckets: int = 1 << 20,
+) -> NBModel:
+    """Distributed fit: per-batch partial (label, term, n) counts ->
+    grouped_sum shuffle (rows = distinct (label, term) per batch, never
+    per token) -> bounded driver-side model build. Class priors come
+    from a tiny per-label doc-count aggregate."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.set_index(label_col)[text_col].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        vc = toks.groupby([toks.index, toks.values]).size()
+        out = vc.reset_index()
+        out.columns = ["label", "term", "n"]
+        out["n"] = out["n"].astype("int64")
+        out["term"] = out["term"].astype(str)
+        return out
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_format="pandas"), ["label", "term"], ["n"],
+        counts=False,
+    ).materialize()  # reused for the tier decision + (maybe) re-bucketing
+
+    def local_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[label_col].value_counts()
+        return pd.DataFrame({"label": vc.index.astype(str), "nd": vc.to_numpy().astype("int64")})
+
+    prior_tbl = grouped_sum(
+        ds.map_batches(local_docs, batch_format="pandas"), ["label"], ["nd"], counts=False
+    ).to_pandas()  # n_classes rows
+    classes = sorted(prior_tbl["label"].astype(str))
+    nd = prior_tbl.set_index("label")["sum_nd"].astype("int64")
+    n_docs = int(nd.sum())
+    log_prior = np.array([math.log(int(nd[c])) - math.log(n_docs) for c in classes])
+
+    vocab_n = grouped_sum(counts, ["term"], ["sum_n"], counts=False).count()
+    if vocab_n <= broadcast_max_terms:
+        tbl = counts.to_pandas()  # <= n_classes * broadcast_max_terms rows
+        tbl["feature"] = tbl["term"].astype(str)
+        v_size, buckets = int(vocab_n), 0
+    else:
+        # hashing trick: derive bucket counts FROM the term-count table
+        def to_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "label": b["label"].astype(str),
+                    "feature": _bucketize(b["term"].astype(str), n_buckets),
+                    "n": b["sum_n"].astype("int64"),
+                }
+            )
+
+        bucketed = grouped_sum(
+            counts.map_batches(to_bucket, batch_format="pandas"),
+            ["label", "feature"],
+            ["n"],
+            counts=False,
+        ).materialize()
+        v_size = int(grouped_sum(bucketed, ["feature"], ["sum_n"], counts=False).count())
+        tbl = bucketed.to_pandas()  # <= n_classes * n_buckets rows
+        buckets = n_buckets
+
+    totals = tbl.groupby("label")["sum_n"].sum().astype("int64")
+    ln_denom = {c: math.log(int(totals.get(c, 0)) + alpha * v_size) for c in classes}
+    # ln(count + alpha) per observed (class, feature); math.log per cell
+    # (not np.log) so both tiers and the SQL oracle agree to the ulp
+    tbl["_ll"] = [
+        math.log(int(n) + alpha) - ln_denom[c] for c, n in zip(tbl["label"], tbl["sum_n"])
+    ]
+    wide = tbl.pivot_table(index="feature", columns="label", values="_ll", aggfunc="first")
+    default = np.array([math.log(alpha) - ln_denom[c] for c in classes])
+    for i, c in enumerate(classes):
+        if c not in wide.columns:
+            wide[c] = np.nan
+        wide[c] = wide[c].fillna(default[i])
+    wide = wide[classes].astype("float64")
+    return NBModel(
+        classes=classes,
+        log_prior=log_prior,
+        table=wide,
+        default=default,
+        n_buckets=buckets,
+        meta={"vocab": v_size, "n_docs": n_docs, "alpha": alpha},
+    )
+
+
+def nb_predict(
+    ds: ray.data.Dataset,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Shuffle-free scoring: broadcast the model once (ray.put,
+    resolved once per worker process), one vectorized
+    explode/merge/groupby-sum pass per batch. Token-less documents
+    still emit a row (prior-only argmax). Per-doc term contributions
+    sum in (doc, feature) order, so each tier is bit-deterministic
+    across batch layouts and partitionings."""
+    ref = ray.put(model)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("nb", ref.hex())
+        m: NBModel = _ANALYZER_CACHE.get(key)
+        if m is None:
+            m = _ANALYZER_CACHE[key] = ray.get(ref)
+        tf = _doc_term_tf(batch.rename(columns={id_col: "doc_id"}), text_col)
+        if m.n_buckets:
+            tf["feature"] = _bucketize(tf["term"], m.n_buckets)
+        else:
+            tf["feature"] = tf["term"]
+        tf = tf.sort_values(["doc_id", "feature"], kind="stable")
+        ll = m.table.reindex(tf["feature"])  # absent feature -> NaN row
+        scores = pd.DataFrame(index=pd.Index(batch[id_col], name="doc_id"))
+        w = tf["tf"].to_numpy().astype("float64")
+        for i, c in enumerate(m.classes):
+            contrib = w * np.nan_to_num(
+                ll[c].to_numpy(), nan=m.default[i]
+            )  # unseen feature -> smoothing default
+            per_doc = pd.Series(contrib).groupby(tf["doc_id"].to_numpy()).sum()
+            scores[c] = per_doc.reindex(scores.index).fillna(0.0) + m.log_prior[i]
+        arr = scores.to_numpy()
+        best = arr.argmax(axis=1)  # argmax takes the FIRST max: ties break
+        # to the lexicographically smallest class (classes are sorted)
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "pred": np.array(m.classes, dtype=object)[best],
+                "score": arr[np.arange(len(arr)), best],
+            }
+        )
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+__all__ = ["NBModel", "nb_fit", "nb_predict"]

@@ -1225,3 +1225,63 @@ def test_pagerank_tiers_match_reference(ray_session):
         assert out.host.tolist() == ["a", "b", "c"]
         assert np.allclose(out["rank"].to_numpy(), reference(n), atol=1e-12)
         assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def test_naive_bayes_hand_computed(ray_session):
+    """NB fit/predict against a hand-worked 2-class corpus: class a
+    tokens {x:3,y:1,z:1} (T=5), class b {y:3,z:3} (T=6), V=3, alpha=1.
+    ll(a,x)=ln4-ln8; unseen x in b takes the default ln1-ln9."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.classify import nb_fit, nb_predict
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "lang": ["a", "a", "b", "b"],
+            "text": ["x x y", "x z", "y y z", "y z z"],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    m = nb_fit(ds)
+    assert m.classes == ["a", "b"] and m.meta["vocab"] == 3
+    assert abs(m.table.loc["x", "a"] - (math.log(4) - math.log(8))) < 1e-12
+    assert abs(m.default[1] - (math.log(1) - math.log(9))) < 1e-12
+    pred = nb_predict(ds, m).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    s_a = math.log(0.5) + 2 * (math.log(4) - math.log(8)) + (math.log(2) - math.log(8))
+    assert pred.pred.tolist() == ["a", "a", "b", "b"]
+    assert abs(pred.score.iloc[0] - s_a) < 1e-12
+    # token-less doc still emits a prior-only row (argmax of priors;
+    # equal priors here tie-break to the lexicographically first class)
+    df2 = pd.DataFrame({"doc_id": [9], "lang": ["b"], "text": [""]})
+    p2 = nb_predict(ray.data.from_pandas(df2), m).to_pandas()
+    assert p2.pred.iloc[0] == "a" and abs(p2.score.iloc[0] - math.log(0.5)) < 1e-12
+
+
+def test_naive_bayes_hashed_tier_matches_exact(ray_session):
+    """Hashed-feature scale tier with a collision-free bucket space
+    (2^40 buckets over a 31-term vocabulary) must reproduce the exact
+    tier's occupied-bucket vocabulary, every prediction, and scores up
+    to float reassociation; self-accuracy must beat the majority-class
+    baseline (the classifier has real signal, not just priors)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.classify import nb_fit, nb_predict
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    exact = nb_fit(docs)
+    hashed = nb_fit(docs, broadcast_max_terms=10, n_buckets=1 << 40)
+    assert hashed.n_buckets == 1 << 40
+    assert hashed.meta["vocab"] == exact.meta["vocab"]
+    pe = nb_predict(docs, exact).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ph = nb_predict(docs, hashed).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (pe.pred == ph.pred).all()
+    assert (pe.score - ph.score).abs().max() < 1e-9
+    truth = docs.to_pandas()[["doc_id", "lang"]]
+    j = pe.merge(truth, on="doc_id")
+    majority = truth.lang.value_counts().max() / len(truth)
+    assert (j.pred == j.lang).mean() > majority
