@@ -791,6 +791,25 @@ def _docs_nb_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _media_image_neardup(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash image near-dedup over the real-binary media
+    table (LAION-style image dedup): decode -> 64-bit aHash in an
+    actor pool -> pigeonhole hamming-bucket pair search (machinery
+    shared with simhash text dedup) -> drop the larger id of every
+    verified pair. Rows-only (binary decode is not SQL-expressible);
+    pair-set parity vs a brute-force hamming scan is pinned in
+    pytest."""
+    from pdf_extractor_ray.ops.multimodal import image_dedup
+
+    kept = image_dedup(_media_table(sf_dir, "image"), max_hamming=3).to_pandas()
+    return (
+        kept[["media_id"]]
+        .assign(media_id=lambda d: d.media_id.astype("int64"))
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_quality_select(sf_dir: str) -> pd.DataFrame:
     """CCNet-style quality selection: keep the best 25% of documents by
     corpus-LM avg log-prob via the distributed global-rank primitive
@@ -1382,7 +1401,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 73 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 74 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
@@ -1390,9 +1409,9 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_decontaminated_bloom, docs_dup_span_scrub, docs_dup_components,
 # docs_length_histogram, docs_term_postings, extract_page_links,
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
-# extract_host_pagerank) comes FIRST-50; the 23 entries past position
-# 50 are relational queries oracled GREEN in r1+r2+r3 (they rotate
-# back next round).
+# media_image_neardup, extract_host_pagerank) comes FIRST-50; the 24
+# entries past position 50 are relational queries oracled GREEN in
+# r1+r2+r3 (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1449,7 +1468,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated": _docs_decontaminated,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
         "docs_train_test_split": _docs_train_test_split,
-        "top_docs_by_chars": _top_docs_by_chars,
         "exact_dedup_docs": _exact_dedup_docs,
         "doc_chunks": _doc_chunks,
         "docs_gopher_quality": _docs_gopher_quality,
@@ -1458,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_select": _docs_quality_select,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
+        "media_image_neardup": _media_image_neardup,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
         "docs_dup_components": _docs_dup_components,
         "docs_length_histogram": _docs_length_histogram,
@@ -1466,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_host_pagerank": _extract_host_pagerank,
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
+        "top_docs_by_chars": _top_docs_by_chars,
         "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,

@@ -226,6 +226,7 @@ def run_queries() -> dict[str, float]:
         "docs_quality_select",
         "docs_gopher_repetition",
         "docs_nb_lang",
+        "media_image_neardup",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -845,54 +845,66 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) -> ray.data.Dataset:
-    """Near-dedup by simhash: bucket on 4 x 16-bit key segments (any
-    pair within hamming distance 3 of 64 bits shares at least one
-    16-bit segment exactly — pigeonhole), verify hamming, keep min id.
+def hash64_pigeonhole_pairs(
+    sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    num_partitions: int = 32,
+    hot_bucket_cap: int = 512,
+) -> ray.data.Dataset:
+    """Generic pigeonhole candidate machinery over 64-bit signatures
+    (shared by simhash text dedup and perceptual-hash image dedup):
+    split each hash into max_hamming + 1 contiguous bit segments — two
+    hashes within the hamming budget MUST agree exactly on at least
+    one segment — bucket on (seg_id, seg_val), co-shuffle buckets on
+    hash(bucket) mod P, and hamming-verify inside multi-member buckets
+    only. Emits the DISTINCT (a, b) pair Dataset with a < b (a pair
+    sharing several segments is found in several buckets; the shared
+    dedup_pairs_ds shuffle collapses the copies exactly once).
 
-    Drop heuristic: the larger id of every verified pair is dropped
-    (no cross-partition transitivity guarantee — a<b<c chains drop
-    both b and c even if only a~b and b~c — acceptable for near-dup
-    removal and deterministic). The pair list stays a Dataset; the
-    corpus is filtered by a distributed LEFT ANTI join, never a
-    driver-side set."""
-    sigs = simhash_signatures(ds, ngram=ngram)
-
-    num_partitions = 32
+    Buckets over `hot_bucket_cap` (a segment value shared corpus-wide
+    — short/boilerplate content) switch to STAR comparison against the
+    bucket's min id: O(k) instead of O(k^2); a pair only escapes if
+    every one of its shared segments is hot."""
+    n_segs = max_hamming + 1
+    bounds = [(64 * s) // n_segs for s in range(n_segs + 1)]
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy().astype(np.uint64)  # (n,)
+        h = batch[hash_col].to_numpy().astype(np.uint64)  # (n,)
         n = h.shape[0]
         segs = np.stack(
-            [(h >> np.uint64(16 * s)) & np.uint64(0xFFFF) for s in range(4)], axis=1
-        )  # (n, 4)
+            [
+                (h >> np.uint64(bounds[s])) & np.uint64((1 << (bounds[s + 1] - bounds[s])) - 1)
+                for s in range(n_segs)
+            ],
+            axis=1,
+        )  # (n, n_segs)
         flat = segs.reshape(-1)
-        seg_ids = np.tile(np.arange(4, dtype=np.int64), n)
+        seg_ids = np.tile(np.arange(n_segs, dtype=np.int64), n)
         return pd.DataFrame(
             {
                 "seg_id": seg_ids,
                 "seg_val": flat.astype(np.int64),
-                "doc_id": np.repeat(batch["doc_id"].to_numpy(), 4),
-                "simhash": np.repeat(h, 4),
-                "_part": ((flat * np.uint64(4) + seg_ids.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int64),
+                "_id": np.repeat(batch[id_col].to_numpy(), n_segs),
+                "_hash": np.repeat(h, n_segs),
+                "_part": (
+                    (flat * np.uint64(n_segs) + seg_ids.astype(np.uint64))
+                    % np.uint64(num_partitions)
+                ).astype(np.int64),
             }
         )
 
-    def pairs_in_partition(g: pd.DataFrame, hot_bucket_cap: int = 512) -> pa.Table:
-        """Complete (seg_id, seg_val) buckets; hamming-verify inside
-        multi-member buckets only (same coarse-partition pattern as
-        minhash_lsh_candidates). Buckets over `hot_bucket_cap` (a
-        16-bit segment value shared corpus-wide — short/boilerplate
-        docs) switch to STAR comparison against the bucket's min id:
-        O(k) instead of O(k^2); a pair only escapes if all 4 of its
-        shared segments are hot (see _pairs_in_buckets)."""
-        if g.empty or "doc_id" not in g.columns:
+    def pairs_in_partition(g: pd.DataFrame) -> pa.Table:
+        # complete (seg_id, seg_val) buckets land here together (the
+        # coarse-partition pattern of minhash_lsh_candidates)
+        if g.empty or "_id" not in g.columns:
             return _typed_table(_PAIR_SCHEMA)
-        sizes = g.groupby(["seg_id", "seg_val"])["doc_id"].transform("size")
+        sizes = g.groupby(["seg_id", "seg_val"])["_id"].transform("size")
         multi = g[sizes > 1]
         a, b = [], []
         for _, grp in multi.groupby(["seg_id", "seg_val"], sort=False):
-            rows_ = sorted(zip(grp["doc_id"].tolist(), grp["simhash"].tolist()))
+            rows_ = sorted(zip(grp["_id"].tolist(), grp["_hash"].tolist()))
             if len(rows_) > hot_bucket_cap:
                 hub_id, hub_h = rows_[0]
                 hs = np.array([r[1] for r in rows_[1:]], dtype=np.uint64)
@@ -911,11 +923,22 @@ def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) ->
                         b.append(rows_[j][0])
         return _typed_table(_PAIR_SCHEMA, a=np.array(a, dtype=np.int64), b=np.array(b, dtype=np.int64))
 
-    pairs = (
+    raw = (
         sigs.map_batches(explode, batch_format="pandas")
         .groupby("_part")
         .map_groups(pairs_in_partition, batch_format="pandas")
     )
+    return dedup_pairs_ds(raw, num_partitions=num_partitions)
+
+
+def drop_larger_of_pairs(
+    ds: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """Drop the larger id of every verified pair via a distributed
+    LEFT ANTI join — never a driver-side set. No cross-partition
+    transitivity guarantee (a<b<c chains drop both b and c even if
+    only a~b and b~c) — acceptable for near-dup removal and
+    deterministic."""
 
     def to_drops(b: pd.DataFrame) -> pa.Table:
         vals = b["b"].to_numpy() if len(b) and "b" in b.columns else np.array([], dtype=np.int64)
@@ -924,7 +947,18 @@ def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) ->
     drops = pairs.map_batches(to_drops, batch_format="pandas").materialize()
     if drops.count() == 0:
         return ds
-    return anti_join_ids(ds, drops, id_col="doc_id")
+    return anti_join_ids(ds, drops, id_col=id_col)
+
+
+def simhash_dedup(ds: ray.data.Dataset, max_hamming: int = 3, ngram: int = 3) -> ray.data.Dataset:
+    """Near-dedup by simhash: bucket on max_hamming + 1 key segments
+    (pigeonhole — see hash64_pigeonhole_pairs), verify hamming, keep
+    the min id of every verified pair."""
+    sigs = simhash_signatures(ds, ngram=ngram)
+    pairs = hash64_pigeonhole_pairs(
+        sigs, id_col="doc_id", hash_col="simhash", max_hamming=max_hamming
+    )
+    return drop_larger_of_pairs(ds, pairs, id_col="doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,11 @@
 """Multimodal (image/audio/video) column operators.
 
 Payloads are opaque `binary` columns with typed metadata; decode /
-feature-extract / resize are actor-pool map_batches stages. Decode is
-REAL for the pure-python codec subset (PNG / BMP / WAV —
-functions/media_codec.py); formats that genuinely need external
-libraries (JPEG, MP3, video) surface `UnsupportedMediaError` in the
+feature-extract / resize / perceptual-hash are actor-pool map_batches
+stages. Decode is REAL for the pure-python codec subset (PNG / BMP /
+GIF / baseline+progressive JPEG / WAV / uncompressed AVI —
+functions/media_codec.py, jpeg_codec.py); formats outside the subset
+(MP3, compressed video) surface `UnsupportedMediaError` in the
 per-row error column — the honest capability boundary. The
 deterministic fake decoder remains available as codec="fake" for
 plumbing tests and as the documented stand-in for formats outside the
@@ -18,6 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from pdf_extractor_ray.functions import media_codec as mc
@@ -400,3 +402,120 @@ def featurize_audio(
         batch_size=batch_size,
         concurrency=clamp_pool(concurrency),  # fixed pool, clamped to live CPUs
     )
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dedup (the LAION-style image dedup stage:
+# decode -> 64-bit average hash -> hamming-bucketed pair search)
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("format", pa.string()),
+        ("ahash", pa.uint64()),
+        ("error", pa.string()),
+    ]
+)
+
+
+def average_hash(img: np.ndarray) -> int:
+    """64-bit aHash (the classic average perceptual hash): BT.601 luma
+    -> 8x8 block means (index binning, any input dims) -> threshold at
+    the 64-cell mean; bit r*8+c set when cell (r, c) is brighter than
+    the mean. Deterministic; images smaller than 8 px in a dimension
+    leave their empty cells at the mean (bit 0)."""
+    g = (
+        img[..., 0].astype(np.float64) * 0.299
+        + img[..., 1].astype(np.float64) * 0.587
+        + img[..., 2].astype(np.float64) * 0.114
+    )
+    h, w = g.shape
+    ri = (np.arange(h) * 8) // h
+    ci = (np.arange(w) * 8) // w
+    idx = (ri[:, None] * 8 + ci[None, :]).ravel()
+    sums = np.bincount(idx, weights=g.ravel(), minlength=64)
+    cnts = np.bincount(idx, minlength=64)
+    cells = np.divide(sums, cnts, out=np.zeros(64), where=cnts > 0)
+    mean = cells[cnts > 0].mean() if (cnts > 0).any() else 0.0
+    cells[cnts == 0] = mean  # empty cell -> bit 0 (strict >)
+    bits = (cells > mean).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+class ImageAHasher:
+    """Actor-pool stage: decode -> average_hash. Error rows carry
+    ahash 0 and a non-null error (exclude them before pairing — a
+    shared sentinel hash would bucket all failures together)."""
+
+    def __init__(self, codec: str = "real") -> None:
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        hashes, fmts, errs = [], [], []
+        for p in payloads:
+            p = p or b""
+            fmts.append(_sniff_format(p))
+            try:
+                if self.codec == "real":
+                    img = mc.decode_image(p)
+                else:
+                    digest = hashlib.sha256(p).digest()
+                    img = np.frombuffer((digest * 12)[: 8 * 8 * 3], dtype=np.uint8).reshape(
+                        8, 8, 3
+                    )
+                hashes.append(average_hash(img))
+                errs.append(None)
+            except Exception as exc:
+                hashes.append(0)
+                errs.append(f"{type(exc).__name__}: {exc}"[:200])
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(fmts, pa.string()),
+                pa.array(hashes, pa.uint64()),
+                pa.array(errs, pa.string()),
+            ],
+            schema=AHASH_SCHEMA,
+        )
+
+
+def image_ahashes(
+    ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 8, codec: str = "real"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageAHasher,
+        fn_constructor_kwargs={"codec": codec},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: blobs are big
+        concurrency=clamp_pool(concurrency),
+    )
+
+
+def image_neardup_pairs(
+    media_ds: ray.data.Dataset, max_hamming: int = 3, codec: str = "real"
+) -> ray.data.Dataset:
+    """(a, b) media-id pairs whose aHashes are within max_hamming bits
+    — the pigeonhole bucket/verify machinery shared with simhash text
+    dedup (ops/dedup.hash64_pigeonhole_pairs). Decode-error rows are
+    excluded before pairing."""
+    from pdf_extractor_ray.ops.dedup import hash64_pigeonhole_pairs
+
+    sigs = image_ahashes(media_ds, codec=codec).map_batches(
+        lambda t: t.filter(pc.is_null(t.column("error"))), batch_format="pyarrow"
+    )
+    return hash64_pigeonhole_pairs(
+        sigs, id_col="media_id", hash_col="ahash", max_hamming=max_hamming
+    )
+
+
+def image_dedup(
+    media_ds: ray.data.Dataset, max_hamming: int = 3, codec: str = "real"
+) -> ray.data.Dataset:
+    """Drop the larger media_id of every verified near-dup pair via
+    the shared distributed anti-join (never a driver-side set)."""
+    from pdf_extractor_ray.ops.dedup import drop_larger_of_pairs
+
+    pairs = image_neardup_pairs(media_ds, max_hamming=max_hamming, codec=codec)
+    return drop_larger_of_pairs(media_ds, pairs, id_col="media_id")

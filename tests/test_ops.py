@@ -1285,3 +1285,60 @@ def test_naive_bayes_hashed_tier_matches_exact(ray_session):
     j = pe.merge(truth, on="doc_id")
     majority = truth.lang.value_counts().max() / len(truth)
     assert (j.pred == j.lang).mean() > majority
+
+
+def test_average_hash_hand_computed():
+    """aHash on a constructed 16x16 image whose left half is black and
+    right half is white: luma cells 0..3 of each row dark, 4..7
+    bright; mean halfway -> exactly the right-half bits set. A +1
+    brightness perturbation must not change the hash (block means move
+    together); an inverted image flips every bit."""
+    import numpy as np
+
+    from pdf_extractor_ray.ops.multimodal import average_hash
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 200
+    h = average_hash(img)
+    want = 0
+    for r in range(8):
+        for c in range(4, 8):
+            want |= 1 << (r * 8 + c)
+    assert h == want
+    assert average_hash(np.clip(img.astype(np.int64) + 1, 0, 255).astype(np.uint8)) == h
+    inv = (200 - img).astype(np.uint8)
+    assert average_hash(inv) == (~want) & ((1 << 64) - 1)
+
+
+def test_image_neardup_matches_bruteforce(ray_session):
+    """Pigeonhole aHash pair search over the real-binary media table
+    equals a brute-force hamming scan (exact at max_hamming <= 3 by
+    the segment guarantee), emits each pair exactly once, and the
+    dedup keep-set is the corpus minus every pair's larger id."""
+    import numpy as np
+    import ray.data
+
+    import __ray_entry__ as e
+    from pdf_extractor_ray.ops.multimodal import (
+        image_ahashes,
+        image_dedup,
+        image_neardup_pairs,
+    )
+
+    media = e._media_table("/root/testdata/sf0.001", "image")
+    sigs = image_ahashes(media).to_pandas()
+    assert sigs.error.isna().all()
+    pairs = image_neardup_pairs(media, max_hamming=3).to_pandas()
+    assert not pairs.duplicated(["a", "b"]).any()
+    ids = sigs.media_id.to_numpy()
+    vals = sigs.ahash.to_numpy().astype(np.uint64)
+    bf = set()
+    for i in range(len(ids)):
+        x = vals[i] ^ vals[i + 1 :]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(ham <= 3)[0]:
+            a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
+            bf.add((a, b))
+    assert set(map(tuple, pairs[["a", "b"]].to_numpy())) == bf
+    kept = image_dedup(media, max_hamming=3).to_pandas()
+    assert set(kept.media_id) == set(ids) - {b for _, b in bf}
