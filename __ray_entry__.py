@@ -985,6 +985,30 @@ def _doc_top_terms(sf_dir: str) -> pd.DataFrame:
     return top_terms(_read(sf_dir, "documents", ["text"]), k=100)
 
 
+def _docs_heavy_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitter word bigrams (count >= 40) via a count-min-sketch
+    prefilter + exact grouped-sum confirm (ops/sketch.py): the sketch
+    bounds what crosses the wire (candidates only), CMS's no-undercount
+    guarantee keeps every true heavy gram, and the confirm pass makes
+    the final counts bit-exact at any sketch width."""
+    from pdf_extractor_ray.ops.sketch import cms_heavy_grams
+
+    return cms_heavy_grams(_read(sf_dir, "documents", ["text"]), ngram=2, threshold=40)
+
+
+def _events_kmv_distinct(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type from the k=64 smallest
+    md5-hash fractions (KMV / bottom-k sketch, ops/sketch.py). Each
+    block ships <= k rows per group; md5 + a 52-bit hash fraction make
+    the estimate an engine-portable double the DuckDB oracle reproduces
+    bit-identically."""
+    from pdf_extractor_ray.ops.sketch import kmv_distinct
+
+    return kmv_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id", k=64
+    )
+
+
 def _docs_sample_by_lang(sf_dir: str) -> pd.DataFrame:
     """Deterministic stratified sampling: 50% of en, 30% of ja, 20%
     of every other lang, by explicit id-mod rule (no rng, no shuffle,
@@ -1401,7 +1425,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 74 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 76 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
@@ -1409,9 +1433,9 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_decontaminated_bloom, docs_dup_span_scrub, docs_dup_components,
 # docs_length_histogram, docs_term_postings, extract_page_links,
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
-# media_image_neardup, extract_host_pagerank) comes FIRST-50; the 24
-# entries past position 50 are relational queries oracled GREEN in
-# r1+r2+r3 (they rotate back next round).
+# media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
+# events_kmv_distinct) comes FIRST-50; the 26 entries past position 50
+# are queries oracled GREEN in r1+r2+r3 (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1460,8 +1484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": _asof_purchase_view,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
-        "doc_top_terms": _doc_top_terms,
-        "docs_sample_by_lang": _docs_sample_by_lang,
+        "docs_heavy_bigrams": _docs_heavy_bigrams,
+        "events_kmv_distinct": _events_kmv_distinct,
         "docs_tfidf_topk": _docs_tfidf_topk,
         "docs_dup_ngrams": _docs_dup_ngrams,
         "events_redact_props": _events_redact_props,
@@ -1486,6 +1510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
         #    rotate back next round ------------------------------------
         "top_docs_by_chars": _top_docs_by_chars,
+        "doc_top_terms": _doc_top_terms,
+        "docs_sample_by_lang": _docs_sample_by_lang,
         "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
@@ -1846,6 +1872,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS n_term FROM toks WHERE term <> ''
             GROUP BY term ORDER BY n_term DESC, term LIMIT 100
+        """,
+        "docs_heavy_bigrams": r"""
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                       FROM documents WHERE trim(text) <> ''),
+            g AS (
+                SELECT a[i] || ' ' || a[i+1] AS gram
+                FROM t, UNNEST(range(1, len(a))) AS r(i)
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS n_gram FROM g
+            GROUP BY gram HAVING count(*) >= 40 ORDER BY gram
+        """,
+        "events_kmv_distinct": """
+            WITH h AS (SELECT DISTINCT event_type,
+                              md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+            v AS (SELECT event_type,
+                         ('0x' || substr(hx, 1, 13))::UBIGINT AS hv FROM h),
+            r AS (SELECT event_type, hv,
+                         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+                         count(*) OVER (PARTITION BY event_type) AS nd FROM v)
+            SELECT event_type,
+                   CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                        ELSE 63e0 * 4503599627370496e0
+                             / CAST(max(CASE WHEN rk = 64 THEN hv END) AS DOUBLE)
+                   END AS kmv_est
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
         "docs_sample_by_lang": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -227,6 +227,8 @@ def run_queries() -> dict[str, float]:
         "docs_gopher_repetition",
         "docs_nb_lang",
         "media_image_neardup",
+        "docs_heavy_bigrams",
+        "events_kmv_distinct",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -615,16 +615,19 @@ _MD5_S = np.array(
 _M32 = np.uint64(0xFFFFFFFF)
 
 
-def md5_first_nibble(strs: Sequence[str]) -> np.ndarray:
-    """First hex-digit (high nibble of digest byte 0) of md5(s) for each
-    string, as uint8 0..15 — vectorized MD5 compression over numpy
-    uint64 lanes (mask-to-32-bit), grouped by padded block count so
-    mixed-length inputs stay vectorized. Bit-identical to
-    ``hashlib.md5(s.encode()).hexdigest()[0]`` (property-tested)."""
+def _md5_words_ab(strs: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+    """First two 32-bit state words (a, b) of md5(s) for each string,
+    as uint64 arrays — vectorized MD5 compression over numpy uint64
+    lanes (mask-to-32-bit), grouped by padded block count so
+    mixed-length inputs stay vectorized. The hexdigest's first 16
+    characters are the little-endian bytes of (a, b), so every
+    hex-prefix-derived value (split nibble, KMV fraction) comes from
+    these two words. Bit-identical to hashlib (property-tested)."""
     data = [s.encode() for s in strs]
     n = len(data)
     lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
-    out = np.empty(n, dtype=np.uint8)
+    out_a = np.empty(n, dtype=np.uint64)
+    out_b = np.empty(n, dtype=np.uint64)
     nblocks = (lens + 8) // 64 + 1  # payload + 0x80 + 8-byte bitlen
     for nb in np.unique(nblocks):
         idx = np.nonzero(nblocks == nb)[0]
@@ -671,8 +674,44 @@ def md5_first_nibble(strs: Sequence[str]) -> np.ndarray:
             b_ = (b_ + B) & _M32
             c = (c + C) & _M32
             d = (d + D) & _M32
-        out[idx] = ((a & np.uint64(0xF0)) >> np.uint64(4)).astype(np.uint8)
-    return out
+        out_a[idx] = a
+        out_b[idx] = b_
+    return out_a, out_b
+
+
+def md5_first_nibble(strs: Sequence[str]) -> np.ndarray:
+    """First hex-digit (high nibble of digest byte 0) of md5(s) for
+    each string, as uint8 0..15. Bit-identical to
+    ``hashlib.md5(s.encode()).hexdigest()[0]`` (property-tested)."""
+    a, _ = _md5_words_ab(strs)
+    return ((a & np.uint64(0xF0)) >> np.uint64(4)).astype(np.uint8)
+
+
+def md5_u52(strs: Sequence[str]) -> np.ndarray:
+    """``int(hashlib.md5(s.encode()).hexdigest()[:13], 16)`` for each
+    string, as uint64 (52 bits — chosen to fit a double EXACTLY, so
+    estimators dividing by it are bit-reproducible in any engine that
+    can parse the same hex prefix, e.g. DuckDB
+    ``('0x' || substr(md5(s), 1, 13))::UBIGINT``). The hexdigest is
+    the digest bytes in order; digest bytes 0-3 are state word `a`
+    little-endian, bytes 4-6 the low bytes of `b`."""
+    a, b = _md5_words_ab(strs)
+    b0 = a & np.uint64(0xFF)
+    b1 = (a >> np.uint64(8)) & np.uint64(0xFF)
+    b2 = (a >> np.uint64(16)) & np.uint64(0xFF)
+    b3 = (a >> np.uint64(24)) & np.uint64(0xFF)
+    b4 = b & np.uint64(0xFF)
+    b5 = (b >> np.uint64(8)) & np.uint64(0xFF)
+    b6 = (b >> np.uint64(16)) & np.uint64(0xFF)
+    hi48 = (
+        (b0 << np.uint64(40))
+        | (b1 << np.uint64(32))
+        | (b2 << np.uint64(24))
+        | (b3 << np.uint64(16))
+        | (b4 << np.uint64(8))
+        | b5
+    )
+    return (hi48 << np.uint64(4)) | (b6 >> np.uint64(4))
 
 
 def _md5_split(ids: pd.Series, test_hex_prefixes: tuple[str, ...]) -> np.ndarray:

@@ -1,0 +1,228 @@
+"""Probabilistic sketch operators — the sub-linear-memory scale tier
+for aggregates whose exact form needs an all-to-all exchange.
+
+Two public-literature sketches, each wired so the FINAL answer stays
+exact (the sketch only bounds what crosses the wire):
+
+- Count-min sketch (Cormode & Muthukrishnan 2005) as a heavy-hitter
+  PREFILTER: a CMS estimate only ever over-counts, so filtering on
+  ``estimate >= threshold`` keeps a superset of the true heavy keys;
+  an exact grouped-sum confirm pass over that superset then yields
+  bit-exact counts. The exchange carries one row per candidate key
+  per block instead of one per distinct key per block.
+
+- KMV / bottom-k distinct-count (Bar-Yossef et al. 2002; the
+  "K-Minimum Values" estimator of Beyer et al. 2007): the k smallest
+  md5-derived hash fractions per group determine the estimate
+  ``(k-1) / h_(k)``. Per-batch bottom-k partials merge losslessly
+  (every globally-bottom-k value is locally bottom-k in its batch),
+  so the shuffle moves at most k rows per group per block. md5 makes
+  the estimate engine-portable: DuckDB's md5() reproduces the exact
+  same doubles (52-bit hash fraction — exactly representable).
+
+Reference parity: the reference engine has no sketch layer (its
+corpus-level stats are single-process dict counters, e.g.
+pdf_extractor_new/batch_processor.py accumulators); these are the
+distributed equivalents its workloads need at crawl scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pdf_extractor_ray.ops.scrub import md5_u52
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+# Murmur3 finalizer (public domain) — the same avalanche mix used in
+# ops/dedup.py; CMS row hashes are independent mixes of one base hash.
+def _mix64(h: np.ndarray) -> np.ndarray:
+    h = h.copy()
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+# Per-row seeds: first 64 fractional bits of sqrt(2),sqrt(3),sqrt(5),
+# sqrt(7) (the SHA-2 initialization-constant convention — arbitrary
+# public nothing-up-my-sleeve numbers).
+_CMS_SEEDS = np.array(
+    [0x6A09E667F3BCC908, 0xB5C0FBCFEC4D3B2F, 0x3C6EF372FE94F82B, 0xA54FF53A5F1D36F1],
+    dtype=np.uint64,
+)
+
+
+def _cms_rows(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices for each key. Base hash is pandas'
+    deterministic string hasher (fixed key, stable across processes);
+    each CMS row applies an independent avalanche mix."""
+    base = pd.util.hash_array(keys.astype(object), categorize=False)
+    return np.stack(
+        [(_mix64(base ^ _CMS_SEEDS[r]) % np.uint64(width)).astype(np.int64) for r in range(depth)]
+    )
+
+
+def _gram_counts(batch: pd.DataFrame, text_col: str, ngram: int) -> pd.Series:
+    """value_counts of word n-grams over a batch (grams never span
+    documents) — one vectorized split/shift pass per gram position."""
+    toks = batch.reset_index(drop=True)[text_col].str.split().explode().dropna()
+    toks = toks[toks != ""].astype(str)
+    if ngram == 1 or toks.empty:
+        return toks.value_counts()
+    gram = toks
+    for j in range(1, ngram):
+        nxt = toks.groupby(level=0).shift(-j)
+        gram = gram + " " + nxt  # NaN propagates -> incomplete tail grams drop
+    return gram.dropna().value_counts()
+
+
+def cms_heavy_grams(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    ngram: int = 2,
+    threshold: int = 40,
+    depth: int = 4,
+    width: int = 1 << 16,
+) -> pd.DataFrame:
+    """EXACT counts of every word n-gram occurring >= threshold times,
+    via a count-min-sketch prefilter + exact confirm pass.
+
+    Pass 1 builds one sketch per BLOCK (batch_size=None) — sketches
+    are additive, so a repartition tree-reduce leaves <= 8 partial
+    sketches and the driver holds exactly one (depth x width int64;
+    size width so the per-block sketch is well under the block's own
+    payload). Pass 2 broadcasts the summed sketch via ray.put and
+    re-scans: each block emits (gram, partial_count) ONLY for grams
+    whose CMS estimate clears the threshold — CMS never undercounts,
+    so no true heavy gram is lost, and collision-inflated light grams
+    are removed by the exact grouped-sum + final threshold. Result is
+    bit-identical to the exact GROUP BY at any width.
+
+    Returns a small driver DataFrame (gram, n_gram) sorted by gram —
+    heavy hitters are few by definition.
+    """
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def block_sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = _gram_counts(batch, text_col, ngram)
+        sk = np.zeros((depth, width), dtype=np.int64)
+        if len(vc):
+            rows = _cms_rows(vc.index.to_numpy(), depth, width)
+            cnts = vc.to_numpy().astype(np.int64)
+            for r in range(depth):
+                np.add.at(sk[r], rows[r], cnts)
+        return pd.DataFrame({"sketch": [sk.ravel()]})
+
+    def sum_sketches(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({"sketch": [np.zeros(depth * width, dtype=np.int64)]})
+        total = np.zeros(depth * width, dtype=np.int64)
+        for arr in b["sketch"].to_numpy():
+            total += np.asarray(arr, dtype=np.int64)
+        return pd.DataFrame({"sketch": [total]})
+
+    parts = ds.map_batches(block_sketch, batch_format="pandas", batch_size=None)
+    reduced = parts.repartition(8).map_batches(sum_sketches, batch_format="pandas", batch_size=None)
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for row in reduced.take_all():  # <= 8 rows, bounded by the tree-reduce
+        sketch += np.asarray(row["sketch"], dtype=np.int64).reshape(depth, width)
+    sketch_ref = ray.put(sketch)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = ray.get(sketch_ref)  # zero-copy object-store read per task
+        vc = _gram_counts(batch, text_col, ngram)
+        if not len(vc):
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype="object"), "n": pd.Series([], dtype="int64")}
+            )
+        rows = _cms_rows(vc.index.to_numpy(), depth, width)
+        est = np.min(np.stack([sk[r][rows[r]] for r in range(depth)]), axis=0)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"gram": vc.index.to_numpy()[keep], "n": vc.to_numpy()[keep].astype("int64")}
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(probe, batch_format="pandas", batch_size=None),
+        ["gram"],
+        ["n"],
+        counts=False,
+    )
+
+    def confirm(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["sum_n"] >= threshold]
+
+    rows = counts.map_batches(confirm, batch_format="pandas").take_all()
+    out = pd.DataFrame(rows, columns=["gram", "sum_n"]).rename(columns={"sum_n": "n_gram"})
+    out["n_gram"] = out["n_gram"].astype("int64")
+    return out.sort_values("gram").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct-count estimator
+# ---------------------------------------------------------------------------
+
+_TWO52 = 4503599627370496.0  # 2^52, exact in a double
+
+
+def kmv_distinct(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> pd.DataFrame:
+    """Per-group approximate distinct count from the k smallest
+    md5-hash fractions: est = (k-1) / h_(k) with h in [0, 1) scaled by
+    2^52 — or the exact distinct count when a group holds fewer than k
+    distinct values (the bottom-k set IS the value set then). Expected
+    relative error ~ 1/sqrt(k-2) (~13% at k=64).
+
+    Scale shape: each batch ships at most k rows per group (its local
+    bottom-k over locally-distinct hashes — a global bottom-k value is
+    bottom-k in whichever batch holds it, so the merge is lossless);
+    the merge groupby touches k x n_blocks rows per group, never the
+    data. Group cardinality must be modest (categories, languages,
+    sources); shard a high-cardinality group column on
+    hash(group) mod P first, like every other wide op here.
+
+    Returns (group_col, kmv_est float64) sorted by group —
+    engine-portable doubles (see md5_u52).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[[group_col, value_col]].drop_duplicates()
+        d = pd.DataFrame(
+            {
+                group_col: d[group_col].to_numpy(),
+                "_h": md5_u52([str(v) for v in d[value_col]]),
+            }
+        )
+        d = d.sort_values("_h", kind="stable")
+        return d.groupby(group_col, sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or group_col not in g.columns:
+            return pd.DataFrame({group_col: [], "kmv_est": pd.Series([], dtype="float64")})
+        hs = np.unique(g["_h"].to_numpy().astype(np.uint64))
+        if len(hs) < k:
+            est = float(len(hs))
+        else:
+            est = (k - 1) * _TWO52 / float(hs[k - 1])
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "kmv_est": [est]})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+        .take_all()
+    )
+    out = pd.DataFrame(rows, columns=[group_col, "kmv_est"])
+    out["kmv_est"] = out["kmv_est"].astype("float64")
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -1342,3 +1342,80 @@ def test_image_neardup_matches_bruteforce(ray_session):
     assert set(map(tuple, pairs[["a", "b"]].to_numpy())) == bf
     kept = image_dedup(media, max_hamming=3).to_pandas()
     assert set(kept.media_id) == set(ids) - {b for _, b in bf}
+
+
+def test_md5_u52_matches_hashlib():
+    """md5_u52 must equal int(hexdigest()[:13], 16) — the value DuckDB
+    computes from ('0x' || substr(md5(s), 1, 13))::UBIGINT — across
+    block-count boundaries (55/56 and 119/120 bytes) and non-ASCII."""
+    import hashlib
+
+    from pdf_extractor_ray.ops.scrub import md5_first_nibble, md5_u52
+
+    strs = ["", "0", "abc", "héllo wörld", "12345678901234567890"] + [
+        "x" * n for n in (54, 55, 56, 63, 64, 65, 119, 120, 121, 200)
+    ] + [str(i) for i in range(100)]
+    got = md5_u52(strs)
+    want = [int(hashlib.md5(s.encode()).hexdigest()[:13], 16) for s in strs]
+    assert list(got) == want
+    nib = md5_first_nibble(strs)
+    assert list(nib) == [int(hashlib.md5(s.encode()).hexdigest()[0], 16) for s in strs]
+
+
+def _exact_gram_counts(texts, n):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        w = t.split()
+        for i in range(len(w) - n + 1):
+            c[" ".join(w[i : i + n])] += 1
+    return c
+
+
+def test_cms_heavy_grams_exact_at_any_width(ray_session):
+    """The CMS prefilter + exact confirm must equal the exact GROUP BY
+    at ANY sketch width — including width=16, where nearly every
+    bucket collides (collisions only admit extra candidates; the
+    confirm pass removes them)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.sketch import cms_heavy_grams
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    for ngram, threshold in ((2, 10), (1, 50)):
+        exact = _exact_gram_counts(docs.text, ngram)
+        want = sorted((g, c) for g, c in exact.items() if c >= threshold)
+        for width in (16, 1 << 12):
+            ds = ray.data.from_pandas(docs).repartition(4)
+            out = cms_heavy_grams(ds, ngram=ngram, threshold=threshold, width=width)
+            assert list(map(tuple, out.to_numpy())) == want, (ngram, width)
+
+
+def test_kmv_distinct_estimate_and_exact_path(ray_session):
+    """KMV with k above the true cardinality returns the EXACT distinct
+    count (the bottom-k set is the whole value set); with k below it
+    the estimate lands within the published ~2/sqrt(k) error band.
+    Partitioning must not change the result (bottom-k merge is
+    lossless)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.sketch import kmv_distinct
+
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_type", "user_id"]
+    )
+    truth = ev.groupby("event_type").user_id.nunique()
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(ev).repartition(parts)
+        exact = kmv_distinct(ds, "event_type", "user_id", k=100000)
+        assert dict(zip(exact.event_type, exact.kmv_est)) == {
+            k: float(v) for k, v in truth.items()
+        }
+        est = kmv_distinct(ds, "event_type", "user_id", k=64)
+        for t, e in zip(est.event_type, est.kmv_est):
+            n = truth[t]
+            if n >= 64:
+                assert abs(e - n) / n < 0.25, (t, e, n)
+            else:
+                assert e == float(n)
