@@ -1313,6 +1313,21 @@ def _multimodal_featurize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["kind", "media_id"]).reset_index(drop=True)
 
 
+def _extract_c4_filter(sf_dir: str) -> pd.DataFrame:
+    """C4 line-level filter signals (Raffel et al. 2020 §2.2) over the
+    EXTRACTED corpus: per page, how many reading-order lines survive
+    the terminal-punctuation / min-words / banned-word rules and
+    whether the page clears the doc-level lorem-ipsum / curly-brace /
+    min-kept-lines gates. Rows-only (the input is extraction output,
+    not SQL-expressible); the rule semantics are unit-tested on
+    handcrafted docs in tests/test_ops.py."""
+    from pdf_extractor_ray.ops.quality import c4_signals
+
+    ds = _extraction_results(500)
+    out = c4_signals(ds, id_col="url", text_col="extracted_text").to_pandas()
+    return out.sort_values(["url", "n_lines"]).reset_index(drop=True)
+
+
 def _extract_dedup_sorted_urls(sf_dir: str) -> pd.DataFrame:
     """North-rule corpus dedup + sort-by-url shuffle in one lineage:
     hash-partition groupby(url) -> first (pipelines/extract.
@@ -1425,7 +1440,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 76 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 77 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
@@ -1434,8 +1449,9 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_length_histogram, docs_term_postings, extract_page_links,
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
-# events_kmv_distinct) comes FIRST-50; the 26 entries past position 50
-# are queries oracled GREEN in r1+r2+r3 (they rotate back next round).
+# events_kmv_distinct, extract_c4_filter) comes FIRST-50; the 27
+# entries past position 50 are queries oracled GREEN in r1+r2+r3
+# (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1475,13 +1491,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_verify": _extract_verify,
         "extract_flags": _extract_flags,
         "multimodal_featurize": _multimodal_featurize,
+        "extract_c4_filter": _extract_c4_filter,
         # -- oracled (DuckDB SQL twin in oracle_sql()) -----------------
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
         "join_priority_agg": _join_priority_agg,
         "q3_shipping_priority": _q3_shipping_priority,
-        "asof_purchase_view": _asof_purchase_view,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "doc_token_counts": _doc_token_counts,
         "docs_heavy_bigrams": _docs_heavy_bigrams,
@@ -1512,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_chars": _top_docs_by_chars,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,
+        "asof_purchase_view": _asof_purchase_view,
         "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,

@@ -227,6 +227,7 @@ def run_queries() -> dict[str, float]:
         "docs_gopher_repetition",
         "docs_nb_lang",
         "media_image_neardup",
+        "extract_c4_filter",
         "docs_heavy_bigrams",
         "events_kmv_distinct",
         "docs_decontaminated_bloom",

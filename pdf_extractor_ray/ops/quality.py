@@ -190,10 +190,98 @@ def gopher_repetition(
     return ds.map_batches(f, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# C4 line-level filter (Raffel et al. 2020 §2.2 — the public heuristics
+# applied line-by-line before page-level rules)
+# ---------------------------------------------------------------------------
+
+# Terminal punctuation a retained line must end with. The paper's set is
+# (".", "?", "!", '"') — English-only; the CJK full stop is added here
+# because this corpus is multilingual (documented adaptation, pinned by
+# tests).
+C4_END_MARKS = (".", "?", "!", '"', "。")
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+# Line-level ban words / page-level ban substrings, matched lowercase.
+C4_LINE_BANNED = ("javascript",)
+C4_DOC_BANNED = ("lorem ipsum", "{")
+
+
+def _c4_frame(texts: pd.Series) -> pd.DataFrame:
+    """C4 line-filter signals for a positionally-indexed text series,
+    one vectorized explode pass (same row-alignment contract as
+    _signal_frame). Per row: n_lines, n_kept_lines, doc-level keep,
+    and the filtered text (kept stripped lines joined by newlines).
+
+    Line kept iff, after strip: ends with a C4_END_MARKS character but
+    not with an ellipsis; has >= C4_MIN_WORDS_PER_LINE whitespace
+    words; contains no C4_LINE_BANNED substring (lowercased). Doc kept
+    iff >= C4_MIN_KEPT_LINES lines survive and the full text contains
+    no C4_DOC_BANNED substring (lowercased) — the paper's
+    lorem-ipsum / curly-brace page rules. The three-sentence-span
+    dedup of the same section lives in ops/scrub.dup_span_scrub."""
+    t = texts.reset_index(drop=True).fillna("")
+    lines = t.str.split("\n").explode().str.strip()
+    low = lines.str.lower()
+    ends_ok = lines.str.endswith(C4_END_MARKS) & ~lines.str.endswith("...")
+    enough_words = lines.str.split().str.len().fillna(0) >= C4_MIN_WORDS_PER_LINE
+    banned = pd.Series(False, index=lines.index)
+    for s in C4_LINE_BANNED:
+        banned |= low.str.contains(s, regex=False)
+    keep_line = ends_ok & enough_words & ~banned
+
+    out = pd.DataFrame(index=pd.RangeIndex(len(t)))
+    grp = keep_line.groupby(level=0)
+    out["n_lines"] = lines.groupby(level=0).size().reindex(out.index).fillna(0).astype("int64")
+    out["n_kept_lines"] = grp.sum().reindex(out.index).fillna(0).astype("int64")
+    kept_text = (
+        lines[keep_line].groupby(level=0).agg("\n".join).reindex(out.index).fillna("")
+    )
+    out["text"] = kept_text.astype(str)
+    tl = t.str.lower()
+    doc_ok = pd.Series(True, index=out.index)
+    for s in C4_DOC_BANNED:
+        doc_ok &= ~tl.str.contains(s, regex=False)
+    out["keep"] = (doc_ok & (out["n_kept_lines"] >= C4_MIN_KEPT_LINES)).astype("bool")
+    return out
+
+
+def c4_signals(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Signal table (id, n_lines, n_kept_lines, keep) for every row —
+    rows not dropped, auditable. Row-local, shuffle-free."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = _c4_frame(batch[text_col])[["n_lines", "n_kept_lines", "keep"]]
+        sig.insert(0, id_col, batch[id_col].to_numpy())
+        return sig
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def c4_filter(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """The actual C4 filter: failing docs dropped, surviving docs'
+    text replaced by the kept lines. Row-local, shuffle-free."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = _c4_frame(batch[text_col])
+        out = batch.reset_index(drop=True)[sig["keep"].to_numpy()].copy()
+        out[text_col] = sig.loc[sig["keep"], "text"].to_numpy()
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 __all__ = [
     "gopher_signals",
     "gopher_quality",
     "gopher_filter",
     "gopher_repetition",
+    "c4_signals",
+    "c4_filter",
     "STOP_WORDS",
+    "C4_END_MARKS",
 ]

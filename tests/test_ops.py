@@ -1419,3 +1419,45 @@ def test_kmv_distinct_estimate_and_exact_path(ray_session):
                 assert abs(e - n) / n < 0.25, (t, e, n)
             else:
                 assert e == float(n)
+
+
+def test_c4_line_filter_rules(ray_session):
+    """C4 §2.2 line rules on handcrafted docs: terminal punctuation
+    required (incl. the CJK full stop), ellipsis endings rejected,
+    <5-word lines dropped, 'javascript' lines dropped; doc-level
+    lorem-ipsum / curly-brace / min-3-kept-lines gates; filtered text
+    is the kept stripped lines in original order."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import c4_filter, c4_signals
+
+    good3 = "One two three four five.\nSix seven eight nine ten!\nA b c d e?"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": [
+                good3,  # kept: 3 qualifying lines
+                good3.replace(".", "..."),  # ellipsis ending -> line 1 dropped -> doc dropped
+                "short line.\n" + good3,  # 4-word line dropped, doc still kept
+                good3 + "\nenable javascript one two three.",  # js line dropped, doc kept
+                good3 + "\nLorem Ipsum dolor sit amet.",  # doc-level ban (case-insensitive)
+                good3 + "\nvar f = function() { return 1; }",  # curly brace -> doc dropped
+                "  One two three four five.  \nSix seven eight nine ten!\nA b c d e?。".replace(
+                    "?。", " f g。"
+                ),  # strip + CJK full stop accepted
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    sig = c4_signals(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(sig.keep) == [True, False, True, True, False, False, True]
+    # doc 4's lorem line itself qualifies (the ban is doc-LEVEL);
+    # doc 5's brace line ends in '}' so it fails the line rule too
+    assert list(sig.n_kept_lines) == [3, 2, 3, 3, 4, 3, 3]
+    assert list(sig.n_lines) == [3, 3, 4, 4, 4, 4, 3]
+    kept = c4_filter(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(kept.doc_id) == [0, 2, 3, 6]
+    assert kept.text[0] == good3
+    assert kept.text[1] == good3  # the short line is gone
+    assert kept.text[2] == good3  # the javascript line is gone
+    assert kept.text[3].startswith("One two three four five.")  # stripped
