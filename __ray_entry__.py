@@ -810,6 +810,21 @@ def _media_image_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance-resampling log weights (Xie et al. 2023) with
+    lang='en' as the target domain: per-doc log-ratio of the add-one
+    target unigram model to the raw corpus model (ops/selection.py,
+    broadcast + term-shuffle exact tiers, bit-identical)."""
+    from pdf_extractor_ray.ops.selection import dsir_logweights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(
+        lambda b: b.assign(is_target=(b["lang"] == "en")), batch_format="pandas"
+    )
+    out = dsir_logweights(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_quality_select(sf_dir: str) -> pd.DataFrame:
     """CCNet-style quality selection: keep the best 25% of documents by
     corpus-LM avg log-prob via the distributed global-rank primitive
@@ -1440,7 +1455,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 77 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 78 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
@@ -1449,9 +1464,9 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_length_histogram, docs_term_postings, extract_page_links,
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
-# events_kmv_distinct, extract_c4_filter) comes FIRST-50; the 27
-# entries past position 50 are queries oracled GREEN in r1+r2+r3
-# (they rotate back next round).
+# events_kmv_distinct, extract_c4_filter, docs_dsir_weights) comes
+# FIRST-50; the 28 entries past position 50 are queries oracled GREEN
+# in r1+r2+r3 (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1504,7 +1519,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_distinct": _events_kmv_distinct,
         "docs_tfidf_topk": _docs_tfidf_topk,
         "docs_dup_ngrams": _docs_dup_ngrams,
-        "events_redact_props": _events_redact_props,
         "docs_decontaminated": _docs_decontaminated,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
         "docs_train_test_split": _docs_train_test_split,
@@ -1514,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_bigram_logprob": _docs_bigram_logprob,
         "docs_quality_select": _docs_quality_select,
+        "docs_dsir_weights": _docs_dsir_weights,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
         "media_image_neardup": _media_image_neardup,
@@ -1529,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,
         "asof_purchase_view": _asof_purchase_view,
+        "events_redact_props": _events_redact_props,
         "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
@@ -1846,6 +1862,23 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_dsir_weights": r"""
+            WITH toks AS (SELECT doc_id, lang,
+                          unnest(regexp_split_to_array(text, '\s+')) AS term
+                          FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            raw AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cr FROM tf GROUP BY term),
+            tgt AS (SELECT term, CAST(count(*) AS BIGINT) AS ct
+                    FROM toks WHERE term <> '' AND lang = 'en' GROUP BY term)
+            SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_ws_tokens,
+                   sum(tf.tf * (ln(coalesce(tgt.ct, 0) + 1) - ln(raw.cr)))
+                   + sum(tf.tf) * (ln((SELECT CAST(sum(cr) AS DOUBLE) FROM raw))
+                                   - ln((SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM tgt)
+                                        + (SELECT CAST(count(*) AS DOUBLE) FROM raw))) AS logweight
+            FROM tf JOIN raw USING (term) LEFT JOIN tgt USING (term)
+            GROUP BY tf.doc_id ORDER BY tf.doc_id
         """,
         "docs_unigram_logprob": r"""
             WITH toks AS (

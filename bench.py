@@ -228,6 +228,7 @@ def run_queries() -> dict[str, float]:
         "docs_nb_lang",
         "media_image_neardup",
         "extract_c4_filter",
+        "docs_dsir_weights",
         "docs_heavy_bigrams",
         "events_kmv_distinct",
         "docs_decontaminated_bloom",

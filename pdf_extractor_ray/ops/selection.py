@@ -1,0 +1,207 @@
+"""Data selection via importance resampling (DSIR — Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+public NeurIPS paper): score every raw document by how much more
+likely it is under a TARGET-domain bag-of-words model than under the
+raw-corpus model, then keep the top fraction.
+
+Per-document log importance weight under add-one-smoothed unigram
+models (the paper uses hashed n-gram features; word unigrams keep the
+operator SQL-oracle-able — a hashed variant would only change the
+term key):
+
+    logw(d) = sum_t tf_t * ( ln(c_tgt(t) + 1) - ln(c_raw(t)) )
+              + n_d * ( ln R - ln(T + V) )
+
+with c_raw / c_tgt corpus term counts over all / target documents,
+R / T the corresponding token totals, V the raw vocabulary size
+(add-one smoothing mass), n_d the document's token count. Documents
+with no tokens produce no row (nothing to score), matching the SQL
+oracle's GROUP BY over exploded tokens.
+
+Two EXACT tiers, the same data-movement decision as
+text_analysis.unigram_logprob:
+
+- Broadcast tier: the per-term map ln(c_tgt+1) - ln(c_raw) is pruned
+  of terms with c_raw == 1 AND c_tgt == 0 (their value is exactly
+  0.0 — ln 1 - ln 1), bounded by broadcast_max_terms, shipped once
+  via ray.put; scoring is shuffle-free.
+- Shuffle tier: (doc_id, term, tf, target-flag) rows co-shuffle on
+  hash(term) mod P where both corpus counts are partition-local sums,
+  then on hash(doc_id) mod P for the per-doc reduction. Global
+  scalars (R, T, V) come from dataset aggregates, never the driver.
+
+Both tiers take math.log per DISTINCT term and sum each document in
+(doc_id, term) order, so results are bit-identical across tiers.
+
+Reference parity: the reference engine has no data-selection stage;
+this is a training-data-pipeline operator the north rule's webtext
+target needs (same family as ops/quality gopher/C4 and
+ops/text_analysis unigram_logprob).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from pdf_extractor_ray.ops.text_analysis import _doc_term_tf
+
+_DSIR_CACHE: dict = {}  # per-worker resolved broadcast maps
+
+
+def _per_doc(out: pd.DataFrame, const: float) -> pd.DataFrame:
+    """(doc_id, term, tf, _lp) -> per-doc reduction in (doc_id, term)
+    order; const is ln R - ln(T + V), applied once per token."""
+    out = out.sort_values(["doc_id", "term"], kind="stable")
+    g = out.groupby("doc_id", sort=True)
+    res = pd.DataFrame(
+        {"n_ws_tokens": g["tf"].sum().astype("int64"), "_s": g["_lp"].sum()}
+    ).reset_index()
+    res["logweight"] = res["_s"] + res["n_ws_tokens"].astype("float64") * const
+    return res[["doc_id", "n_ws_tokens", "logweight"]]
+
+
+def dsir_logweights(
+    ds: ray.data.Dataset,
+    target_col: str = "is_target",
+    text_col: str = "text",
+    broadcast_max_terms: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document DSIR log importance weights. `ds` must carry
+    doc_id, the text column, and a boolean target_col marking the
+    TARGET-domain examples (e.g. lang == 'en'); weights are emitted
+    for every document, target or not. Returns (doc_id, n_ws_tokens,
+    logweight)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.reset_index(drop=True)[text_col].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        flags = batch.reset_index(drop=True)[target_col].astype(bool)
+        tgt = toks[flags.reindex(toks.index).to_numpy()]
+        vc, vt = toks.value_counts(), tgt.value_counts()
+        return pd.DataFrame(
+            {
+                "term": vc.index.astype(str),
+                "n": vc.to_numpy().astype("int64"),
+                "nt": vt.reindex(vc.index).fillna(0).to_numpy().astype("int64"),
+            }
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_format="pandas"), ["term"], ["n", "nt"], counts=False
+    ).materialize()
+    total_r = int(counts.sum("sum_n") or 0)
+    total_t = int(counts.sum("sum_nt") or 0)
+    vocab = counts.count()
+    if total_r == 0:
+        return ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype="int64"),
+                    "n_ws_tokens": np.array([], dtype="int64"),
+                    "logweight": np.array([], dtype="float64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    const = math.log(total_r) - math.log(total_t + vocab)
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _doc_term_tf(batch, text_col)
+        flags = batch.set_index("doc_id")[target_col].astype(bool)
+        out["_tgt"] = out["doc_id"].map(flags).to_numpy()
+        return out
+
+    def prunable(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b["sum_n"] >= 2) | (b["sum_nt"] >= 1)]
+
+    multi = counts.map_batches(prunable, batch_format="pandas")
+    if multi.count() <= broadcast_max_terms:
+        tbl = multi.to_pandas()  # bounded by broadcast_max_terms
+        lw = {
+            t: math.log(int(ct) + 1) - math.log(int(cr))
+            for t, cr, ct in zip(tbl["term"], tbl["sum_n"], tbl["sum_nt"])
+        }
+        ref = ray.put(lw)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            key = ("dsir", ref.hex())
+            m = _DSIR_CACHE.get(key)
+            if m is None:
+                m = _DSIR_CACHE[key] = ray.get(ref)
+            out = _doc_term_tf(batch, text_col)
+            # absent => c_raw == 1 and c_tgt == 0 => value 0.0 exactly
+            out["_lp"] = out["tf"].astype("float64") * out["term"].map(m).fillna(0.0)
+            return _per_doc(out, const)
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- shuffle tier: exact at any vocabulary size ----
+    def add_term_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pd.util.hash_pandas_object(b["term"], index=False).to_numpy()
+        b["_part"] = (h % num_partitions).astype(np.int64)
+        return b
+
+    def score_term_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_part"]).copy()
+        cr = g.groupby("term", sort=False)["tf"].sum()
+        ct = g[g["_tgt"].astype(bool)].groupby("term", sort=False)["tf"].sum()
+        lw = {
+            t: math.log(int(ct.get(t, 0)) + 1) - math.log(int(c))
+            for t, c in cr.items()
+        }
+        g["_lp"] = g["tf"].astype("float64") * g["term"].map(lw)
+        return g.drop(columns=["_tgt"])
+
+    def add_doc_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["doc_id"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return b
+
+    def reduce_doc_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return _per_doc(g.drop(columns=["_part"]), const)
+
+    scored = (
+        ds.map_batches(doc_rows, batch_format="pandas")
+        .map_batches(add_term_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(score_term_partition, batch_format="pandas")
+    )
+    return (
+        scored.map_batches(add_doc_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(reduce_doc_partition, batch_format="pandas")
+    )
+
+
+def dsir_select(
+    ds: ray.data.Dataset,
+    frac: float = 0.25,
+    target_col: str = "is_target",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Keep the top `frac` of documents by DSIR log weight (ties by
+    doc_id) via the distributed global-rank primitive — the paper
+    resamples with Gumbel noise; deterministic top-fraction keeps the
+    operator reproducible and oracle-able. Returns (doc_id,
+    dsir_rank)."""
+    from pdf_extractor_ray.ops.rank import select_top_frac
+
+    scores = dsir_logweights(ds, target_col=target_col, text_col=text_col).materialize()
+    return select_top_frac(
+        scores,
+        ["logweight", "doc_id"],
+        [False, True],
+        frac,
+        keep_cols=["doc_id"],
+        rank_col="dsir_rank",
+    )

@@ -1461,3 +1461,37 @@ def test_c4_line_filter_rules(ray_session):
     assert kept.text[1] == good3  # the short line is gone
     assert kept.text[2] == good3  # the javascript line is gone
     assert kept.text[3].startswith("One two three four five.")  # stripped
+
+
+def test_dsir_tiers_bit_identical_and_select(ray_session):
+    """DSIR broadcast and term-shuffle tiers must be bit-identical
+    (math.log per distinct term, per-doc sums in (doc_id, term)
+    order); target-language docs must outscore the rest on average;
+    dsir_select keeps exactly the top fraction by (logweight desc,
+    doc_id)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.selection import dsir_logweights, dsir_select
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).assign(is_target=lambda d: d.lang == "en")
+    ds = ray.data.from_pandas(docs).repartition(4)
+    bc = dsir_logweights(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sh = (
+        dsir_logweights(ds, broadcast_max_terms=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bc.equals(sh)
+    m = bc.merge(docs[["doc_id", "lang"]], on="doc_id")
+    by_lang = m.groupby("lang").logweight.mean()
+    assert by_lang.idxmax() == "en"
+
+    sel = dsir_select(ds, frac=0.25).to_pandas()
+    k = int(len(bc) * 0.25)
+    want = set(
+        bc.sort_values(["logweight", "doc_id"], ascending=[False, True]).doc_id.head(k)
+    )
+    assert set(sel.doc_id) == want and sel.dsir_rank.max() == k
