@@ -825,6 +825,20 @@ def _docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_pack_offsets(sf_dir: str) -> pd.DataFrame:
+    """Concatenate-and-chunk packing manifest at seq_len=512: exact
+    global token offset per document plus the first/last training
+    sequence it spans, via the range-partition distributed prefix-sum
+    (ops/rank.global_prefix_sum — nothing sorts on the driver).
+    Oracled against sum() OVER (ORDER BY doc_id ROWS UNBOUNDED
+    PRECEDING)."""
+    from pdf_extractor_ray.ops.chunking import pack_offsets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_offsets(ds, seq_len=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_quality_select(sf_dir: str) -> pd.DataFrame:
     """CCNet-style quality selection: keep the best 25% of documents by
     corpus-LM avg log-prob via the distributed global-rank primitive
@@ -1455,7 +1469,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 78 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 79 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
@@ -1464,9 +1478,9 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_length_histogram, docs_term_postings, extract_page_links,
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
-# events_kmv_distinct, extract_c4_filter, docs_dsir_weights) comes
-# FIRST-50; the 28 entries past position 50 are queries oracled GREEN
-# in r1+r2+r3 (they rotate back next round).
+# events_kmv_distinct, extract_c4_filter, docs_dsir_weights,
+# docs_pack_offsets) comes FIRST-50; the 29 entries past position 50
+# are queries oracled GREEN in r1+r2+r3 (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1518,7 +1532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_bigrams": _docs_heavy_bigrams,
         "events_kmv_distinct": _events_kmv_distinct,
         "docs_tfidf_topk": _docs_tfidf_topk,
-        "docs_dup_ngrams": _docs_dup_ngrams,
         "docs_decontaminated": _docs_decontaminated,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
         "docs_train_test_split": _docs_train_test_split,
@@ -1529,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_logprob": _docs_bigram_logprob,
         "docs_quality_select": _docs_quality_select,
         "docs_dsir_weights": _docs_dsir_weights,
+        "docs_pack_offsets": _docs_pack_offsets,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
         "media_image_neardup": _media_image_neardup,
@@ -1545,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_by_lang": _docs_sample_by_lang,
         "asof_purchase_view": _asof_purchase_view,
         "events_redact_props": _events_redact_props,
+        "docs_dup_ngrams": _docs_dup_ngrams,
         "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
@@ -1862,6 +1877,22 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_pack_offsets": r"""
+            WITH toks AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(text, '\s+')) AS term
+                          FROM documents),
+            tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws_tokens
+                    FROM toks WHERE term <> '' GROUP BY doc_id),
+            o AS (SELECT doc_id, n_ws_tokens,
+                         CAST(sum(n_ws_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_ws_tokens AS BIGINT)
+                             AS token_offset
+                  FROM tok)
+            SELECT doc_id, n_ws_tokens, token_offset,
+                   CAST(token_offset // 512 AS BIGINT) AS first_seq,
+                   CAST((token_offset + n_ws_tokens - 1) // 512 AS BIGINT) AS last_seq
+            FROM o ORDER BY doc_id
         """,
         "docs_dsir_weights": r"""
             WITH toks AS (SELECT doc_id, lang,

@@ -229,6 +229,7 @@ def run_queries() -> dict[str, float]:
         "media_image_neardup",
         "extract_c4_filter",
         "docs_dsir_weights",
+        "docs_pack_offsets",
         "docs_heavy_bigrams",
         "events_kmv_distinct",
         "docs_decontaminated_bloom",

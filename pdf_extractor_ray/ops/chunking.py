@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -165,3 +166,44 @@ def chunk_documents(
         )
 
     return ds.map_batches(expand, batch_format="pandas")
+
+
+def pack_offsets(
+    ds: ray.data.Dataset,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Concatenate-and-chunk packing plan (the standard LM pretraining
+    pack: documents concatenated in id order, the token stream cut
+    every seq_len): for each document its exact global token offset
+    and the first/last training sequence it lands in. Token-less
+    documents contribute nothing to the stream and emit no row
+    (matching the SQL oracle's GROUP BY over exploded tokens).
+
+    Scale shape: one slim (id, n_ws_tokens) row per document feeds
+    rank.global_prefix_sum — a three-pass range-partition distributed
+    scan; no sort or token stream ever reaches the driver. The output
+    is the packing MANIFEST (what a sharded tokenizer job needs to
+    write its sequences independently), not the packed tensors.
+    """
+    from pdf_extractor_ray.ops.rank import global_prefix_sum
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.set_index(id_col)[text_col].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        n = toks.groupby(level=0).size()
+        return pd.DataFrame({id_col: n.index.to_numpy(), "n_ws_tokens": n.to_numpy().astype("int64")})
+
+    tf = ds.map_batches(counts, batch_format="pandas")
+    off = global_prefix_sum(tf, [id_col], "n_ws_tokens", out_col="token_offset")
+
+    def seqs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        o = b["token_offset"].to_numpy().astype(np.int64)
+        n = b["n_ws_tokens"].to_numpy().astype(np.int64)
+        b["first_seq"] = o // seq_len
+        b["last_seq"] = (o + n - 1) // seq_len
+        return b[[id_col, "n_ws_tokens", "token_offset", "first_seq", "last_seq"]]
+
+    return off.map_batches(seqs, batch_format="pandas")

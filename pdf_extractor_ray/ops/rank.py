@@ -137,6 +137,77 @@ def global_rank(
     return parted.groupby("_rpart").map_groups(rank_partition, batch_format="pandas")
 
 
+def global_prefix_sum(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    weight_col: str,
+    ascending: Sequence[bool] | None = None,
+    keep_cols: Sequence[str] | None = None,
+    out_col: str = "offset",
+    num_partitions: int = 32,
+    sample_per_block: int = 8,
+) -> ray.data.Dataset:
+    """EXCLUSIVE running total of weight_col in the global ORDER BY
+    keys order — SQL `sum(w) OVER (ORDER BY keys ROWS UNBOUNDED
+    PRECEDING) - w` — with the same three-pass range-partition shape
+    as global_rank: boundary sample on the leading key, a weight-sum
+    pass whose <= P partition totals the driver prefix-sums into
+    partition offsets, then a per-partition sort + cumsum. The
+    distributed-scan primitive behind sequence packing (global token
+    offsets), byte-offset manifests, and curriculum schedules. Pass a
+    unique id as the last key for a total order, exactly like
+    global_rank."""
+    keys = list(keys)
+    asc = list(ascending) if ascending is not None else [True] * len(keys)
+    lead, lead_asc = keys[0], asc[0]
+    cols = list(keep_cols) if keep_cols is not None else None
+
+    bnds = _boundaries(ds, lead, num_partitions, sample_per_block)
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        if len(batch) == 0:
+            batch["_rpart"] = pd.Series(dtype="int64")
+            return batch
+        v = batch[lead].to_numpy()
+        batch["_rpart"] = (
+            np.searchsorted(bnds, v, side="right").astype(np.int64)
+            if len(bnds)
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        return batch
+
+    parted = ds.map_batches(add_part, batch_format="pandas")
+
+    def local_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("_rpart")[weight_col].sum()
+        return pd.DataFrame(
+            {"_rpart": g.index.to_numpy(dtype=np.int64), "w": g.to_numpy().astype("int64")}
+        )
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    totals = grouped_sum(
+        parted.map_batches(local_sums, batch_format="pandas"), ["_rpart"], ["w"], counts=False
+    ).to_pandas()  # <= num_partitions + 1 rows
+    totals = totals.sort_values("_rpart", ascending=lead_asc)
+    offs = np.zeros(len(totals), dtype=np.int64)
+    np.cumsum(totals["sum_w"].to_numpy()[:-1], out=offs[1:])
+    offsets = dict(zip(totals["_rpart"].astype(int), offs))
+
+    def scan_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = (cols or [c for c in g.columns if c != "_rpart"]) + [out_col]
+        if g.empty or "_rpart" not in g.columns or lead not in g.columns:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
+        off = offsets[int(g["_rpart"].iloc[0])]
+        g = g.sort_values(keys, ascending=asc, kind="stable").drop(columns=["_rpart"])
+        w = g[weight_col].to_numpy().astype(np.int64)
+        g[out_col] = off + np.cumsum(w) - w
+        return g[out_cols] if cols is not None else g
+
+    return parted.groupby("_rpart").map_groups(scan_partition, batch_format="pandas")
+
+
 def select_top_frac(
     ds: ray.data.Dataset,
     keys: Sequence[str],

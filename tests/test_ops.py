@@ -1495,3 +1495,39 @@ def test_dsir_tiers_bit_identical_and_select(ray_session):
         bc.sort_values(["logweight", "doc_id"], ascending=[False, True]).doc_id.head(k)
     )
     assert set(sel.doc_id) == want and sel.dsir_rank.max() == k
+
+
+def test_global_prefix_sum_and_pack_offsets(ray_session):
+    """global_prefix_sum must equal the pandas cumsum-minus-weight in
+    (key) order at any partitioning; pack_offsets' sequence spans must
+    tile the concatenated token stream exactly (doc i's offset = doc
+    i-1's offset + count; last_seq consistent with seq_len)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.chunking import pack_offsets
+    from pdf_extractor_ray.ops.rank import global_prefix_sum
+
+    rng = pd.DataFrame({"k": np.arange(997)[::-1], "w": (np.arange(997) * 7919) % 23 + 1})
+    for parts in (1, 9):
+        ds = ray.data.from_pandas(rng).repartition(parts)
+        out = (
+            global_prefix_sum(ds, ["k"], "w", out_col="off")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = rng.sort_values("k").reset_index(drop=True)
+        assert (out.off.to_numpy() == want.w.cumsum().to_numpy() - want.w.to_numpy()).all()
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ds = ray.data.from_pandas(docs).repartition(5)
+    out = pack_offsets(ds, seq_len=128).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = docs.text.str.split().str.len().to_numpy()
+    assert (out.n_ws_tokens.to_numpy() == n[n > 0]).all()
+    offs = out.token_offset.to_numpy()
+    cnts = out.n_ws_tokens.to_numpy()
+    assert offs[0] == 0 and (offs[1:] == offs[:-1] + cnts[:-1]).all()
+    assert (out.first_seq.to_numpy() == offs // 128).all()
+    assert (out.last_seq.to_numpy() == (offs + cnts - 1) // 128).all()
