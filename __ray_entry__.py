@@ -825,6 +825,19 @@ def _docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic pseudo-random 20-docs-per-language sample by
+    smallest (md5-prefix(doc_id), doc_id) — the engine-portable fixed
+    draw (ops/relational.hash_sample_per_group; <= k rows per group
+    leave each block)."""
+    from pdf_extractor_ray.ops.relational import hash_sample_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = hash_sample_per_group(ds, "lang", "doc_id", k=20).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def _docs_pack_offsets(sf_dir: str) -> pd.DataFrame:
     """Concatenate-and-chunk packing manifest at seq_len=512: exact
     global token offset per document plus the first/last training
@@ -1469,7 +1482,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 79 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 80 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
@@ -1479,8 +1492,9 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
 # events_kmv_distinct, extract_c4_filter, docs_dsir_weights,
-# docs_pack_offsets) comes FIRST-50; the 29 entries past position 50
-# are queries oracled GREEN in r1+r2+r3 (they rotate back next round).
+# docs_pack_offsets, docs_hash_sample) comes FIRST-50; the 30 entries
+# past position 50 are queries oracled GREEN in r1+r2+r3 (they rotate
+# back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1531,7 +1545,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _doc_token_counts,
         "docs_heavy_bigrams": _docs_heavy_bigrams,
         "events_kmv_distinct": _events_kmv_distinct,
-        "docs_tfidf_topk": _docs_tfidf_topk,
         "docs_decontaminated": _docs_decontaminated,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
         "docs_train_test_split": _docs_train_test_split,
@@ -1543,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_select": _docs_quality_select,
         "docs_dsir_weights": _docs_dsir_weights,
         "docs_pack_offsets": _docs_pack_offsets,
+        "docs_hash_sample": _docs_hash_sample,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
         "media_image_neardup": _media_image_neardup,
@@ -1560,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_view": _asof_purchase_view,
         "events_redact_props": _events_redact_props,
         "docs_dup_ngrams": _docs_dup_ngrams,
+        "docs_tfidf_topk": _docs_tfidf_topk,
         "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,
@@ -1877,6 +1892,14 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_hash_sample": """
+            WITH r AS (SELECT lang, doc_id,
+                              row_number() OVER (PARTITION BY lang
+                                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13),
+                                           doc_id) AS rk
+                       FROM documents)
+            SELECT lang, doc_id FROM r WHERE rk <= 20 ORDER BY lang, doc_id
         """,
         "docs_pack_offsets": r"""
             WITH toks AS (SELECT doc_id,

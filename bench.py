@@ -230,6 +230,7 @@ def run_queries() -> dict[str, float]:
         "extract_c4_filter",
         "docs_dsir_weights",
         "docs_pack_offsets",
+        "docs_hash_sample",
         "docs_heavy_bigrams",
         "events_kmv_distinct",
         "docs_decontaminated_bloom",

@@ -313,6 +313,47 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def hash_sample_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Deterministic pseudo-random k-per-group sample: keep each
+    group's k rows with the smallest (md5-prefix(id), id) key — a
+    fixed "random" draw that is reproducible across runs, partition
+    layouts and engines (SQL parity: row_number() OVER (PARTITION BY g
+    ORDER BY substr(md5(id::VARCHAR), 1, 13), id) <= k; the 52-bit
+    md5 prefix via scrub.md5_u52 orders identically to the hex
+    substring). Same lossless bottom-k merge shape as
+    sketch.kmv_distinct: each batch ships at most k rows per group.
+    Returns (group_col, id_col)."""
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                group_col: batch[group_col].to_numpy(),
+                id_col: batch[id_col].to_numpy(),
+                "_h": md5_u52([str(v) for v in batch[id_col]]),
+            }
+        )
+        d = d.sort_values(["_h", id_col], kind="stable")
+        return d.groupby(group_col, sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or group_col not in g.columns:
+            return pd.DataFrame({group_col: [], id_col: pd.Series([], dtype="int64")})
+        g = g.sort_values(["_h", id_col], kind="stable").head(k)
+        return g[[group_col, id_col]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def pivot_sum(
     ds: ray.data.Dataset,
     keys: Sequence[str],

@@ -1531,3 +1531,32 @@ def test_global_prefix_sum_and_pack_offsets(ray_session):
     assert offs[0] == 0 and (offs[1:] == offs[:-1] + cnts[:-1]).all()
     assert (out.first_seq.to_numpy() == offs // 128).all()
     assert (out.last_seq.to_numpy() == (offs + cnts - 1) // 128).all()
+
+
+def test_hash_sample_per_group(ray_session):
+    """Fixed pseudo-random k-per-group draw: equals the pandas
+    sort-by-(md5prefix, id) head(k) at any partitioning; k above the
+    group size returns the whole group."""
+    import hashlib
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import hash_sample_per_group
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang"]
+    )
+    key = docs.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest()[:13])
+    want = (
+        docs.assign(_h=key)
+        .sort_values(["_h", "doc_id"], kind="stable")
+        .groupby("lang", sort=False)
+        .head(7)
+    )
+    want_set = set(map(tuple, want[["lang", "doc_id"]].to_numpy()))
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(docs).repartition(parts)
+        out = hash_sample_per_group(ds, "lang", "doc_id", k=7).to_pandas()
+        assert set(map(tuple, out[["lang", "doc_id"]].to_numpy())) == want_set
+    full = hash_sample_per_group(ray.data.from_pandas(docs), "lang", "doc_id", k=10**6)
+    assert len(full.to_pandas()) == len(docs)
