@@ -825,6 +825,22 @@ def _docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer trained on the corpus itself (50 merges,
+    Sennrich et al. 2016) then applied back: per-doc whitespace vs
+    subword token counts (ops/tokenize.py — distributed exact word
+    count feeds a driver-side merge loop over the bounded type table;
+    encode is a broadcast + per-worker-memoized map). Rows-only
+    (iterative merges are not SQL-expressible); the merge sequence is
+    pinned on the paper's example in tests."""
+    from pdf_extractor_ray.ops.tokenize import bpe_token_counts, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=50)
+    out = bpe_token_counts(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_hash_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic pseudo-random 20-docs-per-language sample by
     smallest (md5-prefix(doc_id), doc_id) — the engine-portable fixed
@@ -1482,7 +1498,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50). The registry holds 80 entries
+# 50 in dict order; r3: 57 -> first 50). The registry holds 81 entries
 # ordered by ROTATION so no query goes two rounds without a driver
 # row: the 7 queries past r3's cap plus everything new in r4
 # (srp_neardup_docs, docs_semantic_dedup, docs_source_cap,
@@ -1492,9 +1508,9 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
 # events_kmv_distinct, extract_c4_filter, docs_dsir_weights,
-# docs_pack_offsets, docs_hash_sample) comes FIRST-50; the 30 entries
-# past position 50 are queries oracled GREEN in r1+r2+r3 (they rotate
-# back next round).
+# docs_pack_offsets, docs_hash_sample, docs_bpe_tokens) comes
+# FIRST-50; the 31 entries past position 50 are queries oracled GREEN
+# in r1+r2+r3 (they rotate back next round).
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1549,7 +1565,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
         "docs_train_test_split": _docs_train_test_split,
         "exact_dedup_docs": _exact_dedup_docs,
-        "doc_chunks": _doc_chunks,
         "docs_gopher_quality": _docs_gopher_quality,
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_bigram_logprob": _docs_bigram_logprob,
@@ -1557,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": _docs_dsir_weights,
         "docs_pack_offsets": _docs_pack_offsets,
         "docs_hash_sample": _docs_hash_sample,
+        "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
         "media_image_neardup": _media_image_neardup,
@@ -1575,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_redact_props": _events_redact_props,
         "docs_dup_ngrams": _docs_dup_ngrams,
         "docs_tfidf_topk": _docs_tfidf_topk,
+        "doc_chunks": _doc_chunks,
         "events_json_props": _events_json_props,
         "events_sessions": _events_sessions,
         "events_sliding_window": _events_sliding_window,

@@ -1560,3 +1560,46 @@ def test_hash_sample_per_group(ray_session):
         assert set(map(tuple, out[["lang", "doc_id"]].to_numpy())) == want_set
     full = hash_sample_per_group(ray.data.from_pandas(docs), "lang", "doc_id", k=10**6)
     assert len(full.to_pandas()) == len(docs)
+
+
+def test_bpe_train_sennrich_example(ray_session):
+    """The paper's worked vocabulary {low x5, lower x2, newest x6,
+    widest x3} must learn the canonical merge sequence, and encoding
+    an UNSEEN word ('lowest') must compose trained subwords."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.tokenize import bpe_encode_word, bpe_train
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": [corpus]}))
+    merges = bpe_train(ds, n_merges=5)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w")]
+    ranks = {p: r for r, p in enumerate(merges)}
+    assert bpe_encode_word("lowest", ranks) == ["low", "est</w>"]
+    assert bpe_encode_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+
+
+def test_bpe_partition_invariant_and_counts(ray_session):
+    """Training is bit-deterministic at any partitioning (exact counts
+    + lexicographic ties); more merges never increase a doc's token
+    count; zero merges degenerate to characters + end marker."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.tokenize import bpe_token_counts, bpe_train
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    m1 = bpe_train(ray.data.from_pandas(docs), n_merges=40)
+    m4 = bpe_train(ray.data.from_pandas(docs).repartition(4), n_merges=40)
+    assert m1 == m4
+    ds = ray.data.from_pandas(docs).repartition(3)
+    t40 = bpe_token_counts(ds, m1).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    t10 = bpe_token_counts(ds, m1[:10]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    t0 = bpe_token_counts(ds, []).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (t40.n_bpe_tokens <= t10.n_bpe_tokens).all()
+    assert (t10.n_bpe_tokens <= t0.n_bpe_tokens).all()
+    chars = docs.sort_values("doc_id").text.map(
+        lambda t: sum(len(w) + 1 for w in t.split())
+    )
+    assert (t0.n_bpe_tokens.to_numpy() == chars.to_numpy()).all()
