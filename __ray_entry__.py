@@ -854,6 +854,24 @@ def _docs_hash_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, 40 docs
+    weighted by n_chars, via md5-keyed exponential races
+    (ops/selection.weighted_sample, Efraimidis-Spirakis A-ES): the k
+    smallest -ln(u)/w keys win; a per-block Arrow partial top-k caps
+    the shuffle at k rows per block. DuckDB reproduces the draw from
+    the same md5 prefix."""
+    from pdf_extractor_ray.ops.selection import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = weighted_sample(
+        ds, k=40, weight_col="n_chars", keep_cols=["lang", "n_chars"]
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_pack_offsets(sf_dir: str) -> pd.DataFrame:
     """Concatenate-and-chunk packing manifest at seq_len=512: exact
     global token offset per document plus the first/last training
@@ -1508,9 +1526,12 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # docs_quality_select, docs_gopher_repetition, docs_nb_lang,
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
 # events_kmv_distinct, extract_c4_filter, docs_dsir_weights,
-# docs_pack_offsets, docs_hash_sample, docs_bpe_tokens) comes
-# FIRST-50; the 31 entries past position 50 are queries oracled GREEN
-# in r1+r2+r3 (they rotate back next round).
+# docs_pack_offsets, docs_hash_sample, docs_weighted_sample,
+# docs_bpe_tokens) comes FIRST-50; the entries past position 50 are
+# queries oracled GREEN in r1+r2+r3 (they rotate back next round).
+# Each late-r4 addition placed inside the first 50 pushes one more
+# thrice-green relational query past the cap; the r5 rotation brings
+# the displaced tail back first.
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain
@@ -1572,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": _docs_dsir_weights,
         "docs_pack_offsets": _docs_pack_offsets,
         "docs_hash_sample": _docs_hash_sample,
+        "docs_weighted_sample": _docs_weighted_sample,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -1909,6 +1931,16 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_weighted_sample": """
+            WITH keyed AS (
+                SELECT doc_id, lang, n_chars,
+                       -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                            + 1) / 4503599627370496e0) / n_chars AS sample_key
+                FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars, sample_key
+            FROM keyed ORDER BY sample_key, doc_id LIMIT 40
         """,
         "docs_hash_sample": """
             WITH r AS (SELECT lang, doc_id,

@@ -231,6 +231,7 @@ def run_queries() -> dict[str, float]:
         "docs_dsir_weights",
         "docs_pack_offsets",
         "docs_hash_sample",
+        "docs_weighted_sample",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",

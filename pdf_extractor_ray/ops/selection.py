@@ -183,6 +183,62 @@ def dsir_logweights(
     )
 
 
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement via
+    exponential races (Efraimidis & Spirakis 2006, IPL 97(5), the
+    A-ES scheme): give row i the key t_i = -ln(u_i) / w_i — the
+    firing time of an Exponential(w_i) clock — and keep the k
+    smallest keys. The result is an exact weight-proportional sample
+    without replacement, and the min-k reduction makes the draw
+    embarrassingly distributable (unlike sequential reservoirs).
+
+    u_i is md5-derived, not random: u_i = (md5_u52(str(id)) + 1) /
+    2^52, the same engine-portable uniform the KMV sketch and hash
+    sampler use (DuckDB reproduces it as
+    ``('0x' || substr(md5(id), 1, 13))::UBIGINT``), so the sample is
+    reproducible on any cluster size, row order, or engine. Rows
+    with weight <= 0 never fire (excluded), matching the SQL twin's
+    WHERE.
+
+    Scale shape: a per-block zero-copy Arrow partial top-k caps the
+    global sort's input at k rows per block, so only ~k x n_blocks
+    candidate rows ever shuffle; the weights themselves need no
+    global pass. Returns (id, keep_cols..., sample_key) — the k
+    winners in race order.
+    """
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    keep = list(keep_cols or [])
+    cols = [id_col, *keep]
+
+    def key_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].astype("float64").to_numpy()
+        u = (md5_u52([str(v) for v in batch[id_col]]).astype("float64") + 1.0) / 2.0**52
+        out = batch.loc[:, cols].copy()
+        out["sample_key"] = -np.log(u) / w
+        return out[w > 0.0]
+
+    order = [("sample_key", "ascending"), (id_col, "ascending")]
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        return t.sort_by(order).slice(0, k)
+
+    return (
+        ds.map_batches(key_rows, batch_format="pandas")
+        .map_batches(partial_top, batch_format="pyarrow")
+        .sort(["sample_key", id_col])
+        .limit(k)
+    )
+
+
 def dsir_select(
     ds: ray.data.Dataset,
     frac: float = 0.25,

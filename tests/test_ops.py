@@ -1497,6 +1497,65 @@ def test_dsir_tiers_bit_identical_and_select(ray_session):
     assert set(sel.doc_id) == want and sel.dsir_rank.max() == k
 
 
+def test_weighted_sample_exponential_race(ray_session):
+    """weighted_sample must equal the brute-force hashlib reference
+    (k smallest -ln(u)/w keys, u = (md5_u52+1)/2^52), exclude
+    non-positive weights, bias the draw toward heavy rows, and return
+    everything eligible when k >= n."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.selection import weighted_sample
+
+    n = 400
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            # ids 0..199 light (w=10), 200..399 heavy (w=1000); a few
+            # zero/negative weights that must never be drawn
+            "w": np.where(np.arange(n) < 200, 10.0, 1000.0),
+            "grp": np.where(np.arange(n) < 200, "light", "heavy"),
+        }
+    )
+    df.loc[rng.choice(n, 10, replace=False), "w"] = 0.0
+    df.loc[rng.choice(n, 5, replace=False), "w"] = -3.0
+
+    def ref_keys(d: pd.DataFrame) -> pd.Series:
+        u = np.array(
+            [
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1) / 2.0**52
+                for i in d.doc_id
+            ]
+        )
+        return pd.Series(-np.log(u) / d.w.to_numpy(), index=d.index)
+
+    elig = df[df.w > 0].copy()
+    elig["key"] = ref_keys(elig)
+    want = elig.sort_values(["key", "doc_id"]).head(60)
+
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (
+        weighted_sample(ds, k=60, weight_col="w", keep_cols=["grp", "w"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == sorted(want.doc_id)
+    np.testing.assert_allclose(
+        out.sort_values("doc_id").sample_key.to_numpy(),
+        want.sort_values("doc_id").key.to_numpy(),
+        rtol=1e-12,
+    )
+    # the 100x-heavier half must dominate the draw
+    assert (out.grp == "heavy").sum() > 45
+    # k >= n returns every positive-weight row
+    all_out = weighted_sample(ds, k=1000, weight_col="w").to_pandas()
+    assert set(all_out.doc_id) == set(elig.doc_id)
+
+
 def test_global_prefix_sum_and_pack_offsets(ray_session):
     """global_prefix_sum must equal the pandas cumsum-minus-weight in
     (key) order at any partitioning; pack_offsets' sequence spans must
