@@ -1404,6 +1404,26 @@ def _extract_c4_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "n_lines"]).reset_index(drop=True)
 
 
+def _extract_url_filter(sf_dir: str) -> pd.DataFrame:
+    """URL-level crawl gate (ops/urlfilter.py — UT1-style host-suffix
+    blocklist + path-word blocklist + shape heuristics) over the
+    fixture corpus urls: per-url verdict with the first tripped rule.
+    Rows-only (urls live in the extraction fixture, not a SQL table);
+    the rule semantics are unit-tested on handcrafted URLs in
+    tests/test_ops.py."""
+    from pdf_extractor_ray.ops.urlfilter import url_signals
+    from pdf_extractor_ray.pipelines.extract import read_pages
+
+    ds = read_pages(_fixture_pages(500)).select_columns(["url"])
+    out = url_signals(
+        ds,
+        blocked_hosts=["site3.example", "site17.example"],
+        blocked_path_words=["doc000004"],
+        max_subdomain_depth=4,
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _extract_dedup_sorted_urls(sf_dir: str) -> pd.DataFrame:
     """North-rule corpus dedup + sort-by-url shuffle in one lineage:
     hash-partition groupby(url) -> first (pipelines/extract.
@@ -1604,8 +1624,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_postings": _docs_term_postings,
         "extract_page_links": _extract_page_links,
         "extract_host_pagerank": _extract_host_pagerank,
-        # -- past the 50-row cap this round: oracled GREEN in r1+r2+r3,
-        #    rotate back next round ------------------------------------
+        # -- past the 50-row cap this round: late-r4 rows-only additions
+        #    (unit-tested + benched; they rotate into the top-50 in r5)
+        #    followed by queries oracled GREEN in r1+r2+r3 --------------
+        "extract_url_filter": _extract_url_filter,
         "top_docs_by_chars": _top_docs_by_chars,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,

@@ -251,6 +251,7 @@ def run_queries() -> dict[str, float]:
         "docs_semantic_dedup",
         "multimodal_featurize",
         "extract_page_links",
+        "extract_url_filter",
         "extract_host_pagerank",
         "training_data_pipeline",
     ]

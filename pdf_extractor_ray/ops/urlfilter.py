@@ -1,0 +1,169 @@
+"""URL-level crawl filtering — the gate every web-scale corpus runs
+BEFORE fetching or extracting a page (CCNet, RefinedWeb §3.1 and
+RedPajama-v2 all carry one; the public UT1 "blacklists" distribution
+is the canonical blocklist shape): drop documents whose URL falls in
+a blocked domain, whose path/query carries a banned word, or whose
+URL shape is spammy (too long, too many digits in the host, too many
+subdomains or query parameters).
+
+Everything here is driven by the URL STRING only — no network, no
+payload — so it is a pure vectorized map over the corpus:
+
+- one compiled regex splits scheme/host/port/path/query per batch
+  (pandas ``str.extract``, single pass);
+- host blocking is SUFFIX matching on registrable-domain boundaries
+  (``host == b`` or ``host.endswith("." + b)``), the UT1 semantics —
+  implemented as ONE alternation regex anchored at end-of-host, so a
+  100k-domain blocklist is still a single scan per batch;
+- path/query word blocking is a literal-substring alternation over
+  the lowercased path+query (the decontaminate shape);
+- shape heuristics are numpy column math.
+
+Blocklists ride along as task arguments (Ray caches them per worker);
+for very large lists pass the precompiled patterns through `ray.put`
+and resolve in-task — the filter itself never shuffles.
+
+Reference parity: the reference engine ingests user uploads and has
+no crawl gate (extractor.py:101 takes arbitrary PDFs); this operator
+belongs to the north rule's webtext target, same family as
+ops/quality (Gopher/C4) document gates.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+# scheme://host[:port][/path][?query] — permissive on purpose: crawl
+# URLs are messy and an unparseable URL must yield a REASON, not a
+# crash. Query excludes the fragment (#...), which no filter reads.
+_URL_RE = re.compile(
+    r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://(?P<host>[^/:?#]*)"
+    r"(?::(?P<port>\d+))?(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?"
+)
+
+_DEFAULTS = dict(
+    max_url_len=2048,
+    max_host_digit_frac=0.5,
+    max_subdomain_depth=6,
+    max_query_params=16,
+)
+
+
+def _host_block_re(blocked_hosts: Sequence[str]) -> re.Pattern | None:
+    """One end-anchored alternation implementing UT1 suffix semantics:
+    ``example.com`` blocks example.com and every subdomain, never
+    notexample.com (the boundary is a literal dot)."""
+    hosts = sorted({h.lower().lstrip(".") for h in blocked_hosts if h})
+    if not hosts:
+        return None
+    alt = "|".join(re.escape(h) for h in hosts)
+    return re.compile(r"(?:^|\.)(?:" + alt + r")$")
+
+
+def _signal_frame(
+    batch: pd.DataFrame,
+    url_col: str,
+    host_re: re.Pattern | None,
+    word_re: re.Pattern | None,
+    lim: dict,
+) -> pd.DataFrame:
+    s = batch[url_col].astype(str)
+    parts = s.str.extract(_URL_RE)
+    host = parts["host"].fillna("").str.lower()
+    path = parts["path"].fillna("")
+    query = parts["query"].fillna("")
+    unparseable = parts["scheme"].isna().to_numpy()
+
+    n_params = np.where(
+        query.to_numpy() == "", 0, query.str.count("&").to_numpy() + 1
+    ).astype("int64")
+    hlen = host.str.len().to_numpy().astype("float64")
+    digit_frac = np.divide(
+        host.str.count(r"\d").to_numpy().astype("float64"),
+        hlen,
+        out=np.zeros_like(hlen),
+        where=hlen > 0,
+    )
+    depth = host.str.count(r"\.").to_numpy() + 1
+    path_depth = path.str.count("/").to_numpy().astype("int64")
+
+    reason = np.full(len(batch), "", dtype=object)
+
+    def trip(mask: np.ndarray, tag: str) -> None:
+        mask = np.asarray(mask, dtype=bool) & (reason == "")
+        reason[mask] = tag
+
+    if host_re is not None:
+        trip(host.str.contains(host_re, regex=True).to_numpy(), "block_host")
+    if word_re is not None:
+        pq = (path + "?" + query).str.lower()
+        trip(pq.str.contains(word_re, regex=True).to_numpy(), "block_word")
+    trip(unparseable, "unparseable")
+    trip(s.str.len().to_numpy() > lim["max_url_len"], "too_long")
+    trip(digit_frac > lim["max_host_digit_frac"], "digit_host")
+    trip(depth > lim["max_subdomain_depth"], "deep_subdomain")
+    trip(n_params > lim["max_query_params"], "query_spam")
+
+    return pd.DataFrame(
+        {
+            url_col: s,
+            "host": host,
+            "path_depth": path_depth,
+            "n_query_params": n_params,
+            "host_digit_frac": digit_frac,
+            "reason": reason,
+            "keep": reason == "",
+        }
+    )
+
+
+def url_signals(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    blocked_hosts: Sequence[str] = (),
+    blocked_path_words: Sequence[str] = (),
+    **limits: float,
+) -> ray.data.Dataset:
+    """Per-URL parse + filter verdict. Emits (url_col, host, path_depth,
+    n_query_params, host_digit_frac, reason, keep): `reason` is the
+    FIRST tripped rule in a fixed order (block_host, block_word,
+    unparseable, too_long, digit_host, deep_subdomain, query_spam) or
+    "" when the URL passes. Deterministic: same URL, same verdict, on
+    any cluster size or row order."""
+    lim = {**_DEFAULTS, **limits}
+    host_re = _host_block_re(blocked_hosts)
+    words = sorted({w.lower() for w in blocked_path_words if w}, key=len, reverse=True)
+    word_re = re.compile("|".join(re.escape(w) for w in words)) if words else None
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return _signal_frame(batch, url_col, host_re, word_re, lim)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def url_filter(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    blocked_hosts: Sequence[str] = (),
+    blocked_path_words: Sequence[str] = (),
+    **limits: float,
+) -> ray.data.Dataset:
+    """Keep only rows whose URL passes every rule, preserving the
+    input schema — the composable gate form (drop-in ahead of
+    extraction or any corpus stage). Shares url_signals' rule pass
+    exactly: a row survives iff its signals row has keep=True."""
+    lim = {**_DEFAULTS, **limits}
+    host_re = _host_block_re(blocked_hosts)
+    words = sorted({w.lower() for w in blocked_path_words if w}, key=len, reverse=True)
+    word_re = re.compile("|".join(re.escape(w) for w in words)) if words else None
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = _signal_frame(batch, url_col, host_re, word_re, lim)
+        return batch.loc[sig["keep"].to_numpy()]
+
+    return ds.map_batches(f, batch_format="pandas")

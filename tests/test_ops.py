@@ -1497,6 +1497,50 @@ def test_dsir_tiers_bit_identical_and_select(ray_session):
     assert set(sel.doc_id) == want and sel.dsir_rank.max() == k
 
 
+def test_url_filter_rules(ray_session):
+    """url_signals must trip each rule on its canonical example with
+    the documented first-tripped-rule precedence, implement UT1
+    suffix semantics (subdomains blocked, superstring hosts NOT), and
+    url_filter must keep exactly the keep=True rows with the input
+    schema intact."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.urlfilter import url_filter, url_signals
+
+    rows = [
+        ("https://site1.example/en/doc1", ""),
+        ("https://tracker.bad/x", "block_host"),
+        ("https://deep.sub.tracker.bad/x", "block_host"),
+        ("https://nottracker.bad.safe.example/x", ""),
+        ("https://ok.example/spamword-here", "block_word"),
+        # block_host precedes block_word when both trip
+        ("https://tracker.bad/spamword", "block_host"),
+        ("nonsense", "unparseable"),
+        ("https://" + "h.example/" + "a" * 2048, "too_long"),
+        ("http://123456789.example/x", "digit_host"),
+        ("https://a.b.c.d.e.f.g.example/x", "deep_subdomain"),
+        ("https://q.example/x?" + "&".join(f"k{i}={i}" for i in range(20)), "query_spam"),
+    ]
+    df = pd.DataFrame({"url": [u for u, _ in rows], "payload": range(len(rows))})
+    ds = ray.data.from_pandas(df).repartition(3)
+    kw = dict(
+        blocked_hosts=["tracker.bad"],
+        blocked_path_words=["spamword"],
+        max_host_digit_frac=0.5,
+        max_subdomain_depth=6,
+        max_query_params=16,
+    )
+    sig = url_signals(ds, **kw).to_pandas().set_index("url")
+    for u, want in rows:
+        assert sig.loc[u, "reason"] == want, (u, sig.loc[u, "reason"], want)
+        assert sig.loc[u, "keep"] == (want == "")
+    kept = url_filter(ds, **kw).to_pandas()
+    assert list(kept.columns) == ["url", "payload"]
+    assert set(kept.url) == {u for u, w in rows if w == ""}
+    # signal columns are real numbers, not NaN, even for unparseable rows
+    assert sig.host_digit_frac.notna().all() and (sig.n_query_params >= 0).all()
+
+
 def test_weighted_sample_exponential_race(ray_session):
     """weighted_sample must equal the brute-force hashlib reference
     (k smallest -ln(u)/w keys, u = (md5_u52+1)/2^52), exclude
