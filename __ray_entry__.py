@@ -872,6 +872,21 @@ def _docs_weighted_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide paragraph-level exact dedup (Dolma/FineWeb line
+    pass, ops/dedup.paragraph_dedup): every distinct unit survives
+    only at its smallest (doc_id, position); documents rebuild from
+    survivors. The synthetic docs are single-line, so the unit here is
+    sep=' ' (word-level) — same split/winner/rebuild path the
+    newline-corpus tests exercise, and fully SQL-expressible."""
+    from pdf_extractor_ray.ops.dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = paragraph_dedup(ds, sep=" ").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_pack_offsets(sf_dir: str) -> pd.DataFrame:
     """Concatenate-and-chunk packing manifest at seq_len=512: exact
     global token offset per document plus the first/last training
@@ -1547,7 +1562,8 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
 # events_kmv_distinct, extract_c4_filter, docs_dsir_weights,
 # docs_pack_offsets, docs_hash_sample, docs_weighted_sample,
-# docs_bpe_tokens) comes FIRST-50; the entries past position 50 are
+# docs_paragraph_dedup, docs_bpe_tokens) comes FIRST-50; the entries
+# past position 50 are
 # queries oracled GREEN in r1+r2+r3 (they rotate back next round).
 # Each late-r4 addition placed inside the first 50 pushes one more
 # thrice-green relational query past the cap; the r5 rotation brings
@@ -1614,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_offsets": _docs_pack_offsets,
         "docs_hash_sample": _docs_hash_sample,
         "docs_weighted_sample": _docs_weighted_sample,
+        "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -1953,6 +1970,26 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_paragraph_dedup": """
+            WITH p AS (
+                SELECT doc_id, i - 1 AS pidx, a[i] AS para
+                FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+                     UNNEST(range(1, len(a) + 1)) AS r(i)
+            ),
+            w AS (
+                SELECT doc_id, pidx, para,
+                       (trim(para) <> '' AND
+                        row_number() OVER (PARTITION BY para
+                                           ORDER BY doc_id, pidx) > 1) AS removed
+                FROM p
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT removed THEN para END,
+                                       ' ' ORDER BY pidx), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_paragraphs,
+                   CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM w GROUP BY doc_id ORDER BY doc_id
         """,
         "docs_weighted_sample": """
             WITH keyed AS (

@@ -232,6 +232,7 @@ def run_queries() -> dict[str, float]:
         "docs_pack_offsets",
         "docs_hash_sample",
         "docs_weighted_sample",
+        "docs_paragraph_dedup",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",

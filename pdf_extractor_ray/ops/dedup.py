@@ -1266,3 +1266,207 @@ def dup_ngram_components(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (the Dolma / FineWeb line-level pass)
+# ---------------------------------------------------------------------------
+
+
+_DROP_PAIR_SCHEMA = pa.schema([("drop_id", pa.int64()), ("drop_pidx", pa.int64())])
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    num_partitions: int = 32,
+    broadcast_max_pairs: int = _BROADCAST_MAX_PAIRS,
+) -> ray.data.Dataset:
+    """Corpus-wide paragraph-level exact dedup (the Dolma / FineWeb
+    line-level pass, public pipeline papers): split each document on
+    `sep`, keep each distinct non-blank paragraph only at its FIRST
+    corpus occurrence (smallest (id, position)), drop every other
+    occurrence, and rebuild each document as the `sep`-join of its
+    survivors. Blank/whitespace-only paragraphs are document structure
+    and never dedup. Emits (id_col, text_col, n_paragraphs,
+    n_removed) for EVERY input document (a fully-duplicated doc
+    survives as an empty string with the removal count).
+
+    Scale shape mirrors exact_dedup: pass 1 ships slim
+    (hash, id, pidx) triples with an in-batch combiner (one candidate
+    per hash per batch; in-batch losers forward flagged), winners
+    resolve per hash-mod-P partition, and the loser (id, pidx) pairs
+    — tiny when duplication is rare, the crawl common case —
+    broadcast once under `broadcast_max_pairs`, else co-shuffle with
+    the corpus on hash(id) mod P (the anti_join_ids union idiom).
+    Paragraph TEXT never enters an exchange; documents rebuild
+    locally by re-splitting. Same 63-bit sha1-prefix key and collision
+    policy as exact_dedup."""
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (text_col, pa.large_string()),
+            ("n_paragraphs", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def slim_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        parts = batch[text_col].astype(str).str.split(sep)
+        ex = parts.explode()
+        pidx = ex.groupby(level=0).cumcount().to_numpy(dtype=np.int64)
+        ids = batch[id_col].reindex(ex.index).to_numpy(dtype=np.int64)
+        paras = ex.to_numpy(dtype=object)
+        nonblank = np.fromiter(
+            (bool(p.strip()) for p in paras), dtype=bool, count=len(paras)
+        )
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.sha1(p.encode("utf-8")).digest()[:8], "big") >> 1
+                for p in paras[nonblank]
+            ),
+            dtype=np.int64,
+            count=int(nonblank.sum()),
+        )
+        out = pd.DataFrame(
+            {"_h": h, id_col: ids[nonblank], "_pidx": pidx[nonblank]}
+        ).sort_values([id_col, "_pidx"], kind="stable")
+        out["_lose"] = out.duplicated("_h", keep="first").to_numpy().astype(np.int8)
+        out["_part"] = out["_h"] % num_partitions
+        return out
+
+    def losers_in_part(g: pd.DataFrame) -> pa.Table:
+        cand = g[g["_lose"] == 0].sort_values([id_col, "_pidx"], kind="stable")
+        lost = pd.concat(
+            [
+                g.loc[g["_lose"] == 1, [id_col, "_pidx"]],
+                cand.loc[cand.duplicated("_h", keep="first"), [id_col, "_pidx"]],
+            ]
+        )
+        return _typed_table(
+            _DROP_PAIR_SCHEMA,
+            drop_id=lost[id_col].to_numpy(dtype=np.int64),
+            drop_pidx=lost["_pidx"].to_numpy(dtype=np.int64),
+        )
+
+    drops = (
+        ds.map_batches(slim_triples, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(losers_in_part, batch_format="pandas")
+        .materialize()
+    )
+
+    def rebuild_rows(ids, texts, drop_of) -> pa.Table:
+        out_ids, out_texts, n_paras, n_rem = [], [], [], []
+        empty = np.empty(0, dtype=np.int64)
+        for i, t in zip(ids, texts):
+            parts_i = str(t).split(sep)
+            gone = drop_of(int(i))
+            if len(gone):
+                keep = np.ones(len(parts_i), dtype=bool)
+                keep[gone] = False
+                kept = [p for p, k in zip(parts_i, keep) if k]
+            else:
+                kept = parts_i
+            out_ids.append(int(i))
+            out_texts.append(sep.join(kept))
+            n_paras.append(len(parts_i))
+            n_rem.append(len(gone) if len(gone) else 0)
+        return _typed_table(
+            out_schema,
+            **{
+                id_col: np.asarray(out_ids, dtype=np.int64),
+                text_col: out_texts,
+                "n_paragraphs": np.asarray(n_paras, dtype=np.int64),
+                "n_removed": np.asarray(n_rem, dtype=np.int64),
+            },
+        )
+
+    n_pairs = drops.count()
+    if n_pairs <= broadcast_max_pairs:
+        # broadcast tier: drop pairs ship once; zero corpus exchange
+        tbl = drops.to_pandas() if n_pairs else pd.DataFrame(columns=["drop_id", "drop_pidx"])
+        by_doc = {
+            int(k): np.sort(v.to_numpy(dtype=np.int64))
+            for k, v in tbl.groupby("drop_id")["drop_pidx"]
+        }
+        ref = ray.put(by_doc)
+        empty = np.empty(0, dtype=np.int64)
+
+        def apply_bc(batch: pd.DataFrame) -> pa.Table:
+            key = ("paradedup", ref.hex())
+            m = _PARA_CACHE.get(key)
+            if m is None:
+                m = _PARA_CACHE[key] = ray.get(ref)
+            return rebuild_rows(
+                batch[id_col], batch[text_col], lambda i: m.get(i, empty)
+            )
+
+        return ds.map_batches(apply_bc, batch_format="pandas")
+
+    # co-shuffle tier: union corpus + drop pairs on hash(id) mod P
+    side_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("_pidx", pa.int64()),
+            (text_col, pa.large_string()),
+            ("_side", pa.int8()),
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def proj_docs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(t.num_rows, pa.int64()),
+                t.column(text_col).cast(pa.large_string()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    def proj_drops(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "drop_id" not in t.column_names:
+            return _typed_table(side_schema)
+        ids = np.asarray(t.column("drop_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                t.column("drop_pidx").cast(pa.int64()),
+                pa.nulls(t.num_rows, pa.large_string()),
+                pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    both = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(proj_docs, batch_format="pyarrow")
+        .union(drops.map_batches(proj_drops, batch_format="pyarrow"))
+    )
+
+    def rebuild_partition(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_side" not in g.columns:
+            return _typed_table(out_schema)
+        docs = g[g["_side"] == 0]
+        rem = g[g["_side"] == 1]
+        by_doc = {
+            int(k): np.sort(v.to_numpy(dtype=np.int64))
+            for k, v in rem.groupby(id_col, sort=False)["_pidx"]
+        }
+        empty = np.empty(0, dtype=np.int64)
+        return rebuild_rows(
+            docs[id_col], docs[text_col], lambda i: by_doc.get(i, empty)
+        )
+
+    return both.groupby("_part").map_groups(rebuild_partition, batch_format="pandas")
+
+
+_PARA_CACHE: dict = {}  # per-worker resolved broadcast drop maps

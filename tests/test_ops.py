@@ -1541,6 +1541,59 @@ def test_url_filter_rules(ray_session):
     assert sig.host_digit_frac.notna().all() and (sig.n_query_params >= 0).all()
 
 
+def test_paragraph_dedup_tiers(ray_session):
+    """paragraph_dedup must keep each distinct non-blank paragraph
+    only at its smallest (doc_id, position), preserve blank structure
+    lines, count removals per doc, and produce identical output on
+    the broadcast and co-shuffle tiers."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import paragraph_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha\nbeta\n\ngamma",
+                "beta\ndelta\nalpha",
+                "\n\n",
+                "gamma\ngamma\nepsilon",
+            ],
+        }
+    )
+
+    def brute(df, sep="\n"):
+        seen, rows = set(), []
+        for _, r in df.sort_values("doc_id").iterrows():
+            parts = r.text.split(sep)
+            kept, rem = [], 0
+            for p in parts:
+                if not p.strip():
+                    kept.append(p)
+                elif p in seen:
+                    rem += 1
+                else:
+                    seen.add(p)
+                    kept.append(p)
+            rows.append((r.doc_id, sep.join(kept), len(parts), rem))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text", "n_paragraphs", "n_removed"]
+        ).astype({"doc_id": "int64", "n_paragraphs": "int64", "n_removed": "int64"})
+
+    want = brute(docs)
+    assert want.n_removed.sum() == 4  # beta, alpha, gamma x2
+    ds = ray.data.from_pandas(docs).repartition(3)
+    for cap in (250_000, 0):  # broadcast tier, then forced co-shuffle
+        got = (
+            paragraph_dedup(ds, broadcast_max_pairs=cap)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64"})
+        )
+        assert got.equals(want), (cap, got, want)
+
+
 def test_weighted_sample_exponential_race(ray_session):
     """weighted_sample must equal the brute-force hashlib reference
     (k smallest -ln(u)/w keys, u = (md5_u52+1)/2^52), exclude
