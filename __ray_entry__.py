@@ -887,6 +887,41 @@ def _docs_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_dedup_against(sf_dir: str) -> pd.DataFrame:
+    """Delta-ingestion dedup (ops/dedup.dedup_against): odd-doc_id
+    docs are the NEW shard, even-doc_id docs the existing corpus; a
+    new doc is dropped iff its content key (first 6 words — the
+    synthetic texts are otherwise all-distinct) already exists in the
+    corpus. Intra-shard duplicates stay, per the operator contract."""
+    from pdf_extractor_ray.ops.dedup import dedup_against
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["key"] = [" ".join(t.split(" ")[:6]) for t in b["text"].astype(str)]
+        return b
+
+    ds = ds.map_batches(keyed, batch_format="pandas")
+
+    def parity(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == p]
+
+        return f
+
+    new = ds.map_batches(parity(1), batch_format="pandas")
+    old = ds.map_batches(parity(0), batch_format="pandas")
+    out = (
+        dedup_against(new, old, text_col="key")
+        .select_columns(["doc_id", "lang", "n_chars"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_pack_offsets(sf_dir: str) -> pd.DataFrame:
     """Concatenate-and-chunk packing manifest at seq_len=512: exact
     global token offset per document plus the first/last training
@@ -1631,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": _docs_hash_sample,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
+        "docs_dedup_against": _docs_dedup_against,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -1970,6 +2006,19 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_dedup_against": """
+            WITH d AS (
+                SELECT doc_id, lang, n_chars,
+                       array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+                           AS key
+                FROM documents
+            )
+            SELECT a.doc_id, a.lang, a.n_chars FROM d a
+            WHERE a.doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM d b
+                              WHERE b.doc_id % 2 = 0 AND b.key = a.key)
+            ORDER BY a.doc_id
         """,
         "docs_paragraph_dedup": """
             WITH p AS (

@@ -1470,3 +1470,128 @@ def paragraph_dedup(
 
 
 _PARA_CACHE: dict = {}  # per-worker resolved broadcast drop maps
+
+
+# ---------------------------------------------------------------------------
+# Delta-ingestion dedup: new shard vs an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_against(
+    ds_new: ray.data.Dataset,
+    existing: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    broadcast_max_hashes: int = _BROADCAST_MAX_PAIRS,
+) -> ray.data.Dataset:
+    """Continuous-ingestion dedup: drop from `ds_new` every document
+    whose exact content already exists in `existing` (the daily-crawl
+    shape — a fresh shard lands next to a multi-year corpus and only
+    genuinely new content may enter). Intra-shard duplicates are NOT
+    touched (compose with exact_dedup for that); the decision is
+    purely membership in the existing corpus.
+
+    Two tiers, both moving key width only (the exact_dedup
+    discipline; same 63-bit sha1-prefix key and collision policy):
+
+    - broadcast tier: the existing side reduces to per-batch-unique
+      hash rows (a slim exchange no wider than one int64 per distinct
+      text per batch); when the collected distinct set fits
+      `broadcast_max_hashes` it ships once via the task closure and
+      one filter scan over the new shard finishes — the right shape
+      when the EXISTING corpus is the big side but its distinct-hash
+      set still fits a worker heap.
+    - co-shuffle tier: both sides' slim rows — (hash, id) for new,
+      (hash,) for existing — co-shuffle on hash mod P; a new id with
+      an existing-side hash in its partition becomes a drop;
+      anti_join_ids filters the shard. Nothing about either corpus'
+      text enters an exchange.
+    """
+    import pyarrow.compute as pc
+
+    def slim_existing(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(
+            np.fromiter(
+                (sha1_64(t) >> 1 for t in batch[text_col].astype(str)),
+                dtype=np.int64,
+                count=len(batch),
+            )
+        )
+        return pd.DataFrame({"_h": hs})
+
+    ex_hashes = existing.map_batches(slim_existing, batch_format="pandas").materialize()
+
+    # empty existing corpus: map_batches passes empty blocks through
+    # WITHOUT calling the UDF, so "_h" never materializes — and there
+    # is nothing to drop anyway
+    if ex_hashes.count() == 0:
+        return ds_new
+    # merge away any schema-stale empty passthrough blocks before the
+    # hash rows enter a union or driver collect (the join-input rule)
+    ex_hashes = ex_hashes.repartition(num_partitions).materialize()
+
+    if ex_hashes.count() <= broadcast_max_hashes:
+        tbl = ex_hashes.to_pandas()
+        have = pa.array(np.unique(tbl["_h"].to_numpy(dtype=np.int64)), pa.int64())
+
+        def drop_known(t: pa.Table) -> pa.Table:
+            hs = pa.array(
+                np.fromiter(
+                    (sha1_64(str(v)) >> 1 for v in t.column(text_col).to_pylist()),
+                    dtype=np.int64,
+                    count=t.num_rows,
+                ),
+                pa.int64(),
+            )
+            return t.filter(pc.invert(pc.is_in(hs, value_set=have)))
+
+        return ds_new.map_batches(drop_known, batch_format="pyarrow")
+
+    # ---- co-shuffle tier ----
+    pair_schema = pa.schema(
+        [("_h", pa.int64()), (id_col, pa.int64()), ("_side", pa.int8()), ("_part", pa.int64())]
+    )
+
+    def slim_new(batch: pd.DataFrame) -> pa.Table:
+        h = np.fromiter(
+            (sha1_64(t) >> 1 for t in batch[text_col].astype(str)),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return _typed_table(
+            pair_schema,
+            _h=h,
+            **{id_col: batch[id_col].to_numpy(dtype=np.int64)},
+            _side=np.zeros(len(batch), dtype=np.int8),
+            _part=h % num_partitions,
+        )
+
+    def slim_ex_side(batch: pd.DataFrame) -> pa.Table:
+        h = batch["_h"].to_numpy(dtype=np.int64)
+        return _typed_table(
+            pair_schema,
+            _h=h,
+            **{id_col: np.zeros(len(batch), dtype=np.int64)},
+            _side=np.ones(len(batch), dtype=np.int8),
+            _part=h % num_partitions,
+        )
+
+    both = (
+        ds_new.select_columns([id_col, text_col])
+        .map_batches(slim_new, batch_format="pandas")
+        .union(ex_hashes.map_batches(slim_ex_side, batch_format="pandas"))
+    )
+
+    def drops_in_part(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_side" not in g.columns:
+            return _typed_table(_DROP_ID_SCHEMA)
+        known = np.unique(g.loc[g["_side"] == 1, "_h"].to_numpy(dtype=np.int64))
+        news = g[g["_side"] == 0]
+        hit = np.isin(news["_h"].to_numpy(dtype=np.int64), known)
+        return _typed_table(
+            _DROP_ID_SCHEMA, drop_id=news.loc[hit, id_col].to_numpy(dtype=np.int64)
+        )
+
+    drops = both.groupby("_part").map_groups(drops_in_part, batch_format="pandas")
+    return anti_join_ids(ds_new, drops, id_col=id_col, num_partitions=num_partitions)

@@ -1594,6 +1594,30 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_dedup_against_tiers(ray_session):
+    """dedup_against must drop exactly the new-shard docs whose text
+    exists in the existing corpus, keep intra-shard duplicates, and
+    behave identically on broadcast and co-shuffle tiers with the
+    input schema preserved."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import dedup_against
+
+    new = pd.DataFrame(
+        {"doc_id": [1, 3, 5, 7], "text": ["aa", "bb", "cc", "aa"], "x": [1, 2, 3, 4]}
+    )
+    old = pd.DataFrame({"doc_id": [0, 2], "text": ["bb", "zz"]})
+    dn = ray.data.from_pandas(new).repartition(2)
+    de = ray.data.from_pandas(old).repartition(2)
+    for cap in (250_000, 0):
+        out = dedup_against(dn, de, broadcast_max_hashes=cap).to_pandas()
+        assert sorted(out.doc_id) == [1, 5, 7], (cap, out)  # bb dropped, aa x2 kept
+        assert list(out.columns) == ["doc_id", "text", "x"]
+    # empty existing corpus: everything passes
+    out = dedup_against(dn, de.filter(lambda r: r["doc_id"] < 0)).to_pandas()
+    assert sorted(out.doc_id) == [1, 3, 5, 7]
+
+
 def test_weighted_sample_exponential_race(ray_session):
     """weighted_sample must equal the brute-force hashlib reference
     (k smallest -ln(u)/w keys, u = (md5_u52+1)/2^52), exclude
