@@ -922,6 +922,22 @@ def _docs_dedup_against(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003; ops/
+    text_analysis.winnow_fingerprints) at k=5, window=4 over each
+    doc's first 120 chars (the prefix bound keeps the oracle's
+    exploded window join small; the operator itself takes full
+    text). Oracled against a DuckDB window-argmin twin from the same
+    md5 prefix hashes."""
+    from pdf_extractor_ray.ops.text_analysis import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = winnow_fingerprints(ds, k=5, window=4, max_chars=120).to_pandas()
+    for c in ("doc_id", "pos", "fp"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 def _docs_pack_offsets(sf_dir: str) -> pd.DataFrame:
     """Concatenate-and-chunk packing manifest at seq_len=512: exact
     global token offset per document plus the first/last training
@@ -1597,8 +1613,8 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # media_image_neardup, extract_host_pagerank, docs_heavy_bigrams,
 # events_kmv_distinct, extract_c4_filter, docs_dsir_weights,
 # docs_pack_offsets, docs_hash_sample, docs_weighted_sample,
-# docs_paragraph_dedup, docs_bpe_tokens) comes FIRST-50; the entries
-# past position 50 are
+# docs_paragraph_dedup, docs_dedup_against, docs_winnow_fingerprints,
+# docs_bpe_tokens) comes FIRST-50; the entries past position 50 are
 # queries oracled GREEN in r1+r2+r3 (they rotate back next round).
 # Each late-r4 addition placed inside the first 50 pushes one more
 # thrice-green relational query past the cap; the r5 rotation brings
@@ -1667,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
+        "docs_winnow_fingerprints": _docs_winnow_fingerprints,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -2006,6 +2023,34 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_winnow_fingerprints": """
+            WITH dd AS (
+                SELECT doc_id, substr(text, 1, 120) AS t,
+                       length(substr(text, 1, 120)) AS n
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 13))::UBIGINT
+                            AS BIGINT) AS h
+                FROM dd, UNNEST(range(1, n - 5 + 2)) AS r(i)
+            ),
+            w AS (
+                SELECT doc_id, CAST(s AS BIGINT) AS s
+                FROM dd,
+                     UNNEST(range(0, CASE WHEN n >= 5
+                                          THEN greatest(n - 7, 1) ELSE 0 END)) AS r(s)
+            ),
+            sel AS (
+                SELECT w.doc_id, g.pos, g.h,
+                       row_number() OVER (PARTITION BY w.doc_id, w.s
+                                          ORDER BY g.h ASC, g.pos DESC) AS rk
+                FROM w JOIN g ON g.doc_id = w.doc_id
+                             AND g.pos BETWEEN w.s AND w.s + 3
+            )
+            SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rk = 1
+            ORDER BY doc_id, pos
         """,
         "docs_dedup_against": """
             WITH d AS (

@@ -234,6 +234,7 @@ def run_queries() -> dict[str, float]:
         "docs_weighted_sample",
         "docs_paragraph_dedup",
         "docs_dedup_against",
+        "docs_winnow_fingerprints",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",

@@ -647,3 +647,120 @@ def token_counts(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, SIGMOD)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 0,
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the
+    MOSS local fingerprinting scheme, public SIGMOD paper): hash every
+    character k-gram, slide a window of `window` consecutive hashes,
+    and select each window's MINIMUM (rightmost position on ties —
+    the paper's robust-winnowing rule), de-duplicated across
+    overlapping windows. The guarantee: any shared substring of
+    length >= k + window - 1 between two documents yields at least
+    one shared fingerprint, with expected density 2/(window+1) — the
+    copy-detection primitive that, unlike MinHash, localizes WHERE
+    the overlap is.
+
+    Hashes are md5_u52 of the raw k-gram (engine-portable: DuckDB
+    reproduces them from the same hex prefix), positions are 0-based
+    gram offsets. Docs shorter than k characters emit no row.
+    `max_chars` > 0 fingerprints only the text prefix (bounds the
+    oracle's exploded join). Row-local and shuffle-free: one
+    vectorized sliding-window argmin per document inside map_batches.
+    Emits (id_col, pos, fp) sorted per doc."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[int] = []
+        pos_out: list[np.ndarray] = []
+        fp_out: list[np.ndarray] = []
+        for i, t in zip(batch[id_col], batch[text_col].astype(str)):
+            if max_chars:
+                t = t[:max_chars]
+            n_grams = len(t) - k + 1
+            if n_grams < 1:
+                continue
+            h = md5_u52([t[j : j + k] for j in range(n_grams)]).astype(np.int64)
+            if n_grams <= window:
+                # one (possibly short) window over everything
+                j = n_grams - 1 - int(np.argmin(h[::-1]))
+                sel_pos = np.array([j], dtype=np.int64)
+            else:
+                wv = sliding_window_view(h, window)
+                # rightmost min per window: argmin over the reversed
+                # window finds the LAST minimal element of the original
+                rel = window - 1 - np.argmin(wv[:, ::-1], axis=1)
+                sel_pos = np.unique(np.arange(len(wv), dtype=np.int64) + rel)
+            ids_out.append(int(i))
+            pos_out.append(sel_pos)
+            fp_out.append(h[sel_pos])
+        if not ids_out:
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype="int64"),
+                    "pos": np.array([], dtype="int64"),
+                    "fp": np.array([], dtype="int64"),
+                }
+            )
+        counts = [len(p) for p in pos_out]
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(np.array(ids_out, dtype="int64"), counts),
+                "pos": np.concatenate(pos_out),
+                "fp": np.concatenate(fp_out),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def winnow_dup_candidates(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Copy-detection candidate pairs: documents sharing at least one
+    winnowing fingerprint (any common substring of length
+    >= k + window - 1 guarantees one). The fingerprint is the LSH
+    bucket key — pairs form inside hash(fp) mod P partitions with the
+    minhash hot-bucket star cap, then global pair dedup runs on
+    hash(pair) mod P (dedup_pairs_ds). Emits distinct (a, b) with
+    a < b; rank/verify candidates with ops/dedup.jaccard or the
+    verified-drop tier, exactly as the minhash pipeline does."""
+    from pdf_extractor_ray.ops.dedup import _pairs_in_buckets, dedup_pairs_ds
+
+    fps = winnow_fingerprints(
+        ds, k=k, window=window, text_col=text_col, id_col=id_col
+    )
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": b[id_col].to_numpy(dtype=np.int64), "fp": b["fp"]})
+        out["_part"] = (out["fp"].to_numpy(dtype=np.int64)) % num_partitions
+        return out
+
+    pairs = (
+        fps.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(
+            lambda g: _pairs_in_buckets(g, ["fp"]),
+            batch_format="pandas",
+        )
+    )
+    return dedup_pairs_ds(pairs, num_partitions=num_partitions)

@@ -1594,6 +1594,73 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_winnow_fingerprints(ray_session):
+    """winnow_fingerprints must equal the brute-force reference
+    (window minimum, rightmost on ties, deduped across windows),
+    honor the paper's guarantee (a shared substring of length
+    >= k + window - 1 yields a shared fingerprint), and
+    winnow_dup_candidates must surface exactly the overlapping pair."""
+    import hashlib
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import (
+        winnow_dup_candidates,
+        winnow_fingerprints,
+    )
+
+    k, w = 5, 4
+
+    def brute(t: str):
+        n = len(t) - k + 1
+        if n < 1:
+            return []
+        h = [int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:13], 16) for i in range(n)]
+        sel = set()
+        if n <= w:
+            m = min(h)
+            j = max(i for i, v in enumerate(h) if v == m)
+            sel.add((j, h[j]))
+        else:
+            for s in range(n - w + 1):
+                win = h[s : s + w]
+                m = min(win)
+                j = s + max(i for i in range(w) if win[i] == m)
+                sel.add((j, h[j]))
+        return sorted(sel)
+
+    shared = "the quick brown fox jumps"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "AAA " + shared + " over the lazy dog",
+                "totally different opening. " + shared + " zzz",
+                "nothing in common here at all, none",
+                "tiny",  # shorter than k -> no fingerprints
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = winnow_fingerprints(ds, k=k, window=w).to_pandas()
+    for did, t in zip(docs.doc_id, docs.text):
+        got = sorted(
+            zip(
+                out[out.doc_id == did].pos.astype(int),
+                out[out.doc_id == did].fp.astype(int),
+            )
+        )
+        assert got == brute(t), did
+    # guarantee: docs 1 and 2 share a >= k+w-1 substring -> shared fp
+    f1 = set(out[out.doc_id == 1].fp)
+    f2 = set(out[out.doc_id == 2].fp)
+    f3 = set(out[out.doc_id == 3].fp)
+    assert f1 & f2
+    assert not (f1 & f3) and not (f2 & f3)
+    pairs = winnow_dup_candidates(ds, k=k, window=w).to_pandas()
+    assert [(int(a), int(b)) for a, b in zip(pairs.a, pairs.b)] == [(1, 2)]
+
+
 def test_dedup_against_tiers(ray_session):
     """dedup_against must drop exactly the new-shard docs whose text
     exists in the existing corpus, keep intra-shard duplicates, and
