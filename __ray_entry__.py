@@ -938,6 +938,23 @@ def _docs_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
 
 
+def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic corpus mixing (ops/selection.mixture_sample):
+    sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
+    over-represented sources subsample via the md5-uniform threshold,
+    everything else is excluded. DuckDB reproduces the survivor set
+    from the same md5 prefix and float expressions."""
+    from pdf_extractor_ray.ops.selection import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = mixture_sample(
+        ds, weights={"src0": 3.0, "src1": 1.0, "src2": 1.0}, budget=20000.0
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_pack_offsets(sf_dir: str) -> pd.DataFrame:
     """Concatenate-and-chunk packing manifest at seq_len=512: exact
     global token offset per document plus the first/last training
@@ -1614,7 +1631,8 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # events_kmv_distinct, extract_c4_filter, docs_dsir_weights,
 # docs_pack_offsets, docs_hash_sample, docs_weighted_sample,
 # docs_paragraph_dedup, docs_dedup_against, docs_winnow_fingerprints,
-# docs_bpe_tokens) comes FIRST-50; the entries past position 50 are
+# docs_mixture_sample, docs_bpe_tokens) comes FIRST-50; the entries
+# past position 50 are
 # queries oracled GREEN in r1+r2+r3 (they rotate back next round).
 # Each late-r4 addition placed inside the first 50 pushes one more
 # thrice-green relational query past the cap; the r5 rotation brings
@@ -1684,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
         "docs_winnow_fingerprints": _docs_winnow_fingerprints,
+        "docs_mixture_sample": _docs_mixture_sample,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -2023,6 +2042,25 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_mixture_sample": """
+            WITH tot AS (
+                SELECT source, CAST(sum(n_chars) AS DOUBLE) AS total
+                FROM documents GROUP BY source
+            ),
+            w AS (SELECT * FROM (VALUES ('src0', 3.0), ('src1', 1.0),
+                                        ('src2', 1.0)) AS t(source, wt)),
+            thr AS (
+                SELECT w.source,
+                       floor(least(1.0, (20000.0 * wt / 5.0) / total)
+                             * 4503599627370496e0) AS thr
+                FROM w JOIN tot USING (source)
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN thr USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                       AS DOUBLE) < thr
+            ORDER BY d.doc_id
         """,
         "docs_winnow_fingerprints": """
             WITH dd AS (

@@ -1283,16 +1283,23 @@ def paragraph_dedup(
     sep: str = "\n",
     num_partitions: int = 32,
     broadcast_max_pairs: int = _BROADCAST_MAX_PAIRS,
+    scope: str = "corpus",
 ) -> ray.data.Dataset:
-    """Corpus-wide paragraph-level exact dedup (the Dolma / FineWeb
-    line-level pass, public pipeline papers): split each document on
-    `sep`, keep each distinct non-blank paragraph only at its FIRST
-    corpus occurrence (smallest (id, position)), drop every other
-    occurrence, and rebuild each document as the `sep`-join of its
-    survivors. Blank/whitespace-only paragraphs are document structure
-    and never dedup. Emits (id_col, text_col, n_paragraphs,
-    n_removed) for EVERY input document (a fully-duplicated doc
-    survives as an empty string with the removal count).
+    """Paragraph-level exact dedup (the Dolma / FineWeb line-level
+    pass, public pipeline papers): split each document on `sep`, keep
+    each distinct non-blank paragraph only at its FIRST occurrence
+    (smallest (id, position)), drop every other occurrence, and
+    rebuild each document as the `sep`-join of its survivors.
+    Blank/whitespace-only paragraphs are document structure and never
+    dedup. Emits (id_col, text_col, n_paragraphs, n_removed) for
+    EVERY input document (a fully-duplicated doc survives as an empty
+    string with the removal count).
+
+    `scope` picks the dedup universe: "corpus" (default) dedups
+    across ALL documents; "doc" dedups only WITHIN each document
+    (Dolma's within-doc repeated-line trim) — that variant is
+    row-local, runs as one shuffle-free map_batches pass, and needs
+    no exchange at any corpus size.
 
     Scale shape mirrors exact_dedup: pass 1 ships slim
     (hash, id, pidx) triples with an in-batch combiner (one candidate
@@ -1304,6 +1311,8 @@ def paragraph_dedup(
     Paragraph TEXT never enters an exchange; documents rebuild
     locally by re-splitting. Same 63-bit sha1-prefix key and collision
     policy as exact_dedup."""
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
     out_schema = pa.schema(
         [
             (id_col, pa.int64()),
@@ -1312,6 +1321,39 @@ def paragraph_dedup(
             ("n_removed", pa.int64()),
         ]
     )
+
+    if scope == "doc":
+
+        def dedup_within(batch: pd.DataFrame) -> pa.Table:
+            ids_o, texts_o, np_o, nr_o = [], [], [], []
+            for i, t in zip(batch[id_col], batch[text_col].astype(str)):
+                parts_i = t.split(sep)
+                seen: set = set()
+                kept = []
+                rem = 0
+                for p in parts_i:
+                    if not p.strip():
+                        kept.append(p)
+                    elif p in seen:
+                        rem += 1
+                    else:
+                        seen.add(p)
+                        kept.append(p)
+                ids_o.append(int(i))
+                texts_o.append(sep.join(kept))
+                np_o.append(len(parts_i))
+                nr_o.append(rem)
+            return _typed_table(
+                out_schema,
+                **{
+                    id_col: np.asarray(ids_o, dtype=np.int64),
+                    text_col: texts_o,
+                    "n_paragraphs": np.asarray(np_o, dtype=np.int64),
+                    "n_removed": np.asarray(nr_o, dtype=np.int64),
+                },
+            )
+
+        return ds.map_batches(dedup_within, batch_format="pandas")
 
     def slim_triples(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.reset_index(drop=True)

@@ -261,3 +261,58 @@ def dsir_select(
         keep_cols=["doc_id"],
         rank_col="dsir_rank",
     )
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    weights: dict,
+    budget: float,
+    source_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic corpus MIXING to a size budget: give each source
+    s a target share budget * w_s / sum(w), compute its acceptance
+    probability p_s = min(1, target_s / size_s) from the corpus'
+    actual per-source totals, and accept a document iff its md5
+    uniform falls under p_s — the static data-mixture rebalancing
+    step every multi-source training corpus runs (the DoReMi /
+    Pile-style fixed-weight mixture, applied by subsampling
+    over-represented sources; sources absent from `weights` are
+    excluded). The draw is hash-deterministic per id (same docs
+    survive on any cluster size or row order) and hits the budget in
+    expectation, source by source.
+
+    One tiny pre-aggregated exchange (per-source size totals — rows =
+    #sources) feeds threshold computation on the driver; acceptance
+    is then a shuffle-free vectorized filter scan. Thresholds are
+    computed as floor(p * 2^52) and compared against the same 52-bit
+    md5 prefix DuckDB can parse, so the SQL twin reproduces the
+    exact survivor set."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    wsum = float(sum(weights.values()))
+    totals = grouped_sum(
+        ds.map_batches(
+            lambda b: b[[source_col, size_col]], batch_format="pandas"
+        ),
+        [source_col],
+        [size_col],
+        counts=False,
+    ).to_pandas()  # one row per source — bounded by the source universe
+
+    thr: dict = {}
+    for _, r in totals.iterrows():
+        s = r[source_col]
+        tot = float(r[f"sum_{size_col}"])
+        if s in weights and tot > 0:
+            p = min(1.0, (float(budget) * float(weights[s]) / wsum) / tot)
+            thr[s] = float(np.floor(p * 2.0**52))
+
+    def accept(b: pd.DataFrame) -> pd.DataFrame:
+        u = md5_u52([str(v) for v in b[id_col]]).astype("float64")
+        t = b[source_col].map(thr).to_numpy(dtype="float64", na_value=-1.0)
+        return b[u < t]
+
+    return ds.map_batches(accept, batch_format="pandas")

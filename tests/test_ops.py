@@ -1594,6 +1594,77 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_paragraph_dedup_doc_scope(ray_session):
+    """scope='doc' must trim repeats only WITHIN each document —
+    cross-document repeats survive — with blank structure preserved."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import paragraph_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a\nb\na\n\nb", "a\nc"],  # doc1 repeats a,b; doc2 reuses a
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = (
+        paragraph_dedup(ds, scope="doc")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.text) == ["a\nb\n", "a\nc"]
+    assert list(out.n_removed) == [2, 0]
+    assert list(out.n_paragraphs) == [5, 2]
+
+
+def test_mixture_sample(ray_session):
+    """mixture_sample must accept exactly the docs whose md5 uniform
+    falls under the per-source threshold floor(p * 2^52), cap p at 1
+    for under-represented sources (all docs kept), and exclude
+    sources missing from the weights."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.selection import mixture_sample
+
+    n = 300
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "source": np.repeat(["big", "small", "other"], n // 3),
+            "sz": rng.randint(50, 150, n).astype("int64"),
+        }
+    )
+    weights = {"big": 1.0, "small": 1.0}
+    budget = 12_000.0
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = mixture_sample(
+        ds, weights=weights, budget=budget, size_col="sz"
+    ).to_pandas()
+    assert "other" not in set(out.source)
+    tot = df.groupby("source").sz.sum()
+    thr = {
+        s: np.floor(min(1.0, (budget * w / 2.0) / float(tot[s])) * 2.0**52)
+        for s, w in weights.items()
+    }
+    want = set()
+    for _, r in df.iterrows():
+        if r.source in thr:
+            u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:13], 16)
+            if u < thr[r.source]:
+                want.add(int(r.doc_id))
+    assert set(out.doc_id) == want
+    # a source whose total is under its target keeps every doc (p = 1)
+    small_budget_frac = (budget / 2.0) / float(tot["small"])
+    if small_budget_frac >= 1.0:
+        assert (out.source == "small").sum() == (df.source == "small").sum()
+
+
 def test_winnow_fingerprints(ray_session):
     """winnow_fingerprints must equal the brute-force reference
     (window minimum, rightmost on ties, deduped across windows),
