@@ -938,6 +938,22 @@ def _docs_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
 
 
+def _order_price_tdigest(sf_dir: str) -> pd.DataFrame:
+    """Approximate grouped quantiles via the merging t-digest
+    (ops/sketch.tdigest_quantiles) — the continuous-domain scale tier
+    next to order_price_quantiles' exact value-frequency reduction.
+    Rows-only by nature (estimates depend on batch boundaries); the
+    rank-error envelope is pytest-pinned against exact quantiles."""
+    from pdf_extractor_ray.ops.sketch import tdigest_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = tdigest_quantiles(
+        orders, ["o_orderpriority"], "o_totalprice", qs=(0.5, 0.9, 0.99)
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1717,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    (unit-tested + benched; they rotate into the top-50 in r5)
         #    followed by queries oracled GREEN in r1+r2+r3 --------------
         "extract_url_filter": _extract_url_filter,
+        "order_price_tdigest": _order_price_tdigest,
         "top_docs_by_chars": _top_docs_by_chars,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,

@@ -256,6 +256,7 @@ def run_queries() -> dict[str, float]:
         "multimodal_featurize",
         "extract_page_links",
         "extract_url_filter",
+        "order_price_tdigest",
         "extract_host_pagerank",
         "training_data_pipeline",
     ]

@@ -1594,6 +1594,41 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_tdigest_quantiles(ray_session):
+    """t-digest grouped quantiles must land within the documented
+    rank-error envelope against exact empirical quantiles on two very
+    different distributions, report exact group counts, and be
+    tail-accurate (p1/p99 tighter than the middle)."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.sketch import tdigest_quantiles
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["lognorm", "normal"], 20_000),
+            "v": np.concatenate(
+                [rng.lognormal(0, 1, 20_000), rng.normal(100, 15, 20_000)]
+            ),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        tdigest_quantiles(ds, ["g"], "v", qs=(0.01, 0.5, 0.9, 0.99))
+        .to_pandas()
+        .set_index("g")
+    )
+    assert (out.n == 20_000).all()
+    for g in ("lognorm", "normal"):
+        v = df[df.g == g].v.to_numpy()
+        for q in (0.01, 0.5, 0.9, 0.99):
+            est = out.loc[g, f"p{int(q * 100)}_v"]
+            rank_err = abs((v < est).mean() - q)
+            bound = 0.005 if q in (0.5, 0.9) else 0.002  # tails tighter
+            assert rank_err < bound, (g, q, rank_err)
+
+
 def test_paragraph_dedup_doc_scope(ray_session):
     """scope='doc' must trim repeats only WITHIN each document —
     cross-document repeats survive — with blank structure preserved."""
