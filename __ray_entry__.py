@@ -954,6 +954,20 @@ def _order_price_tdigest(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _docs_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per language
+    (ops/quality.perplexity_buckets): corpus-unigram LM scores, exact
+    per-lang p33/p67 cuts, shuffle-free label scan. Fully SQL-oracled
+    (quantile_disc + the unigram-logprob CTE)."""
+    from pdf_extractor_ray.ops.quality import perplexity_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = perplexity_buckets(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_ws_tokens"] = out["n_ws_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1719,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_against": _docs_dedup_against,
         "docs_winnow_fingerprints": _docs_winnow_fingerprints,
         "docs_mixture_sample": _docs_mixture_sample,
+        "docs_perplexity_buckets": _docs_perplexity_buckets,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -2059,6 +2074,37 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.6
                     AND n_stop_hits >= 2) AS keep
             FROM sig ORDER BY doc_id
+        """,
+        "docs_perplexity_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), t AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), c AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY term
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS total FROM t
+            ), s AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+                       sum(ln(c.c) - ln(n.total)) AS logprob,
+                       sum(ln(c.c) - ln(n.total)) / count(*) AS avg_logprob
+                FROM t JOIN c USING (term) CROSS JOIN n
+                GROUP BY t.doc_id
+            ), j AS (
+                SELECT s.*, d.lang FROM s JOIN documents d USING (doc_id)
+            ), q AS (
+                SELECT lang,
+                       quantile_disc(avg_logprob, 0.33) AS lo,
+                       quantile_disc(avg_logprob, 0.67) AS hi
+                FROM j GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, j.n_ws_tokens, j.logprob, j.avg_logprob,
+                   CASE WHEN j.avg_logprob > q.hi THEN 'head'
+                        WHEN j.avg_logprob > q.lo THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM j JOIN q USING (lang) ORDER BY j.doc_id
         """,
         "docs_mixture_sample": """
             WITH tot AS (

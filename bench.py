@@ -236,6 +236,7 @@ def run_queries() -> dict[str, float]:
         "docs_dedup_against",
         "docs_winnow_fingerprints",
         "docs_mixture_sample",
+        "docs_perplexity_buckets",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",

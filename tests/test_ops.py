@@ -1594,6 +1594,44 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_perplexity_buckets(ray_session):
+    """perplexity_buckets must cut each language's score distribution
+    independently into ordered thirds: every head doc outscores every
+    middle doc, every middle outscores every tail, within its lang."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import perplexity_buckets
+
+    rows = []
+    did = 0
+    # per lang: 12 docs with STRICTLY monotone scores — doc i mixes
+    # (12 - i) highly common tokens with i singleton tokens, so
+    # avg_logprob decreases in i and no quantile cut lands on a tie
+    first, last = {}, {}
+    for lang in ("aa", "bb"):
+        for i in range(12):
+            toks = [f"{lang}c"] * (12 - i) + [f"u{lang}{i}x{j}" for j in range(i)]
+            rows.append((did, " ".join(toks), lang))
+            if i == 0:
+                first[lang] = did
+            if i == 11:
+                last[lang] = did
+            did += 1
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = perplexity_buckets(ds).to_pandas()
+    assert len(out) == len(docs)
+    for lang, g in out.groupby("lang"):
+        by = {b: grp.avg_logprob for b, grp in g.groupby("bucket")}
+        assert set(by) == {"head", "middle", "tail"}
+        assert by["head"].min() > by["middle"].max()
+        assert by["middle"].min() > by["tail"].max()
+        # the most-common doc heads its lang; the most-unique one tails
+        assert first[lang] in set(g[g.bucket == "head"].doc_id)
+        assert last[lang] in set(g[g.bucket == "tail"].doc_id)
+
+
 def test_tdigest_quantiles(ray_session):
     """t-digest grouped quantiles must land within the documented
     rank-error envelope against exact empirical quantiles on two very
