@@ -968,6 +968,25 @@ def _docs_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _embeddings_pca(sf_dir: str) -> pd.DataFrame:
+    """Distributed exact-covariance PCA over the embeddings table
+    (ops/cluster.pca_fit/pca_transform): per-block moment triples,
+    driver eigh, broadcast projection to 4 components. Rows-only (the
+    eigendecomposition is not SQL-expressible); parity with numpy's
+    direct solve is pytest-pinned."""
+    from pdf_extractor_ray.ops.cluster import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, n_components=4)
+    out = pca_transform(ds, model, keep_cols=["vec_id"]).to_pandas()
+    proj = pd.DataFrame(
+        np.stack(out["pca"].to_numpy()),
+        columns=[f"pc{i}" for i in range(4)],
+    )
+    proj.insert(0, "vec_id", out["vec_id"].astype("int64").to_numpy())
+    return proj.sort_values("vec_id").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1749,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    followed by queries oracled GREEN in r1+r2+r3 --------------
         "extract_url_filter": _extract_url_filter,
         "order_price_tdigest": _order_price_tdigest,
+        "embeddings_pca": _embeddings_pca,
         "top_docs_by_chars": _top_docs_by_chars,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,

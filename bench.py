@@ -258,6 +258,7 @@ def run_queries() -> dict[str, float]:
         "extract_page_links",
         "extract_url_filter",
         "order_price_tdigest",
+        "embeddings_pca",
         "extract_host_pagerank",
         "training_data_pipeline",
     ]

@@ -1594,6 +1594,50 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_pca_fit_transform(ray_session):
+    """Distributed PCA must match numpy's direct eigendecomposition
+    (eigenvalues and component directions) regardless of
+    partitioning, canonicalize component signs, and pca_transform
+    must reproduce the driver-side projection."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.cluster import pca_fit, pca_transform
+
+    rng = np.random.RandomState(5)
+    # anisotropic 12-d data with a clear top-2 subspace
+    base = rng.normal(size=(400, 12)) * np.array([10, 6] + [1] * 10)
+    q, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+    x = base @ q
+    df = pd.DataFrame({"vec_id": np.arange(400), "embedding": list(x)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    model = pca_fit(ds, n_components=3)
+
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    want_vals = evals[::-1][:3]
+    want_vecs = evecs[:, ::-1][:, :3].T
+    np.testing.assert_allclose(model["explained_var"], want_vals, rtol=1e-8)
+    np.testing.assert_allclose(model["mean"], mean, rtol=0, atol=1e-9)
+    # directions match up to sign; operator pins a canonical sign
+    for got, want in zip(model["components"], want_vecs):
+        assert abs(float(got @ want)) > 1 - 1e-9
+        j = int(np.argmax(np.abs(got)))
+        assert got[j] > 0
+    out = (
+        pca_transform(ds, model, keep_cols=["vec_id"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    proj = np.stack(out.pca.to_numpy())
+    want_proj = (x - mean) @ model["components"].T
+    np.testing.assert_allclose(proj, want_proj, rtol=0, atol=1e-9)
+    # the top-2 subspace carries ~all the variance
+    assert model["explained_var"][:2].sum() / evals.sum() > 0.9
+
+
 def test_perplexity_buckets(ray_session):
     """perplexity_buckets must cut each language's score distribution
     independently into ordered thirds: every head doc outscores every
