@@ -987,6 +987,49 @@ def _embeddings_pca(sf_dir: str) -> pd.DataFrame:
     return proj.sort_values("vec_id").reset_index(drop=True)
 
 
+def _docs_weighted_sample_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language weighted sample (8 docs per lang, n_chars-weighted
+    exponential races; ops/selection.weighted_sample_per_group) — the
+    stratified companion to docs_weighted_sample, same md5 keys DuckDB
+    reproduces."""
+    from pdf_extractor_ray.ops.selection import weighted_sample_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = weighted_sample_per_group(
+        ds, k=8, weight_col="n_chars", group_col="lang"
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def _docs_best_dedup(sf_dir: str) -> pd.DataFrame:
+    """Quality-preferring exact dedup (ops/dedup.exact_dedup with
+    prefer_col): one survivor per first-6-word content key, the
+    LONGEST copy wins (ties min doc_id) — the production winner rule
+    that keeps the best representative of each duplicate cluster."""
+    from pdf_extractor_ray.ops.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["key"] = [" ".join(t.split(" ")[:6]) for t in b["text"].astype(str)]
+        return b
+
+    out = (
+        exact_dedup(
+            ds.map_batches(keyed, batch_format="pandas"),
+            text_col="key",
+            prefer_col="n_chars",
+        )
+        .select_columns(["doc_id", "lang", "n_chars"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1753,6 +1796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_fingerprints": _docs_winnow_fingerprints,
         "docs_mixture_sample": _docs_mixture_sample,
         "docs_perplexity_buckets": _docs_perplexity_buckets,
+        "docs_weighted_sample_by_lang": _docs_weighted_sample_by_lang,
+        "docs_best_dedup": _docs_best_dedup,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -2205,6 +2250,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_best_dedup": """
+            WITH d AS (
+                SELECT doc_id, lang, n_chars,
+                       array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+                           AS key
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY n_chars DESC, doc_id) AS rk
+                FROM d
+            )
+            SELECT doc_id, lang, n_chars FROM r WHERE rk = 1 ORDER BY doc_id
+        """,
+        "docs_weighted_sample_by_lang": """
+            WITH keyed AS (
+                SELECT doc_id, lang,
+                       -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                            + 1) / 4503599627370496e0) / n_chars AS sample_key
+                FROM documents WHERE n_chars > 0
+            ),
+            r AS (
+                SELECT lang, doc_id, sample_key,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY sample_key, doc_id) AS rk
+                FROM keyed
+            )
+            SELECT lang, doc_id, sample_key FROM r WHERE rk <= 8
+            ORDER BY lang, doc_id
         """,
         "docs_weighted_sample": """
             WITH keyed AS (

@@ -237,6 +237,8 @@ def run_queries() -> dict[str, float]:
         "docs_winnow_fingerprints",
         "docs_mixture_sample",
         "docs_perplexity_buckets",
+        "docs_weighted_sample_by_lang",
+        "docs_best_dedup",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",

@@ -68,9 +68,16 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    prefer_col: str | None = None,
 ) -> ray.data.Dataset:
-    """Keep the first (min id) document per exact text content
-    (int64 ids; matches SQL `min(id) group by text`).
+    """Keep one document per exact text content: the first (min id) by
+    default (matches SQL `min(id) group by text`), or — with
+    `prefer_col` — the HIGHEST-prefer-value copy (ties still min id),
+    the production winner rule that keeps the best-quality / most
+    recent representative of each duplicate cluster instead of an
+    arbitrary one (SQL parity: row_number() OVER (PARTITION BY text
+    ORDER BY prefer DESC, id) = 1). int64 ids; prefer values ride the
+    slim exchange as one extra float64 per pair.
 
     Scalable shape (round-2 verdict #8 — the exchange moves KEY WIDTH,
     never corpus width): content hash vectorized per batch -> emit
@@ -84,6 +91,13 @@ def exact_dedup(
     the right trade when exchange bandwidth, not scan, is the 100-TB
     bottleneck."""
 
+    def _rank_sort(d: pd.DataFrame) -> pd.DataFrame:
+        # winner-first order: best prefer value (desc) then min id —
+        # or plain min id when no preference column is given
+        if prefer_col is not None:
+            return d.sort_values(["_p", id_col], ascending=[False, True], kind="stable")
+        return d.sort_values(id_col, kind="stable")
+
     def slim_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         h = np.fromiter(
             (
@@ -94,8 +108,10 @@ def exact_dedup(
             count=len(batch),
         )
         out = pd.DataFrame({"_h": h, id_col: batch[id_col].to_numpy()})
-        out = out.sort_values(id_col, kind="stable")
-        # in-batch duplicates beyond the min id lose GLOBALLY too —
+        if prefer_col is not None:
+            out["_p"] = batch[prefer_col].astype("float64").to_numpy()
+        out = _rank_sort(out)
+        # in-batch duplicates beyond the winner lose GLOBALLY too —
         # forward them flagged (they must reach the drop stream), and
         # forward exactly one candidate pair per hash for the
         # partition-level winner pick (the combiner).
@@ -104,7 +120,7 @@ def exact_dedup(
         return out
 
     def losers_in_part(g: pd.DataFrame) -> pa.Table:
-        cand = g[g["_lose"] == 0].sort_values(id_col, kind="stable")
+        cand = _rank_sort(g[g["_lose"] == 0])
         lost = np.concatenate(
             [
                 g.loc[g["_lose"] == 1, id_col].to_numpy(dtype=np.int64),

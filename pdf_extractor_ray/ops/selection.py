@@ -316,3 +316,53 @@ def mixture_sample(
         return b[u < t]
 
     return ds.map_batches(accept, batch_format="pandas")
+
+
+def weighted_sample_per_group(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """k-per-GROUP weighted sampling without replacement: the
+    exponential-race draw of weighted_sample run independently inside
+    each group (per-language / per-source balanced subcorpora with a
+    quality-weighted draw — the stratified companion to the global
+    sampler). Same md5-deterministic keys; same lossless bottom-k
+    merge shape as hash_sample_per_group (each batch ships at most k
+    rows per group; the final groupby keys on group_col, so use it
+    for LOW-CARDINALITY strata — langs, sources — not ids). Returns
+    (group_col, id_col, sample_key)."""
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].astype("float64").to_numpy()
+        u = (md5_u52([str(v) for v in batch[id_col]]).astype("float64") + 1.0) / 2.0**52
+        d = pd.DataFrame(
+            {
+                group_col: batch[group_col].to_numpy(),
+                id_col: batch[id_col].to_numpy(),
+                "sample_key": -np.log(u) / w,
+            }
+        )[w > 0.0]
+        d = d.sort_values(["sample_key", id_col], kind="stable")
+        return d.groupby(group_col, sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or group_col not in g.columns:
+            return pd.DataFrame(
+                {
+                    group_col: [],
+                    id_col: pd.Series([], dtype="int64"),
+                    "sample_key": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values(["sample_key", id_col], kind="stable").head(k)
+        return g[[group_col, id_col, "sample_key"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -1594,6 +1594,63 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_exact_dedup_prefer_and_weighted_group_sample(ray_session):
+    """exact_dedup(prefer_col=...) must keep the highest-prefer copy
+    per content (ties min id) — default stays min-id — and
+    weighted_sample_per_group must equal the per-group brute-force
+    exponential-race draw."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import exact_dedup
+    from pdf_extractor_ray.ops.selection import weighted_sample_per_group
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["x", "x", "x", "y", "y"],
+            "q": [10.0, 99.0, 99.0, 5.0, 1.0],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    best = exact_dedup(ds, prefer_col="q").to_pandas()
+    assert sorted(best.doc_id) == [2, 4]  # highest q wins; tie (2,3) -> min id
+    first = exact_dedup(ds).to_pandas()
+    assert sorted(first.doc_id) == [1, 4]  # default: min id
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "g": np.where(np.arange(n) % 2 == 0, "ga", "gb"),
+            "w": (np.arange(n, dtype="float64") % 7) + 1.0,
+        }
+    )
+    out = (
+        weighted_sample_per_group(
+            ray.data.from_pandas(df).repartition(4), k=5, weight_col="w", group_col="g"
+        )
+        .to_pandas()
+        .sort_values(["g", "doc_id"])
+    )
+    u = np.array(
+        [
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1) / 2.0**52
+            for i in df.doc_id
+        ]
+    )
+    df["key"] = -np.log(u) / df.w
+    want = (
+        df.sort_values(["key", "doc_id"])
+        .groupby("g")
+        .head(5)
+        .sort_values(["g", "doc_id"])
+    )
+    assert list(out.doc_id) == list(want.doc_id)
+
+
 def test_pca_fit_transform(ray_session):
     """Distributed PCA must match numpy's direct eigendecomposition
     (eigenvalues and component directions) regardless of
