@@ -239,6 +239,7 @@ def run_queries() -> dict[str, float]:
         "docs_perplexity_buckets",
         "docs_weighted_sample_by_lang",
         "docs_best_dedup",
+        "docs_term_kl_by_lang",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",

@@ -764,3 +764,200 @@ def winnow_dup_candidates(
         )
     )
     return dedup_pairs_ds(pairs, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Term-distribution KL divergence per corpus slice (drift monitoring)
+# ---------------------------------------------------------------------------
+
+
+_KL_CACHE: dict = {}  # per-worker resolved broadcast count maps
+
+
+def term_kl_by_slice(
+    ds: ray.data.Dataset,
+    slice_col: str,
+    text_col: str = "text",
+    broadcast_max_terms: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """KL divergence of each corpus SLICE's term distribution from the
+    whole corpus — the drift monitor a continuously-ingested corpus
+    runs per source / crawl-date / language to catch a slice going off
+    distribution. Per slice s:
+
+        KL(p_s || q) = sum_t p_s(t) ln(p_s(t) / q(t))
+        p_s(t) = (c_st + 1) / (T_s + V)   (add-one over corpus vocab)
+        q(t)   = c_t / T                  (corpus MLE; c_t >= 1 on V)
+
+    summed over the FULL corpus vocabulary — absent terms contribute
+    through the exact closed form p0*[n_abs*(ln p0 + ln T) -
+    (Lc - sum_present ln c_t)] with Lc = sum_vocab ln c_t, so nothing
+    ever materializes the vocab x slice cross product.
+
+    Exchanges: global term counts and (slice, term) counts are both
+    pre-aggregated grouped_sums (key-width rows); scoring attaches q_t
+    via a broadcast {term: c_t} map under `broadcast_max_terms`, else
+    by co-shuffling the (slice, term) rows with the count rows on
+    hash(term) mod P (the union idiom — each term's global count is
+    partition-local). The per-slice reduction is a grouped_sum over
+    (slice); the final correction is a tiny map over one row per
+    slice. Emits (slice_col, n_tokens, n_terms, kl)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def explode_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        toks = b[text_col].astype(str).str.split().explode().dropna()
+        toks = toks[toks != ""]
+        sl = b[slice_col].reindex(toks.index)
+        vc = pd.DataFrame({"s": sl.to_numpy(), "term": toks.to_numpy()}).groupby(
+            ["s", "term"], sort=False
+        ).size()
+        out = vc.reset_index()
+        out.columns = ["s", "term", "tf"]
+        return out
+
+    st = grouped_sum(
+        ds.map_batches(explode_counts, batch_format="pandas"),
+        ["s", "term"],
+        ["tf"],
+        counts=False,
+    ).materialize()  # one row per (slice, term)
+
+    def term_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"term": b["term"], "c": b["sum_tf"]})
+
+    counts = grouped_sum(
+        st.map_batches(term_rows, batch_format="pandas"), ["term"], ["c"], counts=False
+    ).materialize()  # one row per vocab term
+
+    vocab = counts.count()
+    total = int(counts.sum("sum_c") or 0)
+    if total == 0:
+        return st.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    slice_col: np.array([], dtype=object),
+                    "n_tokens": np.array([], dtype="int64"),
+                    "n_terms": np.array([], dtype="int64"),
+                    "kl": np.array([], dtype="float64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def lnc_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lnc": np.log(b["sum_c"].to_numpy(dtype="float64"))})
+
+    lc = float(counts.map_batches(lnc_rows, batch_format="pandas").sum("lnc") or 0.0)
+
+    def score_frame(b: pd.DataFrame) -> pd.DataFrame:
+        """(s, sum_tf, _c) rows -> per-(slice,term) partials."""
+        cst = b["sum_tf"].to_numpy(dtype="float64")
+        c = b["_c"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "s": b["s"].to_numpy(),
+                "tok": cst,
+                "one": np.ones(len(b), dtype="float64"),
+                "lnq_num": np.log(c),
+                # p ln(p/q) needs T_s, known only after the slice
+                # reduction — ship the sufficient statistics instead:
+                # (cst+1) and (cst+1) ln((cst+1)/c); the 1/(T_s+V)
+                # scaling and ln((T_s+V)/T)-style constants factor out
+                "a": cst + 1.0,
+                "alog": (cst + 1.0) * np.log((cst + 1.0) / c),
+            }
+        )
+
+    if counts.count() <= broadcast_max_terms:
+        tbl = counts.to_pandas()  # bounded by broadcast_max_terms
+        cmap = dict(zip(tbl["term"], tbl["sum_c"].astype("int64")))
+        ref = ray.put(cmap)
+
+        def attach_bc(b: pd.DataFrame) -> pd.DataFrame:
+            key = ("klc", ref.hex())
+            m = _KL_CACHE.get(key)
+            if m is None:
+                m = _KL_CACHE[key] = ray.get(ref)
+            b = b.copy()
+            b["_c"] = b["term"].map(m).to_numpy(dtype="float64")
+            return score_frame(b)
+
+        partials = st.map_batches(attach_bc, batch_format="pandas")
+    else:
+        # co-shuffle tier: slice-term rows + count rows on hash(term)
+        def tag_st(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            h = pd.util.hash_pandas_object(b["term"], index=False).to_numpy()
+            b["_part"] = (h % num_partitions).astype(np.int64)
+            b["_side"] = np.int8(0)
+            return b[["s", "term", "sum_tf", "_side", "_part"]]
+
+        def tag_c(b: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(b["term"], index=False).to_numpy()
+            return pd.DataFrame(
+                {
+                    "s": np.full(len(b), "", dtype=object),
+                    "term": b["term"],
+                    "sum_tf": b["sum_c"].to_numpy(dtype="int64"),
+                    "_side": np.full(len(b), 1, dtype=np.int8),
+                    "_part": (h % num_partitions).astype(np.int64),
+                }
+            )
+
+        both = st.map_batches(tag_st, batch_format="pandas").union(
+            counts.map_batches(tag_c, batch_format="pandas")
+        )
+
+        def score_part(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty or "_side" not in g.columns:
+                return pd.DataFrame(
+                    {
+                        "s": np.array([], dtype=object),
+                        "tok": np.array([], dtype="float64"),
+                        "one": np.array([], dtype="float64"),
+                        "lnq_num": np.array([], dtype="float64"),
+                        "a": np.array([], dtype="float64"),
+                        "alog": np.array([], dtype="float64"),
+                    }
+                )
+            cm = dict(
+                zip(g.loc[g["_side"] == 1, "term"], g.loc[g["_side"] == 1, "sum_tf"])
+            )
+            b = g[g["_side"] == 0].copy()
+            b["_c"] = b["term"].map(cm).to_numpy(dtype="float64")
+            return score_frame(b)
+
+        partials = both.groupby("_part").map_groups(score_part, batch_format="pandas")
+
+    red = grouped_sum(
+        partials, ["s"], ["tok", "one", "lnq_num", "a", "alog"], counts=False
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["sum_tok"].to_numpy(dtype="float64")  # slice token total
+        npres = b["sum_one"].to_numpy(dtype="float64")
+        lnp = b["sum_lnq_num"].to_numpy(dtype="float64")  # sum_present ln c
+        asum = b["sum_a"].to_numpy(dtype="float64")  # sum (cst+1)
+        alog = b["sum_alog"].to_numpy(dtype="float64")
+        denom = ts + float(vocab)
+        # present part: sum p ln(p/q) with p=(cst+1)/denom, q=c/T:
+        #   (1/denom) * [ alog + asum * (ln T - ln denom) ]
+        pres = (alog + asum * (np.log(float(total)) - np.log(denom))) / denom
+        # absent part (exact closed form over the rest of the vocab)
+        p0 = 1.0 / denom
+        absent = p0 * (
+            (float(vocab) - npres) * (np.log(p0) + np.log(float(total)))
+            - (lc - lnp)
+        )
+        return pd.DataFrame(
+            {
+                slice_col: b["s"].to_numpy(),
+                "n_tokens": ts.astype("int64"),
+                "n_terms": npres.astype("int64"),
+                "kl": pres + absent,
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pandas")

@@ -1594,6 +1594,50 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_term_kl_by_slice(ray_session):
+    """term_kl_by_slice must equal the brute-force full-vocabulary KL
+    (including the closed-form absent-term correction) on both the
+    broadcast and co-shuffle tiers."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import term_kl_by_slice
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "lang": ["en", "en", "en", "fr", "fr", "fr"],
+            "text": ["a b c a", "b b d", "a c e", "x y a", "x x y", "y z a b"],
+        }
+    )
+
+    def brute(df):
+        toks = [(l, t) for l, txt in zip(df.lang, df.text) for t in txt.split()]
+        corpus = Counter(t for _, t in toks)
+        v, tt = len(corpus), sum(corpus.values())
+        out = {}
+        for s in sorted(set(df.lang)):
+            cs = Counter(t for l, t in toks if l == s)
+            d = sum(cs.values()) + v
+            kl = sum(
+                ((cs.get(t, 0) + 1) / d) * np.log(((cs.get(t, 0) + 1) / d) / (c / tt))
+                for t, c in corpus.items()
+            )
+            out[s] = (sum(cs.values()), len(cs), kl)
+        return out
+
+    want = brute(docs)
+    ds = ray.data.from_pandas(docs).repartition(3)
+    for cap in (1_000_000, 0):  # broadcast tier, forced co-shuffle tier
+        got = term_kl_by_slice(ds, "lang", broadcast_max_terms=cap).to_pandas()
+        for _, r in got.iterrows():
+            ts, npres, kl = want[r.lang]
+            assert (r.n_tokens, r.n_terms) == (ts, npres), (cap, r.lang)
+            assert abs(r.kl - kl) < 1e-12, (cap, r.lang, r.kl, kl)
+
+
 def test_exact_dedup_prefer_and_weighted_group_sample(ray_session):
     """exact_dedup(prefer_col=...) must keep the highest-prefer copy
     per content (ties min id) — default stays min-id — and
