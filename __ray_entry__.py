@@ -1045,6 +1045,44 @@ def _docs_term_kl_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _docs_ngram_overlap(sf_dir: str) -> pd.DataFrame:
+    """Per-doc 3-gram overlap fraction of odd-doc_id docs against the
+    even-doc_id half as the reference corpus (ops/scrub.
+    ngram_overlap_fraction) — the contamination MEASUREMENT
+    (fraction, not boolean) of eval-overlap audits. Join-free gram
+    co-shuffle; grams travel as strings."""
+    from pdf_extractor_ray.ops.scrub import ngram_overlap_fraction
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == p]
+
+        return f
+
+    out = ngram_overlap_fraction(
+        ds.map_batches(parity(1), batch_format="pandas"),
+        ds.map_batches(parity(0), batch_format="pandas"),
+        n=3,
+    ).to_pandas()
+    for c in ("doc_id", "n_grams", "n_overlap"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """zlib compression-ratio repetitiveness signal per doc
+    (ops/quality.compression_ratio). Rows-only (DEFLATE is not
+    SQL-expressible); monotonicity on repetitive vs natural text is
+    pytest-pinned."""
+    from pdf_extractor_ray.ops.quality import compression_ratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = compression_ratio(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1807,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample_by_lang": _docs_weighted_sample_by_lang,
         "docs_best_dedup": _docs_best_dedup,
         "docs_term_kl_by_lang": _docs_term_kl_by_lang,
+        "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -1823,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_url_filter": _extract_url_filter,
         "order_price_tdigest": _order_price_tdigest,
         "embeddings_pca": _embeddings_pca,
+        "docs_compression_ratio": _docs_compression_ratio,
         "top_docs_by_chars": _top_docs_by_chars,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,
@@ -2259,6 +2299,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_ngram_overlap": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) <> ''
+            ),
+            g AS (
+                SELECT doc_id, array_to_string(list_slice(a, i, i + 2), ' ') AS gram
+                FROM d, UNNEST(range(1, len(a) - 1)) AS r(i)
+            ),
+            doc_g AS (
+                SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS m
+                FROM g WHERE doc_id % 2 = 1 GROUP BY doc_id, gram
+            ),
+            ref_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0)
+            SELECT doc_id,
+                   CAST(sum(m) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN gram IN (SELECT gram FROM ref_g)
+                                 THEN m ELSE 0 END) AS BIGINT) AS n_overlap,
+                   CAST(sum(CASE WHEN gram IN (SELECT gram FROM ref_g)
+                                 THEN m ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(m) AS DOUBLE) AS overlap_fraction
+            FROM doc_g GROUP BY doc_id ORDER BY doc_id
         """,
         "docs_term_kl_by_lang": r"""
             WITH toks AS (

@@ -240,6 +240,7 @@ def run_queries() -> dict[str, float]:
         "docs_weighted_sample_by_lang",
         "docs_best_dedup",
         "docs_term_kl_by_lang",
+        "docs_ngram_overlap",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",
@@ -262,6 +263,7 @@ def run_queries() -> dict[str, float]:
         "extract_url_filter",
         "order_price_tdigest",
         "embeddings_pca",
+        "docs_compression_ratio",
         "extract_host_pagerank",
         "training_data_pipeline",
     ]

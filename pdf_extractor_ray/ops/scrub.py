@@ -741,3 +741,114 @@ def train_test_split(
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def ngram_overlap_fraction(
+    ds: ray.data.Dataset,
+    ref: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document n-gram OVERLAP FRACTION against a reference corpus
+    — the contamination measurement of the memorization literature
+    (Lee et al. 2021; eval-set overlap audits report the share of a
+    document's n-gram windows that appear verbatim in the reference,
+    not just a boolean hit): for each doc, the fraction of its word
+    n-gram positions whose gram exists anywhere in `ref`.
+
+    JOIN-FREE shape (the dup_ngram_stats discipline): docs explode to
+    DISTINCT (doc_id, gram, m) rows (m = within-doc occurrences, so
+    the fraction weights every window position), the reference
+    explodes to distinct gram rows, both co-shuffle on hash(gram) mod
+    P — membership resolves inside each partition with one vectorized
+    isin — and per-(partition, doc) partials reduce by doc_id. Grams
+    travel as STRINGS (exact, collision-free); the reference side
+    ships each distinct gram once per batch. Docs shorter than n
+    words emit nothing. Emits (id_col, n_grams, n_overlap,
+    overlap_fraction)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def explode_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list[str] = []
+        for doc_id, t in zip(batch[id_col], batch[text_col]):
+            toks = str(t).split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            ids.extend([doc_id] * m)
+            grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+        df = pd.DataFrame(
+            {id_col: pd.Series(ids, dtype="int64"), "gram": pd.Series(grams, dtype="object")}
+        )
+        g = df.groupby([id_col, "gram"], sort=False).size().reset_index(name="m")
+        g["m"] = g["m"].astype("int64")
+        g["_side"] = np.int8(0)
+        g["_part"] = (
+            pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return g
+
+    def explode_ref(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: set = set()
+        for t in batch[ref_text_col]:
+            toks = str(t).split()
+            for i in range(len(toks) - n + 1):
+                grams.add(" ".join(toks[i : i + n]))
+        g = pd.DataFrame(
+            {
+                id_col: np.zeros(len(grams), dtype="int64"),
+                "gram": pd.Series(sorted(grams), dtype="object"),
+                "m": np.zeros(len(grams), dtype="int64"),
+            }
+        )
+        g["_side"] = np.int8(1)
+        g["_part"] = (
+            pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return g
+
+    both = ds.map_batches(explode_docs, batch_format="pandas").union(
+        ref.map_batches(explode_ref, batch_format="pandas")
+    )
+
+    def part_pass(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "_side" not in g.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "n_grams": pd.Series(dtype="int64"),
+                    "n_overlap": pd.Series(dtype="int64"),
+                }
+            )
+        have = g.loc[g["_side"] == 1, "gram"].unique()
+        d = g[g["_side"] == 0]
+        hit = d["gram"].isin(have).to_numpy()
+        out = pd.DataFrame(
+            {
+                id_col: d[id_col].to_numpy(dtype="int64"),
+                "n_grams": d["m"].to_numpy(dtype="int64"),
+                "n_overlap": np.where(hit, d["m"].to_numpy(dtype="int64"), 0),
+            }
+        )
+        return out.groupby(id_col, sort=False, as_index=False).sum()
+
+    partials = both.groupby("_part").map_groups(part_pass, batch_format="pandas")
+    red = grouped_sum(partials, [id_col], ["n_grams", "n_overlap"], counts=False)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ng = b["sum_n_grams"].to_numpy(dtype="int64")
+        no = b["sum_n_overlap"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype="int64"),
+                "n_grams": ng,
+                "n_overlap": no,
+                "overlap_fraction": no / ng,
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pandas")

@@ -1594,6 +1594,75 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_compression_ratio_signal(ray_session):
+    """compression_ratio must mark repetitive text as far more
+    compressible than high-entropy text, agree with direct zlib, and
+    emit ratio 1.0 for empty docs."""
+    import zlib
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import compression_ratio
+
+    rng = np.random.RandomState(2)
+    rand_text = " ".join(
+        "".join(chr(97 + c) for c in rng.randint(0, 26, 8)) for _ in range(200)
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["spam " * 400, rand_text, ""],
+        }
+    )
+    out = (
+        compression_ratio(ray.data.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "compression_ratio"] < 0.05  # pure repetition
+    assert out.loc[2, "compression_ratio"] > 0.5  # high entropy
+    assert out.loc[3, "compression_ratio"] == 1.0
+    want = len(zlib.compress(docs.text[1].encode(), 6))
+    assert out.loc[2, "n_compressed"] == want
+
+
+def test_ngram_overlap_fraction(ray_session):
+    """ngram_overlap_fraction must weight every window position (m
+    within-doc occurrences count m times), report 1.0 for a fully
+    contained doc, 0.0 for a disjoint one, and skip docs shorter than
+    n words."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import ngram_overlap_fraction
+
+    ref = pd.DataFrame({"doc_id": [100], "text": ["a b c d e f"]})
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c d",  # both 3-grams in ref -> 1.0
+                "x y z w",  # none -> 0.0
+                "a b c a b c",  # grams: abc(x2? windows: abc,bca,cab,abc) -> 2/4 hit
+                "a b",  # shorter than n -> no row
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    rf = ray.data.from_pandas(ref)
+    out = (
+        ngram_overlap_fraction(ds, rf, n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "overlap_fraction"] == 1.0
+    assert out.loc[2, "overlap_fraction"] == 0.0
+    assert out.loc[3, "n_grams"] == 4 and out.loc[3, "n_overlap"] == 2
+
+
 def test_term_kl_by_slice(ray_session):
     """term_kl_by_slice must equal the brute-force full-vocabulary KL
     (including the closed-form absent-term correction) on both the
