@@ -1083,6 +1083,19 @@ def _docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_phrase_match(sf_dir: str) -> pd.DataFrame:
+    """Positional phrase matching (ops/text_analysis.phrase_match):
+    per-doc occurrence counts of the consecutive sequence
+    'slow hash batch' — only the phrase terms' positions leave the
+    scan. SQL-oracled against a positional self-join twin."""
+    from pdf_extractor_ray.ops.text_analysis import phrase_match
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = phrase_match(ds, "slow hash batch").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1846,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_best_dedup": _docs_best_dedup,
         "docs_term_kl_by_lang": _docs_term_kl_by_lang,
         "docs_ngram_overlap": _docs_ngram_overlap,
+        "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
@@ -2299,6 +2313,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_phrase_match": r"""
+            WITH p AS (
+                SELECT doc_id, i - 1 AS pos, a[i] AS tok
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                      FROM documents WHERE trim(text) <> ''),
+                     UNNEST(range(1, len(a) + 1)) AS r(i)
+            )
+            SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM p p1
+            JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+            JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+            WHERE p1.tok = 'slow' AND p2.tok = 'hash' AND p3.tok = 'batch'
+            GROUP BY p1.doc_id ORDER BY p1.doc_id
         """,
         "docs_ngram_overlap": r"""
             WITH d AS (

@@ -241,6 +241,7 @@ def run_queries() -> dict[str, float]:
         "docs_best_dedup",
         "docs_term_kl_by_lang",
         "docs_ngram_overlap",
+        "docs_phrase_match",
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",

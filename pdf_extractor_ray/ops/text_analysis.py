@@ -961,3 +961,98 @@ def term_kl_by_slice(
         )
 
     return red.map_batches(finish, batch_format="pandas")
+
+
+def phrase_match(
+    ds: ray.data.Dataset,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Exact phrase matching with positional semantics — the primitive
+    decontamination tooling uses to LOCATE contaminated spans (where a
+    blocklisted eval phrase sits, not just whether it appears): count
+    each document's occurrences of the consecutive word sequence
+    `phrase`. Tokenization is whitespace, matching the corpus token
+    ops and the SQL twin.
+
+    Pushdown shape: the scan emits only the PHRASE TERMS' occurrence
+    positions — (doc, term-slot, candidate start) rows; everything
+    else dies at the scan, so the single doc-keyed exchange carries a
+    sliver of the corpus. Per doc, a start position matches when all
+    k phrase slots are present at their offsets (one vectorized
+    nunique pass). Phrases with repeated words work: each occurrence
+    row carries the slot it satisfies. Emits (id_col, n_matches) for
+    matching docs."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    terms = phrase.split()
+    k = len(terms)
+    if k == 0:
+        raise ValueError("empty phrase")
+    # slot table: a token may satisfy several slots of a repeated-word
+    # phrase — emit one row per (occurrence, slot)
+    slot_of: dict = {}
+    for i, t in enumerate(terms):
+        slot_of.setdefault(t, []).append(i)
+
+    def occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        toks = b[text_col].astype(str).str.split().explode()
+        pos = toks.groupby(level=0).cumcount().to_numpy(dtype=np.int64)
+        ids = b[id_col].reindex(toks.index).to_numpy(dtype=np.int64)
+        tv = toks.to_numpy(dtype=object)
+        rows_id, rows_slot, rows_start = [], [], []
+        for t, slots in slot_of.items():
+            m = tv == t
+            if not m.any():
+                continue
+            for i in slots:
+                starts = pos[m] - i
+                ok = starts >= 0
+                rows_id.append(ids[m][ok])
+                rows_slot.append(np.full(int(ok.sum()), i, dtype=np.int64))
+                rows_start.append(starts[ok])
+        if not rows_id:
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype="int64"),
+                    "_slot": np.array([], dtype="int64"),
+                    "_start": np.array([], dtype="int64"),
+                    "_part": np.array([], dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                id_col: np.concatenate(rows_id),
+                "_slot": np.concatenate(rows_slot),
+                "_start": np.concatenate(rows_start),
+            }
+        )
+        out["_part"] = (out[id_col].to_numpy(dtype=np.int64)) % num_partitions
+        return out
+
+    def count_matches(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "_start" not in g.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "n_matches": pd.Series(dtype="int64"),
+                }
+            )
+        full = (
+            g.groupby([id_col, "_start"], sort=False)["_slot"]
+            .nunique()
+            .reset_index(name="_k")
+        )
+        hits = full[full["_k"] == k]
+        out = hits.groupby(id_col, sort=False).size().reset_index(name="n_matches")
+        out["n_matches"] = out["n_matches"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(occurrences, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(count_matches, batch_format="pandas")
+    )

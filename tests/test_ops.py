@@ -1594,6 +1594,34 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_phrase_match(ray_session):
+    """phrase_match must count every occurrence (including
+    overlapping ones), handle repeated-word phrases via slot
+    satisfaction, and omit non-matching docs."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import phrase_match
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "x a b c y a b c",  # "a b c" twice
+                "a b x b c",  # broken up -> no match
+                "a a a b",  # "a a b" at start 1; overlapping "a a" handled
+                "c b a",  # reversed -> no match
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = phrase_match(ds, "a b c").to_pandas().set_index("doc_id")
+    assert list(out.index) == [1] and out.loc[1, "n_matches"] == 2
+    out2 = phrase_match(ds, "a a b").to_pandas().set_index("doc_id")
+    assert list(out2.index) == [3] and out2.loc[3, "n_matches"] == 1
+    out3 = phrase_match(ds, "a a").to_pandas().set_index("doc_id")
+    assert out3.loc[3, "n_matches"] == 2  # overlapping starts 0 and 1
+
+
 def test_compression_ratio_signal(ray_session):
     """compression_ratio must mark repetitive text as far more
     compressible than high-entropy text, agree with direct zlib, and
