@@ -1665,6 +1665,29 @@ def _extract_url_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _extract_domain_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-registrable-domain crawl cap + domain inventory over the
+    fixture corpus urls (ops/urlfilter.domain_cap/domain_stats): at
+    most 8 docs per domain by smallest md5(url), plus the per-domain
+    rollup, unioned under one registry entry. Rows-only; the cap
+    invariants and the co.uk-style zone table are unit-tested."""
+    from pdf_extractor_ray.ops.urlfilter import domain_cap, domain_stats
+    from pdf_extractor_ray.pipelines.extract import read_pages
+
+    ds = read_pages(_fixture_pages(500)).select_columns(["url"])
+    capped = domain_cap(ds, max_per_domain=8).to_pandas()
+    capped = capped.rename(columns={"url": "key"})
+    capped.insert(0, "kind", "capped_url")
+    capped["n_docs"] = -1
+    capped["n_hosts"] = -1
+    stats = domain_stats(ds).to_pandas().rename(columns={"domain": "key"})
+    stats.insert(0, "kind", "domain")
+    out = pd.concat([capped, stats], ignore_index=True, sort=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_hosts"] = out["n_hosts"].astype("int64")
+    return out.sort_values(["kind", "key"]).reset_index(drop=True)
+
+
 def _extract_dedup_sorted_urls(sf_dir: str) -> pd.DataFrame:
     """North-rule corpus dedup + sort-by-url shuffle in one lineage:
     hash-partition groupby(url) -> first (pipelines/extract.
@@ -1877,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_tdigest": _order_price_tdigest,
         "embeddings_pca": _embeddings_pca,
         "docs_compression_ratio": _docs_compression_ratio,
+        "extract_domain_cap": _extract_domain_cap,
         "top_docs_by_chars": _top_docs_by_chars,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,

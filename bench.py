@@ -262,6 +262,7 @@ def run_queries() -> dict[str, float]:
         "multimodal_featurize",
         "extract_page_links",
         "extract_url_filter",
+        "extract_domain_cap",
         "order_price_tdigest",
         "embeddings_pca",
         "docs_compression_ratio",

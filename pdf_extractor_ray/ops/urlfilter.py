@@ -167,3 +167,143 @@ def url_filter(
         return batch.loc[sig["keep"].to_numpy()]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Registrable domains and per-domain crawl caps
+# ---------------------------------------------------------------------------
+
+# Common country-code second-level registration zones (public DNS
+# convention — the "co.uk" pattern): a host's registrable domain is
+# its last TWO labels, or THREE when the last two form one of these
+# zones. A full Public Suffix List import would extend this table;
+# the rule shape is identical.
+_CC_SLDS = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+        "com.br", "net.br", "org.br", "gov.br",
+        "co.nz", "net.nz", "org.nz",
+        "co.in", "net.in", "org.in", "gov.in", "ac.in",
+        "com.cn", "net.cn", "org.cn", "gov.cn",
+        "co.kr", "or.kr", "go.kr", "ac.kr",
+        "com.mx", "org.mx", "gob.mx",
+        "com.tr", "org.tr", "gov.tr",
+        "co.za", "org.za", "gov.za",
+        "com.sg", "org.sg", "gov.sg",
+    }
+)
+
+
+def registrable_domain(host: str) -> str:
+    """Registrable domain of a hostname: the last two labels, or the
+    last three when the final two form a known country-code
+    second-level zone ('www.bbc.co.uk' -> 'bbc.co.uk'). Bare or
+    single-label hosts return unchanged; deterministic, no network."""
+    labels = host.lower().strip(".").split(".")
+    if len(labels) <= 2:
+        return ".".join(labels)
+    if ".".join(labels[-2:]) in _CC_SLDS and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def domain_cap(
+    ds: ray.data.Dataset,
+    max_per_domain: int,
+    url_col: str = "url",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-registrable-domain document cap — the crawl-balance rule
+    (RefinedWeb-style pipelines cap any one site's contribution so a
+    single mega-domain cannot dominate the corpus): keep at most
+    `max_per_domain` rows per registrable domain, chosen by the
+    smallest md5(url) keys (a deterministic pseudo-random draw, not
+    first-seen order, so the kept set is independent of scan order).
+
+    Domains are HIGH-cardinality (millions at crawl scale), so this
+    never groups by domain directly (the CLAUDE.md groupby rule):
+    per-batch partials keep at most k rows per domain, then ONE
+    shuffle on hash(domain) mod P and a vectorized per-partition
+    head-k finishes. Preserves the input schema."""
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.reset_index(drop=True)
+        s = b[url_col].astype(str)
+        host = s.str.extract(_URL_RE)["host"].fillna("").str.lower()
+        b = b.copy()
+        b["_dom"] = [registrable_domain(h) for h in host]
+        b["_h"] = md5_u52([str(u) for u in s])
+        b = b.sort_values(["_h", url_col], kind="stable")
+        b = b.groupby("_dom", sort=False).head(max_per_domain)
+        b["_part"] = (
+            pd.util.hash_array(b["_dom"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "_dom" not in g.columns:
+            return g
+        g = g.sort_values(["_h", url_col], kind="stable")
+        g = g.groupby("_dom", sort=False).head(max_per_domain)
+        return g.drop(columns=["_dom", "_h", "_part"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def domain_stats(
+    ds: ray.data.Dataset,
+    url_col: str = "url",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-registrable-domain rollup: (domain, n_docs, n_hosts) — the
+    crawl-source inventory behind cap/blocklist decisions. Distinct
+    hosts reduce exactly: per-batch distinct (domain, host) pairs
+    carry partial doc counts, one domain-keyed exchange finishes."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[url_col].astype(str)
+        host = s.str.extract(_URL_RE)["host"].fillna("").str.lower()
+        df = pd.DataFrame({"host": host})
+        df["domain"] = [registrable_domain(h) for h in host]
+        out = df.groupby(["domain", "host"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_host = grouped_sum(
+        ds.map_batches(pairs, batch_format="pandas"), ["domain", "host"], ["n"], counts=False
+    )
+
+    def host_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "domain": b["domain"],
+                "n_docs": b["sum_n"].to_numpy(dtype="int64"),
+                "n_hosts": np.ones(len(b), dtype="int64"),
+            }
+        )
+
+    out = grouped_sum(
+        per_host.map_batches(host_rows, batch_format="pandas"),
+        ["domain"],
+        ["n_docs", "n_hosts"],
+        counts=False,
+    )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "domain": b["domain"],
+                "n_docs": b["sum_n_docs"].to_numpy(dtype="int64"),
+                "n_hosts": b["sum_n_hosts"].to_numpy(dtype="int64"),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pandas")

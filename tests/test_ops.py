@@ -1594,6 +1594,45 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_domain_cap_and_stats(ray_session):
+    """domain_cap must keep at most k docs per registrable domain —
+    chosen by smallest md5(url), independent of scan order — and
+    domain_stats must roll up exact doc and distinct-host counts
+    (www.bbc.co.uk and news.bbc.co.uk share bbc.co.uk)."""
+    import hashlib
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.urlfilter import domain_cap, domain_stats
+
+    urls = (
+        [f"https://www.bbc.co.uk/p{i}" for i in range(6)]
+        + [f"https://news.bbc.co.uk/q{i}" for i in range(4)]
+        + [f"https://tiny.example/r{i}" for i in range(2)]
+    )
+    df = pd.DataFrame({"url": urls, "x": range(len(urls))})
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    stats = domain_stats(ds).to_pandas().set_index("domain").sort_index()
+    assert stats.loc["bbc.co.uk", "n_docs"] == 10
+    assert stats.loc["bbc.co.uk", "n_hosts"] == 2
+    assert stats.loc["tiny.example", "n_docs"] == 2
+    assert stats.loc["tiny.example", "n_hosts"] == 1
+
+    capped = domain_cap(ds, max_per_domain=3).to_pandas()
+    assert list(capped.columns) == ["url", "x"]
+    bbc = [u for u in capped.url if "bbc.co.uk" in u]
+    assert len(bbc) == 3 and (capped.url.str.contains("tiny.example")).sum() == 2
+    # the kept set is the 3 smallest md5(url) keys, not first-seen
+    want = sorted(
+        urls[:10], key=lambda u: (int(hashlib.md5(u.encode()).hexdigest()[:13], 16), u)
+    )[:3]
+    assert sorted(bbc) == sorted(want)
+    # scan-order independence: a different partitioning keeps the same set
+    capped2 = domain_cap(ds.repartition(5), max_per_domain=3).to_pandas()
+    assert sorted(capped2.url) == sorted(capped.url)
+
+
 def test_phrase_match(ray_session):
     """phrase_match must count every occurrence (including
     overlapping ones), handle repeated-word phrases via slot
