@@ -1096,6 +1096,25 @@ def _docs_phrase_match(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_neardedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """Family-level near-dedup keeping the best member per cluster
+    (ops/dedup.near_dedup_keep_best): LSH candidates -> exact-Jaccard
+    verified pairs -> connected components -> max-n_chars survivor.
+    Rows-only (LSH + components are not SQL-expressible); the policy
+    is pytest-pinned on handcrafted families."""
+    from pdf_extractor_ray.ops.dedup import near_dedup_keep_best
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    out = (
+        near_dedup_keep_best(ds, quality_col="n_chars", threshold=0.5)
+        .select_columns(["doc_id", "n_chars"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1901,6 +1920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca": _embeddings_pca,
         "docs_compression_ratio": _docs_compression_ratio,
         "extract_domain_cap": _extract_domain_cap,
+        "docs_neardedup_keep_best": _docs_neardedup_keep_best,
         "top_docs_by_chars": _top_docs_by_chars,
         "doc_top_terms": _doc_top_terms,
         "docs_sample_by_lang": _docs_sample_by_lang,

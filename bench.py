@@ -263,6 +263,7 @@ def run_queries() -> dict[str, float]:
         "extract_page_links",
         "extract_url_filter",
         "extract_domain_cap",
+        "docs_neardedup_keep_best",
         "order_price_tdigest",
         "embeddings_pca",
         "docs_compression_ratio",

@@ -361,11 +361,11 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _verify_pair_rows(rows, hash_kind: str, param: int, threshold: float) -> list[int]:
+def _surviving_pairs(rows, hash_kind: str, param: int, threshold: float) -> list[tuple]:
     """Exact set-similarity verification over (a, b, text_a, text_b)
     tuples: vectorized gram hashers + np.intersect1d on sorted-unique
-    arrays, memoized per doc. Returns the ids to DROP (the larger id
-    of every verified duplicate pair)."""
+    arrays, memoized per doc. Returns the (a, b) pairs whose true
+    similarity clears the threshold."""
     memo: dict[int, np.ndarray] = {}
 
     def grams(doc_id: int, text: str) -> np.ndarray:
@@ -375,15 +375,21 @@ def _verify_pair_rows(rows, hash_kind: str, param: int, threshold: float) -> lis
             memo[doc_id] = s
         return s
 
-    drops = []
+    kept = []
     for a, b, ta, tb in rows:
         sa, sb = grams(int(a), ta), grams(int(b), tb)
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         union = sa.size + sb.size - inter
         sim = 1.0 if union == 0 else inter / union
         if sim >= threshold:
-            drops.append(int(b))
-    return drops
+            kept.append((int(a), int(b)))
+    return kept
+
+
+def _verify_pair_rows(rows, hash_kind: str, param: int, threshold: float) -> list[int]:
+    """Drop-set form of _surviving_pairs: the larger id of every
+    verified duplicate pair (pairs are a < b by construction)."""
+    return [b for _, b in _surviving_pairs(rows, hash_kind, param, threshold)]
 
 
 def anti_join_ids(
@@ -591,7 +597,7 @@ def _verified_drop_broadcast(
     return ds.map_batches(drop_rows, batch_format="pyarrow")
 
 
-def _verified_drop_anti_join(
+def _verified_pairs_shuffle(
     ds: ray.data.Dataset,
     pairs: ray.data.Dataset,
     hash_kind: str,
@@ -600,41 +606,13 @@ def _verified_drop_anti_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
-    broadcast_max_pairs: int = _BROADCAST_MAX_PAIRS,
-    broadcast_max_bytes: int = _BROADCAST_MAX_BYTES,
 ) -> ray.data.Dataset:
-    """Distributed verify + drop, zero driver materialization, zero
-    JoinOperators (their per-query aggregator actor pools cost ~12s of
-    spawn/teardown at test scale and deadlock when several coexist):
-
-      exchange A: corpus(id, text) UNION pair-side requests, ONE
-                  co-shuffle on hash(doc_id) mod P -> each pair side
-                  picks up its text in-partition
-      exchange B: pair sides co-shuffled on hash(a,b) -> assemble
-                  (a, b, text_a, text_b), vectorized verify ->
-                  drop-id Dataset (tiny, materialized in the object
-                  store for the empty-fast-path count)
-      exchange C: anti_join_ids — corpus UNION drop rows, ONE
-                  co-shuffle on hash(id) -> per-partition filter
-
-    Two corpus-sized exchanges (A, C) + one candidate-sized one (B) —
-    the honest big-data shape; at extreme scale the pair-side requests
-    in exchange A can become a broadcast bloom filter to pre-prune the
-    corpus side (the r1 design pulled pairs AND texts to the driver)."""
-    pairs = pairs.materialize()  # tiny (LSH's point)
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return ds
-    if n_pairs <= broadcast_max_pairs:
-        # pair count is only a pre-gate; the broadcast tier measures
-        # the actual candidate-text bytes and returns None above its
-        # byte budget, in which case we fall through to the shuffle
-        # path below (same verify kernel, identical kept set).
-        out = _verified_drop_broadcast(
-            ds, pairs, hash_kind, param, threshold, id_col, text_col, broadcast_max_bytes
-        )
-        if out is not None:
-            return out
+    """Exchanges A + B of the distributed verify (see
+    _verified_drop_anti_join): attach each candidate pair's texts via
+    one corpus co-shuffle on hash(id) mod P, assemble per-pair rows on
+    hash(a, b) mod P, and run the exact set-similarity kernel. Returns
+    the VERIFIED (a, b) pair Dataset — the input to keep-best /
+    component policies that need pairs rather than a drop-set."""
 
     def _part_ids(ids: np.ndarray) -> np.ndarray:
         return (ids % num_partitions).astype(np.int64)
@@ -712,21 +690,79 @@ def _verified_drop_anti_join(
 
     def assemble_verify(g: pd.DataFrame) -> pa.Table:
         if g.empty or "side" not in g.columns:
-            return _typed_table(_DROP_SCHEMA)
+            return _typed_table(_PAIR_SCHEMA)
         wide = g.pivot_table(index=["a", "b"], columns="side", values="text", aggfunc="first")
         if 0 not in wide.columns or 1 not in wide.columns:
-            return _typed_table(_DROP_SCHEMA)
+            return _typed_table(_PAIR_SCHEMA)
         wide = wide.dropna(subset=[0, 1])
         rows = ((a, b, ta, tb) for (a, b), ta, tb in zip(wide.index, wide[0], wide[1]))
-        drops = _verify_pair_rows(rows, hash_kind, param, threshold)
-        return _typed_table(_DROP_SCHEMA, drop_id=np.unique(np.array(drops, dtype=np.int64)))
+        kept = _surviving_pairs(rows, hash_kind, param, threshold)
+        arr = np.array(kept, dtype=np.int64).reshape(-1, 2)
+        return _typed_table(_PAIR_SCHEMA, a=arr[:, 0], b=arr[:, 1])
 
-    drops = (
+    return (
         sides_with_text.map_batches(pair_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(assemble_verify, batch_format="pandas")
-        .materialize()
     )
+
+
+def _verified_drop_anti_join(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    hash_kind: str,
+    param: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    broadcast_max_pairs: int = _BROADCAST_MAX_PAIRS,
+    broadcast_max_bytes: int = _BROADCAST_MAX_BYTES,
+) -> ray.data.Dataset:
+    """Distributed verify + drop, zero driver materialization, zero
+    JoinOperators (their per-query aggregator actor pools cost ~12s of
+    spawn/teardown at test scale and deadlock when several coexist):
+
+      exchange A: corpus(id, text) UNION pair-side requests, ONE
+                  co-shuffle on hash(doc_id) mod P -> each pair side
+                  picks up its text in-partition
+      exchange B: pair sides co-shuffled on hash(a,b) -> assemble
+                  (a, b, text_a, text_b), vectorized verify ->
+                  drop-id Dataset (tiny, materialized in the object
+                  store for the empty-fast-path count)
+      exchange C: anti_join_ids — corpus UNION drop rows, ONE
+                  co-shuffle on hash(id) -> per-partition filter
+
+    Two corpus-sized exchanges (A, C) + one candidate-sized one (B) —
+    the honest big-data shape; at extreme scale the pair-side requests
+    in exchange A can become a broadcast bloom filter to pre-prune the
+    corpus side (the r1 design pulled pairs AND texts to the driver)."""
+    pairs = pairs.materialize()  # tiny (LSH's point)
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+    if n_pairs <= broadcast_max_pairs:
+        # pair count is only a pre-gate; the broadcast tier measures
+        # the actual candidate-text bytes and returns None above its
+        # byte budget, in which case we fall through to the shuffle
+        # path below (same verify kernel, identical kept set).
+        out = _verified_drop_broadcast(
+            ds, pairs, hash_kind, param, threshold, id_col, text_col, broadcast_max_bytes
+        )
+        if out is not None:
+            return out
+
+    vp = _verified_pairs_shuffle(
+        ds, pairs, hash_kind, param, threshold, id_col, text_col, num_partitions
+    )
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "b" not in t.column_names:
+            return _typed_table(_DROP_SCHEMA)
+        b = np.asarray(t.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return _typed_table(_DROP_SCHEMA, drop_id=np.unique(b))
+
+    drops = vp.map_batches(to_drops, batch_format="pyarrow").materialize()
     if drops.count() == 0:
         return ds
     return anti_join_ids(ds, drops, id_col=id_col, num_partitions=num_partitions)
@@ -1653,3 +1689,117 @@ def dedup_against(
 
     drops = both.groupby("_part").map_groups(drops_in_part, batch_format="pandas")
     return anti_join_ids(ds_new, drops, id_col=id_col, num_partitions=num_partitions)
+
+
+def near_dedup_keep_best(
+    ds: ray.data.Dataset,
+    quality_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 5,
+    bands: int = 16,
+    rows: int = 8,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Near-dedup that keeps the BEST document of every duplicate
+    FAMILY — the production policy (minhash_dedup's pairwise keep-min-
+    id is arbitrary; real pipelines keep the highest-quality member of
+    each near-dup cluster): LSH candidates -> exact-Jaccard verified
+    pairs (_verified_pairs_shuffle) -> connected components (families)
+    -> per family, drop everything but the max-quality member (ties
+    min id). Every stage distributed; the per-family pick co-shuffles
+    the tiny (id, component) table with the corpus' (id, quality) — no
+    text crosses the family exchange. Preserves the input schema."""
+    sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
+    cand = minhash_lsh_candidates(sigs, bands=bands, rows=rows)
+    vp = _verified_pairs_shuffle(
+        ds, cand, hash_kind="char", param=k, threshold=threshold,
+        num_partitions=num_partitions,
+    ).materialize()
+    if vp.count() == 0:
+        return ds
+    comp = connected_components(vp, num_partitions=num_partitions)
+
+    # co-shuffle (id, component) with (id, quality) on hash(id) mod P,
+    # then (component) -> per-family argmax on hash(component) mod P
+    side_schema = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("component", pa.int64()),
+            ("_q", pa.float64()),
+            ("_side", pa.int8()),
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def proj_comp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _typed_table(side_schema)
+        ids = np.asarray(t.column("node").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                t.column("component").cast(pa.int64()),
+                pa.nulls(t.num_rows, pa.float64()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    def proj_quality(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(t.num_rows, pa.int64()),
+                t.column(quality_col).cast(pa.float64()),
+                pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    both = comp.map_batches(proj_comp, batch_format="pyarrow").union(
+        ds.select_columns(["doc_id", quality_col]).map_batches(
+            proj_quality, batch_format="pyarrow"
+        )
+    )
+
+    member_schema = pa.schema(
+        [("node", pa.int64()), ("component", pa.int64()), ("_q", pa.float64()), ("_part", pa.int64())]
+    )
+
+    def attach_quality(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_side" not in g.columns:
+            return _typed_table(member_schema)
+        members = g[g["_side"] == 0]
+        if members.empty:
+            return _typed_table(member_schema)
+        qs = g[g["_side"] == 1]
+        lookup = pd.Series(qs["_q"].to_numpy(), index=qs["node"].to_numpy())
+        comp_ids = members["component"].to_numpy(dtype=np.int64)
+        return _typed_table(
+            member_schema,
+            node=members["node"].to_numpy(dtype=np.int64),
+            component=comp_ids,
+            _q=members["node"].map(lookup).to_numpy(dtype=np.float64),
+            _part=comp_ids % num_partitions,
+        )
+
+    def losers_per_family(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "component" not in g.columns:
+            return _typed_table(_DROP_ID_SCHEMA)
+        g = g.sort_values(["component", "_q", "node"], ascending=[True, False, True], kind="stable")
+        lose = g.duplicated("component", keep="first")
+        return _typed_table(
+            _DROP_ID_SCHEMA, drop_id=g.loc[lose, "node"].to_numpy(dtype=np.int64)
+        )
+
+    drops = (
+        both.groupby("_part")
+        .map_groups(attach_quality, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(losers_per_family, batch_format="pandas")
+    )
+    return anti_join_ids(ds, drops, id_col="doc_id", num_partitions=num_partitions)

@@ -1594,6 +1594,41 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_near_dedup_keep_best(ray_session):
+    """near_dedup_keep_best must keep exactly the max-quality member
+    of each near-duplicate family (ties min id) and leave singletons
+    untouched, with the input schema preserved."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import near_dedup_keep_best
+
+    base1 = "the quick brown fox jumps over the lazy dog again and again today"
+    base2 = "completely different content about distributed dataflow engines at scale"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 10, 11, 20],
+            "text": [
+                base1,
+                base1 + " x",  # family A: 1, 2, 3
+                base1 + " y",
+                base2,  # family B: 10, 11
+                base2 + " z",
+                "a lone unrelated document with nothing shared at all here",
+            ],
+            "q": [5.0, 9.0, 9.0, 1.0, 2.0, 0.5],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = (
+        near_dedup_keep_best(ds, quality_col="q", threshold=0.7)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # family A -> q=9 tie between 2 and 3 -> min id 2; family B -> 11
+    assert list(out.doc_id) == [2, 11, 20]
+    assert list(out.columns) == ["doc_id", "text", "q"]
+
+
 def test_domain_cap_and_stats(ray_session):
     """domain_cap must keep at most k docs per registrable domain —
     chosen by smallest md5(url), independent of scan order — and
