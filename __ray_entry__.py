@@ -1115,6 +1115,26 @@ def _docs_neardedup_keep_best(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_nb_report(sf_dir: str) -> pd.DataFrame:
+    """Classifier evaluation rollup (ops/classify.
+    classification_report) over the NB language classifier's
+    self-predictions: per-class support / correct / recall / dominant
+    confusion from one classes^2-bounded cell exchange. SQL-oracled
+    end-to-end (the NB argmax SQL twin feeds the report twin)."""
+    from pdf_extractor_ray.ops.classify import classification_report, nb_fit, nb_predict
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    model = nb_fit(ds, label_col="lang")
+    # nb_predict preserves row alignment with its input batch, so the
+    # true label rides along shuffle-free via keep_cols
+    out = classification_report(
+        nb_predict(ds, model, keep_cols=["lang"]), "lang", "pred"
+    ).to_pandas()
+    out["support"] = out["support"].astype("int64")
+    out["n_correct"] = out["n_correct"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1905,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_tokens": _docs_bpe_tokens,
         "docs_gopher_repetition": _docs_gopher_repetition,
         "docs_nb_lang": _docs_nb_lang,
+        "docs_nb_report": _docs_nb_report,
         "media_image_neardup": _media_image_neardup,
         "docs_dup_span_scrub": _docs_dup_span_scrub,
         "docs_dup_components": _docs_dup_components,
@@ -2667,6 +2688,57 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t4 ON d.doc_id = t4.doc_id
             LEFT JOIN covn ON d.doc_id = covn.doc_id
             ORDER BY d.doc_id
+        """,
+        "docs_nb_report": r"""
+            WITH tk AS (
+                SELECT doc_id, lang, t.term
+                FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) t(term)
+                WHERE t.term <> ''
+            ),
+            cls AS (SELECT lang AS c, count(*) AS nd FROM documents GROUP BY lang),
+            tot_docs AS (SELECT count(*) AS n FROM documents),
+            ct AS (SELECT lang AS c, term, count(*) AS cnt FROM tk GROUP BY lang, term),
+            ctot AS (SELECT c, sum(cnt) AS t FROM ct GROUP BY c),
+            voc AS (SELECT count(DISTINCT term) AS v FROM tk),
+            dt AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+            contrib AS (
+                SELECT dt.doc_id, cls.c,
+                       sum(dt.tf * (ln(COALESCE(ct.cnt, 0) + 1.0)
+                                    - ln(ctot.t + 1.0 * voc.v))) AS s
+                FROM dt
+                CROSS JOIN cls
+                JOIN ctot ON ctot.c = cls.c
+                CROSS JOIN voc
+                LEFT JOIN ct ON ct.c = cls.c AND ct.term = dt.term
+                GROUP BY dt.doc_id, cls.c, ctot.t, voc.v
+            ),
+            scores AS (
+                SELECT d.doc_id, d.lang, cls.c,
+                       ln(cls.nd) - ln(tot_docs.n) + COALESCE(contrib.s, 0.0) AS score
+                FROM documents d CROSS JOIN cls CROSS JOIN tot_docs
+                LEFT JOIN contrib ON contrib.doc_id = d.doc_id AND contrib.c = cls.c
+            ),
+            pred AS (
+                SELECT doc_id, lang, c AS pred
+                FROM scores
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, c) = 1
+            ),
+            cell AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+                     FROM pred GROUP BY lang, pred),
+            agg AS (SELECT lang, CAST(sum(n) AS BIGINT) AS support,
+                           CAST(sum(CASE WHEN pred = lang THEN n ELSE 0 END)
+                                AS BIGINT) AS n_correct
+                    FROM cell GROUP BY lang),
+            conf AS (SELECT lang, pred AS top_confusion,
+                            row_number() OVER (PARTITION BY lang
+                                               ORDER BY n DESC, pred) AS rk
+                     FROM cell WHERE pred <> lang)
+            SELECT a.lang, a.support, a.n_correct,
+                   CAST(a.n_correct AS DOUBLE) / a.support AS recall,
+                   coalesce(c.top_confusion, '') AS top_confusion
+            FROM agg a LEFT JOIN conf c ON c.lang = a.lang AND c.rk = 1
+            ORDER BY a.lang
         """,
         "docs_nb_lang": r"""
             WITH tk AS (

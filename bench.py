@@ -226,6 +226,7 @@ def run_queries() -> dict[str, float]:
         "docs_quality_select",
         "docs_gopher_repetition",
         "docs_nb_lang",
+        "docs_nb_report",
         "media_image_neardup",
         "extract_c4_filter",
         "docs_dsir_weights",

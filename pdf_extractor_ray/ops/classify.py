@@ -169,6 +169,7 @@ def nb_predict(
     model: NBModel,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list | None = None,
 ) -> ray.data.Dataset:
     """Shuffle-free scoring: broadcast the model once (ray.put,
     resolved once per worker process), one vectorized
@@ -208,9 +209,67 @@ def nb_predict(
                 "score": arr[np.arange(len(arr)), best],
             }
         )
+        # scores are row-aligned with the input batch, so extra
+        # columns (e.g. the true label for evaluation) ride along free
+        for c in keep_cols or ():
+            if c not in out.columns:
+                out[c] = batch[c].to_numpy()
         return out
 
     return ds.map_batches(score, batch_format="pandas")
 
 
 __all__ = ["NBModel", "nb_fit", "nb_predict"]
+
+
+def classification_report(
+    ds: ray.data.Dataset,
+    label_col: str,
+    pred_col: str,
+) -> ray.data.Dataset:
+    """Distributed evaluation rollup for a classifier's predictions:
+    per true class, support, correct count, recall, and the dominant
+    confusion (the most-predicted WRONG class, ties lexicographic) —
+    the report a model-gated corpus pipeline checks before trusting a
+    classifier gate at scale. One pre-aggregated exchange over
+    (label, pred) cells (rows bounded by classes^2, never by corpus
+    size); the per-class reduction runs on the tiny cell table.
+    Emits (label_col, support, n_correct, recall, top_confusion) with
+    top_confusion = '' for a perfectly-predicted class."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def cells(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby([label_col, pred_col], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cell = grouped_sum(
+        ds.map_batches(cells, batch_format="pandas"),
+        [label_col, pred_col],
+        ["n"],
+        counts=False,
+    ).to_pandas()  # classes^2 rows — always tiny
+
+    rows = []
+    for lbl, g in cell.groupby(label_col, sort=True):
+        support = int(g["sum_n"].sum())
+        correct = int(g.loc[g[pred_col] == lbl, "sum_n"].sum())
+        wrong = g[g[pred_col] != lbl].sort_values(
+            ["sum_n", pred_col], ascending=[False, True], kind="stable"
+        )
+        rows.append(
+            {
+                label_col: lbl,
+                "support": support,
+                "n_correct": correct,
+                "recall": correct / support,
+                "top_confusion": "" if wrong.empty else str(wrong.iloc[0][pred_col]),
+            }
+        )
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))

@@ -1594,6 +1594,32 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_classification_report(ray_session):
+    """classification_report must compute per-class support / correct
+    / recall and pick the dominant wrong prediction (ties
+    lexicographic), with '' for perfectly-predicted classes."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.classify import classification_report
+
+    df = pd.DataFrame(
+        {
+            "label": ["a"] * 6 + ["b"] * 4 + ["c"] * 2,
+            "pred": ["a", "a", "a", "b", "b", "c", "b", "b", "b", "b", "c", "c"],
+        }
+    )
+    out = (
+        classification_report(ray.data.from_pandas(df).repartition(3), "label", "pred")
+        .to_pandas()
+        .set_index("label")
+        .sort_index()
+    )
+    assert out.loc["a", "support"] == 6 and out.loc["a", "n_correct"] == 3
+    assert out.loc["a", "recall"] == 0.5 and out.loc["a", "top_confusion"] == "b"
+    assert out.loc["b", "recall"] == 1.0 and out.loc["b", "top_confusion"] == ""
+    assert out.loc["c", "recall"] == 1.0
+
+
 def test_near_dedup_keep_best(ray_session):
     """near_dedup_keep_best must keep exactly the max-quality member
     of each near-duplicate family (ties min id) and leave singletons
