@@ -1135,6 +1135,18 @@ def _docs_nb_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel over the event stream (ops/windows.
+    funnel_counts): signup -> view -> purchase, step k strictly after
+    the user's earliest completion of step k-1. One user-keyed
+    shuffle; SQL-oracled against chained min-after subqueries."""
+    from pdf_extractor_ray.ops.windows import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    out = funnel_counts(ds, ["signup", "view", "purchase"]).to_pandas()
+    return out.sort_values("step_idx").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1920,6 +1932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample_by_lang": _docs_weighted_sample_by_lang,
         "docs_best_dedup": _docs_best_dedup,
         "docs_term_kl_by_lang": _docs_term_kl_by_lang,
+        "events_funnel": _events_funnel,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2378,6 +2391,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), 'signup',
+                 (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+                (CAST(2 AS BIGINT), 'view',
+                 (SELECT CAST(count(*) AS BIGINT) FROM s2)),
+                (CAST(3 AS BIGINT), 'purchase',
+                 (SELECT CAST(count(*) AS BIGINT) FROM s3))
+            ) AS t(step_idx, step, n_users) ORDER BY step_idx
         """,
         "docs_phrase_match": r"""
             WITH p AS (

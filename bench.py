@@ -246,6 +246,7 @@ def run_queries() -> dict[str, float]:
         "docs_bpe_tokens",
         "docs_heavy_bigrams",
         "events_kmv_distinct",
+        "events_funnel",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

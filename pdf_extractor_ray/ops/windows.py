@@ -366,3 +366,88 @@ def distinct_count(
         return b.rename(columns={"n": alias})
 
     return counted.map_batches(rename, batch_format="pandas")
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis: how many users complete each prefix of
+    `steps` IN ORDER — step k counts users with an event of type
+    steps[k] STRICTLY after their earliest completion of steps[k-1]
+    (t_k = min{ts : type = steps[k], ts > t_{k-1}}, a pure function of
+    timestamp VALUES, so the answer is row-order independent). The
+    product-analytics staple over event streams.
+
+    Shape: the scan keeps only funnel-step rows (slim (key, type, ts)
+    triples); ONE shuffle on hash(key) mod P co-locates each user's
+    rows, k vectorized groupby-min passes per partition walk the
+    funnel, and per-partition step counts — k rows each — reduce in a
+    tiny grouped_sum. Emits (step_idx, step, n_users)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    step_list = list(steps)
+    wanted = set(step_list)
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[type_col].isin(wanted)]
+        out = pd.DataFrame(
+            {
+                key: b[key].to_numpy(),
+                type_col: b[type_col].to_numpy(),
+                ts_col: b[ts_col].to_numpy(),
+            }
+        )
+        out["_part"] = (
+            pd.util.hash_array(out[key].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return out
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if g.empty or type_col not in g.columns:
+            return pd.DataFrame(
+                {
+                    "step_idx": pd.Series(dtype="int64"),
+                    "step": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        cur = g[g[type_col] == step_list[0]].groupby(key)[ts_col].min()
+        rows.append((1, step_list[0], len(cur)))
+        for i, st in enumerate(step_list[1:], start=2):
+            sub = g[g[type_col] == st]
+            thr = sub[key].map(cur)
+            # users without the previous step map to NaT; NaT
+            # comparisons are False, so they drop out here
+            sub = sub[sub[ts_col].to_numpy() > thr.to_numpy()]
+            cur = sub.groupby(key)[ts_col].min()
+            rows.append((i, st, len(cur)))
+        out = pd.DataFrame(rows, columns=["step_idx", "step", "n"])
+        out["step_idx"] = out["step_idx"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    red = grouped_sum(
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(walk, batch_format="pandas"),
+        ["step_idx", "step"],
+        ["n"],
+        counts=False,
+    )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "step_idx": b["step_idx"].to_numpy(dtype="int64"),
+                "step": b["step"],
+                "n_users": b["sum_n"].to_numpy(dtype="int64"),
+            }
+        )
+
+    return red.map_batches(rename, batch_format="pandas")

@@ -1594,6 +1594,39 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_funnel_counts(ray_session):
+    """funnel_counts must require steps IN ORDER (strictly after the
+    earliest previous-step completion): a user with purchase BEFORE
+    view does not convert, repeat events don't double-count, and a
+    user missing the first step never appears."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import funnel_counts
+
+    t = pd.Timestamp("2026-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # u1 completes in order
+        (1, "signup", t), (1, "view", t + h), (1, "purchase", t + 2 * h),
+        # u2: purchase BEFORE view -> stops at view
+        (2, "signup", t), (2, "purchase", t + h), (2, "view", t + 2 * h),
+        # u3: signup only; repeats don't double count
+        (3, "signup", t), (3, "signup", t + h),
+        # u4: no signup -> never enters
+        (4, "view", t), (4, "purchase", t + h),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        funnel_counts(ds, ["signup", "view", "purchase"])
+        .to_pandas()
+        .set_index("step")
+    )
+    assert out.loc["signup", "n_users"] == 3
+    assert out.loc["view", "n_users"] == 2  # u1, u2
+    assert out.loc["purchase", "n_users"] == 1  # u1 only
+
+
 def test_classification_report(ray_session):
     """classification_report must compute per-class support / correct
     / recall and pick the dominant wrong prediction (ties
