@@ -1147,6 +1147,18 @@ def _events_funnel(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("step_idx").reset_index(drop=True)
 
 
+def _events_retention(sf_dir: str) -> pd.DataFrame:
+    """Daily cohort retention triangle (ops/windows.retention_matrix):
+    users bucketed by first-event day, distinct-active counts per
+    (cohort, days-since). SQL-oracled via date_trunc + distinct."""
+    from pdf_extractor_ray.ops.windows import retention_matrix
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = retention_matrix(ds, period="D").to_pandas()
+    out["cohort"] = pd.to_datetime(out["cohort"])
+    return out.sort_values(["cohort", "periods_since"]).reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1933,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_best_dedup": _docs_best_dedup,
         "docs_term_kl_by_lang": _docs_term_kl_by_lang,
         "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2391,6 +2404,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_retention": """
+            WITH up AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS p FROM events
+            ),
+            c AS (SELECT user_id, min(p) AS cohort FROM up GROUP BY user_id)
+            SELECT c.cohort,
+                   CAST(date_diff('day', c.cohort, up.p) AS BIGINT) AS periods_since,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM up JOIN c USING (user_id)
+            GROUP BY c.cohort, date_diff('day', c.cohort, up.p)
+            ORDER BY c.cohort, periods_since
         """,
         "events_funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

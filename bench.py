@@ -247,6 +247,7 @@ def run_queries() -> dict[str, float]:
         "docs_heavy_bigrams",
         "events_kmv_distinct",
         "events_funnel",
+        "events_retention",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

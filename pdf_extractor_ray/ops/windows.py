@@ -451,3 +451,81 @@ def funnel_counts(
         )
 
     return red.map_batches(rename, batch_format="pandas")
+
+
+def retention_matrix(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "D",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Cohort retention: bucket every user into the period of their
+    FIRST event (their cohort) and count, for each (cohort, k), the
+    distinct users active k periods later — the retention triangle of
+    product analytics. `period` is a pandas floor frequency ('D', 'h',
+    'W'...).
+
+    Shape: the scan reduces to per-batch DISTINCT (user, period)
+    pairs (the only exchange unit); one shuffle on hash(user) mod P
+    makes each user's periods partition-local, so cohort = min period
+    and the (cohort, delta) rows fall out of one vectorized pass;
+    per-partition counts reduce in a grouped_sum bounded by
+    cohorts x deltas. Emits (cohort, periods_since, n_users) with
+    periods_since = 0 rows equal to cohort size."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                key: b[key].to_numpy(),
+                "_p": pd.to_datetime(b[ts_col]).dt.floor(period).to_numpy(),
+            }
+        ).drop_duplicates()
+        out["_part"] = (
+            pd.util.hash_array(out[key].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return out
+
+    one = pd.Timedelta(1, unit=period if period != "W" else "W")
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "_p" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "cohort": pd.Series(dtype="datetime64[ns]"),
+                    "periods_since": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.drop_duplicates([key, "_p"])
+        first = g.groupby(key)["_p"].transform("min")
+        delta = ((g["_p"] - first) / one).astype("int64")
+        out = (
+            pd.DataFrame({"cohort": first.to_numpy(), "periods_since": delta})
+            .groupby(["cohort", "periods_since"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    red = grouped_sum(
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(cohortize, batch_format="pandas"),
+        ["cohort", "periods_since"],
+        ["n"],
+        counts=False,
+    )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort": b["cohort"],
+                "periods_since": b["periods_since"].to_numpy(dtype="int64"),
+                "n_users": b["sum_n"].to_numpy(dtype="int64"),
+            }
+        )
+
+    return red.map_batches(rename, batch_format="pandas")

@@ -1594,6 +1594,37 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_retention_matrix(ray_session):
+    """retention_matrix must bucket users by first-event period,
+    count distinct active users per (cohort, delta) — multiple events
+    in one period count once — and emit cohort size at delta 0."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import retention_matrix
+
+    d = pd.Timestamp("2026-03-01")
+    day = pd.Timedelta(days=1)
+    rows = [
+        # cohort day0: u1 active d0,d1,d2; u2 active d0 (twice), d2
+        (1, d), (1, d + day), (1, d + 2 * day),
+        (2, d), (2, d + pd.Timedelta(hours=3)), (2, d + 2 * day),
+        # cohort day1: u3 active d1 only
+        (3, d + day),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = (
+        retention_matrix(ray.data.from_pandas(df).repartition(3), period="D")
+        .to_pandas()
+        .set_index(["cohort", "periods_since"])
+        .sort_index()
+    )
+    assert out.loc[(d, 0), "n_users"] == 2
+    assert out.loc[(d, 1), "n_users"] == 1  # only u1
+    assert out.loc[(d, 2), "n_users"] == 2  # u1, u2
+    assert out.loc[(d + day, 0), "n_users"] == 1
+    assert len(out) == 4
+
+
 def test_funnel_counts(ray_session):
     """funnel_counts must require steps IN ORDER (strictly after the
     earliest previous-step completion): a user with purchase BEFORE
