@@ -1159,6 +1159,19 @@ def _events_retention(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["cohort", "periods_since"]).reset_index(drop=True)
 
 
+def _orders_profile(sf_dir: str) -> pd.DataFrame:
+    """Table profile over four orders columns (ops/relational.
+    profile_columns): exact distinct / null / min-max via the
+    value-frequency exchange. SQL-oracled against per-column
+    UNION ALL aggregates."""
+    from pdf_extractor_ray.ops.relational import profile_columns
+
+    cols = ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ds = _read(sf_dir, "orders", cols)
+    out = profile_columns(ds, cols).to_pandas()
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1946,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_kl_by_lang": _docs_term_kl_by_lang,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
+        "orders_profile": _orders_profile,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2404,6 +2418,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "orders_profile": """
+            SELECT 'o_custkey' AS "column",
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(min(o_custkey) AS DOUBLE) AS min_num,
+                   CAST(max(o_custkey) AS DOUBLE) AS max_num
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_totalprice) AS BIGINT),
+                   CAST(count(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(min(o_totalprice) AS DOUBLE),
+                   CAST(max(o_totalprice) AS DOUBLE)
+            FROM orders
+            ORDER BY "column"
         """,
         "events_retention": """
             WITH up AS (

@@ -248,6 +248,7 @@ def run_queries() -> dict[str, float]:
         "events_kmv_distinct",
         "events_funnel",
         "events_retention",
+        "orders_profile",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -437,3 +437,110 @@ def hash_join(
         on=(on,),
         right_on=(right_on,) if right_on else None,
     )
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    cols: Sequence[str],
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-column data-quality profile: row count, null count, EXACT
+    distinct count, and numeric min/max — the first pass any corpus
+    audit runs on a new table. Emits (column, n_rows, n_null,
+    n_distinct, min_num, max_num); min/max are NULL (NaN) for
+    non-numeric columns.
+
+    Shape: per-batch partials are (column, value) DISTINCT pairs plus
+    one counts row per column per batch — the value-frequency
+    discipline, so the exchange is bounded by each column's distinct
+    VALUE domain, not by row count. Distinct finishes with one
+    hash(column, value) mod P pass. For unbounded-cardinality columns
+    swap the distinct leg for the KMV sketch (ops/sketch) — same
+    report, estimated distinct."""
+    cols = list(cols)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = batch[c]
+            nn = int(s.isna().sum())
+            num = pd.api.types.is_numeric_dtype(s)
+            rows.append(
+                {
+                    "column": c,
+                    "kind": "counts",
+                    "value": "",
+                    "n_rows": len(s),
+                    "n_null": nn,
+                    "min_num": float(s.min()) if num and len(s) > nn else np.nan,
+                    "max_num": float(s.max()) if num and len(s) > nn else np.nan,
+                }
+            )
+            for v in s.dropna().unique():
+                rows.append(
+                    {
+                        "column": c,
+                        "kind": "value",
+                        "value": str(v),
+                        "n_rows": 0,
+                        "n_null": 0,
+                        "min_num": np.nan,
+                        "max_num": np.nan,
+                    }
+                )
+        out = pd.DataFrame(rows)
+        h = pd.util.hash_pandas_object(
+            out["column"] + "\x1f" + out["value"], index=False
+        ).to_numpy()
+        out["_part"] = (h % num_partitions).astype("int64")
+        return out
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "kind" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "column": pd.Series(dtype="object"),
+                    "n_rows": pd.Series(dtype="int64"),
+                    "n_null": pd.Series(dtype="int64"),
+                    "n_distinct": pd.Series(dtype="int64"),
+                    "min_num": pd.Series(dtype="float64"),
+                    "max_num": pd.Series(dtype="float64"),
+                }
+            )
+        counts = g[g["kind"] == "counts"]
+        vals = g[g["kind"] == "value"].drop_duplicates(["column", "value"])
+        agg_c = counts.groupby("column", sort=False).agg(
+            n_rows=("n_rows", "sum"),
+            n_null=("n_null", "sum"),
+            min_num=("min_num", "min"),
+            max_num=("max_num", "max"),
+        )
+        agg_v = vals.groupby("column", sort=False).size().rename("n_distinct")
+        out = (
+            pd.concat([agg_c, agg_v], axis=1)
+            .fillna({"n_rows": 0, "n_null": 0, "n_distinct": 0})
+            .reset_index()
+        )
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["n_null"] = out["n_null"].astype("int64")
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out[["column", "n_rows", "n_null", "n_distinct", "min_num", "max_num"]]
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("column", sort=True).agg(
+            n_rows=("n_rows", "sum"),
+            n_null=("n_null", "sum"),
+            n_distinct=("n_distinct", "sum"),
+            min_num=("min_num", "min"),
+            max_num=("max_num", "max"),
+        ).reset_index()
+        for c in ("n_rows", "n_null", "n_distinct"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    per_part = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(reduce_part, batch_format="pandas")
+    )
+    return per_part.repartition(1).map_batches(final, batch_format="pandas")

@@ -1594,6 +1594,33 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_profile_columns(ray_session):
+    """profile_columns must report exact distinct counts across
+    batches (cross-batch duplicate values count once), null counts,
+    and numeric min/max with NaN for non-numeric columns."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import profile_columns
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 2, 2, 3, None, 3],
+            "s": ["a", "b", "a", None, "c", "a"],
+        }
+    )
+    out = (
+        profile_columns(ray.data.from_pandas(df).repartition(3), ["k", "s"])
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["k", "n_rows"] == 6 and out.loc["k", "n_null"] == 1
+    assert out.loc["k", "n_distinct"] == 3
+    assert out.loc["k", "min_num"] == 1.0 and out.loc["k", "max_num"] == 3.0
+    assert out.loc["s", "n_distinct"] == 3 and out.loc["s", "n_null"] == 1
+    assert np.isnan(out.loc["s", "min_num"])
+
+
 def test_retention_matrix(ray_session):
     """retention_matrix must bucket users by first-event period,
     count distinct active users per (cohort, delta) — multiple events
