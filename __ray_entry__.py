@@ -1172,6 +1172,46 @@ def _orders_profile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("column").reset_index(drop=True)
 
 
+def _events_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Volume-anomaly flags over hourly event counts (ops/windows.
+    anomalous_periods, z=3 population sigma per type) — the crawler-
+    loop / outage monitor. SQL-oracled via stddev_pop."""
+    from pdf_extractor_ray.ops.windows import anomalous_periods
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    out = anomalous_periods(ds, z=3.0).to_pandas()
+    out["period"] = pd.to_datetime(out["period"])
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "period"]).reset_index(drop=True)
+
+
+def _docs_gini(sf_dir: str) -> pd.DataFrame:
+    """Corpus-concentration Gini coefficients (ops/rank.
+    gini_coefficient, exact via range-partition global ranks): docs
+    per source, and characters per document. SQL-oracled against the
+    row_number formula."""
+    from pdf_extractor_ray.ops.rank import gini_coefficient
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    per_source = grouped_sum(
+        ds.map_batches(lambda b: b[["source"]], batch_format="pandas"), ["source"], []
+    )
+
+    def as_float(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["x"] = b["n"].astype("float64")
+        return b[["source", "x"]]
+
+    g1 = gini_coefficient(
+        per_source.map_batches(as_float, batch_format="pandas"), "x", "source"
+    )
+    g2 = gini_coefficient(ds, "n_chars", "doc_id")
+    return pd.DataFrame(
+        {"metric": ["chars_per_doc", "docs_per_source"], "gini": [g2, g1]}
+    )
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -1960,6 +2000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
         "orders_profile": _orders_profile,
+        "events_anomalies": _events_anomalies,
+        "docs_gini": _docs_gini,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2418,6 +2460,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_gini": """
+            WITH v1 AS (SELECT source AS k, CAST(count(*) AS DOUBLE) AS x
+                        FROM documents GROUP BY source),
+            r1 AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i,
+                          count(*) OVER () AS n, sum(x) OVER () AS t FROM v1),
+            v2 AS (SELECT doc_id AS k, CAST(n_chars AS DOUBLE) AS x FROM documents),
+            r2 AS (SELECT x, row_number() OVER (ORDER BY x, k) AS i,
+                          count(*) OVER () AS n, sum(x) OVER () AS t FROM v2)
+            SELECT 'chars_per_doc' AS metric,
+                   (2.0 * sum(i * x)) / (max(n) * max(t))
+                       - (max(n) + 1.0) / max(n) AS gini
+            FROM r2
+            UNION ALL
+            SELECT 'docs_per_source',
+                   (2.0 * sum(i * x)) / (max(n) * max(t))
+                       - (max(n) + 1.0) / max(n)
+            FROM r1
+            ORDER BY metric
+        """,
+        "events_anomalies": """
+            WITH c AS (
+                SELECT event_type, date_trunc('hour', ts) AS period,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (SELECT event_type, avg(n) AS mean, stddev_pop(n) AS sd
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, c.period, c.n AS n_events,
+                   (c.n - s.mean) / s.sd AS zscore
+            FROM c JOIN s USING (event_type)
+            WHERE s.sd > 0 AND abs((c.n - s.mean) / s.sd) > 3.0
+            ORDER BY c.event_type, c.period
         """,
         "orders_profile": """
             SELECT 'o_custkey' AS "column",

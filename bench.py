@@ -249,6 +249,8 @@ def run_queries() -> dict[str, float]:
         "events_funnel",
         "events_retention",
         "orders_profile",
+        "events_anomalies",
+        "docs_gini",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -232,3 +232,44 @@ def select_top_frac(
         num_partitions=num_partitions,
         top_frac=frac,
     )
+
+
+def gini_coefficient(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    num_partitions: int = 32,
+) -> float:
+    """Exact Gini coefficient of a non-negative value column — the
+    corpus-concentration number (how dominated is the corpus by its
+    biggest domains/sources?) every crawl-balance review reports:
+
+        G = (2 * sum_i i * x_(i)) / (n * sum x) - (n + 1) / n
+
+    with x sorted ascending and i the 1-based global rank. Equal
+    values commute inside the rank-weighted sum, so any total order
+    over ties gives the same G; ranks come from the range-partition
+    global_rank (no driver sort), and the two weighted sums reduce
+    from per-block partials. Returns a driver-side float in [0, 1)."""
+    ranked = global_rank(
+        ds,
+        [value_col, id_col],
+        ascending=[True, True],
+        keep_cols=[value_col],
+        rank_col="_i",
+        num_partitions=num_partitions,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[value_col].to_numpy(dtype="float64")
+        i = b["_i"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {"ix": [float((i * x).sum())], "x": [float(x.sum())], "n": [len(b)]}
+        )
+
+    parts = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    total = float(parts["x"].sum())
+    if n == 0 or total == 0.0:
+        return 0.0
+    return (2.0 * float(parts["ix"].sum())) / (n * total) - (n + 1.0) / n

@@ -529,3 +529,57 @@ def retention_matrix(
         )
 
     return red.map_batches(rename, batch_format="pandas")
+
+
+def anomalous_periods(
+    ds: ray.data.Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    period: str = "h",
+    z: float = 3.0,
+) -> ray.data.Dataset:
+    """Volume-anomaly detection over an event stream: flag the
+    (type, period) buckets whose event count sits more than `z`
+    population standard deviations from that type's mean period count
+    — the monitoring pass a continuously-ingested pipeline runs to
+    catch crawler loops, outages, and bot floods.
+
+    Shape: one pre-aggregated grouped_sum produces the (type, period,
+    n) table — bounded by types x periods, tiny next to the stream —
+    and the per-type mean/sigma reduce over it; the final flag pass
+    is arithmetic on that small table. Emits flagged rows only:
+    (type_col, period, n_events, zscore)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                type_col: b[type_col].to_numpy(),
+                "period": pd.to_datetime(b[ts_col]).dt.floor(period).to_numpy(),
+            }
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(bucket, batch_format="pandas"), [type_col, "period"], []
+    )
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        # b is the complete (type, period, n) table (repartition(1)
+        # upstream): exact per-type mean/sigma over period counts
+        g = b.groupby(type_col)["n"]
+        mean = g.transform("mean").to_numpy(dtype="float64")
+        sd = g.transform(lambda s: s.std(ddof=0)).to_numpy(dtype="float64")
+        n = b["n"].to_numpy(dtype="float64")
+        zs = np.divide(n - mean, sd, out=np.zeros_like(n), where=sd > 0)
+        hit = np.abs(zs) > z
+        out = pd.DataFrame(
+            {
+                type_col: b[type_col].to_numpy()[hit],
+                "period": b["period"].to_numpy()[hit],
+                "n_events": n[hit].astype("int64"),
+                "zscore": zs[hit],
+            }
+        )
+        return out
+
+    return counts.repartition(1).map_batches(flag, batch_format="pandas")

@@ -1594,6 +1594,44 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_anomalous_periods_and_gini(ray_session):
+    """anomalous_periods must flag exactly the buckets beyond z
+    population sigmas per type; gini_coefficient must match the
+    sorted-rank formula on skewed data and return 0 for uniform."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import gini_coefficient
+    from pdf_extractor_ray.ops.windows import anomalous_periods
+
+    t = pd.Timestamp("2026-05-01")
+    h = pd.Timedelta(hours=1)
+    rows = []
+    for k in range(20):  # type 'a': 5 events/hour for 20 hours...
+        rows += [("a", t + k * h)] * 5
+    rows += [("a", t + 20 * h)] * 50  # ...then one 10x spike hour
+    for k in range(21):  # type 'b': flat
+        rows += [("b", t + k * h)] * 7
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    out = anomalous_periods(
+        ray.data.from_pandas(df).repartition(3), z=3.0
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].event_type == "a" and out.iloc[0].n_events == 50
+    assert out.iloc[0].zscore > 3.0
+
+    rng = np.random.RandomState(1)
+    x = rng.pareto(1.5, 1500) + 0.01
+    dd = pd.DataFrame({"doc_id": np.arange(1500, dtype="int64"), "v": x})
+    g = gini_coefficient(ray.data.from_pandas(dd).repartition(5), "v", "doc_id")
+    xs = np.sort(x)
+    i = np.arange(1, len(xs) + 1)
+    want = (2 * (i * xs).sum()) / (len(xs) * xs.sum()) - (len(xs) + 1) / len(xs)
+    assert abs(g - want) < 1e-9
+    du = pd.DataFrame({"doc_id": np.arange(50, dtype="int64"), "v": np.ones(50)})
+    assert gini_coefficient(ray.data.from_pandas(du), "v", "doc_id") == 0.0
+
+
 def test_profile_columns(ray_session):
     """profile_columns must report exact distinct counts across
     batches (cross-batch duplicate values count once), null counts,
