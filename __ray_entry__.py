@@ -1212,6 +1212,28 @@ def _docs_gini(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_quality_blend(sf_dir: str) -> pd.DataFrame:
+    """Percentile-rank quality ensemble (ops/rank.percentile_blend):
+    n_chars and whitespace-token count blended 0.6/0.4 into one
+    scale-free composite. SQL-oracled via row_number percentiles."""
+    from pdf_extractor_ray.ops.rank import percentile_blend
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def with_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_ws_tokens"] = [len(str(t).split()) for t in b["text"]]
+        return b[["doc_id", "n_chars", "n_ws_tokens"]]
+
+    out = percentile_blend(
+        ds.map_batches(with_tokens, batch_format="pandas"),
+        ["n_chars", "n_ws_tokens"],
+        [0.6, 0.4],
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -2002,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": _orders_profile,
         "events_anomalies": _events_anomalies,
         "docs_gini": _docs_gini,
+        "docs_quality_blend": _docs_quality_blend,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2460,6 +2483,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_quality_blend": r"""
+            WITH tok AS (
+                SELECT doc_id, n_chars,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS n_ws_tokens
+                FROM documents
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+            r AS (
+                SELECT doc_id,
+                       (row_number() OVER (ORDER BY n_chars, doc_id) - 1.0)
+                           / (n.n - 1.0) AS pct_n_chars,
+                       (row_number() OVER (ORDER BY n_ws_tokens, doc_id) - 1.0)
+                           / (n.n - 1.0) AS pct_n_ws_tokens
+                FROM tok CROSS JOIN n
+            )
+            SELECT doc_id, pct_n_chars, pct_n_ws_tokens,
+                   (0.6 * pct_n_chars + 0.4 * pct_n_ws_tokens) / 1.0 AS blend_score
+            FROM r ORDER BY doc_id
         """,
         "docs_gini": """
             WITH v1 AS (SELECT source AS k, CAST(count(*) AS DOUBLE) AS x

@@ -251,6 +251,7 @@ def run_queries() -> dict[str, float]:
         "orders_profile",
         "events_anomalies",
         "docs_gini",
+        "docs_quality_blend",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -273,3 +273,84 @@ def gini_coefficient(
     if n == 0 or total == 0.0:
         return 0.0
     return (2.0 * float(parts["ix"].sum())) / (n * total) - (n + 1.0) / n
+
+
+def percentile_blend(
+    ds: ray.data.Dataset,
+    cols: Sequence[str],
+    weights: Sequence[float],
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Quality-signal ENSEMBLE via percentile ranks: normalize each
+    signal column to its global percentile ((rank - 1) / (n - 1) with
+    rank = row_number over (signal, id) — scale-free, outlier-immune)
+    and blend them with fixed weights into one composite score — the
+    way multi-signal quality filters combine incommensurable signals
+    (an LM logprob, a length, a repetition ratio) without trusting any
+    signal's units.
+
+    Shape: one range-partition global_rank per signal (no driver
+    sort), then the k slim (id, signal-index, pct) tables union and
+    co-shuffle ONCE on hash(id) mod P where the weighted sum reduces
+    per doc in signal-index order (deterministic float sum). Emits
+    (id_col, pct_<col>..., blend_score)."""
+    cols = list(cols)
+    w = np.asarray(list(weights), dtype="float64")
+    if len(w) != len(cols):
+        raise ValueError("weights must match cols")
+    wsum = float(w.sum())
+    n = ds.count()
+    denom = float(max(n - 1, 1))
+
+    slims = []
+    for j, c in enumerate(cols):
+        ranked = global_rank(
+            ds.select_columns([id_col, c]),
+            [c, id_col],
+            ascending=[True, True],
+            keep_cols=[id_col],
+            rank_col="_r",
+            num_partitions=num_partitions,
+        )
+
+        def proj(b: pd.DataFrame, _j=j) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(dtype=np.int64),
+                    "_j": np.full(len(b), _j, dtype=np.int64),
+                    "_pct": (b["_r"].to_numpy(dtype="float64") - 1.0) / denom,
+                }
+            )
+            out["_part"] = (out[id_col].to_numpy(dtype=np.int64)) % num_partitions
+            return out
+
+        slims.append(ranked.map_batches(proj, batch_format="pandas"))
+
+    all_sigs = slims[0]
+    for s in slims[1:]:
+        all_sigs = all_sigs.union(s)
+
+    k = len(cols)
+
+    def blend(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "_j" not in g.columns:
+            out = {id_col: pd.Series(dtype="int64")}
+            for c in cols:
+                out[f"pct_{c}"] = pd.Series(dtype="float64")
+            out["blend_score"] = pd.Series(dtype="float64")
+            return pd.DataFrame(out)
+        wide = g.pivot_table(index=id_col, columns="_j", values="_pct", aggfunc="first")
+        wide = wide.dropna()  # every doc must carry all k signals
+        score = np.zeros(len(wide), dtype="float64")
+        for j in range(k):  # fixed signal order -> deterministic sum
+            score += w[j] * wide[j].to_numpy(dtype="float64")
+        out = pd.DataFrame({id_col: wide.index.to_numpy(dtype=np.int64)})
+        for j, c in enumerate(cols):
+            out[f"pct_{c}"] = wide[j].to_numpy(dtype="float64")
+        out["blend_score"] = score / wsum
+        return out
+
+    return (
+        all_sigs.groupby("_part").map_groups(blend, batch_format="pandas")
+    )

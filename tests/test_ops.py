@@ -1594,6 +1594,49 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_percentile_blend(ray_session):
+    """percentile_blend must rank each signal independently
+    ((rank-1)/(n-1) with id tie-break), blend with the given weights,
+    and be partition-independent."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import percentile_blend
+
+    n = 200
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "a": rng.permutation(n).astype("float64"),
+            "b": rng.permutation(n).astype("float64"),
+        }
+    )
+    out = (
+        percentile_blend(
+            ray.data.from_pandas(df).repartition(4), ["a", "b"], [0.7, 0.3]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # signals here are permutations of 0..n-1, so pct == value/(n-1)
+    want_a = df.a.to_numpy() / (n - 1)
+    want_b = df.b.to_numpy() / (n - 1)
+    np.testing.assert_allclose(out.pct_a.to_numpy(), want_a, atol=1e-12)
+    np.testing.assert_allclose(out.pct_b.to_numpy(), want_b, atol=1e-12)
+    np.testing.assert_allclose(
+        out.blend_score.to_numpy(), 0.7 * want_a + 0.3 * want_b, atol=1e-12
+    )
+    out2 = (
+        percentile_blend(ray.data.from_pandas(df).repartition(7), ["a", "b"], [0.7, 0.3])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
 def test_anomalous_periods_and_gini(ray_session):
     """anomalous_periods must flag exactly the buckets beyond z
     population sigmas per type; gini_coefficient must match the
