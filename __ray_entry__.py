@@ -1234,6 +1234,33 @@ def _docs_quality_blend(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _events_value_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type OLS trend of value over time (ops/relational.
+    grouped_linregress; x = hours since 2024-01-01, the data epoch,
+    well-conditioned by construction). SQL-oracled against the same naive-sums
+    closed forms."""
+    from pdf_extractor_ray.ops.relational import grouped_linregress
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    epoch = pd.Timestamp("2024-01-01")
+
+    def hours(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["x_hours"] = (
+            (pd.to_datetime(b["ts"]) - epoch) / pd.Timedelta(hours=1)
+        ).astype("float64")
+        return b[["event_type", "x_hours", "value"]]
+
+    out = grouped_linregress(
+        ds.map_batches(hours, batch_format="pandas"),
+        ["event_type"],
+        "x_hours",
+        "value",
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -2025,6 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomalies": _events_anomalies,
         "docs_gini": _docs_gini,
         "docs_quality_blend": _docs_quality_blend,
+        "events_value_trend": _events_value_trend,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2483,6 +2511,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_value_trend": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(x) AS sx, sum(value) AS sy,
+                       sum(x * value) AS sxy, sum(x * x) AS sxx,
+                       sum(value * value) AS syy
+                FROM (SELECT event_type, value,
+                             date_diff('microsecond', TIMESTAMP '2024-01-01', ts)
+                                 / 3600000000.0 AS x
+                      FROM events)
+                GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                   (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                       AS intercept,
+                   ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+            FROM m ORDER BY event_type
         """,
         "docs_quality_blend": r"""
             WITH tok AS (

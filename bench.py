@@ -252,6 +252,7 @@ def run_queries() -> dict[str, float]:
         "events_anomalies",
         "docs_gini",
         "docs_quality_blend",
+        "events_value_trend",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

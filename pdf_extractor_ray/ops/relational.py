@@ -544,3 +544,73 @@ def profile_columns(
         .map_groups(reduce_part, batch_format="pandas")
     )
     return per_part.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def grouped_linregress(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-group ordinary-least-squares line fit — the trend detector
+    behind per-type volume drift and per-source quality drift
+    monitoring. Classic moment reduction: every batch contributes one
+    (n, Sx, Sy, Sxy, Sxx, Syy) row per group, a grouped_sum adds them,
+    and the closed forms finish on key-width rows:
+
+        slope     = (n Sxy - Sx Sy) / (n Sxx - Sx^2)
+        intercept = (Sy - slope * Sx) / n
+        r2        = (n Sxy - Sx Sy)^2 / ((n Sxx - Sx^2)(n Syy - Sy^2))
+
+    The naive-sums formula is used DELIBERATELY (not a running-
+    covariance update) so a SQL twin writing the same sums reproduces
+    it; callers must center/scale x to modest magnitudes (e.g. hours
+    since a fixed epoch, not epoch seconds) — ill-conditioned sums are
+    on the caller, as with any moment formula. Groups with < 2 points
+    or zero x-variance emit NULL slope/intercept/r2."""
+    keys = list(keys)
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[x_col].to_numpy(dtype="float64")
+        y = batch[y_col].to_numpy(dtype="float64")
+        d = pd.DataFrame({k: batch[k].to_numpy() for k in keys})
+        d["cnt"] = 1
+        d["sx"] = x
+        d["sy"] = y
+        d["sxy"] = x * y
+        d["sxx"] = x * x
+        d["syy"] = y * y
+        return d.groupby(keys, sort=False, as_index=False).sum()
+
+    red = grouped_sum(
+        ds.map_batches(moments, batch_format="pandas"),
+        keys,
+        ["cnt", "sx", "sy", "sxy", "sxx", "syy"],
+        counts=False,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["sum_cnt"].to_numpy(dtype="float64")
+        sx = b["sum_sx"].to_numpy(dtype="float64")
+        sy = b["sum_sy"].to_numpy(dtype="float64")
+        sxy = b["sum_sxy"].to_numpy(dtype="float64")
+        sxx = b["sum_sxx"].to_numpy(dtype="float64")
+        syy = b["sum_syy"].to_numpy(dtype="float64")
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        ok = (n >= 2) & (dx > 0)
+        num = n * sxy - sx * sy
+        slope = np.where(ok, num / np.where(ok, dx, 1.0), np.nan)
+        intercept = np.where(ok, (sy - slope * sx) / n, np.nan)
+        r2 = np.where(
+            ok & (dy > 0), (num * num) / np.where(ok & (dy > 0), dx * dy, 1.0), np.nan
+        )
+        out = pd.DataFrame({k: b[k] for k in keys})
+        out["n"] = n.astype("int64")
+        out["slope"] = slope
+        out["intercept"] = intercept
+        out["r2"] = r2
+        return out
+
+    return red.map_batches(finish, batch_format="pandas")

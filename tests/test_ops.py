@@ -1594,6 +1594,36 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_grouped_linregress(ray_session):
+    """grouped_linregress must recover planted slopes/intercepts per
+    group (r2 ~ 1 on noiseless lines), emit NaN for degenerate
+    groups, and be partition-independent."""
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import grouped_linregress
+
+    x = np.linspace(0, 10, 101)
+    df = pd.concat(
+        [
+            pd.DataFrame({"g": "up", "x": x, "y": 3.0 * x + 2.0}),
+            pd.DataFrame({"g": "down", "x": x, "y": -1.5 * x + 7.0}),
+            pd.DataFrame({"g": "flat_x", "x": np.ones(5), "y": np.arange(5.0)}),
+        ],
+        ignore_index=True,
+    )
+    out = (
+        grouped_linregress(ray.data.from_pandas(df).repartition(4), ["g"], "x", "y")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert abs(out.loc["up", "slope"] - 3.0) < 1e-9
+    assert abs(out.loc["up", "intercept"] - 2.0) < 1e-9
+    assert abs(out.loc["up", "r2"] - 1.0) < 1e-9
+    assert abs(out.loc["down", "slope"] + 1.5) < 1e-9
+    assert np.isnan(out.loc["flat_x", "slope"])  # zero x-variance
+
+
 def test_percentile_blend(ray_session):
     """percentile_blend must rank each signal independently
     ((rank-1)/(n-1) with id tie-break), blend with the given weights,
