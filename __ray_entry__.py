@@ -1261,6 +1261,19 @@ def _events_value_trend(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def _docs_cooccurrence_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-30 co-occurring term pairs by document-level PMI
+    (ops/text_analysis.term_cooccurrence_pmi, min_count=5). SQL-
+    oracled against a distinct doc-term self-join twin with the same
+    per-doc top-terms cap."""
+    from pdf_extractor_ray.ops.text_analysis import term_cooccurrence_pmi
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = term_cooccurrence_pmi(ds, top_pairs=30, min_count=5).to_pandas()
+    out["n_ab"] = out["n_ab"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -2053,6 +2066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gini": _docs_gini,
         "docs_quality_blend": _docs_quality_blend,
         "events_value_trend": _events_value_trend,
+        "docs_cooccurrence_pmi": _docs_cooccurrence_pmi,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2511,6 +2525,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_cooccurrence_pmi": r"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(text, '\s+')) AS term
+                      FROM documents)
+                WHERE term <> '' GROUP BY doc_id, term
+            ),
+            capped AS (
+                SELECT doc_id, term FROM tf
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tf DESC, term) <= 64
+            ),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                  FROM documents),
+            dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                    FROM capped GROUP BY term),
+            pairs AS (
+                SELECT x.term AS a, y.term AS b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM capped x JOIN capped y
+                  ON x.doc_id = y.doc_id AND x.term < y.term
+                GROUP BY x.term, y.term HAVING count(*) >= 5
+            )
+            SELECT a, b, n_ab,
+                   ln((n_ab * n.n) / (da.df * db.df)) AS pmi
+            FROM pairs CROSS JOIN n
+            JOIN dfq da ON da.term = a
+            JOIN dfq db ON db.term = b
+            ORDER BY pmi DESC, a, b LIMIT 30
         """,
         "events_value_trend": """
             WITH m AS (

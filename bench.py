@@ -253,6 +253,7 @@ def run_queries() -> dict[str, float]:
         "docs_gini",
         "docs_quality_blend",
         "events_value_trend",
+        "docs_cooccurrence_pmi",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -1056,3 +1056,107 @@ def phrase_match(
         .groupby("_part")
         .map_groups(count_matches, batch_format="pandas")
     )
+
+
+def term_cooccurrence_pmi(
+    ds: ray.data.Dataset,
+    top_pairs: int = 50,
+    max_terms_per_doc: int = 64,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_terms: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Collocation mining: the top document-level co-occurring term
+    pairs by pointwise mutual information,
+
+        pmi(a, b) = ln( n_ab * N / (n_a * n_b) )
+
+    with n_ab = docs containing both, n_a/n_b = docs containing each,
+    N = total docs — the corpus-analysis staple behind phrase
+    discovery and topic drift review.
+
+    Shape: each doc contributes pairs over its `max_terms_per_doc`
+    most frequent DISTINCT terms (tf then lexicographic — the cap
+    bounds the per-doc O(t^2) explosion and is part of the operator's
+    contract, mirrored in the SQL twin); pair counts and per-term doc
+    frequencies reduce via grouped_sums; the term-df map broadcasts
+    under `broadcast_max_terms` (the vocab table — swap in a term
+    co-shuffle above the cap, as tfidf does) and PMI + global top-k
+    finish with a per-block Arrow partial top-k. Emits (a, b, n_ab,
+    pmi), top_pairs rows by (pmi desc, a, b)."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    n_docs = ds.count()
+
+    def doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _doc_term_tf(batch.rename(columns={id_col: "doc_id"}), text_col)
+        out = out.sort_values(
+            ["doc_id", "tf", "term"], ascending=[True, False, True], kind="stable"
+        )
+        return out.groupby("doc_id", sort=False).head(max_terms_per_doc)
+
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, a_out, b_out = [], [], []
+        for did, g in b.groupby("doc_id", sort=False):
+            ts = sorted(g["term"])
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    ids.append(did)
+                    a_out.append(ts[i])
+                    b_out.append(ts[j])
+        return pd.DataFrame({"a": a_out, "b": b_out, "one": np.ones(len(a_out), dtype="int64")})
+
+    terms = ds.map_batches(doc_terms, batch_format="pandas").materialize()
+    pair_counts = grouped_sum(
+        terms.map_batches(pair_rows, batch_format="pandas"), ["a", "b"], ["one"], counts=False
+    )
+    term_df = grouped_sum(
+        terms.map_batches(
+            lambda b: pd.DataFrame({"term": b["term"], "one": np.ones(len(b), dtype="int64")}),
+            batch_format="pandas",
+        ),
+        ["term"],
+        ["one"],
+        counts=False,
+    ).materialize()
+    if term_df.count() > broadcast_max_terms:
+        raise ValueError(
+            "vocab exceeds broadcast_max_terms; wire the term co-shuffle tier"
+        )
+    tbl = term_df.to_pandas()
+    dfm = dict(zip(tbl["term"], tbl["sum_one"].astype("int64")))
+    ref = ray.put(dfm)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        key = ("pmi", ref.hex())
+        m = _ANALYZER_CACHE.get(key)
+        if m is None:
+            m = _ANALYZER_CACHE[key] = ray.get(ref)
+        b = b[b["sum_one"] >= min_count].copy()
+        na = b["a"].map(m).to_numpy(dtype="float64")
+        nb = b["b"].map(m).to_numpy(dtype="float64")
+        nab = b["sum_one"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "a": b["a"],
+                "b": b["b"],
+                "n_ab": nab.astype("int64"),
+                "pmi": np.log((nab * float(n_docs)) / (na * nb)),
+            }
+        )
+
+    order = [("pmi", "descending"), ("a", "ascending"), ("b", "ascending")]
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        return t.sort_by(order).slice(0, top_pairs)
+
+    return (
+        pair_counts.map_batches(score, batch_format="pandas")
+        .map_batches(partial_top, batch_format="pyarrow")
+        .sort(["pmi", "a", "b"], descending=[True, False, False])
+        .limit(top_pairs)
+    )

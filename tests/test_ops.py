@@ -1594,6 +1594,42 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_term_cooccurrence_pmi(ray_session):
+    """term_cooccurrence_pmi must rank a planted always-together pair
+    above independent pairs, compute PMI from doc-level counts
+    exactly, and honor min_count."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import term_cooccurrence_pmi
+
+    # "amber bronze" always co-occur (4 docs); filler words everywhere
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "amber bronze x y",
+                "amber bronze y z",
+                "amber bronze z w",
+                "amber bronze w x",
+                "x y z w",
+                "x y z w",
+                "x y z w",
+                "x y z w",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    out = term_cooccurrence_pmi(ds, top_pairs=5, min_count=2).to_pandas()
+    top = out.iloc[0]
+    assert (top.a, top.b) == ("amber", "bronze") and top.n_ab == 4
+    want = math.log((4 * 8) / (4 * 4))  # ln(n_ab * N / (n_a * n_b))
+    assert abs(top.pmi - want) < 1e-12
+    # pairs below min_count never appear
+    assert ((out.n_ab >= 2).all())
+
+
 def test_grouped_linregress(ray_session):
     """grouped_linregress must recover planted slopes/intercepts per
     group (r2 ~ 1 on noiseless lines), emit NaN for degenerate
