@@ -1866,6 +1866,34 @@ def _extract_domain_cap(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["kind", "key"]).reset_index(drop=True)
 
 
+def _extract_host_triangles(sf_dir: str) -> pd.DataFrame:
+    """Link-graph clustering structure: exact triangle count of the
+    undirected host graph (ops/linkgraph.triangle_count,
+    degree-oriented wedge checks) next to its node/edge sizes.
+    Rows-only (the graph comes from extracted anchors); the count is
+    pytest-pinned against brute-force triple enumeration."""
+    from pdf_extractor_ray.ops.linkgraph import (
+        host_edges,
+        page_links,
+        triangle_count,
+    )
+    from pdf_extractor_ray.pipelines.extract import read_pages
+
+    pages = read_pages(_fixture_pages(500))
+    edges = host_edges(page_links(pages)).materialize()
+    tri = triangle_count(edges)
+    hosts = pd.concat(
+        [edges.to_pandas()["src_host"], edges.to_pandas()["dst_host"]]
+    ).nunique()
+    return pd.DataFrame(
+        {
+            "n_hosts": [int(hosts)],
+            "n_directed_edges": [int(edges.count())],
+            "n_triangles": [int(tri)],
+        }
+    )
+
+
 def _extract_dedup_sorted_urls(sf_dir: str) -> pd.DataFrame:
     """North-rule corpus dedup + sort-by-url shuffle in one lineage:
     hash-partition groupby(url) -> first (pipelines/extract.
@@ -2067,6 +2095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_blend": _docs_quality_blend,
         "events_value_trend": _events_value_trend,
         "docs_cooccurrence_pmi": _docs_cooccurrence_pmi,
+        "extract_host_triangles": _extract_host_triangles,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,

@@ -254,6 +254,7 @@ def run_queries() -> dict[str, float]:
         "docs_quality_blend",
         "events_value_trend",
         "docs_cooccurrence_pmi",
+        "extract_host_triangles",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

@@ -367,3 +367,140 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+
+
+_PR_CACHE: dict = {}  # per-worker resolved broadcast degree maps
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    num_partitions: int = 32,
+) -> int:
+    """Exact triangle count of the UNDIRECTED simple graph underlying
+    an edge list — the clustering-structure number link-graph audits
+    report next to degree and PageRank. Classic degree-oriented
+    wedge-check algorithm (the MapReduce-era standard): orient every
+    edge from its lower-(degree, id) endpoint to the higher, so each
+    node's out-neighborhood is O(sqrt(m)) even at hubs; each node
+    emits its out-neighbor PAIRS (wedges) keyed like edges; one
+    co-shuffle of wedges with oriented edges on hash(pair) mod P
+    counts the closures in-partition. Every exchange is wedge/edge
+    width; the count returns as a driver int.
+
+    Self-loops are dropped; parallel/reverse duplicates collapse to
+    one undirected edge."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src_col].astype(str).to_numpy()
+        c = b[dst_col].astype(str).to_numpy()
+        keep = a != c
+        a, c = a[keep], c[keep]
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        return pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+
+    und = (
+        grouped_sum(edges.map_batches(undirect, batch_format="pandas"), ["u", "v"], [])
+        .map_batches(lambda b: b[["u", "v"]], batch_format="pandas")
+        .materialize()
+    )  # distinct undirected edges
+
+    # degrees for the orientation (ties by node id)
+    def touch(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]),
+                "one": np.ones(2 * len(b), dtype="int64"),
+            }
+        )
+
+    deg = grouped_sum(
+        und.map_batches(touch, batch_format="pandas"), ["node"], ["one"], counts=False
+    ).to_pandas()  # one row per node — the graph's node table
+    dmap = dict(zip(deg["node"], deg["sum_one"].astype("int64")))
+    dref = ray.put(dmap)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        m = _PR_CACHE.get(("deg", dref.hex()))
+        if m is None:
+            m = _PR_CACHE[("deg", dref.hex())] = ray.get(dref)
+        u = b["u"].to_numpy()
+        v = b["v"].to_numpy()
+        du = np.array([m[x] for x in u])
+        dv = np.array([m[x] for x in v])
+        # orient lower (degree, id) -> higher so out-neighborhoods
+        # stay O(sqrt(m)) even at hubs
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        out = pd.DataFrame(
+            {"head": np.where(fwd, u, v), "tail": np.where(fwd, v, u)}
+        )
+        out["_part"] = (
+            pd.util.hash_array(out["head"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return out
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # each head's COMPLETE out-neighborhood is partition-local here
+        if g.empty or "head" not in g.columns:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="object"), "b": pd.Series(dtype="object"),
+                 "_side": pd.Series(dtype="int8")}
+            )
+        wa, wb = [], []
+        for _, grp in g.groupby("head", sort=False):
+            ts = sorted(grp["tail"])
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    wa.append(ts[i])
+                    wb.append(ts[j])
+        return pd.DataFrame(
+            {"a": wa, "b": wb, "_side": np.zeros(len(wa), dtype=np.int8)}
+        )
+
+    wedge_rows = (
+        und.map_batches(orient, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": b["u"], "b": b["v"], "_side": np.ones(len(b), dtype=np.int8)}
+        )
+
+    def pair_part(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "a" not in b.columns:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="object"), "b": pd.Series(dtype="object"),
+                 "_side": pd.Series(dtype="int8"), "_part": pd.Series(dtype="int64")}
+            )
+        b = b.copy()
+        h = pd.util.hash_pandas_object(
+            b["a"].astype(str) + "\x1f" + b["b"].astype(str), index=False
+        ).to_numpy()
+        b["_part"] = (h % num_partitions).astype("int64")
+        return b
+
+    both = (
+        wedge_rows.map_batches(pair_part, batch_format="pandas")
+        .union(
+            und.map_batches(edge_rows, batch_format="pandas").map_batches(
+                pair_part, batch_format="pandas"
+            )
+        )
+    )
+
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "_side" not in g.columns:
+            return pd.DataFrame({"t": pd.Series(dtype="int64")})
+        have = g[g["_side"] == 1][["a", "b"]].drop_duplicates()
+        key = set(zip(have["a"], have["b"]))
+        w = g[g["_side"] == 0]
+        hits = sum((a, b) in key for a, b in zip(w["a"], w["b"]))
+        return pd.DataFrame({"t": [int(hits)]})
+
+    parts = both.groupby("_part").map_groups(close_part, batch_format="pandas")
+    return int(parts.sum("t") or 0)

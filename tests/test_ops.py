@@ -1594,6 +1594,43 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_triangle_count(ray_session):
+    """triangle_count must match the brute-force triple enumeration
+    on a random graph, ignoring self-loops and reverse/parallel
+    duplicate edges."""
+    import itertools
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.ops.linkgraph import triangle_count
+
+    rng = np.random.RandomState(9)
+    nodes = [f"h{i}" for i in range(20)]
+    edges = set()
+    for _ in range(70):
+        a, b = rng.choice(20, 2, replace=False)
+        x, y = nodes[a], nodes[b]
+        edges.add((min(x, y), max(x, y)))
+    df = pd.DataFrame([{"src_host": a, "dst_host": b} for a, b in edges])
+    noisy = pd.concat(
+        [
+            df,
+            df.rename(columns={"src_host": "dst_host", "dst_host": "src_host"}).head(10),
+            pd.DataFrame([{"src_host": "h0", "dst_host": "h0"}]),
+        ],
+        ignore_index=True,
+    )
+    got = triangle_count(ray.data.from_pandas(noisy).repartition(3))
+    es = set(edges)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert got == want == 28
+
+
 def test_term_cooccurrence_pmi(ray_session):
     """term_cooccurrence_pmi must rank a planted always-together pair
     above independent pairs, compute PMI from doc-level counts
