@@ -420,6 +420,10 @@ def triangle_count(
     deg = grouped_sum(
         und.map_batches(touch, batch_format="pandas"), ["node"], ["one"], counts=False
     ).to_pandas()  # one row per node — the graph's node table
+    # boundary: the degree map broadcasts once (ray.put) and is fine
+    # for host graphs up to ~10^7 nodes; a full web-scale host
+    # universe should swap this for a co-shuffle degree attach on
+    # hash(node) mod P (the anti_join_ids union idiom)
     dmap = dict(zip(deg["node"], deg["sum_one"].astype("int64")))
     dref = ray.put(dmap)
 
