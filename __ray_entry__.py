@@ -1274,6 +1274,25 @@ def _docs_cooccurrence_pmi(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _docs_export_shards(sf_dir: str) -> pd.DataFrame:
+    """Training-shard export (pipelines/export.export_training_shards):
+    documents land in md5(doc_id) % 8 shard directories with atomic
+    publish + _SUCCESS resume markers under a fresh /tmp dir; the
+    returned per-shard row counts are SQL-oracled against the same
+    md5 bucketing."""
+    import tempfile
+
+    from pdf_extractor_ray.pipelines.export import export_training_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="shards_", dir="/tmp")
+    m = export_training_shards(ds, out_dir, n_shards=8)
+    out = m[["shard", "n_rows"]].copy()
+    out["shard"] = out["shard"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _docs_mixture_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic corpus mixing (ops/selection.mixture_sample):
     sources src0/src1/src2 blended 3:1:1 to a 20k-char budget;
@@ -2096,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": _events_value_trend,
         "docs_cooccurrence_pmi": _docs_cooccurrence_pmi,
         "extract_host_triangles": _extract_host_triangles,
+        "docs_export_shards": _docs_export_shards,
         "docs_ngram_overlap": _docs_ngram_overlap,
         "docs_phrase_match": _docs_phrase_match,
         "docs_bpe_tokens": _docs_bpe_tokens,
@@ -2554,6 +2574,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_paragraphs,
                    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_export_shards": """
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                        % 8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY 1 ORDER BY shard
         """,
         "docs_cooccurrence_pmi": r"""
             WITH tf AS (

@@ -255,6 +255,7 @@ def run_queries() -> dict[str, float]:
         "events_value_trend",
         "docs_cooccurrence_pmi",
         "extract_host_triangles",
+        "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
         "docs_dup_components",

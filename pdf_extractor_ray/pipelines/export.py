@@ -1,0 +1,133 @@
+"""Training-shard export: the last hop of the data pipeline, where
+the cleaned corpus becomes the fixed artifact a training job streams.
+
+Three properties a 100-TB export needs, all deterministic:
+
+- **Reproducible global shuffle.** Each row lands in shard
+  ``md5(id) % n_shards`` and shards are internally ordered by
+  ``(md5(id), id)`` — so the full read order is a fixed pseudo-random
+  permutation of the corpus, independent of write order, cluster
+  size, or retry history (the md5_u52 discipline shared with the
+  split/sample operators).
+- **Resumable output.** One directory per shard, atomic publish
+  (tmp + rename) and a ``_SUCCESS`` marker written only after the
+  shard's parquet is durable; a re-run drops completed shards at the
+  SCAN (the marker set broadcasts once), so only missing shards cost
+  anything.
+- **Streaming writes.** The pipeline's consumed output is the tiny
+  per-shard manifest row, never the corpus: rows co-shuffle once on
+  hash(shard) mod n_shards and each shard group writes itself to
+  disk inside the task (the state/manifest.PartitionWriter shape).
+
+Reference parity: the reference engine's batch_processor writes one
+results directory per run with no shuffle or resume contract; this
+is the distributed equivalent its corpus consumers would need.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from pdf_extractor_ray.ops.scrub import md5_u52
+
+_SHARD_ROW_SCHEMA = pa.schema(
+    [
+        ("shard", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("path", pa.string()),
+        ("wall_time_s", pa.float64()),
+    ]
+)
+
+
+def _success_path(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, f"shard={shard:05d}", "_SUCCESS")
+
+
+def completed_shards(out_dir: str, n_shards: int) -> set[int]:
+    """Shards whose _SUCCESS marker exists — the resume skip-set."""
+    return {s for s in range(n_shards) if os.path.exists(_success_path(out_dir, s))}
+
+
+def export_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Export `ds` as `n_shards` deterministic shard directories under
+    `out_dir` (see module docstring for the contract). Returns the
+    per-shard manifest (shard, n_rows, path, wall_time_s) — only rows
+    for shards written THIS run; already-complete shards are skipped
+    at the scan. Runs the export to completion (it is a sink)."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir, n_shards)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = md5_u52([str(v) for v in b[id_col]])
+        b["_h"] = h.astype("int64")
+        b["_shard"] = (h % np.uint64(n_shards)).astype("int64")
+        if done:
+            b = b[~b["_shard"].isin(list(done))]
+        return b
+
+    def write_shard(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_shard" not in g.columns:
+            return _SHARD_ROW_SCHEMA.empty_table()
+        t0 = time.monotonic()
+        shard = int(g["_shard"].iloc[0])
+        # fixed internal order: the shard reads back as a deterministic
+        # pseudo-random permutation slice regardless of arrival order
+        g = g.sort_values(["_h", id_col], kind="stable").drop(columns=["_h", "_shard"])
+        sdir = os.path.join(out_dir, f"shard={shard:05d}")
+        os.makedirs(sdir, exist_ok=True)
+        path = os.path.join(sdir, "part-0.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, path)  # atomic publish
+        with open(_success_path(out_dir, shard) + ".tmp", "w", encoding="utf-8") as f:
+            json.dump({"shard": shard, "n_rows": len(g)}, f)
+        os.replace(_success_path(out_dir, shard) + ".tmp", _success_path(out_dir, shard))
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "n_rows": pa.array([len(g)], pa.int64()),
+                "path": pa.array([path], pa.string()),
+                "wall_time_s": pa.array([round(time.monotonic() - t0, 4)], pa.float64()),
+            },
+            schema=_SHARD_ROW_SCHEMA,
+        )
+
+    manifest = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()  # one row per shard written — always tiny
+    )
+    if manifest.empty:
+        return _SHARD_ROW_SCHEMA.empty_table().to_pandas()
+    return manifest.sort_values("shard").reset_index(drop=True)
+
+
+def read_training_shards(out_dir: str) -> ray.data.Dataset:
+    """Stream the exported corpus back in shard order (the fixed
+    training order). Missing/incomplete shards (no _SUCCESS) raise —
+    a partial corpus must never silently train."""
+    shards = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("shard=")
+    )
+    paths = []
+    for d in shards:
+        if not os.path.exists(os.path.join(out_dir, d, "_SUCCESS")):
+            raise FileNotFoundError(f"shard {d} has no _SUCCESS marker — export incomplete")
+        paths.append(os.path.join(out_dir, d, "part-0.parquet"))
+    return ray.data.read_parquet(paths)

@@ -1594,6 +1594,58 @@ def test_paragraph_dedup_tiers(ray_session):
         assert got.equals(want), (cap, got, want)
 
 
+def test_export_training_shards(ray_session, tmp_path):
+    """export_training_shards must place every row in exactly one
+    md5-deterministic shard with a fixed internal order, resume by
+    skipping _SUCCESS-complete shards, and rebuild only deleted
+    shards; read_training_shards must refuse a partial corpus."""
+    import hashlib
+    import os
+
+    import pytest
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.export import (
+        export_training_shards,
+        read_training_shards,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"), "x": np.arange(200) * 2})
+    out = str(tmp_path / "shards")
+    ds = ray.data.from_pandas(df).repartition(4)
+    m1 = export_training_shards(ds, out, n_shards=8)
+    assert m1.n_rows.sum() == 200 and len(m1) == 8
+    back = read_training_shards(out).to_pandas()
+    assert sorted(back.doc_id) == list(range(200))
+    # shard assignment and internal order are md5-deterministic
+    s0 = pd.read_parquet(os.path.join(out, "shard=00000", "part-0.parquet"))
+    want0 = [
+        i
+        for i in range(200)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % 8 == 0
+    ]
+    want0.sort(key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16), i))
+    assert list(s0.doc_id) == want0
+    # resume: everything complete -> nothing written
+    m2 = export_training_shards(ds, out, n_shards=8)
+    assert m2.empty
+    # delete one shard -> only it rebuilds, identically
+    os.remove(os.path.join(out, "shard=00003", "_SUCCESS"))
+    m3 = export_training_shards(ds.repartition(7), out, n_shards=8)
+    assert list(m3.shard) == [3]
+    s3 = pd.read_parquet(os.path.join(out, "shard=00003", "part-0.parquet"))
+    want3 = [
+        i
+        for i in range(200)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % 8 == 3
+    ]
+    assert sorted(s3.doc_id) == sorted(want3)
+    # partial corpus refuses to read
+    os.remove(os.path.join(out, "shard=00005", "_SUCCESS"))
+    with pytest.raises(FileNotFoundError):
+        read_training_shards(out)
+
+
 def test_triangle_count(ray_session):
     """triangle_count must match the brute-force triple enumeration
     on a random graph, ignoring self-loops and reverse/parallel
