@@ -153,6 +153,30 @@ def cmd_gen(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export an extracted corpus as deterministic, resumable training
+    shards (pipelines/export): md5(id)-bucketed directories with
+    _SUCCESS markers; prints the per-shard manifest as JSON lines."""
+    ray, owned = _ray_session(args.num_cpus)
+    try:
+        import ray.data
+
+        from pdf_extractor_ray.pipelines.export import export_training_shards
+
+        ds = ray.data.read_parquet(args.input, file_extensions=["parquet"])
+        m = export_training_shards(
+            ds, args.output, n_shards=args.shards, id_col=args.id_col
+        )
+        for _, row in m.iterrows():
+            print(json.dumps({k: (int(v) if k in ("shard", "n_rows") else v)
+                              for k, v in row.items()}))
+        print(json.dumps({"shards_written": len(m), "rows": int(m["n_rows"].sum()) if len(m) else 0}))
+        return 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
 def cmd_verify(args: argparse.Namespace) -> int:
     """Verification pass over an extracted corpus (reference ST3
     surface): actor pool with the chosen backend, issue rollup by
@@ -247,6 +271,17 @@ def main(argv: list[str] | None = None) -> int:
     vf.add_argument("--backend", choices=["heuristic", "ngram", "mock"], default="heuristic")
     vf.add_argument("--num-cpus", type=int, default=0)
     vf.set_defaults(fn=cmd_verify)
+
+    xp = sub.add_parser(
+        "export",
+        help="export an extracted corpus as deterministic training shards",
+    )
+    xp.add_argument("-i", "--input", required=True, help="extracted corpus dir")
+    xp.add_argument("-o", "--output", required=True, help="shard output dir")
+    xp.add_argument("--shards", type=int, default=64)
+    xp.add_argument("--id-col", default="url")
+    xp.add_argument("--num-cpus", type=int, default=0)
+    xp.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -88,3 +88,28 @@ def test_cli_verify(ray_session, tmp_path, capsys):
     assert files
     cols = pq.read_schema(files[0]).names
     assert {"url", "n_issues", "issues", "verifier_confidence"} <= set(cols)
+
+
+def test_cli_export(ray_session, tmp_path, capsys):
+    """`cli export` shards an extracted corpus deterministically with
+    _SUCCESS markers and skips completed shards on re-run."""
+    from pdf_extractor_ray import cli
+    from pdf_extractor_ray.fixtures.generator import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    shards = str(tmp_path / "shards")
+    pages, _ = write_corpus(corpus, 40, seed=9)
+    assert cli.main(["extract", "-i", pages, "-o", out]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["export", "-i", out, "-o", shards, "--shards", "4"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    summary = lines[-1]
+    assert summary["shards_written"] == 4 and summary["rows"] > 0
+    for s in range(4):
+        assert os.path.exists(os.path.join(shards, f"shard={s:05d}", "_SUCCESS"))
+    # resume: nothing to do
+    assert cli.main(["export", "-i", out, "-o", shards, "--shards", "4"]) == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2 == {"shards_written": 0, "rows": 0}
