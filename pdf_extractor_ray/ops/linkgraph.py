@@ -377,6 +377,7 @@ def triangle_count(
     src_col: str = "src_host",
     dst_col: str = "dst_host",
     num_partitions: int = 32,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> int:
     """Exact triangle count of the UNDIRECTED simple graph underlying
     an edge list — the clustering-structure number link-graph audits
@@ -417,26 +418,17 @@ def triangle_count(
             }
         )
 
-    deg = grouped_sum(
+    deg_ds = grouped_sum(
         und.map_batches(touch, batch_format="pandas"), ["node"], ["one"], counts=False
-    ).to_pandas()  # one row per node — the graph's node table
-    # boundary: the degree map broadcasts once (ray.put) and is fine
-    # for host graphs up to ~10^7 nodes; a full web-scale host
-    # universe should swap this for a co-shuffle degree attach on
-    # hash(node) mod P (the anti_join_ids union idiom)
-    dmap = dict(zip(deg["node"], deg["sum_one"].astype("int64")))
-    dref = ray.put(dmap)
+    ).materialize()  # one row per node — the graph's node table
 
-    def orient(b: pd.DataFrame) -> pd.DataFrame:
-        m = _PR_CACHE.get(("deg", dref.hex()))
-        if m is None:
-            m = _PR_CACHE[("deg", dref.hex())] = ray.get(dref)
-        u = b["u"].to_numpy()
-        v = b["v"].to_numpy()
-        du = np.array([m[x] for x in u])
-        dv = np.array([m[x] for x in v])
+    def _finish_orient(b: pd.DataFrame) -> pd.DataFrame:
         # orient lower (degree, id) -> higher so out-neighborhoods
         # stay O(sqrt(m)) even at hubs
+        u = b["u"].to_numpy()
+        v = b["v"].to_numpy()
+        du = b["_du"].to_numpy(dtype="int64")
+        dv = b["_dv"].to_numpy(dtype="int64")
         fwd = (du < dv) | ((du == dv) & (u < v))
         out = pd.DataFrame(
             {"head": np.where(fwd, u, v), "tail": np.where(fwd, v, u)}
@@ -445,6 +437,75 @@ def triangle_count(
             pd.util.hash_array(out["head"].to_numpy()) % np.uint64(num_partitions)
         ).astype("int64")
         return out
+
+    if deg_ds.count() <= broadcast_max_nodes:
+        # broadcast tier: the node-degree map ships once
+        deg = deg_ds.to_pandas()
+        dmap = dict(zip(deg["node"], deg["sum_one"].astype("int64")))
+        dref = ray.put(dmap)
+
+        def orient(b: pd.DataFrame) -> pd.DataFrame:
+            m = _PR_CACHE.get(("deg", dref.hex()))
+            if m is None:
+                m = _PR_CACHE[("deg", dref.hex())] = ray.get(dref)
+            b = b.copy()
+            b["_du"] = np.array([m[x] for x in b["u"]], dtype="int64")
+            b["_dv"] = np.array([m[x] for x in b["v"]], dtype="int64")
+            return _finish_orient(b)
+
+        oriented = und.map_batches(orient, batch_format="pandas")
+    else:
+        # co-shuffle tier (web-scale host universe): degrees attach by
+        # co-shuffling edges with the node table on hash(node) mod P,
+        # once keyed on u, once on v — no node-width driver collect
+        def _attach_deg(edge_ds: ray.data.Dataset, side: str, out_col: str) -> ray.data.Dataset:
+            def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+                b = b.copy()
+                b["_key"] = b[side]
+                b["_deg"] = np.int64(-1)
+                b["_side"] = np.int8(0)
+                h = pd.util.hash_array(b["_key"].to_numpy())
+                b["_kpart"] = (h % np.uint64(num_partitions)).astype("int64")
+                return b
+
+            def tag_deg(b: pd.DataFrame) -> pd.DataFrame:
+                h = pd.util.hash_array(b["node"].to_numpy())
+                return pd.DataFrame(
+                    {
+                        "_key": b["node"],
+                        "_deg": b["sum_one"].to_numpy(dtype="int64"),
+                        "_side": np.full(len(b), 1, dtype=np.int8),
+                        "_kpart": (h % np.uint64(num_partitions)).astype("int64"),
+                    }
+                )
+
+            def attach_part(g: pd.DataFrame) -> pd.DataFrame:
+                if g.empty or "_side" not in g.columns:
+                    return pd.DataFrame()
+                m = dict(
+                    zip(g.loc[g["_side"] == 1, "_key"], g.loc[g["_side"] == 1, "_deg"])
+                )
+                out = g[g["_side"] == 0].copy()
+                out[out_col] = out["_key"].map(m).to_numpy(dtype="int64")
+                return out.drop(columns=["_key", "_deg", "_side", "_kpart"])
+
+            both = edge_ds.map_batches(tag_edges, batch_format="pandas").union(
+                deg_ds.map_batches(tag_deg, batch_format="pandas")
+            )
+            return both.groupby("_kpart").map_groups(attach_part, batch_format="pandas")
+
+        with_du = _attach_deg(und, "u", "_du")
+        with_dv = _attach_deg(with_du, "v", "_dv")
+
+        def orient_shuffled(b: pd.DataFrame) -> pd.DataFrame:
+            if b.empty or "_dv" not in b.columns:
+                return pd.DataFrame(
+                    {"head": pd.Series(dtype="object"), "tail": pd.Series(dtype="object"),
+                     "_part": pd.Series(dtype="int64")}
+                )
+            return _finish_orient(b)
+
+        oriented = with_dv.map_batches(orient_shuffled, batch_format="pandas")
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         # each head's COMPLETE out-neighborhood is partition-local here
@@ -465,9 +526,7 @@ def triangle_count(
         )
 
     wedge_rows = (
-        und.map_batches(orient, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(wedges, batch_format="pandas")
+        oriented.groupby("_part").map_groups(wedges, batch_format="pandas")
     )
 
     def edge_rows(b: pd.DataFrame) -> pd.DataFrame:

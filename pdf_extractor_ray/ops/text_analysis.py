@@ -1082,8 +1082,10 @@ def term_cooccurrence_pmi(
     bounds the per-doc O(t^2) explosion and is part of the operator's
     contract, mirrored in the SQL twin); pair counts and per-term doc
     frequencies reduce via grouped_sums; the term-df map broadcasts
-    under `broadcast_max_terms` (the vocab table — swap in a term
-    co-shuffle above the cap, as tfidf does) and PMI + global top-k
+    under `broadcast_max_terms`, and above the cap the dfs attach by
+    co-shuffling pairs with the vocab table on hash(term) mod P —
+    once keyed on a, once on b (the bigram_logprob discipline), so
+    the tier is exact at ANY vocabulary size; PMI + global top-k
     finish with a per-block Arrow partial top-k. Emits (a, b, n_ab,
     pmi), top_pairs rows by (pmi desc, a, b)."""
     import pyarrow as pa
@@ -1123,31 +1125,109 @@ def term_cooccurrence_pmi(
         ["one"],
         counts=False,
     ).materialize()
-    if term_df.count() > broadcast_max_terms:
-        raise ValueError(
-            "vocab exceeds broadcast_max_terms; wire the term co-shuffle tier"
-        )
-    tbl = term_df.to_pandas()
-    dfm = dict(zip(tbl["term"], tbl["sum_one"].astype("int64")))
-    ref = ray.put(dfm)
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["sum_one"] >= min_count]
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        key = ("pmi", ref.hex())
-        m = _ANALYZER_CACHE.get(key)
-        if m is None:
-            m = _ANALYZER_CACHE[key] = ray.get(ref)
-        b = b[b["sum_one"] >= min_count].copy()
-        na = b["a"].map(m).to_numpy(dtype="float64")
-        nb = b["b"].map(m).to_numpy(dtype="float64")
-        nab = b["sum_one"].to_numpy(dtype="float64")
-        return pd.DataFrame(
-            {
-                "a": b["a"],
-                "b": b["b"],
-                "n_ab": nab.astype("int64"),
-                "pmi": np.log((nab * float(n_docs)) / (na * nb)),
-            }
-        )
+    pairs_kept = pair_counts.map_batches(prefilter, batch_format="pandas")
+
+    if term_df.count() <= broadcast_max_terms:
+        # broadcast tier: the vocab df map ships once
+        tbl = term_df.to_pandas()
+        dfm = dict(zip(tbl["term"], tbl["sum_one"].astype("int64")))
+        ref = ray.put(dfm)
+
+        def score(b: pd.DataFrame) -> pd.DataFrame:
+            key = ("pmi", ref.hex())
+            m = _ANALYZER_CACHE.get(key)
+            if m is None:
+                m = _ANALYZER_CACHE[key] = ray.get(ref)
+            b = b.copy()
+            na = b["a"].map(m).to_numpy(dtype="float64")
+            nb = b["b"].map(m).to_numpy(dtype="float64")
+            nab = b["sum_one"].to_numpy(dtype="float64")
+            return pd.DataFrame(
+                {
+                    "a": b["a"],
+                    "b": b["b"],
+                    "n_ab": nab.astype("int64"),
+                    "pmi": np.log((nab * float(n_docs)) / (na * nb)),
+                }
+            )
+
+        scored = pairs_kept.map_batches(score, batch_format="pandas")
+    else:
+        # co-shuffle tier (unbounded vocab): attach df(a) on hash(a)
+        # mod P, then df(b) on hash(b) — the bigram_logprob head-keyed
+        # discipline; each attach is one union + task-groupby exchange
+        def _attach(pairs_ds: ray.data.Dataset, side: str, out_col: str) -> ray.data.Dataset:
+            def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
+                b = b.copy()
+                b["_key"] = b[side]
+                b["_df"] = np.int64(-1)
+                b["_side"] = np.int8(0)
+                h = pd.util.hash_array(b["_key"].to_numpy())
+                b["_part"] = (h % np.uint64(num_partitions)).astype("int64")
+                return b
+
+            def tag_df(b: pd.DataFrame) -> pd.DataFrame:
+                h = pd.util.hash_array(b["term"].to_numpy())
+                return pd.DataFrame(
+                    {
+                        "_key": b["term"],
+                        "_df": b["sum_one"].to_numpy(dtype="int64"),
+                        "_side": np.full(len(b), 1, dtype=np.int8),
+                        "_part": (h % np.uint64(num_partitions)).astype("int64"),
+                    }
+                )
+
+            def attach_part(g: pd.DataFrame) -> pd.DataFrame:
+                if g.empty or "_side" not in g.columns:
+                    return pd.DataFrame()
+                m = dict(
+                    zip(
+                        g.loc[g["_side"] == 1, "_key"],
+                        g.loc[g["_side"] == 1, "_df"],
+                    )
+                )
+                out = g[g["_side"] == 0].copy()
+                out[out_col] = out["_key"].map(m).to_numpy(dtype="int64")
+                return out.drop(columns=["_key", "_df", "_side", "_part"])
+
+            both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
+                term_df.map_batches(tag_df, batch_format="pandas")
+            )
+            return both.groupby("_part").map_groups(attach_part, batch_format="pandas")
+
+        with_na = _attach(pairs_kept, "a", "_na")
+        with_nb = _attach(with_na, "b", "_nb")
+
+        def score_shuffled(b: pd.DataFrame) -> pd.DataFrame:
+            if b.empty or "_nb" not in b.columns:
+                return pd.DataFrame(
+                    {
+                        "a": pd.Series(dtype="object"),
+                        "b": pd.Series(dtype="object"),
+                        "n_ab": pd.Series(dtype="int64"),
+                        "pmi": pd.Series(dtype="float64"),
+                    }
+                )
+            nab = b["sum_one"].to_numpy(dtype="float64")
+            return pd.DataFrame(
+                {
+                    "a": b["a"],
+                    "b": b["b"],
+                    "n_ab": nab.astype("int64"),
+                    "pmi": np.log(
+                        (nab * float(n_docs))
+                        / (
+                            b["_na"].to_numpy(dtype="float64")
+                            * b["_nb"].to_numpy(dtype="float64")
+                        )
+                    ),
+                }
+            )
+
+        scored = with_nb.map_batches(score_shuffled, batch_format="pandas")
 
     order = [("pmi", "descending"), ("a", "ascending"), ("b", "ascending")]
 
@@ -1155,8 +1235,7 @@ def term_cooccurrence_pmi(
         return t.sort_by(order).slice(0, top_pairs)
 
     return (
-        pair_counts.map_batches(score, batch_format="pandas")
-        .map_batches(partial_top, batch_format="pyarrow")
+        scored.map_batches(partial_top, batch_format="pyarrow")
         .sort(["pmi", "a", "b"], descending=[True, False, False])
         .limit(top_pairs)
     )

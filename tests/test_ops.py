@@ -1681,6 +1681,12 @@ def test_triangle_count(ray_session):
         if (a, b) in es and (b, c) in es and (a, c) in es
     )
     assert got == want == 28
+    # the co-shuffle degree-attach tier (forced by a zero node cap)
+    # must count identically
+    got2 = triangle_count(
+        ray.data.from_pandas(noisy).repartition(3), broadcast_max_nodes=0
+    )
+    assert got2 == want
 
 
 def test_term_cooccurrence_pmi(ray_session):
@@ -1717,6 +1723,12 @@ def test_term_cooccurrence_pmi(ray_session):
     assert abs(top.pmi - want) < 1e-12
     # pairs below min_count never appear
     assert ((out.n_ab >= 2).all())
+    # the co-shuffle df-attach tier (forced by a zero broadcast cap)
+    # must match the broadcast tier exactly
+    out2 = term_cooccurrence_pmi(
+        ds, top_pairs=5, min_count=2, broadcast_max_terms=0
+    ).to_pandas()
+    assert out.round(12).equals(out2.round(12))
 
 
 def test_grouped_linregress(ray_session):
