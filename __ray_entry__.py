@@ -922,6 +922,69 @@ def _docs_dedup_against(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_neardedup_against(sf_dir: str) -> pd.DataFrame:
+    """NEAR-dup delta ingestion (ops/dedup.near_dedup_against):
+    odd-doc_id docs are the NEW shard, even-doc_id docs the existing
+    corpus, and every 10th even doc also appears in the new shard as a
+    deterministic "recrawl" (re-id'd +100000, one marker token
+    appended) — the near-miss case exact dedup_against cannot catch.
+    A new doc drops iff its true char-shingle Jaccard vs some corpus
+    doc clears 0.8. Rows-only (MinHash LSH is not SQL-expressible);
+    the surviving shard's ids + a drop flag per recrawl id."""
+    from pdf_extractor_ray.ops.dedup import near_dedup_against
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == p]
+
+        return f
+
+    def recrawls(b: pd.DataFrame) -> pd.DataFrame:
+        r = b[(b["doc_id"] % 2 == 0) & (b["doc_id"] % 10 == 0)].copy()
+        r["doc_id"] = r["doc_id"] + 100000
+        r["text"] = r["text"] + " recrawlmarker"
+        return r
+
+    new = ds.map_batches(parity(1), batch_format="pandas").union(
+        ds.map_batches(recrawls, batch_format="pandas")
+    )
+    old = ds.map_batches(parity(0), batch_format="pandas")
+    out = near_dedup_against(new, old, threshold=0.8).select_columns(["doc_id"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 ranked retrieval (ops/text_analysis.bm25_topk):
+    top-5 docs per query for three fixed query strings, Robertson/
+    Lucene idf, k1=1.2 b=0.75 — the inverted-index-style search the
+    corpus-quality tooling needs. Fully SQL-oracled (the scoring
+    formula is closed-form over tf/df/dl aggregates)."""
+    from pdf_extractor_ray.ops.text_analysis import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(
+        ds, ["dup hash scan", "window table", "slow batch throughput"], k=5
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["query", "doc_id"]).reset_index(drop=True)
+
+
+def _events_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct users per event type (ops/sketch.
+    hll_distinct, p=12): the fixed-memory scale tier next to the
+    exact distinct_users_by_type and the KMV estimator. md5-keyed
+    registers and an integer-exact harmonic sum make the estimate
+    bit-reproducible — the DuckDB twin reproduces it EXACTLY."""
+    from pdf_extractor_ray.ops.sketch import hll_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = hll_distinct(ev, "event_type", "user_id", p=12)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _docs_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003; ops/
     text_analysis.winnow_fingerprints) at k=5, window=4 over each
@@ -2077,6 +2140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_featurize": _multimodal_featurize,
         "extract_c4_filter": _extract_c4_filter,
         # -- oracled (DuckDB SQL twin in oracle_sql()) -----------------
+        "docs_bm25_topk": _docs_bm25_topk,
+        "events_hll_distinct": _events_hll_distinct,
+        "docs_neardedup_against": _docs_neardedup_against,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
@@ -2176,6 +2242,66 @@ def oracle_sql() -> dict[str, str]:
     return {
         # engine sums are exact scaled-int64 at 4 decimals; DECIMAL(38,4)
         # casts here make the oracle's sums identically exact
+        "docs_bm25_topk": r"""
+            WITH q(query) AS (VALUES ('dup hash scan'), ('window table'),
+                                     ('slow batch throughput')),
+            qt AS (SELECT DISTINCT query,
+                          unnest(regexp_split_to_array(query, '\s+')) AS term FROM q),
+            toks AS (SELECT doc_id,
+                            unnest(regexp_split_to_array(text, '\s+')) AS term
+                     FROM documents),
+            n AS (SELECT count(*) AS n,
+                         CAST(sum(len(list_filter(regexp_split_to_array(text,'\s+'),
+                                                  x -> x <> ''))) AS DOUBLE)
+                           / count(*) AS avgdl
+                  FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+                   WHERE term <> '' AND term IN (SELECT term FROM qt)
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE term IN (SELECT term FROM qt) GROUP BY term),
+            dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
+                   WHERE term <> '' GROUP BY doc_id),
+            sc AS (SELECT qt.query, tf.doc_id,
+                     sum( ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * (1.2 + 1.0)
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl)) ) AS score
+                   FROM qt JOIN tf USING (term) JOIN df USING (term)
+                        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+                   GROUP BY qt.query, tf.doc_id)
+            SELECT query, doc_id, score FROM sc
+            QUALIFY row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) <= 5
+            ORDER BY query, doc_id
+        """,
+        "events_hll_distinct": """
+            WITH d AS (SELECT DISTINCT event_type,
+                              CAST(user_id AS VARCHAR) AS v FROM events),
+            h AS (SELECT event_type,
+                         ('0x' || substr(md5(v),1,13))::UBIGINT AS hv FROM d),
+            r AS (SELECT event_type,
+                         CAST(hv >> 40 AS BIGINT) AS bucket,
+                         CASE WHEN (hv & ((1::UBIGINT << 40) - 1)) = 0 THEN 41
+                              ELSE 40 - length(bin(hv & ((1::UBIGINT << 40) - 1))) + 1
+                         END AS rho
+                  FROM h),
+            regs AS (SELECT event_type, bucket, max(rho) AS mrho
+                     FROM r GROUP BY event_type, bucket),
+            agg AS (SELECT event_type,
+                           sum(1::BIGINT << (41 - mrho)) AS z_occ,
+                           count(*) AS n_occ
+                    FROM regs GROUP BY event_type),
+            e AS (SELECT event_type,
+                         CAST(z_occ + (4096 - n_occ) * (1::BIGINT << 41) AS DOUBLE) AS z,
+                         4096 - n_occ AS v_empty FROM agg)
+            SELECT event_type,
+                   CASE WHEN (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
+                             * 2199023255552e0 / z <= 2.5 * 4096
+                             AND v_empty > 0
+                        THEN 4096e0 * ln(4096e0 / v_empty)
+                        ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
+                             * 2199023255552e0 / z END AS hll_est
+            FROM e ORDER BY event_type
+        """,
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,

@@ -255,6 +255,9 @@ def run_queries() -> dict[str, float]:
         "events_value_trend",
         "docs_cooccurrence_pmi",
         "extract_host_triangles",
+        "docs_bm25_topk",
+        "events_hll_distinct",
+        "docs_neardedup_against",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

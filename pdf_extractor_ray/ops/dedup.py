@@ -1691,6 +1691,89 @@ def dedup_against(
     return anti_join_ids(ds_new, drops, id_col=id_col, num_partitions=num_partitions)
 
 
+def near_dedup_against(
+    ds_new: ray.data.Dataset,
+    existing: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 5,
+    bands: int = 16,
+    rows: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """NEAR-duplicate continuous-ingestion dedup: drop from `ds_new`
+    every document whose true char-shingle Jaccard similarity to SOME
+    document of the `existing` corpus clears `threshold` — the
+    delta-crawl companion to `dedup_against` (which only catches
+    byte-exact recurrences; a recrawled page with a new timestamp or
+    reshuffled boilerplate needs the MinHash tier). Intra-shard
+    near-dups are NOT touched (compose with minhash_dedup); the
+    decision is purely similarity against the existing corpus.
+
+    Shape: both corpora map to (2*id + side, text) — side bit 1 = new
+    — and flow through the SAME distributed LSH machinery as
+    minhash_dedup (signatures in a stateful task pool, band-bucket
+    shuffle with the hot-bucket star cap, exact pair dedup); candidate
+    pairs are then pruned to CROSS-side pairs only (new-new and
+    existing-existing pairs never verify — one vectorized parity
+    filter), verified by the exact shingle kernel via the two-exchange
+    co-shuffle (`_verified_pairs_shuffle`), and each verified pair
+    contributes its NEW side to the drop set. Nothing id-width or
+    wider ever reaches the driver. Ids must fit 62 bits (the side-bit
+    encoding; crawl doc ids are far below that).
+    """
+
+    def _enc(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(ids * 2 + side, pa.int64()),
+                    t.column(text_col).cast(pa.large_string()),
+                ],
+                names=["doc_id", "text"],
+            )
+
+        return f
+
+    combined = (
+        ds_new.select_columns([id_col, text_col])
+        .map_batches(_enc(1), batch_format="pyarrow")
+        .union(existing.select_columns([id_col, text_col]).map_batches(_enc(0), batch_format="pyarrow"))
+    )
+    sigs = minhash_signatures(combined, num_perm=num_perm, k=k)
+    pairs = minhash_lsh_candidates(sigs, bands=bands, rows=rows, num_partitions=num_partitions)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_table(_PAIR_SCHEMA)
+        a = np.asarray(t.column("a").to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = (a & 1) != (b & 1)
+        return _typed_table(_PAIR_SCHEMA, a=a[keep], b=b[keep])
+
+    cross = pairs.map_batches(cross_only, batch_format="pyarrow")
+    verified = _verified_pairs_shuffle(
+        combined, cross, hash_kind="char", param=k, threshold=threshold,
+        num_partitions=num_partitions,
+    )
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "b" not in t.column_names:
+            return _typed_table(_DROP_ID_SCHEMA)
+        a = np.asarray(t.column("a").to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
+        new_side = np.where((a & 1) == 1, a, b)  # exactly one side is new
+        return _typed_table(_DROP_ID_SCHEMA, drop_id=np.unique(new_side >> 1))
+
+    drops = verified.map_batches(to_drops, batch_format="pyarrow").materialize()
+    if drops.count() == 0:
+        return ds_new
+    return anti_join_ids(ds_new, drops, id_col=id_col, num_partitions=num_partitions)
+
+
 def near_dedup_keep_best(
     ds: ray.data.Dataset,
     quality_col: str,

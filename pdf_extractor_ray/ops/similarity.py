@@ -373,3 +373,104 @@ def srp_neardup_pairs(
         )
     out = out.drop_duplicates(["a", "b"])  # same pair from several bands
     return out.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (the 100-TB storage tier)
+# ---------------------------------------------------------------------------
+
+
+def quantize_fit(
+    ds: ray.data.Dataset, vec_col: str = "embedding"
+) -> pd.DataFrame:
+    """Per-dimension (min, max) over the whole corpus — the affine
+    uint8 quantization parameters. Scale shape: each block emits ONE
+    partial row of 2d floats (its local min/max vectors); the driver
+    folds <= n_blocks such rows into the d-row parameter frame. At
+    4-byte floats a 100-TB embedding column quantizes to 25 TB; the
+    parameter table is d rows regardless of corpus size.
+
+    Returns (i, mn, mx) with i the 0-based dimension, values float64
+    (the float32 inputs convert EXACTLY, so the fit is
+    engine-portable)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+        )
+        return pd.DataFrame({"mins": [m.min(axis=0)], "maxs": [m.max(axis=0)]})
+
+    rows = ds.map_batches(partial, batch_format="pandas", batch_size=None).take_all()
+    mins = np.min(np.stack([np.asarray(r["mins"]) for r in rows]), axis=0)
+    maxs = np.max(np.stack([np.asarray(r["maxs"]) for r in rows]), axis=0)
+    return pd.DataFrame({"i": np.arange(len(mins), dtype=np.int64), "mn": mins, "mx": maxs})
+
+
+def _affine_q(m: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """uint8 codes: floor((v-mn) * 255/(mx-mn) + 0.5) — explicit
+    half-UP rounding (numpy's round() is banker's, SQL round() is
+    half-away; floor(x+0.5) is identical everywhere). Constant
+    dimensions (mx == mn) code to 0."""
+    scale = mx - mn
+    safe = np.where(scale > 0, scale, 1.0)
+    q = np.floor((m - mn) * 255.0 / safe + 0.5)
+    q = np.where(scale > 0, q, 0.0)
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    fit: pd.DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Quantize the embedding column to uint8 codes using a fit from
+    `quantize_fit`. The d-row parameter frame broadcasts once via
+    ray.put and each batch quantizes in one vectorized affine pass —
+    no shuffle, 4x smaller payload out than in. Emits
+    (id_col, qvec list<uint8>)."""
+    ref = ray.put((fit["mn"].to_numpy(), fit["mx"].to_numpy()))
+
+    def q(batch: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = ray.get(ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+        codes = _affine_q(m, mn, mx)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "qvec": list(codes)})
+
+    return ds.map_batches(q, batch_format="pandas")
+
+
+def quantized_topk(
+    qds: ray.data.Dataset,
+    fit: pd.DataFrame,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k over a QUANTIZED corpus: each batch
+    dequantizes its uint8 codes (v ~ mn + q*(mx-mn)/255, float64),
+    scores against the ray.put-broadcast float query, and emits only
+    its local top-k — the brute_force_topk shape at a quarter of the
+    scan bytes. The quantization error bound is (mx-mn)/510 per
+    dimension (half a code step), so ranking inversions are confined
+    to pairs closer than the reconstruction error — measured recall
+    vs the float baseline is pinned in tests."""
+    qn = np.asarray(query, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    ref = ray.put((fit["mn"].to_numpy(), fit["mx"].to_numpy(), qn))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        mn, mx, qv = ray.get(ref)
+        codes = np.stack([np.asarray(v, dtype=np.float64) for v in batch["qvec"]])
+        m = mn + codes * (mx - mn) / 255.0
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (m @ qv) / norms
+        order = np.lexsort((batch[id_col].to_numpy(), -cos))[:k]
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[order], "cos": cos[order]}
+        )
+
+    allp = qds.map_batches(score, batch_format="pandas").to_pandas()
+    allp = allp.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
+    return allp.reset_index(drop=True)

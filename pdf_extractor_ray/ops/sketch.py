@@ -355,3 +355,92 @@ def tdigest_quantiles(
         .groupby("_part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count estimator
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+) -> pd.DataFrame:
+    """Per-group approximate distinct count via HyperLogLog (Flajolet
+    et al. 2007): m = 2^p registers; each value's md5-derived 52-bit
+    hash fraction (md5_u52 — engine-portable, see kmv_distinct)
+    contributes bucket = top p bits and rank rho = leading zeros of
+    the remaining (52-p)-bit field + 1; a register keeps the max rank
+    it has seen. Estimate = alpha_m * m^2 / sum_j 2^(-M_j), with the
+    standard small-range linear-counting correction
+    ``m * ln(m / V)`` when E <= 2.5 m and V (empty registers) > 0.
+    Relative error ~ 1.04/sqrt(m) (~1.6% at p=12).
+
+    Determinism: md5 fixes every register exactly, and the harmonic
+    sum is computed as an INTEGER — sum_j 2^(rmax - M_j) with
+    rmax = 52 - p + 1 — so Z is exact in any engine (max value
+    m * 2^rmax = 2^53 at p=12, still an exact double) and the
+    estimate is bit-reproducible, including by a DuckDB SQL twin
+    (bucket/rank via '0x'||substr(md5(v),1,13) and length(bin(rest))).
+
+    Scale shape: each batch ships at most one (group, bucket, rank)
+    row per touched register — <= m rows per group per block, and far
+    fewer on small batches — never one per value; the final reduce
+    groups by group_col (modest cardinality contract, as kmv_distinct;
+    shard high-cardinality groups on hash(group) mod P first).
+
+    Returns (group_col, hll_est float64) sorted by group.
+    """
+    m = 1 << p
+    rmax = 52 - p + 1
+    shift = np.uint64(52 - p)
+    mask = np.uint64((1 << (52 - p)) - 1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[[group_col, value_col]].drop_duplicates()
+        hv = md5_u52([str(v) for v in d[value_col]])
+        bucket = (hv >> shift).astype(np.int64)
+        rest = hv & mask
+        # rho = leading zeros of the (52-p)-bit field + 1
+        # bit_length via frexp (EXACT for integers < 2^52: the float64
+        # conversion is lossless and frexp returns the true exponent)
+        bl = np.frexp(rest.astype(np.float64))[1].astype(np.int64)
+        rho = (52 - p) - bl + 1
+        out = pd.DataFrame(
+            {group_col: d[group_col].to_numpy(), "_bucket": bucket, "_rho": rho}
+        )
+        return (
+            out.groupby([group_col, "_bucket"], sort=False)["_rho"]
+            .max()
+            .reset_index()
+        )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or group_col not in g.columns:
+            return pd.DataFrame({group_col: [], "hll_est": pd.Series([], dtype="float64")})
+        regs = g.groupby("_bucket")["_rho"].max()
+        # integer harmonic sum: Z * 2^rmax (exact; <= m * 2^rmax = 2^53)
+        z_scaled = int(
+            np.sum(np.int64(1) << (np.int64(rmax) - regs.to_numpy(dtype=np.int64)))
+        )
+        v_empty = m - len(regs)
+        z_scaled += v_empty << rmax
+        alpha = 0.7213 / (1.0 + 1.079 / float(m))
+        e_raw = alpha * float(m) * float(m) * float(2 ** rmax) / float(z_scaled)
+        if e_raw <= 2.5 * m and v_empty > 0:
+            est = float(m) * float(np.log(float(m) / float(v_empty)))
+        else:
+            est = e_raw
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "hll_est": [est]})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(estimate, batch_format="pandas")
+        .take_all()
+    )
+    out = pd.DataFrame(rows, columns=[group_col, "hll_est"])
+    out["hll_est"] = out["hll_est"].astype("float64")
+    return out.sort_values(group_col).reset_index(drop=True)

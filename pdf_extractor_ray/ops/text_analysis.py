@@ -1239,3 +1239,136 @@ def term_cooccurrence_pmi(
         .sort(["pmi", "a", "b"], descending=[True, False, False])
         .limit(top_pairs)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    queries: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Okapi BM25 ranked retrieval: the top-k documents per query
+    string, scored with the Robertson/Lucene formulation
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` and
+    ``tf_norm = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))``
+    summed over the query's DISTINCT whitespace terms (query-side term
+    multiplicity is ignored, the common retrieval convention; the SQL
+    twin mirrors it with a DISTINCT unnest).
+
+    Scale shape: the query-term vocabulary is tiny and user-provided,
+    so it rides in the task closure; pass 1 scans the corpus once and
+    emits only O(|qterms| + 1) partial rows per block (per-term doc
+    frequencies plus a (n_docs, total_tokens) stats row — the scan is
+    the only thing that touches text); the driver folds those partials
+    into an idf/avgdl map of |qterms| entries; pass 2 re-scans, scores
+    each document against every query in one explode + isin +
+    two-level groupby (only query-term tokens survive the isin — the
+    exchange then moves at most k rows per query per block through
+    topk_per_group's pre-pruned shuffle). Documents sharing no term
+    with a query are excluded from that query's ranking (score 0),
+    as in any inverted-index engine.
+
+    Emits (query, doc_id, score) rows, the top k per query by
+    (score desc, doc_id asc), unordered (callers sort).
+    """
+    from pdf_extractor_ray.ops.windows import topk_per_group
+
+    qterms: dict[str, list[str]] = {q: sorted(set(q.split())) for q in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.reset_index(drop=True)[text_col].str.split()
+        dl = toks.str.len().fillna(0).to_numpy(dtype="int64")
+        ex = toks.explode().dropna().rename("_term")
+        ex = ex[ex.isin(all_terms)]
+        # one (row, term) pair per containing doc -> per-term df partial
+        df_part = ex.groupby([ex.index.rename("_row"), ex]).size().reset_index(name="_")
+        vc = df_part["_term"].value_counts()
+        out = pd.DataFrame(
+            {
+                "term": vc.index.astype(str),
+                "df": vc.to_numpy().astype("int64"),
+                "n_docs": np.zeros(len(vc), dtype="int64"),
+                "sum_dl": np.zeros(len(vc), dtype="int64"),
+            }
+        )
+        stats = pd.DataFrame(
+            {
+                "term": [""],
+                "df": np.zeros(1, dtype="int64"),
+                "n_docs": np.array([len(batch)], dtype="int64"),
+                "sum_dl": np.array([int(dl.sum())], dtype="int64"),
+            }
+        )
+        return pd.concat([out, stats], ignore_index=True)
+
+    # bounded driver fold: <= (|qterms| + 1) rows per block
+    part_rows = pd.DataFrame(
+        ds.map_batches(partials, batch_format="pandas").take_all(),
+        columns=["term", "df", "n_docs", "sum_dl"],
+    )
+    n_docs = int(part_rows["n_docs"].sum())
+    avgdl = float(part_rows["sum_dl"].sum()) / n_docs if n_docs else 1.0
+    dfs = part_rows[part_rows["term"] != ""].groupby("term")["df"].sum()
+    idf = {
+        t: float(np.log(1.0 + (n_docs - int(dfs.get(t, 0)) + 0.5) / (int(dfs.get(t, 0)) + 0.5)))
+        for t in all_terms
+    }
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.reset_index(drop=True)[text_col].str.split()
+        dl = toks.str.len().fillna(0).to_numpy(dtype="float64")
+        ids = batch.reset_index(drop=True)[id_col]
+        ex = toks.explode().dropna().rename("_term")
+        ex = ex[ex.isin(all_terms)]
+        if ex.empty:
+            return pd.DataFrame(
+                {
+                    "query": pd.Series([], dtype="object"),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        tf = ex.groupby([ex.index.rename("_row"), ex]).size().reset_index(name="tf")
+        tf.columns = ["_row", "term", "tf"]
+        row = tf["_row"].to_numpy()
+        tfv = tf["tf"].to_numpy(dtype="float64")
+        denom = tfv + k1 * (1.0 - b + b * dl[row] / avgdl)
+        tf["contrib"] = (
+            tf["term"].map(idf).to_numpy(dtype="float64") * tfv * (k1 + 1.0) / denom
+        )
+        outs = []
+        for q, terms in qterms.items():
+            hits = tf[tf["term"].isin(terms)]
+            if hits.empty:
+                continue
+            sc = hits.groupby("_row")["contrib"].sum()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query": q,
+                        id_col: ids.iloc[sc.index].to_numpy(),
+                        "score": sc.to_numpy(dtype="float64"),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query": pd.Series([], dtype="object"),
+                    id_col: pd.Series([], dtype=ids.dtype),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    return topk_per_group(scored, key="query", val="score", k=k, tiebreak=id_col)

@@ -2675,3 +2675,148 @@ def test_bpe_partition_invariant_and_counts(ray_session):
         lambda t: sum(len(w) + 1 for w in t.split())
     )
     assert (t0.n_bpe_tokens.to_numpy() == chars.to_numpy()).all()
+
+
+def test_hll_distinct_accuracy_and_partition_invariance(ray_session):
+    """HLL registers are a pure set function of the value set, so the
+    estimate must be EXACTLY partition-invariant; small cardinalities
+    hit the linear-counting branch (sub-1% there), large ones the raw
+    harmonic branch within ~3 sigma of 1.04/sqrt(m)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.sketch import hll_distinct
+
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_type", "user_id"]
+    )
+    truth = ev.groupby("event_type").user_id.nunique()
+    outs = []
+    for parts in (1, 7):
+        out = hll_distinct(
+            ray.data.from_pandas(ev).repartition(parts), "event_type", "user_id", p=12
+        )
+        outs.append(out)
+        for t, e in zip(out.event_type, out.hll_est):
+            assert abs(e - truth[t]) / truth[t] < 0.02, (t, e, truth[t])
+    assert outs[0].equals(outs[1])
+
+    big = pd.DataFrame(
+        {
+            "g": np.repeat(["x", "y"], 20000),
+            "v": [f"val{i}" for i in range(20000)] + [f"w{i}" for i in range(20000)],
+        }
+    )
+    out = hll_distinct(ray.data.from_pandas(big).repartition(8), "g", "v", p=12)
+    for e in out.hll_est:
+        assert abs(e - 20000) / 20000 < 0.05, e
+
+
+def test_bm25_topk_matches_brute_force(ray_session):
+    """BM25 scores against a from-scratch reference implementation on
+    a handcrafted corpus: same top-k ids in the same order, scores to
+    1e-12; docs sharing no query term never appear; absent query terms
+    contribute df=0 idf without error; partition-invariant."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import bm25_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "apple banana apple cherry",
+                "banana cherry date",
+                "apple apple apple banana banana",
+                "cherry date elderberry fig",
+                "grape honeydew kiwi lemon mango",
+                "apple",
+            ],
+        }
+    )
+    queries = ["apple banana", "date zzz-absent"]
+    k1, b = 1.2, 0.75
+    toks = [t.split() for t in docs.text]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+
+    def brute(query):
+        terms = sorted(set(query.split()))
+        scores = {}
+        for did, tok in zip(docs.doc_id, toks):
+            s, hit = 0.0, False
+            for term in terms:
+                tf = tok.count(term)
+                if tf == 0:
+                    continue
+                hit = True
+                df = sum(term in t for t in toks)
+                idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tok) / avgdl))
+            if hit:
+                scores[did] = s
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(docs).repartition(parts)
+        out = bm25_topk(ds, queries, k=3).to_pandas()
+        for q in queries:
+            got = out[out["query"] == q].sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            )
+            want = brute(q)
+            assert list(got.doc_id) == [d for d, _ in want], (q, parts)
+            for g, (_, w) in zip(got.score, want):
+                assert abs(g - w) < 1e-12
+    # doc 4 shares no term with any query
+    assert 4 not in set(out.doc_id)
+
+
+def test_near_dedup_against(ray_session):
+    """Delta near-dedup: perturbed recrawls of existing docs drop,
+    genuinely new docs survive, and intra-shard near-dups are NOT
+    touched (both copies stay — membership vs the existing corpus is
+    the only criterion)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import near_dedup_against
+
+    base = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    existing = base[base.doc_id < 80].reset_index(drop=True)
+    near = existing.head(8).copy()
+    near["doc_id"] = near["doc_id"] + 10_000
+    near["text"] = near["text"] + " tail"
+    fresh = pd.DataFrame(
+        {
+            "doc_id": np.arange(20_000, 20_006),
+            "text": [
+                "entirely novel content " + " ".join(f"uniq{i}w{j}" for j in range(40))
+                for i in range(6)
+            ],
+        }
+    )
+    twin = pd.DataFrame(
+        {
+            "doc_id": [30_000, 30_001],
+            "text": ["shard-internal twin " + " ".join(f"tw{j}" for j in range(40))] * 2,
+        }
+    )
+    new = pd.concat([near, fresh, twin], ignore_index=True)
+    out = near_dedup_against(
+        ray.data.from_pandas(new).repartition(3),
+        ray.data.from_pandas(existing).repartition(4),
+        threshold=0.8,
+    ).to_pandas()
+    kept = set(out.doc_id)
+    assert kept == set(fresh.doc_id) | set(twin.doc_id)
+
+    # disjoint corpora: nothing drops (the empty-drop fast path)
+    out2 = near_dedup_against(
+        ray.data.from_pandas(fresh).repartition(2),
+        ray.data.from_pandas(existing).repartition(2),
+        threshold=0.8,
+    ).to_pandas()
+    assert set(out2.doc_id) == set(fresh.doc_id)
