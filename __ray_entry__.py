@@ -1721,6 +1721,54 @@ def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return embedding_neardup_pairs(ds, threshold=0.4)
 
 
+def _embeddings_quantize(sf_dir: str) -> pd.DataFrame:
+    """int8 embedding quantization (ops/similarity.quantize_fit +
+    quantize_embeddings): per-dimension min/max fit via one 2d-float
+    partial row per block, broadcast affine uint8 encode — the 4x
+    storage tier for a 100-TB embedding column. The oracle recomputes
+    the codes in SQL (floor(x+0.5) half-up rounding pins both
+    engines); per-vector code SUMS are the exact integer parity
+    check."""
+    from pdf_extractor_ray.ops.similarity import quantize_embeddings, quantize_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = quantize_fit(ds)
+    qds = quantize_embeddings(ds, fit)
+
+    def sums(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy(),
+                "q_sum": [int(np.asarray(v, dtype=np.int64).sum()) for v in b["qvec"]],
+            }
+        )
+
+    out = qds.map_batches(sums, batch_format="pandas").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["q_sum"] = out["q_sum"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _embeddings_quantized_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-k over the QUANTIZED corpus (ops/similarity.
+    quantized_topk): dequantize per batch, score against the float
+    query, per-block partial top-k — brute_force_topk at a quarter of
+    the scan bytes. Oracled against a DuckDB twin that dequantizes
+    the same codes."""
+    from pdf_extractor_ray.ops.similarity import (
+        quantize_embeddings,
+        quantize_fit,
+        quantized_topk,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = quantize_fit(ds)
+    qds = quantize_embeddings(ds, fit)
+    out = quantized_topk(qds, fit, _query_vec(sf_dir), k=10)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["vec_id", "cos"]].sort_values("vec_id").reset_index(drop=True)
+
+
 def _docs_source_cap(sf_dir: str) -> pd.DataFrame:
     """Per-source document cap — the per-domain cap step of every
     crawl pipeline (a handful of hosts dominate raw crawls): keep the
@@ -2143,6 +2191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": _docs_bm25_topk,
         "events_hll_distinct": _events_hll_distinct,
         "docs_neardedup_against": _docs_neardedup_against,
+        "embeddings_quantize": _embeddings_quantize,
+        "embeddings_quantized_topk": _embeddings_quantized_topk,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
@@ -2301,6 +2351,36 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "embeddings_quantize": """
+            WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+                  FROM embeddings, UNNEST(range(1, len(embedding)+1)) r(i)),
+            mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+            q AS (SELECT vec_id,
+                         CAST(least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+                                             0), 255) AS BIGINT) AS c
+                  FROM x JOIN mm USING (i))
+            SELECT vec_id, CAST(sum(c) AS BIGINT) AS q_sum
+            FROM q GROUP BY vec_id ORDER BY vec_id
+        """,
+        "embeddings_quantized_topk": """
+            WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+                  FROM embeddings, UNNEST(range(1, len(embedding)+1)) r(i)),
+            mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
+            q AS (SELECT vec_id, i,
+                         CAST(least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+                                             0), 255) AS BIGINT) AS c
+                  FROM x JOIN mm USING (i)),
+            dq AS (SELECT vec_id, i, mn + c * (mx - mn) / 255.0 AS dv
+                   FROM q JOIN mm USING (i)),
+            qx AS (SELECT i, v AS qv FROM x
+                   WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+            s AS (SELECT dq.vec_id, sum(dv * qx.qv) AS dot, sum(dv * dv) AS nn
+                  FROM dq JOIN qx USING (i) GROUP BY dq.vec_id),
+            qq AS (SELECT sum(qv * qv) AS qn FROM qx)
+            SELECT vec_id, dot / (sqrt(nn) * sqrt(qn)) AS cos
+            FROM s CROSS JOIN qq
+            ORDER BY cos DESC, vec_id LIMIT 10
         """,
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,

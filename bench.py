@@ -258,6 +258,8 @@ def run_queries() -> dict[str, float]:
         "docs_bm25_topk",
         "events_hll_distinct",
         "docs_neardedup_against",
+        "embeddings_quantize",
+        "embeddings_quantized_topk",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",
