@@ -810,6 +810,31 @@ def _media_image_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_budget_select(sf_dir: str) -> pd.DataFrame:
+    """Token-budgeted quality selection (ops/rank.select_to_budget):
+    keep the best-avg-logprob prefix of the corpus whose cumulative
+    whitespace-token count fits a 12000-token training budget — the
+    fill-the-budget-with-the-best-documents pass next to the
+    fractional docs_quality_select. SQL-oracled via a running-window
+    sum over the same LM ordering."""
+    from pdf_extractor_ray.ops.rank import select_to_budget
+    from pdf_extractor_ray.ops.text_analysis import unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scores = unigram_logprob(ds).materialize()
+    out = select_to_budget(
+        scores,
+        ["avg_logprob", "doc_id"],
+        [False, True],
+        weight_col="n_ws_tokens",
+        budget=12000,
+        keep_cols=["doc_id", "n_ws_tokens"],
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_ws_tokens"] = out["n_ws_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
     """DSIR importance-resampling log weights (Xie et al. 2023) with
     lang='en' as the target domain: per-doc log-ratio of the add-one
@@ -2193,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardedup_against": _docs_neardedup_against,
         "embeddings_quantize": _embeddings_quantize,
         "embeddings_quantized_topk": _embeddings_quantized_topk,
+        "docs_budget_select": _docs_budget_select,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
@@ -2351,6 +2377,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "docs_budget_select": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), t AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), c AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY term
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS total FROM t
+            ), lp AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+                       sum(ln(c.c) - ln(n.total)) / count(*) AS avg_logprob
+                FROM t JOIN c USING (term) CROSS JOIN n GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_ws_tokens FROM lp
+            QUALIFY sum(n_ws_tokens) OVER (
+                ORDER BY avg_logprob DESC, doc_id ROWS UNBOUNDED PRECEDING
+            ) <= 12000
+            ORDER BY doc_id
         """,
         "embeddings_quantize": """
             WITH x AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v

@@ -260,6 +260,7 @@ def run_queries() -> dict[str, float]:
         "docs_neardedup_against",
         "embeddings_quantize",
         "embeddings_quantized_topk",
+        "docs_budget_select",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -234,6 +234,47 @@ def select_top_frac(
     )
 
 
+def select_to_budget(
+    ds: ray.data.Dataset,
+    keys: Sequence[str],
+    ascending: Sequence[bool],
+    weight_col: str,
+    budget: int,
+    keep_cols: Sequence[str] | None = None,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Greedy budgeted selection: keep the best PREFIX of the global
+    (keys, ascending) order whose cumulative `weight_col` fits
+    `budget` — the fill-the-training-budget-with-the-best-documents
+    pass (a token-budgeted variant of select_top_frac: CCNet keeps a
+    fraction, a training run keeps a token count). A row is kept iff
+    it fits ENTIRELY (inclusive running total <= budget; the
+    straddling row is dropped) — SQL
+    ``QUALIFY sum(w) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING) <=
+    budget``.
+
+    Shape: global_prefix_sum's three-pass range partition (boundary
+    sample, <= P partition totals to the driver, per-partition sort +
+    cumsum) followed by a shuffle-free filter scan — weights stay
+    int64-exact, so the cutoff is deterministic. Pass a unique id as
+    the last key for a total order."""
+    cols = list(keep_cols) if keep_cols is not None else None
+    inner = None if cols is None else list(dict.fromkeys([*cols, weight_col]))
+    pref = global_prefix_sum(
+        ds, keys, weight_col, ascending,
+        keep_cols=inner, out_col="_off", num_partitions=num_partitions,
+    )
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "_off" not in b.columns:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in (cols or [])})
+        fits = b["_off"].to_numpy(dtype=np.int64) + b[weight_col].to_numpy(dtype=np.int64) <= budget
+        out = b[fits].drop(columns=["_off"])
+        return out[cols] if cols is not None else out
+
+    return pref.map_batches(cut, batch_format="pandas")
+
+
 def gini_coefficient(
     ds: ray.data.Dataset,
     value_col: str,

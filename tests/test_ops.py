@@ -2863,3 +2863,38 @@ def test_embedding_quantization(ray_session):
     topq = quantized_topk(qds, fit, query, k=10)
     topf = brute_force_topk(ds, query, k=10)
     assert len(set(topq.vec_id) & set(topf.vec_id)) >= 9
+
+
+def test_select_to_budget(ray_session):
+    """Budgeted selection keeps exactly the greedy best-first prefix
+    whose inclusive weight sum fits the budget (straddling row
+    dropped); partition-invariant; budget 0 keeps nothing; a budget
+    above the total keeps everything."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import select_to_budget
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(20, dtype=np.int64),
+            "q": np.concatenate([np.linspace(1, 0.1, 19), [0.5]]),
+            "w": np.int64(7) * (np.arange(20, dtype=np.int64) % 5 + 1),
+        }
+    )
+    order = df.sort_values(["q", "id"], ascending=[False, True])
+    cum = order.w.cumsum()
+    for budget in (0, 40, 100, int(df.w.sum()), int(df.w.sum()) + 10):
+        want = set(order.id[cum <= budget])
+        for parts in (1, 6):
+            out = select_to_budget(
+                ray.data.from_pandas(df).repartition(parts),
+                ["q", "id"],
+                [False, True],
+                weight_col="w",
+                budget=budget,
+                keep_cols=["id", "w"],
+            ).to_pandas()
+            got = set(out["id"]) if "id" in out.columns else set()
+            assert got == want, (budget, parts)
+            if "w" in out.columns:
+                assert int(out.w.sum()) <= budget or budget > int(df.w.sum())
