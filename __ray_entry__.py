@@ -1520,6 +1520,21 @@ def _docs_dup_components(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster size histogram (ops/dedup.
+    component_size_histogram over dup_ngram_components): how many
+    2-doc pairs vs bigger template families the dup-gram graph holds
+    — the audit rollup a dedup run reports. Two component-width
+    grouped_sum reductions; oracled by extending the recursive-CTE
+    twin with the same two GROUP BYs."""
+    from pdf_extractor_ray.ops.dedup import component_size_histogram, dup_ngram_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    comps = dup_ngram_components(ds, n=8)
+    out = component_size_histogram(comps).to_pandas()
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
 def _docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-rule quality signals + keep verdict per document
     (ops/quality.py; Rae et al. 2021 §A1.1 heuristics) — row-local,
@@ -2219,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantize": _embeddings_quantize,
         "embeddings_quantized_topk": _embeddings_quantized_topk,
         "docs_budget_select": _docs_budget_select,
+        "docs_dup_cluster_sizes": _docs_dup_cluster_sizes,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
@@ -2377,6 +2393,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "docs_dup_cluster_sizes": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), grams AS (
+                SELECT doc_id, array_to_string(toks[u.i:u.i+7], ' ') AS g
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            ), dup AS (
+                SELECT g, min(doc_id) AS root FROM grams GROUP BY g HAVING count(*) > 1
+            ), edges AS (
+                SELECT DISTINCT dup.root AS a, grams.doc_id AS b FROM grams JOIN dup USING (g)
+            ), sym AS (
+                SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ), nodes AS (
+                SELECT DISTINCT a AS node FROM sym
+            ), reach AS (
+                SELECT node, node AS comp FROM nodes
+                UNION
+                SELECT s.b AS node, r.comp FROM reach r JOIN sym s ON s.a = r.node
+            ), labeled AS (
+                SELECT node AS doc_id, min(comp) AS component
+                FROM reach GROUP BY node
+            ), csize AS (
+                SELECT component, count(*) AS cluster_size FROM labeled GROUP BY component
+            )
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM csize GROUP BY cluster_size ORDER BY cluster_size
         """,
         "docs_budget_select": r"""
             WITH toks AS (

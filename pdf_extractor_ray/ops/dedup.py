@@ -1886,3 +1886,34 @@ def near_dedup_keep_best(
         .map_groups(losers_per_family, batch_format="pandas")
     )
     return anti_join_ids(ds, drops, id_col="doc_id", num_partitions=num_partitions)
+
+
+def component_size_histogram(
+    comps: ray.data.Dataset, comp_col: str = "component"
+) -> ray.data.Dataset:
+    """Duplicate-cluster size distribution — the dedup audit number
+    ("how much of the corpus sits in 2-doc pairs vs 1000-doc template
+    families?"). Input is a component labeling (e.g.
+    dup_ngram_components / connected_components output); two chained
+    grouped_sum reductions — (component) member counts, then
+    (cluster_size) cluster counts — so the exchanges carry one row
+    per component and one per distinct size. Emits
+    (cluster_size, n_clusters), both int64."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    sizes = grouped_sum(comps, [comp_col], [])
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cluster_size": b["n"].to_numpy(dtype=np.int64)})
+
+    hist = grouped_sum(
+        sizes.map_batches(proj, batch_format="pandas"), ["cluster_size"], []
+    )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.rename(columns={"n": "n_clusters"})
+        out["cluster_size"] = out["cluster_size"].astype("int64")
+        out["n_clusters"] = out["n_clusters"].astype("int64")
+        return out
+
+    return hist.map_batches(rename, batch_format="pandas")

@@ -2898,3 +2898,26 @@ def test_select_to_budget(ray_session):
             assert got == want, (budget, parts)
             if "w" in out.columns:
                 assert int(out.w.sum()) <= budget or budget > int(df.w.sum())
+
+
+def test_component_size_histogram(ray_session):
+    """Histogram of dup-cluster sizes from a component labeling: two
+    grouped reductions, partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import component_size_histogram
+
+    comps = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "component": np.array([0, 0, 0, 3, 3, 5, 5, 7, 7, 9], dtype=np.int64),
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            component_size_histogram(ray.data.from_pandas(comps).repartition(parts))
+            .to_pandas()
+            .sort_values("cluster_size")
+            .reset_index(drop=True)
+        )
+        assert out.to_dict("list") == {"cluster_size": [1, 2, 3], "n_clusters": [1, 3, 1]}
