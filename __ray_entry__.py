@@ -1223,6 +1223,25 @@ def _docs_nb_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _docs_nb_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability diagram for the NB language gate (ops/classify.
+    calibration_buckets): predictions bucketed by softmax-posterior
+    confidence, per-bucket support + accuracy — the
+    is-85%-confidence-really-85% check before trusting a model-gated
+    filter. SQL-oracled end-to-end through the NB score twin extended
+    with the same softmax + bucket arithmetic."""
+    from pdf_extractor_ray.ops.classify import calibration_buckets, nb_fit, nb_predict
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    model = nb_fit(ds, label_col="lang")
+    preds = nb_predict(ds, model, keep_cols=["lang"], with_confidence=True)
+    out = calibration_buckets(preds, "lang", "pred").to_pandas()
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_correct"] = out["n_correct"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def _events_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel over the event stream (ops/windows.
     funnel_counts): signup -> view -> purchase, step k strictly after
@@ -2235,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantized_topk": _embeddings_quantized_topk,
         "docs_budget_select": _docs_budget_select,
         "docs_dup_cluster_sizes": _docs_dup_cluster_sizes,
+        "docs_nb_calibration": _docs_nb_calibration,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
@@ -2393,6 +2413,55 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "docs_nb_calibration": r"""
+            WITH tk AS (
+                SELECT doc_id, lang, t.term
+                FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) t(term)
+                WHERE t.term <> ''
+            ),
+            cls AS (SELECT lang AS c, count(*) AS nd FROM documents GROUP BY lang),
+            tot_docs AS (SELECT count(*) AS n FROM documents),
+            ct AS (SELECT lang AS c, term, count(*) AS cnt FROM tk GROUP BY lang, term),
+            ctot AS (SELECT c, sum(cnt) AS t FROM ct GROUP BY c),
+            voc AS (SELECT count(DISTINCT term) AS v FROM tk),
+            dt AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+            contrib AS (
+                SELECT dt.doc_id, cls.c,
+                       sum(dt.tf * (ln(COALESCE(ct.cnt, 0) + 1.0)
+                                    - ln(ctot.t + 1.0 * voc.v))) AS s
+                FROM dt
+                CROSS JOIN cls
+                JOIN ctot ON ctot.c = cls.c
+                CROSS JOIN voc
+                LEFT JOIN ct ON ct.c = cls.c AND ct.term = dt.term
+                GROUP BY dt.doc_id, cls.c, ctot.t, voc.v
+            ),
+            scores AS (
+                SELECT d.doc_id, d.lang, cls.c,
+                       ln(cls.nd) - ln(tot_docs.n) + COALESCE(contrib.s, 0.0) AS score
+                FROM documents d CROSS JOIN cls CROSS JOIN tot_docs
+                LEFT JOIN contrib ON contrib.doc_id = d.doc_id AND contrib.c = cls.c
+            ),
+            best AS (
+                SELECT doc_id, lang, c AS pred, score AS smax FROM scores
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) = 1
+            ),
+            conf AS (
+                SELECT s.doc_id, b.lang, b.pred,
+                       1.0 / sum(exp(s.score - b.smax)) AS conf
+                FROM scores s JOIN best b USING (doc_id)
+                GROUP BY s.doc_id, b.lang, b.pred
+            ),
+            bk AS (
+                SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bucket,
+                       CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
+                FROM conf
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ok) AS BIGINT) AS n_correct,
+                   CAST(sum(ok) AS DOUBLE) / count(*) AS accuracy
+            FROM bk GROUP BY bucket ORDER BY bucket
         """,
         "docs_dup_cluster_sizes": r"""
             WITH RECURSIVE t AS (

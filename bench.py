@@ -262,6 +262,7 @@ def run_queries() -> dict[str, float]:
         "embeddings_quantized_topk",
         "docs_budget_select",
         "docs_dup_cluster_sizes",
+        "docs_nb_calibration",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

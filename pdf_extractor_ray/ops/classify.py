@@ -170,13 +170,17 @@ def nb_predict(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: list | None = None,
+    with_confidence: bool = False,
 ) -> ray.data.Dataset:
     """Shuffle-free scoring: broadcast the model once (ray.put,
     resolved once per worker process), one vectorized
     explode/merge/groupby-sum pass per batch. Token-less documents
     still emit a row (prior-only argmax). Per-doc term contributions
     sum in (doc, feature) order, so each tier is bit-deterministic
-    across batch layouts and partitionings."""
+    across batch layouts and partitionings. `with_confidence` adds the
+    softmax posterior of the argmax class (conf =
+    1 / sum_c exp(score_c - score_max), computed from the same score
+    matrix — no extra pass)."""
     ref = ray.put(model)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -202,13 +206,16 @@ def nb_predict(
         arr = scores.to_numpy()
         best = arr.argmax(axis=1)  # argmax takes the FIRST max: ties break
         # to the lexicographically smallest class (classes are sorted)
+        smax = arr[np.arange(len(arr)), best]
         out = pd.DataFrame(
             {
                 id_col: batch[id_col].to_numpy(),
                 "pred": np.array(m.classes, dtype=object)[best],
-                "score": arr[np.arange(len(arr)), best],
+                "score": smax,
             }
         )
+        if with_confidence:
+            out["conf"] = 1.0 / np.exp(arr - smax[:, None]).sum(axis=1)
         # scores are row-aligned with the input batch, so extra
         # columns (e.g. the true label for evaluation) ride along free
         for c in keep_cols or ():
@@ -273,3 +280,60 @@ def classification_report(
     import ray.data as rd
 
     return rd.from_pandas(pd.DataFrame(rows))
+
+
+def calibration_buckets(
+    ds: ray.data.Dataset,
+    label_col: str,
+    pred_col: str,
+    conf_col: str = "conf",
+    n_buckets: int = 10,
+) -> ray.data.Dataset:
+    """Reliability diagram for a classifier gate: bucket predictions
+    by confidence (bucket = min(floor(conf * n), n-1)) and report
+    per-bucket support and accuracy — the is-85%-confidence-really-85%
+    check run before trusting a model-gated corpus filter. One
+    pre-aggregated exchange over (bucket, correct) cells (rows bounded
+    by 2 * n_buckets per block); accuracy is an exact integer ratio,
+    so the rollup is engine-portable. Emits
+    (bucket int64, n_docs, n_correct, accuracy)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def cells(batch: pd.DataFrame) -> pd.DataFrame:
+        conf = batch[conf_col].to_numpy(dtype="float64")
+        bucket = np.minimum(
+            np.floor(conf * n_buckets).astype(np.int64), n_buckets - 1
+        )
+        correct = (
+            (batch[label_col].to_numpy() == batch[pred_col].to_numpy())
+            .astype("int64")
+        )
+        out = pd.DataFrame({"bucket": bucket, "n_correct": correct})
+        g = out.groupby("bucket", sort=False)["n_correct"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                "bucket": g["bucket"].to_numpy(dtype=np.int64),
+                "n_docs": g["size"].to_numpy(dtype=np.int64),
+                "n_correct": g["sum"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(cells, batch_format="pandas"),
+        ["bucket"],
+        ["n_docs", "n_correct"],
+        counts=False,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": b["bucket"].to_numpy(dtype=np.int64),
+                "n_docs": b["sum_n_docs"].to_numpy(dtype=np.int64),
+                "n_correct": b["sum_n_correct"].to_numpy(dtype=np.int64),
+                "accuracy": b["sum_n_correct"].to_numpy(dtype=np.float64)
+                / b["sum_n_docs"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

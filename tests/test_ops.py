@@ -2921,3 +2921,49 @@ def test_component_size_histogram(ray_session):
             .reset_index(drop=True)
         )
         assert out.to_dict("list") == {"cluster_size": [1, 2, 3], "n_clusters": [1, 3, 1]}
+
+
+def test_calibration_buckets(ray_session):
+    """Reliability buckets from handcrafted (label, pred, conf) rows:
+    exact per-bucket support/accuracy, top bucket clamps at n-1,
+    partition-invariant; nb_predict's with_confidence emits a valid
+    softmax posterior (in [1/n_classes, 1], exp-consistent)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.classify import calibration_buckets, nb_fit, nb_predict
+
+    rows = pd.DataFrame(
+        {
+            "label": ["a", "a", "b", "b", "a", "b", "a", "b"],
+            "pred":  ["a", "b", "b", "b", "a", "a", "a", "b"],
+            "conf":  [0.95, 0.91, 1.0, 0.62, 0.55, 0.45, 0.31, 0.38],
+        }
+    )
+    rows["_b"] = np.minimum((rows.conf * 10).astype(int), 9)
+    rows["_ok"] = (rows.label == rows.pred).astype(int)
+    want = {
+        int(b): (int(g._ok.size), int(g._ok.sum()))
+        for b, g in rows.groupby("_b")
+    }
+    for parts in (1, 3):
+        out = (
+            calibration_buckets(
+                ray.data.from_pandas(rows[["label", "pred", "conf"]]).repartition(parts),
+                "label",
+                "pred",
+            )
+            .to_pandas()
+            .sort_values("bucket")
+        )
+        got = {int(r.bucket): (int(r.n_docs), int(r.n_correct)) for r in out.itertuples()}
+        assert got == want, parts
+        assert np.allclose(out.accuracy, out.n_correct / out.n_docs)
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    model = nb_fit(ds, label_col="lang")
+    preds = nb_predict(ds, model, with_confidence=True).to_pandas()
+    n_cls = len(model.classes)
+    assert ((preds.conf > 1.0 / n_cls - 1e-12) & (preds.conf <= 1.0 + 1e-12)).all()
