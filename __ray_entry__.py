@@ -1479,6 +1479,24 @@ def _extract_page_links(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "href"]).reset_index(drop=True)
 
 
+def _extract_html_tables(sf_dir: str) -> pd.DataFrame:
+    """Structured table extraction over the fixture web corpus
+    (ops/structured.html_tables): one row per <table> cell with
+    (table_idx, row_idx, col_idx, header) addressing — the
+    table-to-text / table-QA source the prose path linearizes away.
+    Rows-only (the pages table is not a DuckDB oracle view); the
+    parser's grammar (nesting, implicit closes, th headers) is
+    pinned in tests/test_ops.py."""
+    from pdf_extractor_ray.ops.structured import html_tables
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+    out = html_tables(pages).to_pandas()
+    out["table_idx"] = out["table_idx"].astype("int64")
+    out["row_idx"] = out["row_idx"].astype("int64")
+    out["col_idx"] = out["col_idx"].astype("int64")
+    return out.sort_values(["url", "table_idx", "row_idx", "col_idx"]).reset_index(drop=True)
+
+
 def _extract_host_pagerank(sf_dir: str) -> pd.DataFrame:
     """Damped PageRank over the corpus host link graph
     (ops/linkgraph.pagerank — BSP rank exchanges, dangling-mass
@@ -2255,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_budget_select": _docs_budget_select,
         "docs_dup_cluster_sizes": _docs_dup_cluster_sizes,
         "docs_nb_calibration": _docs_nb_calibration,
+        "extract_html_tables": _extract_html_tables,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,

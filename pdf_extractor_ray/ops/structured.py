@@ -1,0 +1,161 @@
+"""Structured extraction from web pages: HTML tables as relational
+rows.
+
+Crawl-scale corpora carry most of their FACTUAL density inside
+<table> markup, and table-to-text / table-QA training data starts
+with exactly this flattening (each cell addressed by its table, row
+and column position). The extraction pipeline's prose path
+deliberately linearizes tables; this operator is the structured
+sibling — it leaves extracted_text and its goldens untouched and
+emits a separate (url, table_idx, row_idx, col_idx, cell, header)
+dataset.
+
+Parsing: stdlib html.parser over charset-sniffed bytes (the same
+sniff_decode precedence as the extraction path), one stateful visitor
+per batch inside map_batches — no shuffle, flat per-batch explode.
+Nested tables are enumerated as their OWN table_idx in document
+order; their cell text is not duplicated into the enclosing cell.
+Cell text is whitespace-collapsed with inline markup stripped;
+<th> cells carry header=1. Unclosed td/tr (ubiquitous in wild HTML)
+are closed implicitly at the next cell/row/table boundary, matching
+browser error recovery.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pdf_extractor_ray.ops.dedup import _typed_table
+
+_TABLE_SCHEMA = pa.schema(
+    [
+        ("url", pa.large_string()),
+        ("table_idx", pa.int64()),
+        ("row_idx", pa.int64()),
+        ("col_idx", pa.int64()),
+        ("cell", pa.large_string()),
+        ("header", pa.int8()),
+    ]
+)
+
+
+class _TableVisitor(HTMLParser):
+    """Collect (table_idx, row_idx, col_idx, text, is_header) cells.
+
+    A stack tracks nested tables; each <table> takes the next global
+    table_idx in document order. Implicit closes: a new <td>/<th>
+    closes an open cell, a new <tr> closes the open row, </table>
+    closes everything at that level."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.cells: list[tuple[int, int, int, str, int]] = []
+        self._next_idx = 0
+        self._stack: list[dict] = []  # per open table: idx/row/col/state
+
+    def _open_table(self) -> None:
+        self._stack.append(
+            {"idx": self._next_idx, "row": -1, "col": -1, "in_cell": False,
+             "is_header": 0, "buf": []}
+        )
+        self._next_idx += 1
+
+    def _flush_cell(self, t: dict) -> None:
+        if t["in_cell"]:
+            text = " ".join("".join(t["buf"]).split())
+            self.cells.append((t["idx"], t["row"], t["col"], text, t["is_header"]))
+            t["in_cell"] = False
+            t["buf"] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "table":
+            self._open_table()
+            return
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        if tag == "tr":
+            self._flush_cell(t)
+            t["row"] += 1
+            t["col"] = -1
+        elif tag in ("td", "th"):
+            self._flush_cell(t)
+            if t["row"] < 0:  # cell before any <tr>: implicit first row
+                t["row"] = 0
+            t["col"] += 1
+            t["in_cell"] = True
+            t["is_header"] = 1 if tag == "th" else 0
+            t["buf"] = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        if tag == "table":
+            self._flush_cell(t)
+            self._stack.pop()
+        elif tag in ("td", "th", "tr"):
+            self._flush_cell(t)
+
+    def handle_data(self, data: str) -> None:
+        if self._stack and self._stack[-1]["in_cell"]:
+            self._stack[-1]["buf"].append(data)
+
+    def close(self) -> None:  # trailing unclosed table/cell
+        super().close()
+        while self._stack:
+            self._flush_cell(self._stack[-1])
+            self._stack.pop()
+
+
+def extract_tables_from_html(text: str) -> list[tuple[int, int, int, str, int]]:
+    """Pure helper: all table cells of one HTML document."""
+    v = _TableVisitor()
+    v.feed(text)
+    v.close()
+    return v.cells
+
+
+def html_tables(
+    ds: ray.data.Dataset, html_col: str = "html", url_col: str = "url"
+) -> ray.data.Dataset:
+    """One row per table cell across the page corpus: (url, table_idx,
+    row_idx, col_idx, cell, header). Charset-sniffed like the
+    extraction path; non-HTML payloads contribute nothing."""
+    from pdf_extractor_ray.functions.html_extract import sniff_decode
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        urls: list[str] = []
+        tis: list[int] = []
+        ris: list[int] = []
+        cis: list[int] = []
+        cells: list[str] = []
+        hdrs: list[int] = []
+        for url, payload in zip(batch[url_col], batch[html_col]):
+            raw = bytes(payload)
+            if b"<" not in raw[:256]:  # non-HTML payloads have no markup
+                continue
+            text, _enc = sniff_decode(raw)
+            for ti, ri, ci, cell, hdr in extract_tables_from_html(text):
+                urls.append(str(url))
+                tis.append(ti)
+                ris.append(ri)
+                cis.append(ci)
+                cells.append(cell)
+                hdrs.append(hdr)
+        return _typed_table(
+            _TABLE_SCHEMA,
+            url=urls,
+            table_idx=np.asarray(tis, dtype=np.int64),
+            row_idx=np.asarray(ris, dtype=np.int64),
+            col_idx=np.asarray(cis, dtype=np.int64),
+            cell=cells,
+            header=np.asarray(hdrs, dtype=np.int8),
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -2967,3 +2967,46 @@ def test_calibration_buckets(ray_session):
     preds = nb_predict(ds, model, with_confidence=True).to_pandas()
     n_cls = len(model.classes)
     assert ((preds.conf > 1.0 / n_cls - 1e-12) & (preds.conf <= 1.0 + 1e-12)).all()
+
+
+def test_html_tables(ray_session):
+    """HTML table flattening grammar: th headers, implicit cell/row
+    closes (wild unclosed markup), entity decoding, nested tables get
+    their own table_idx without duplicating text into the outer cell,
+    non-HTML payloads contribute nothing."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.structured import extract_tables_from_html, html_tables
+
+    assert extract_tables_from_html(
+        "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>"
+    ) == [(0, 0, 0, "A", 1), (0, 0, 1, "B", 1), (0, 1, 0, "1", 0), (0, 1, 1, "2", 0)]
+    # browser-style error recovery: unclosed td/tr, inline markup, entities
+    assert extract_tables_from_html(
+        "<table><tr><td><b>x &amp; y</b><td>z<tr><td>w</table>"
+    ) == [(0, 0, 0, "x & y", 0), (0, 0, 1, "z", 0), (0, 1, 0, "w", 0)]
+    nested = extract_tables_from_html(
+        "<table><tr><td>outer<table><tr><td>inner</td></tr></table></td></tr></table>"
+    )
+    assert set(nested) == {(1, 0, 0, "inner", 0), (0, 0, 0, "outer", 0)}
+    assert extract_tables_from_html("<p>no tables here</p>") == []
+
+    pages = pd.DataFrame(
+        {
+            "url": ["https://a.example/1", "https://b.example/2", "https://c.example/3"],
+            "html": [
+                "<html><body><table><tr><td>p</td><td>q</td></tr></table></body></html>".encode(),
+                b"%PDF-1.4 not html at all",
+                "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>".encode(),
+            ],
+        }
+    )
+    out = (
+        html_tables(ray.data.from_pandas(pages).repartition(2))
+        .to_pandas()
+        .sort_values(["url", "table_idx", "row_idx", "col_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out.url.str[8]) == ["a", "a", "c", "c"]
+    assert list(out.cell) == ["p", "q", "h", "v"]
+    assert list(out.header) == [0, 0, 1, 0]
