@@ -1497,6 +1497,20 @@ def _extract_html_tables(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "table_idx", "row_idx", "col_idx"]).reset_index(drop=True)
 
 
+def _extract_page_metadata(sf_dir: str) -> pd.DataFrame:
+    """Page metadata + outline (ops/structured.page_metadata): title,
+    meta tags, h1-h6 headings and canonical links per page in
+    document order — the inputs for title-keyed dedup, canonical-url
+    collapsing, and structure-aware chunking. Rows-only; the visitor
+    grammar is pytest-pinned."""
+    from pdf_extractor_ray.ops.structured import page_metadata
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+    out = page_metadata(pages).to_pandas()
+    out["order"] = out["order"].astype("int64")
+    return out.sort_values(["url", "order"]).reset_index(drop=True)
+
+
 def _extract_host_pagerank(sf_dir: str) -> pd.DataFrame:
     """Damped PageRank over the corpus host link graph
     (ops/linkgraph.pagerank — BSP rank exchanges, dangling-mass
@@ -2274,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_cluster_sizes": _docs_dup_cluster_sizes,
         "docs_nb_calibration": _docs_nb_calibration,
         "extract_html_tables": _extract_html_tables,
+        "extract_page_metadata": _extract_page_metadata,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,

@@ -264,6 +264,7 @@ def run_queries() -> dict[str, float]:
         "docs_dup_cluster_sizes",
         "docs_nb_calibration",
         "extract_html_tables",
+        "extract_page_metadata",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -159,3 +159,113 @@ def html_tables(
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+_META_SCHEMA = pa.schema(
+    [
+        ("url", pa.large_string()),
+        ("kind", pa.large_string()),
+        ("key", pa.large_string()),
+        ("value", pa.large_string()),
+        ("order", pa.int64()),
+    ]
+)
+
+
+class _MetaVisitor(HTMLParser):
+    """Collect (kind, key, value) page metadata in document order:
+    <title> text, <meta> name/property/charset attributes, h1-h6
+    heading text (the document outline structure-aware chunkers key
+    on), and <link rel=canonical> targets."""
+
+    _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: list[tuple[str, str, str]] = []
+        self._text_tag: str | None = None  # "title" or an open heading tag
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._text_tag is not None:
+            text = " ".join("".join(self._buf).split())
+            if text:
+                kind = "title" if self._text_tag == "title" else "heading"
+                self.rows.append((kind, self._text_tag, text))
+            self._text_tag = None
+            self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "title" or tag in self._HEADINGS:
+            self._flush()
+            self._text_tag = tag
+            self._buf = []
+        elif tag == "meta":
+            if a.get("charset"):
+                self.rows.append(("meta", "charset", a["charset"]))
+            key = a.get("name") or a.get("property") or a.get("http-equiv")
+            if key and a.get("content") is not None:
+                self.rows.append(("meta", key, a["content"]))
+        elif tag == "link" and (a.get("rel") or "").lower() == "canonical" and a.get("href"):
+            self.rows.append(("canonical", "href", a["href"]))
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._text_tag is not None and (tag == self._text_tag or tag == "head"):
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._text_tag is not None:
+            self._buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_metadata_from_html(text: str) -> list[tuple[str, str, str]]:
+    """Pure helper: (kind, key, value) metadata rows of one document."""
+    v = _MetaVisitor()
+    v.feed(text)
+    v.close()
+    return v.rows
+
+
+def page_metadata(
+    ds: ray.data.Dataset, html_col: str = "html", url_col: str = "url"
+) -> ray.data.Dataset:
+    """Page metadata + outline across the corpus: (url, kind, key,
+    value, order) with kind in {title, meta, heading, canonical} and
+    `order` the document-order index within the page — the inputs for
+    title-based dedup keys, canonical-url collapsing, and
+    structure-aware (outline) chunking. Same shape as html_tables:
+    charset-sniffed, one stateful visitor per batch, no shuffle."""
+    from pdf_extractor_ray.functions.html_extract import sniff_decode
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        urls: list[str] = []
+        kinds: list[str] = []
+        keys: list[str] = []
+        vals: list[str] = []
+        orders: list[int] = []
+        for url, payload in zip(batch[url_col], batch[html_col]):
+            raw = bytes(payload)
+            if b"<" not in raw[:256]:
+                continue
+            text, _enc = sniff_decode(raw)
+            for i, (kind, key, value) in enumerate(extract_metadata_from_html(text)):
+                urls.append(str(url))
+                kinds.append(kind)
+                keys.append(key)
+                vals.append(value)
+                orders.append(i)
+        return _typed_table(
+            _META_SCHEMA,
+            url=urls,
+            kind=kinds,
+            key=keys,
+            value=vals,
+            order=np.asarray(orders, dtype=np.int64),
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

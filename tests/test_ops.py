@@ -3010,3 +3010,45 @@ def test_html_tables(ray_session):
     assert list(out.url.str[8]) == ["a", "a", "c", "c"]
     assert list(out.cell) == ["p", "q", "h", "v"]
     assert list(out.header) == [0, 0, 1, 0]
+
+
+def test_page_metadata(ray_session):
+    """Metadata/outline visitor grammar: title, meta name/property/
+    charset, canonical link, h1-h6 in document order, entity decoding,
+    unclosed tags flushed; document-order index per page."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.structured import extract_metadata_from_html, page_metadata
+
+    h = (
+        '<html><head><title>My Page</title><meta charset="utf-8">'
+        '<meta name="description" content="a demo">'
+        '<meta property="og:title" content="OG Title">'
+        '<link rel="canonical" href="https://x.example/canon"></head>'
+        "<body><h1>Top &amp; Main</h1><p>text</p><h2>Sub</h2></body></html>"
+    )
+    assert extract_metadata_from_html(h) == [
+        ("title", "title", "My Page"),
+        ("meta", "charset", "utf-8"),
+        ("meta", "description", "a demo"),
+        ("meta", "og:title", "OG Title"),
+        ("canonical", "href", "https://x.example/canon"),
+        ("heading", "h1", "Top & Main"),
+        ("heading", "h2", "Sub"),
+    ]
+    assert extract_metadata_from_html("<title>T<body><h1>H") == [
+        ("title", "title", "T"),
+        ("heading", "h1", "H"),
+    ]
+
+    pages = pd.DataFrame(
+        {
+            "url": ["https://a.example/1", "https://b.example/2"],
+            "html": [h.encode(), b"%PDF-1.4 binary"],
+        }
+    )
+    out = page_metadata(ray.data.from_pandas(pages).repartition(2)).to_pandas()
+    assert set(out.url) == {"https://a.example/1"}
+    assert list(out.sort_values("order")["kind"]) == [
+        "title", "meta", "meta", "meta", "canonical", "heading", "heading",
+    ]
