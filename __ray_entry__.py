@@ -2227,7 +2227,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 92 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 119 registered). Ordering
 # is a deliberate ROTATION so no query goes two rounds without a
 # driver row:
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
