@@ -1511,6 +1511,54 @@ def _extract_page_metadata(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "order"]).reset_index(drop=True)
 
 
+def _extract_url_canonical(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization (ops/urlfilter.canonicalize_urls): fixture
+    urls are deterministically decorated with tracking noise
+    (uppercased scheme/host, utm params keyed on doc index, a
+    fragment) and canonicalized; roundtrip_ok asserts
+    canonical(decorated) == canonical(original) per row — the
+    recrawl-collapsing dedup-key property. Rows-only; the
+    normalization grammar is pytest-pinned."""
+    from pdf_extractor_ray.ops.urlfilter import canonicalize_urls
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        urls = b["url"].astype(str)
+        idx = urls.str.extract(r"doc(\d+)", expand=False).fillna("0").astype(int)
+        decorated = (
+            urls.str.replace("https://", "HTTPS://", regex=False).str.upper().str.slice(0, 8)
+            + urls.str.slice(8)
+            + "?utm_source=feed&id="
+            + (idx % 7).astype(str)
+            + "&utm_medium=rss#frag"
+        )
+        canon = canonicalize_urls(decorated)
+        want = canonicalize_urls(urls + "?id=" + (idx % 7).astype(str))
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "canonical": canon,
+                "roundtrip_ok": (canon == want).astype("int64"),
+            }
+        )
+
+    out = pages.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _docs_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law OLS fit over the corpus term-frequency distribution
+    (ops/text_analysis.zipf_slope, top-1000 terms): natural text sits
+    near slope -1, template/spam corpora bend away — a one-number
+    corpus-health signal. SQL-oracled via row_number ranks +
+    regr_slope/regr_intercept."""
+    from pdf_extractor_ray.ops.text_analysis import zipf_slope
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return zipf_slope(ds, top_n=1000)
+
+
 def _extract_host_pagerank(sf_dir: str) -> pd.DataFrame:
     """Damped PageRank over the corpus host link graph
     (ops/linkgraph.pagerank — BSP rank exchanges, dangling-mass
@@ -2227,7 +2275,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 119 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 121 registered). Ordering
 # is a deliberate ROTATION so no query goes two rounds without a
 # driver row:
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
@@ -2289,6 +2337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_calibration": _docs_nb_calibration,
         "extract_html_tables": _extract_html_tables,
         "extract_page_metadata": _extract_page_metadata,
+        "extract_url_canonical": _extract_url_canonical,
+        "docs_zipf_slope": _docs_zipf_slope,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,
@@ -2447,6 +2497,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "docs_zipf_slope": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), c AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+                WHERE term <> '' GROUP BY term
+            ), r AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+                FROM c QUALIFY rank <= 1000
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_slope,
+                   regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS zipf_intercept
+            FROM r
         """,
         "docs_nb_calibration": r"""
             WITH tk AS (

@@ -265,6 +265,8 @@ def run_queries() -> dict[str, float]:
         "docs_nb_calibration",
         "extract_html_tables",
         "extract_page_metadata",
+        "extract_url_canonical",
+        "docs_zipf_slope",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -1372,3 +1372,62 @@ def bm25_topk(
 
     scored = ds.map_batches(score, batch_format="pandas")
     return topk_per_group(scored, key="query", val="score", k=k, tiebreak=id_col)
+
+
+def zipf_slope(
+    ds: ray.data.Dataset, text_col: str = "text", top_n: int = 1000
+) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution: the
+    OLS slope (and intercept) of ln(count) on ln(rank) across the top
+    `top_n` terms (rank by count desc, term asc). Natural text sits
+    near slope -1; machine-generated or template-heavy corpora bend
+    away — a one-number corpus-health signal (Zipf 1949; Piantadosi
+    2014 review).
+
+    Shape: the distributed word count is the only corpus-sized work
+    (one (term, partial) row per distinct term per block through
+    grouped_sum); a per-block Arrow partial top-k caps the sort input
+    at top_n rows per block and exactly top_n rows reach the driver,
+    where the closed-form slope is a constant-size computation —
+    top_n is a capped parameter, not data-scaled. Returns one row
+    (n_terms, zipf_slope, zipf_intercept)."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_format="pandas"), ["term"], ["n"], counts=False
+    )
+    order = [("sum_n", "descending"), ("term", "ascending")]
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        return t.sort_by(order).slice(0, top_n)
+
+    top = (
+        counts.map_batches(partial_top, batch_format="pyarrow")
+        .sort(["sum_n", "term"], descending=[True, False])
+        .limit(top_n)
+        .to_pandas()
+    )
+    c = top["sum_n"].to_numpy(dtype="float64")
+    x = np.log(np.arange(1, len(c) + 1, dtype="float64"))
+    y = np.log(c)
+    n = float(len(c))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "n_terms": np.array([len(c)], dtype="int64"),
+            "zipf_slope": [slope],
+            "zipf_intercept": [intercept],
+        }
+    )

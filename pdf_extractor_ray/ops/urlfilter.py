@@ -307,3 +307,51 @@ def domain_stats(
         )
 
     return out.map_batches(rename, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAM_RE = (
+    r"&?(?:utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=[^&]*"
+)
+
+
+def canonicalize_urls(s: pd.Series) -> pd.Series:
+    """Conservative RFC-3986-style URL canonicalization, fully
+    vectorized (pandas .str regex chains, no per-row parse):
+
+      - fragment stripped;
+      - scheme and host lowercased;
+      - default port stripped (:80 for http, :443 for https);
+      - tracking query params removed (utm_*, fbclid, gclid, msclkid,
+        mc_cid/mc_eid, igshid, ref_src — the UT1/common-crawl set);
+        an emptied query drops its '?';
+      - empty path normalized to '/';
+      - remaining params keep their ORIGINAL order (sorting is a more
+        aggressive equivalence and is deliberately not applied).
+
+    Canonical urls are the dedup key recrawl collapsing starts from —
+    two crawls of one page differing only in click-tracking noise map
+    to one key. Non-http(s) and malformed values pass through
+    unchanged (canonicalization must never invent a url)."""
+    s = s.astype(str).str.replace(r"#.*$", "", regex=True)
+    parts = s.str.extract(
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
+    )
+    ok = parts["scheme"].notna() & parts["scheme"].str.lower().isin(["http", "https"])
+    scheme = parts["scheme"].str.lower()
+    host = parts["host"].str.lower()
+    host = host.mask((scheme == "http"), host.str.replace(r":80$", "", regex=True))
+    host = host.mask((scheme == "https"), host.str.replace(r":443$", "", regex=True))
+    rest = parts["rest"].fillna("")
+    path = rest.str.replace(r"\?.*$", "", regex=True)
+    query = rest.str.extract(r"\?(.*)$", expand=False).fillna("")
+    query = (
+        query.str.replace(_TRACKING_PARAM_RE, "", regex=True)
+        .str.replace(r"^&+", "", regex=True)
+    )
+    path = path.mask(path == "", "/")
+    rebuilt = scheme + "://" + host + path + ("?" + query).where(query != "", "")
+    return rebuilt.where(ok, s)

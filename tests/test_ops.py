@@ -3052,3 +3052,55 @@ def test_page_metadata(ray_session):
     assert list(out.sort_values("order")["kind"]) == [
         "title", "meta", "meta", "meta", "canonical", "heading", "heading",
     ]
+
+
+def test_canonicalize_urls():
+    """URL canonicalization grammar: scheme/host lowercase, default
+    ports stripped (non-default kept), fragment gone, tracking params
+    removed wherever they sit, emptied query drops '?', empty path
+    becomes '/', non-http(s) and malformed values pass through."""
+    from pdf_extractor_ray.ops.urlfilter import canonicalize_urls
+
+    cases = {
+        "HTTP://Example.COM:80/Path/Page?utm_source=x&id=7&utm_medium=y#sec2":
+            "http://example.com/Path/Page?id=7",
+        "https://a.example:443": "https://a.example/",
+        "https://a.example:8443/x": "https://a.example:8443/x",
+        "https://b.example/p?fbclid=abc": "https://b.example/p",
+        "https://b.example/p?a=1&gclid=zz&b=2": "https://b.example/p?a=1&b=2",
+        "https://c.example/q?utm_a=1&utm_b=2": "https://c.example/q",
+        "ftp://odd.example/file": "ftp://odd.example/file",
+        "not a url": "not a url",
+        "https://d.example/ok?keep=1": "https://d.example/ok?keep=1",
+    }
+    got = canonicalize_urls(pd.Series(list(cases)))
+    assert list(got) == list(cases.values())
+    # idempotent: canonical of canonical is itself
+    assert list(canonicalize_urls(got)) == list(got)
+
+
+def test_zipf_slope(ray_session):
+    """Zipf fit against a hand-built corpus with an EXACT power-law
+    term distribution: counts c_r = round(1000 * r^-1) for ranks
+    1..20 recover slope ~ -1; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import zipf_slope
+
+    words = []
+    for r in range(1, 21):
+        words.extend([f"w{r:02d}"] * round(1000 * r ** -1.0))
+    # spread across docs so batches see partial counts
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": [" ".join(words[i::50]) for i in range(50)],
+        }
+    )
+    outs = []
+    for parts in (1, 5):
+        out = zipf_slope(ray.data.from_pandas(docs).repartition(parts), top_n=20)
+        outs.append(out)
+        assert out.n_terms.iloc[0] == 20
+        assert abs(out.zipf_slope.iloc[0] + 1.0) < 0.01, out.zipf_slope.iloc[0]
+    assert outs[0].equals(outs[1])
