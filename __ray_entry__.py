@@ -1511,6 +1511,21 @@ def _extract_page_metadata(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "order"]).reset_index(drop=True)
 
 
+def _extract_anchor_terms(sf_dir: str) -> pd.DataFrame:
+    """Incoming anchor-term rollup per destination host
+    (ops/linkgraph.anchor_texts + target_anchor_terms): what the rest
+    of the web calls each host — the aggregate label signal next to
+    PageRank. Rows-only; the anchor grammar and rollup are
+    pytest-pinned."""
+    from pdf_extractor_ray.ops.linkgraph import anchor_texts, target_anchor_terms
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+    links = anchor_texts(pages)
+    out = target_anchor_terms(links, k=3).to_pandas()
+    out["n_term"] = out["n_term"].astype("int64")
+    return out.sort_values(["dst_host", "term"]).reset_index(drop=True)
+
+
 def _extract_url_canonical(sf_dir: str) -> pd.DataFrame:
     """URL canonicalization (ops/urlfilter.canonicalize_urls): fixture
     urls are deterministically decorated with tracking noise
@@ -2275,7 +2290,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 121 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 122 registered). Ordering
 # is a deliberate ROTATION so no query goes two rounds without a
 # driver row:
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
@@ -2339,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_page_metadata": _extract_page_metadata,
         "extract_url_canonical": _extract_url_canonical,
         "docs_zipf_slope": _docs_zipf_slope,
+        "extract_anchor_terms": _extract_anchor_terms,
         "embedding_neardup_exact": _embedding_neardup_exact,
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q6_revenue": _q6_revenue,

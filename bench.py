@@ -267,6 +267,7 @@ def run_queries() -> dict[str, float]:
         "extract_page_metadata",
         "extract_url_canonical",
         "docs_zipf_slope",
+        "extract_anchor_terms",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -567,3 +567,94 @@ def triangle_count(
 
     parts = both.groupby("_part").map_groups(close_part, batch_format="pandas")
     return int(parts.sum("t") or 0)
+
+
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["'][^>]*>(.*?)</a>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+_ANCHOR_SCHEMA = pa.schema(
+    [
+        ("url", pa.large_string()),
+        ("href", pa.large_string()),
+        ("anchor", pa.large_string()),
+    ]
+)
+
+
+def anchor_texts(
+    ds: ray.data.Dataset, html_col: str = "html", url_col: str = "url"
+) -> ray.data.Dataset:
+    """(url, href, anchor) per <a> element WITH its inner text —
+    anchor text is the web's free labeling signal (it describes the
+    TARGET page; search and quality pipelines aggregate it per
+    destination). Inner markup is stripped and whitespace collapsed;
+    empty anchors (image links) are kept as '' so link counts still
+    reconcile with page_links. Same stage shape: charset-sniffed,
+    compiled regex, per-batch flat explode, no shuffle."""
+    from pdf_extractor_ray.functions.html_extract import sniff_decode
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        urls: list[str] = []
+        hrefs: list[str] = []
+        anchors: list[str] = []
+        for url, payload in zip(batch[url_col], batch[html_col]):
+            raw = bytes(payload)
+            if b"<" not in raw[:256]:
+                continue
+            text, _enc = sniff_decode(raw)
+            for m in _ANCHOR_RE.finditer(text):
+                urls.append(str(url))
+                hrefs.append(m.group(1))
+                anchors.append(" ".join(_TAG_RE.sub(" ", m.group(2)).split()))
+        return _typed_table(_ANCHOR_SCHEMA, url=urls, href=hrefs, anchor=anchors)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def target_anchor_terms(
+    links: ray.data.Dataset, k: int = 5, num_partitions: int = 32
+) -> ray.data.Dataset:
+    """Top-k incoming anchor TERMS per destination host — what the
+    rest of the web calls each host (the aggregate quality/label
+    signal). Only absolute http(s) links contribute (relative links
+    describe the same site navigating itself). Shape: per-batch
+    (dst_host, term, partial n) counts enter one grouped_sum; the
+    top-k finish is the pre-pruned topk_per_group shuffle. Emits
+    (dst_host, term, n_term) rows."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.ops.windows import topk_per_group
+
+    def term_rows(b: pd.DataFrame) -> pd.DataFrame:
+        dst = b["href"].astype(str).str.extract(_HOST_RE.pattern, expand=False)
+        ok = dst.notna() & (b["anchor"].astype(str) != "")
+        d = pd.DataFrame({"dst_host": dst[ok], "anchor": b.loc[ok, "anchor"].astype(str)})
+        if d.empty:
+            return pd.DataFrame(
+                {"dst_host": pd.Series(dtype="object"), "term": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        toks = d.set_index("dst_host")["anchor"].str.lower().str.split().explode().dropna()
+        vc = toks.groupby([toks.index, toks.values]).size()
+        out = vc.reset_index()
+        out.columns = ["dst_host", "term", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = grouped_sum(
+        links.map_batches(term_rows, batch_format="pandas"),
+        ["dst_host", "term"],
+        ["n"],
+        counts=False,
+    )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"sum_n": "n_term"})
+
+    named = counts.map_batches(rename, batch_format="pandas")
+    return topk_per_group(
+        named, key="dst_host", val="n_term", k=k, tiebreak="term",
+        num_partitions=num_partitions,
+    )

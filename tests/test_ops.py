@@ -3104,3 +3104,119 @@ def test_zipf_slope(ray_session):
         assert out.n_terms.iloc[0] == 20
         assert abs(out.zipf_slope.iloc[0] + 1.0) < 0.01, out.zipf_slope.iloc[0]
     assert outs[0].equals(outs[1])
+
+
+def test_canonicalize_urls_properties():
+    """Hypothesis sweep: canonicalization is idempotent on arbitrary
+    input, never invents content for non-url strings (they pass
+    through verbatim), and for well-formed http(s) urls the output
+    parses with the same scheme (case-normalized) and never retains a
+    fragment or a tracking param."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_ray.ops.urlfilter import canonicalize_urls
+
+    url_st = st.builds(
+        lambda scheme, host, port, path, q, frag: (
+            scheme + "://" + host + port + path + q + frag
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,8}){0,3}", fullmatch=True),
+        st.sampled_from(
+            ["", "?a=1", "?utm_source=x", "?a=1&utm_b=2&c=3", "?fbclid=z&k=v"]
+        ),
+        st.sampled_from(["", "#f", "#sec-2"]),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(url_st | st.text(max_size=40), min_size=1, max_size=8))
+    def run(urls):
+        s = pd.Series(urls, dtype=object)
+        once = canonicalize_urls(s)
+        twice = canonicalize_urls(once)
+        assert list(once) == list(twice)  # idempotent
+        for raw, out in zip(s, once):
+            if not raw.lower().startswith(("http://", "https://")):
+                assert out == raw  # pass-through, never invented
+            else:
+                assert out.startswith(("http://", "https://"))
+                assert "#" not in out
+                assert "utm_" not in out and "fbclid" not in out
+
+    run()
+
+
+def test_html_visitors_never_crash():
+    """Hypothesis fuzz: the table and metadata visitors accept
+    arbitrary tag soup without raising and are deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_ray.ops.structured import (
+        extract_metadata_from_html,
+        extract_tables_from_html,
+    )
+
+    soup = st.text(
+        alphabet="<>/!\"'=& ;abcdefghtdrlkn0123456789\n", max_size=200
+    )
+    tags = st.sampled_from(
+        ["<table>", "</table>", "<tr>", "<td>", "<th>", "</td>", "<title>",
+         "<h1>", "</h1>", "<meta charset='x'>", "cell text", "&amp;", "<a href='u'>"]
+    )
+    html_st = st.one_of(soup, st.lists(tags, max_size=25).map("".join))
+
+    @settings(max_examples=300, deadline=None)
+    @given(html_st)
+    def run(h):
+        a1 = extract_tables_from_html(h)
+        a2 = extract_tables_from_html(h)
+        assert a1 == a2
+        b1 = extract_metadata_from_html(h)
+        b2 = extract_metadata_from_html(h)
+        assert b1 == b2
+
+    run()
+
+
+def test_anchor_texts_and_target_terms(ray_session):
+    """Anchor grammar (inner markup stripped, whitespace collapsed,
+    empty image anchors kept) and the per-destination-host top-k
+    anchor-term rollup (absolute links only, lowercased terms,
+    count-desc/term-asc order)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.linkgraph import anchor_texts, target_anchor_terms
+
+    pages = pd.DataFrame(
+        {
+            "url": ["https://a.example/p1", "https://b.example/p2"],
+            "html": [
+                (
+                    '<a href="https://t.example/x"><b>Great</b> Docs</a>'
+                    '<a href="/rel">relative nav</a>'
+                    '<a href="https://t.example/y">great <i>tool</i></a>'
+                    '<a href="https://t.example/z"><img src="i.png"></a>'
+                ).encode(),
+                '<a href="https://t.example/w">GREAT stuff</a>'.encode(),
+            ],
+        }
+    )
+    links = anchor_texts(ray.data.from_pandas(pages).repartition(2))
+    lp = links.to_pandas().sort_values(["url", "href"]).reset_index(drop=True)
+    assert list(lp.anchor) == ["relative nav", "Great Docs", "great tool", "", "GREAT stuff"]
+
+    out = (
+        target_anchor_terms(links, k=2)
+        .to_pandas()
+        .sort_values(["dst_host", "n_term", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # absolute-only: 'relative nav' never contributes; terms lowercase;
+    # 'great' appears 3x across both source pages
+    assert list(out.dst_host.unique()) == ["t.example"]
+    assert out.iloc[0].term == "great" and out.iloc[0].n_term == 3
+    assert len(out) == 2  # k=2 cap
