@@ -377,10 +377,15 @@ def dup_span_scrub(
 ) -> ray.data.Dataset:
     """Remove every token covered by a corpus-duplicated n-token span —
     the C4-style repeated-span scrub (Raffel et al. 2020 discard
-    duplicated three-sentence spans; token-window coverage keeps the
-    semantics deterministic and SQL-expressible: ALL occurrences of a
-    duplicated span are removed, so no order-dependent "first survivor"
-    choice exists). A span is duplicated when its corpus-wide occurrence
+    duplicated three-sentence spans), and at n=50 the ExactSubstr
+    deduplication of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): their suffix-array pass removes
+    substrings >= 50 tokens occurring twice, and n-token-window
+    coverage removes exactly the same token set for any duplicated
+    run >= n tokens — without needing a distributed suffix array
+    (token-window coverage also keeps the semantics deterministic and
+    SQL-expressible: ALL occurrences of a duplicated span are removed,
+    so no order-dependent "first survivor" choice exists). A span is duplicated when its corpus-wide occurrence
     count exceeds `max_count` (within-doc repeats count too, exactly
     like the SQL oracle's GROUP BY over exploded grams). Token-less
     documents emit no row; docs shorter than n tokens pass through
