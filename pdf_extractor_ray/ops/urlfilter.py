@@ -336,7 +336,7 @@ def canonicalize_urls(s: pd.Series) -> pd.Series:
     two crawls of one page differing only in click-tracking noise map
     to one key. Non-http(s) and malformed values pass through
     unchanged (canonicalization must never invent a url)."""
-    s = s.astype(str).str.replace(r"#.*$", "", regex=True)
+    s = s.astype(str)
     parts = s.str.extract(
         r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
     )
@@ -345,7 +345,9 @@ def canonicalize_urls(s: pd.Series) -> pd.Series:
     host = parts["host"].str.lower()
     host = host.mask((scheme == "http"), host.str.replace(r":80$", "", regex=True))
     host = host.mask((scheme == "https"), host.str.replace(r":443$", "", regex=True))
-    rest = parts["rest"].fillna("")
+    # fragment strips AFTER the is-http gate (a non-url string like a
+    # bare '#...' must pass through verbatim, not be emptied)
+    rest = parts["rest"].fillna("").str.replace(r"#.*$", "", regex=True)
     path = rest.str.replace(r"\?.*$", "", regex=True)
     query = rest.str.extract(r"\?(.*)$", expand=False).fillna("")
     query = (
