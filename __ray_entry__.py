@@ -1923,6 +1923,37 @@ def _embeddings_quantized_topk(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cos"]].sort_values("vec_id").reset_index(drop=True)
 
 
+def _embeddings_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining (ops/similarity.hard_negatives): per
+    vector, the 3 most cosine-similar vectors with a DIFFERENT label —
+    the contrastive/triplet training pairs (FaceNet-style mining,
+    corpus-wide and deterministic). Tile-broadcast exact baseline
+    with the documented O(N^2) boundary; IVF buckets are the scale
+    path. SQL-oracled via a label-mismatch cross join + row_number."""
+    from pdf_extractor_ray.ops.similarity import hard_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = hard_negatives(ds, k=3)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["neg_id"] = out["neg_id"].astype("int64")
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def _embeddings_outliers(sf_dir: str) -> pd.DataFrame:
+    """Semantic outlier scoring (ops/similarity.semantic_outliers):
+    per-cluster z-scored cosine distance to the assigned k-means
+    centroid — the least-representative-rows curation signal (noise /
+    mislabeled / off-distribution candidates). Rows-only (k-means is
+    iterative); the z-score algebra is pytest-pinned."""
+    from pdf_extractor_ray.ops.similarity import semantic_outliers
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_outliers(ds, n_clusters=8)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _docs_source_cap(sf_dir: str) -> pd.DataFrame:
     """Per-source document cap — the per-domain cap step of every
     crawl pipeline (a handful of hosts dominate raw crawls): keep the
@@ -2290,7 +2321,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 122 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 124 registered). Ordering
 # is a deliberate ROTATION POLICY, not a name list: queries with the
 # fewest prior driver rows come first.
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
@@ -2362,6 +2393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_url_canonical": _extract_url_canonical,
         "docs_zipf_slope": _docs_zipf_slope,
         "extract_anchor_terms": _extract_anchor_terms,
+        "embeddings_hard_negatives": _embeddings_hard_negatives,
+        "embeddings_outliers": _embeddings_outliers,
         "docs_heavy_bigrams": _docs_heavy_bigrams,
         "events_kmv_distinct": _events_kmv_distinct,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
@@ -2521,6 +2554,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "embeddings_hard_negatives": """
+            WITH s AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS cos
+                FROM embeddings a JOIN embeddings b ON a.label <> b.label
+            )
+            SELECT vec_id, neg_id, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, neg_id) AS rank
+            FROM s QUALIFY rank <= 3 ORDER BY vec_id, rank
         """,
         "docs_zipf_slope": r"""
             WITH toks AS (

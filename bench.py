@@ -268,6 +268,8 @@ def run_queries() -> dict[str, float]:
         "extract_url_canonical",
         "docs_zipf_slope",
         "extract_anchor_terms",
+        "embeddings_hard_negatives",
+        "embeddings_outliers",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -474,3 +474,160 @@ def quantized_topk(
     allp = qds.map_batches(score, batch_format="pandas").to_pandas()
     allp = allp.sort_values(["cos", id_col], ascending=[False, True], kind="stable").head(k)
     return allp.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining and semantic outlier scoring
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Hard-negative mining for metric learning: for every vector, the
+    k most cosine-similar vectors carrying a DIFFERENT label — the
+    pairs contrastive / triplet training actually learns from (easy
+    negatives contribute ~zero gradient; the classic formulation is
+    Schroff et al. 2015 FaceNet semi-hard mining, done here corpus-wide
+    and deterministically).
+
+    Shape mirrors embedding_neardup_exact: the normalized corpus
+    (ids, labels, matrix) broadcasts once via ray.put; each task
+    scores its row-block in one (B x N) float64 tile, masks same-label
+    and self columns, and emits only its rows' top-k — no shuffle,
+    every output row produced exactly once. The same O(N^2) boundary
+    applies (honest to ~10^6 small-dim rows; above that, mine within
+    IVF buckets — train_centroids/assign_buckets — per bucket).
+
+    Emits (vec_id, neg_id, cos, rank) with rank 1..k by
+    (cos desc, neg_id asc) — fully SQL-oracle-able."""
+    rows = ds.select_columns([id_col, vec_col, label_col]).take_all()  # bounded: N x d
+    ids_all = np.fromiter((r[id_col] for r in rows), dtype=np.int64, count=len(rows))
+    labels_all = np.fromiter((r[label_col] for r in rows), dtype=np.int64, count=len(rows))
+    m = _normalize_rows(np.stack([np.asarray(r[vec_col]) for r in rows]).astype(np.float64))
+    bref = ray.put((ids_all, labels_all, m))
+
+    def tile(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "neg_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        cached = _QUERY_CACHE.get(("hn", bref.hex()))
+        if cached is None:
+            cached = _QUERY_CACHE[("hn", bref.hex())] = ray.get(bref)
+        all_ids, all_labels, all_m = cached
+        mb = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        bids = batch[id_col].to_numpy(dtype=np.int64)
+        blabels = batch[label_col].to_numpy(dtype=np.int64)
+        s = mb @ all_m.T  # (B, N)
+        s[blabels[:, None] == all_labels[None, :]] = -np.inf  # same label (incl. self)
+        # top-k by (cos desc, neg_id asc): lexsort on (-cos, id) per row
+        out_rows = []
+        order = np.lexsort((np.broadcast_to(all_ids, s.shape), -s), axis=1)[:, :k]
+        for i in range(len(bids)):
+            cols = order[i]
+            cols = cols[np.isfinite(s[i, cols])]
+            for r, j in enumerate(cols, start=1):
+                out_rows.append((bids[i], all_ids[j], s[i, j], r))
+        if not out_rows:
+            return empty
+        arr = pd.DataFrame(out_rows, columns=[id_col, "neg_id", "cos", "rank"])
+        arr["rank"] = arr["rank"].astype("int64")
+        return arr
+
+    out = ds.map_batches(tile, batch_format="pandas", batch_size=4096).to_pandas()
+    return out.sort_values([id_col, "rank"], kind="stable").reset_index(drop=True)
+
+
+def semantic_outliers(
+    ds: ray.data.Dataset,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Semantic outlier scoring for embedding-space data curation:
+    fit spherical k-means (ops/cluster.kmeans_fit — distributed moment
+    reduction), assign every vector, and z-score each vector's cosine
+    distance to its centroid WITHIN its cluster — rows far from their
+    own cluster's typical radius are mislabeled/noise/off-distribution
+    candidates (the SemDeDup-family curation signal, inverted: instead
+    of pruning the most redundant, flag the least representative).
+
+    Shape: the centroid matrix broadcasts (k x d); per-batch distance
+    scoring is shuffle-free; per-cluster mean/std come from one
+    k-row moment exchange (sum, sumsq, n per cluster); a second
+    shuffle-free pass attaches the z-score. Emits
+    (vec_id, cluster, dist, z) sorted by vec_id."""
+    from pdf_extractor_ray.ops.cluster import kmeans_fit
+
+    cents = kmeans_fit(ds, k=n_clusters, vec_col=vec_col)
+    cref = ray.put(np.asarray(cents, dtype=np.float64))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _QUERY_CACHE.get(("so", cref.hex()))
+        if c is None:
+            c = _QUERY_CACHE[("so", cref.hex())] = ray.get(cref)
+        mb = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        s = mb @ c.T
+        cl = s.argmax(axis=1)
+        dist = 1.0 - s[np.arange(len(cl)), cl]
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(dtype=np.int64),
+                "cluster": cl.astype(np.int64),
+                "dist": dist,
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cluster")["dist"].agg(["count", "sum"])
+        g["sumsq"] = b.assign(d2=b["dist"] ** 2).groupby("cluster")["d2"].sum()
+        return pd.DataFrame(
+            {
+                "cluster": g.index.to_numpy(dtype=np.int64),
+                "n": g["count"].to_numpy(dtype=np.int64),
+                "s": g["sum"].to_numpy(dtype=np.float64),
+                "s2": g["sumsq"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    mom = grouped_sum(
+        scored.map_batches(moments, batch_format="pandas"),
+        ["cluster"],
+        ["n", "s", "s2"],
+        counts=False,
+    ).to_pandas()  # k rows
+    mu = mom["sum_s"] / mom["sum_n"]
+    var = mom["sum_s2"] / mom["sum_n"] - mu ** 2
+    sd = np.sqrt(np.maximum(var.to_numpy(), 0.0))
+    sd[sd == 0] = 1.0
+    stats_ref = ray.put(
+        {int(c): (float(m), float(s)) for c, m, s in zip(mom["cluster"], mu, sd)}
+    )
+
+    def attach_z(b: pd.DataFrame) -> pd.DataFrame:
+        st = _QUERY_CACHE.get(("soz", stats_ref.hex()))
+        if st is None:
+            st = _QUERY_CACHE[("soz", stats_ref.hex())] = ray.get(stats_ref)
+        mus = np.array([st[int(c)][0] for c in b["cluster"]])
+        sds = np.array([st[int(c)][1] for c in b["cluster"]])
+        out = b.copy()
+        out["z"] = (b["dist"].to_numpy() - mus) / sds
+        return out
+
+    out = scored.map_batches(attach_z, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -3220,3 +3220,68 @@ def test_anchor_texts_and_target_terms(ray_session):
     assert list(out.dst_host.unique()) == ["t.example"]
     assert out.iloc[0].term == "great" and out.iloc[0].n_term == 3
     assert len(out) == 2  # k=2 cap
+
+
+def test_hard_negatives(ray_session):
+    """Hard-negative mining on a handcrafted 2-label set: nearest
+    different-label vectors, never self or same-label, rank order by
+    (cos desc, id asc); partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import hard_negatives
+
+    # label 0 vectors point near +x; label 1 near +y, one of them
+    # tilted toward +x (the hard negative for every label-0 vector)
+    vecs = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 10, 11],
+            "label": [0, 0, 0, 1, 1],
+            "embedding": [
+                [1.0, 0.0], [0.99, 0.14], [0.95, 0.31],
+                [0.5, 0.87],   # tilted: the hard negative
+                [0.0, 1.0],
+            ],
+        }
+    )
+    for parts in (1, 3):
+        out = hard_negatives(
+            ray.data.from_pandas(vecs).repartition(parts), k=2
+        )
+        for vid, g in out.groupby("vec_id"):
+            own = int(vecs.loc[vecs.vec_id == vid, "label"].iloc[0])
+            neg_labels = vecs.set_index("vec_id").loc[g.neg_id, "label"]
+            assert (neg_labels != own).all()
+            assert vid not in set(g.neg_id)
+            assert list(g.sort_values("rank")["cos"]) == sorted(g.cos, reverse=True)
+        # every label-0 vector's rank-1 negative is the tilted vec 10
+        r1 = out[(out["rank"] == 1) & (out.vec_id.isin([0, 1, 2]))]
+        assert set(r1.neg_id) == {10}
+
+
+def test_semantic_outliers(ray_session):
+    """Per-cluster z-scored centroid distance: planted far-out vector
+    carries the cluster's max z; z is mean-0 within each cluster;
+    deterministic across partitionings."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import semantic_outliers
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[0]
+    b = rng.normal(0, 0.05, (40, 8)) + np.eye(8)[3]
+    outlier = np.eye(8)[0] * 0.3 + np.eye(8)[5] * 0.95  # far from both
+    m = np.vstack([a, b, outlier])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(m), dtype=np.int64), "embedding": list(m)}
+    )
+    outs = []
+    for parts in (1, 4):
+        out = semantic_outliers(
+            ray.data.from_pandas(df).repartition(parts), n_clusters=2
+        )
+        outs.append(out)
+        grp = out.groupby("cluster").z
+        assert abs(grp.mean()).max() < 1e-9
+        # the planted outlier has the global max z
+        assert int(out.loc[out.z.idxmax(), "vec_id"]) == len(m) - 1
+    assert np.allclose(outs[0].z.to_numpy(), outs[1].z.to_numpy())
