@@ -1526,6 +1526,22 @@ def _extract_anchor_terms(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["dst_host", "term"]).reset_index(drop=True)
 
 
+def _extract_template_families(sf_dir: str) -> pd.DataFrame:
+    """CMS-template detection over the fixture web corpus
+    (ops/structured.template_shapes + template_families): pages
+    grouped by their DOM-shape fingerprint (opening-tag sequence,
+    text dropped) — the precursor to per-template crawl caps and
+    boilerplate-aware sampling. Rows-only; shape grammar
+    pytest-pinned."""
+    from pdf_extractor_ray.ops.structured import template_families, template_shapes
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+    out = template_families(template_shapes(pages)).to_pandas()
+    return out.sort_values(["n_pages", "shape_hash"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
 def _extract_url_canonical(sf_dir: str) -> pd.DataFrame:
     """URL canonicalization (ops/urlfilter.canonicalize_urls): fixture
     urls are deterministically decorated with tracking noise
@@ -2321,7 +2337,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 124 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 125 registered). Ordering
 # is a deliberate ROTATION POLICY, not a name list: queries with the
 # fewest prior driver rows come first.
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
@@ -2395,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_anchor_terms": _extract_anchor_terms,
         "embeddings_hard_negatives": _embeddings_hard_negatives,
         "embeddings_outliers": _embeddings_outliers,
+        "extract_template_families": _extract_template_families,
         "docs_heavy_bigrams": _docs_heavy_bigrams,
         "events_kmv_distinct": _events_kmv_distinct,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,

@@ -270,6 +270,7 @@ def run_queries() -> dict[str, float]:
         "extract_anchor_terms",
         "embeddings_hard_negatives",
         "embeddings_outliers",
+        "extract_template_families",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -269,3 +269,73 @@ def page_metadata(
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+_OPEN_TAG_RE = __import__("re").compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+
+
+def template_shapes(
+    ds: ray.data.Dataset, html_col: str = "html", url_col: str = "url"
+) -> ray.data.Dataset:
+    """DOM-shape fingerprint per page: the SEQUENCE of opening tag
+    names (text dropped entirely) hashed to 63 bits — pages produced
+    by one CMS template share a shape even when every word differs,
+    so grouping on it finds template families (the precursor to
+    boilerplate-aware sampling: cap pages per template, or diff a
+    page against its template's majority shape). One compiled-regex
+    pass per page, no shuffle. Emits (url, shape_hash, n_tags)."""
+    from pdf_extractor_ray.functions.html_extract import sniff_decode
+    from pdf_extractor_ray.ops.dedup import sha1_64
+
+    schema = pa.schema(
+        [("url", pa.large_string()), ("shape_hash", pa.int64()), ("n_tags", pa.int64())]
+    )
+
+    def f(batch: pd.DataFrame) -> pa.Table:
+        urls: list[str] = []
+        hashes: list[int] = []
+        ntags: list[int] = []
+        for url, payload in zip(batch[url_col], batch[html_col]):
+            raw = bytes(payload)
+            if b"<" not in raw[:256]:
+                continue
+            text, _enc = sniff_decode(raw)
+            tags = [t.lower() for t in _OPEN_TAG_RE.findall(text)]
+            urls.append(str(url))
+            hashes.append(sha1_64(" ".join(tags)) >> 1)
+            ntags.append(len(tags))
+        return _typed_table(
+            schema,
+            url=urls,
+            shape_hash=np.asarray(hashes, dtype=np.int64),
+            n_tags=np.asarray(ntags, dtype=np.int64),
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def template_families(shapes: ray.data.Dataset) -> ray.data.Dataset:
+    """Template-family inventory: (shape_hash, n_pages, n_tags) — one
+    grouped reduction over the shape fingerprints (n_tags is constant
+    within a family by construction, carried via min)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    counts = grouped_sum(
+        shapes.map_batches(
+            lambda b: b[["shape_hash", "n_tags"]], batch_format="pandas"
+        ),
+        ["shape_hash"],
+        [],
+        mins=["n_tags"],
+    )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shape_hash": b["shape_hash"].to_numpy(dtype=np.int64),
+                "n_pages": b["n"].to_numpy(dtype=np.int64),
+                "n_tags": b["min_n_tags"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return counts.map_batches(rename, batch_format="pandas")
