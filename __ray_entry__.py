@@ -1242,6 +1242,36 @@ def _docs_nb_calibration(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def _embeddings_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Class prototypes (ops/cluster.label_centroids): per-label mean
+    embedding via one (label x dim) scalar-row reduction — the
+    nearest-class-mean table. SQL-oracled against per-position AVG
+    over the unnested vectors."""
+    from pdf_extractor_ray.ops.cluster import label_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    out = label_centroids(ds).to_pandas()
+    out["label"] = out["label"].astype("int64")
+    out["i"] = out["i"].astype("int64")
+    return out.sort_values(["label", "i"]).reset_index(drop=True)
+
+
+def _events_bot_cadence(sf_dir: str) -> pd.DataFrame:
+    """Bot-cadence detection (ops/windows.user_cadence): per-user
+    inter-event gap coefficient of variation — scripted traffic fires
+    on near-constant timers (cv ~ 0), humans browse in bursts — the
+    traffic-hygiene gate before engagement-weighted sampling.
+    SQL-oracled against the identical closed form over lag diffs."""
+    from pdf_extractor_ray.ops.windows import user_cadence
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = user_cadence(ds).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["is_bot"] = out["is_bot"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _events_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel over the event stream (ops/windows.
     funnel_counts): signup -> view -> purchase, step k strictly after
@@ -2337,7 +2367,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 125 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 127 registered). Ordering
 # is a deliberate ROTATION POLICY, not a name list: queries with the
 # fewest prior driver rows come first.
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
@@ -2412,6 +2442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_hard_negatives": _embeddings_hard_negatives,
         "embeddings_outliers": _embeddings_outliers,
         "extract_template_families": _extract_template_families,
+        "events_bot_cadence": _events_bot_cadence,
+        "embeddings_label_centroids": _embeddings_label_centroids,
         "docs_heavy_bigrams": _docs_heavy_bigrams,
         "events_kmv_distinct": _events_kmv_distinct,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
@@ -2571,6 +2603,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "embeddings_label_centroids": """
+            SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS centroid
+            FROM embeddings, UNNEST(range(1, len(embedding)+1)) r(i)
+            GROUP BY label, i ORDER BY label, i
+        """,
+        "events_bot_cadence": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY user_id),
+            g AS (SELECT user_id,
+                         CAST(date_diff('microsecond',
+                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                              ts) AS DOUBLE) / 1e6 AS gap
+                  FROM events),
+            a AS (SELECT user_id, CAST(count(gap) AS DOUBLE) AS n,
+                         sum(gap) AS s, sum(gap * gap) AS s2
+                  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+            SELECT a.user_id, c.n_events,
+                   s / n AS mean_gap_s,
+                   sqrt(greatest(n * s2 - s * s, 0))
+                     / CASE WHEN s > 0 THEN s ELSE 1 END AS gap_cv,
+                   CAST(CASE WHEN c.n_events >= 10
+                             AND sqrt(greatest(n * s2 - s * s, 0))
+                                 / CASE WHEN s > 0 THEN s ELSE 1 END < 0.1
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+            FROM a JOIN c USING (user_id) ORDER BY a.user_id
         """,
         "embeddings_hard_negatives": """
             WITH s AS (

@@ -271,6 +271,8 @@ def run_queries() -> dict[str, float]:
         "embeddings_hard_negatives",
         "embeddings_outliers",
         "extract_template_families",
+        "events_bot_cadence",
+        "embeddings_label_centroids",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -288,3 +288,57 @@ def pca_transform(
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-label mean embedding — the class PROTOTYPE table
+    (nearest-class-mean classification, Snell et al. 2017 prototypical
+    networks; also the seed for per-class SemDeDup and drift
+    monitoring). Each batch reduces to (label, dim, partial sum,
+    partial n) scalar rows — one row per label x dimension per block,
+    never one per vector — and grouped_sum finishes on hash(label,dim)
+    partitions; the division happens on the reduced table. Emits
+    (label, i, centroid) with i 1-based to match list indexing in the
+    SQL twin."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        labels = b[label_col].to_numpy()
+        frames = []
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "label": np.repeat(lab, m.shape[1]),
+                        "i": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                        "sv": sel.sum(axis=0),
+                        "nv": np.full(m.shape[1], len(sel), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    agg = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["label", "i"],
+        ["sv", "nv"],
+        counts=False,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": b["label"],
+                "i": b["i"].to_numpy(dtype=np.int64),
+                "centroid": b["sum_sv"].to_numpy(dtype=np.float64)
+                / b["sum_nv"].to_numpy(dtype=np.float64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -583,3 +583,87 @@ def anomalous_periods(
         return out
 
     return counts.repartition(1).map_batches(flag, batch_format="pandas")
+
+
+def user_cadence(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    min_events: int = 10,
+    bot_cv_threshold: float = 0.1,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-user event-cadence profile + bot flag: the
+    coefficient of variation of inter-event gaps. Humans browse in
+    bursts (cv well above 1); scripted crawlers and click bots fire
+    on near-constant timers (cv near 0) — the classic
+    traffic-hygiene gate run before any engagement-weighted corpus
+    sampling. A user is flagged when it has at least `min_events`
+    events AND gap cv < `bot_cv_threshold`.
+
+    Shape: the slim (key, ts[, tiebreak]) projection co-shuffles on
+    hash(key) mod P (the sessionize discipline — never per-key
+    map_groups); one vectorized pass per partition computes each
+    user's gap sums in closed form (n, sum g, sum g^2 with g in
+    float64 seconds — mirrored verbatim in the SQL twin: cv =
+    sqrt(max(n*S2 - S^2, 0)) / S, which is the population-std/mean
+    identity cleared of one division). Emits
+    (key, n_events, mean_gap_s, gap_cv, is_bot) for users with >= 2
+    events (a single event has no gaps)."""
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        cols = [key, ts_col] + ([order_tiebreak] if order_tiebreak in b else [])
+        b = b[cols].copy()
+        b["_part"] = (pd.util.hash_array(b[key].to_numpy()) % num_partitions).astype(np.int64)
+        return b
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or key not in g.columns:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "mean_gap_s": pd.Series(dtype="float64"),
+                    "gap_cv": pd.Series(dtype="float64"),
+                    "is_bot": pd.Series(dtype="int64"),
+                }
+            )
+        order = [key, ts_col] + ([order_tiebreak] if order_tiebreak in g else [])
+        g = g.sort_values(order, kind="stable")
+        # pin the unit: pandas 2.x keeps datetime64[us] columns at us
+        # resolution, so a bare astype(int64) would be 1000x off
+        ts = pd.to_datetime(g[ts_col]).astype("datetime64[us]").astype("int64").to_numpy()
+        keys = g[key].to_numpy()
+        same = keys[1:] == keys[:-1]
+        # diff-then-divide: the integer us difference is exact, and
+        # us/1e6 rounds once — bit-identical to the SQL twin's
+        # date_diff('microseconds')/1e6
+        gaps = (ts[1:] - ts[:-1]).astype("float64") / 1e6  # seconds
+        rows = pd.DataFrame({key: keys[1:][same], "g": gaps[same]})
+        counts = pd.Series(keys).value_counts()
+        agg = rows.groupby(key)["g"].agg(["count", "sum"])
+        agg["s2"] = rows.assign(g2=rows["g"] ** 2).groupby(key)["g2"].sum()
+        n = agg["count"].to_numpy(dtype="float64")
+        s = agg["sum"].to_numpy(dtype="float64")
+        s2 = agg["s2"].to_numpy(dtype="float64")
+        mean = s / n
+        cv = np.sqrt(np.maximum(n * s2 - s * s, 0.0)) / np.where(s > 0, s, 1.0)
+        n_events = counts.reindex(agg.index).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                key: agg.index.to_numpy(),
+                "n_events": n_events,
+                "mean_gap_s": mean,
+                "gap_cv": cv,
+                "is_bot": (
+                    (n_events >= min_events) & (cv < bot_cv_threshold)
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(profile, batch_format="pandas")
+    )

@@ -3378,3 +3378,68 @@ def test_template_shapes(ray_session):
         )
         assert list(fam.n_pages) == [3, 2]
         assert list(fam.n_tags) == [3, 4]
+
+
+def test_user_cadence_bot_flag(ray_session):
+    """Planted constant-timer user flags as a bot (cv ~ 0); bursty
+    human traffic does not; single-event users emit no row; cadence
+    stats exact and partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import user_cadence
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # bot: 20 events exactly 30s apart
+    for i in range(20):
+        rows.append((1, base + pd.Timedelta(seconds=30 * i), i))
+    # human: bursty gaps
+    for j, gap in enumerate([1, 2, 600, 5, 3600, 2, 1, 900, 10, 4, 7200, 3]):
+        rows.append((2, rows[-1][1] + pd.Timedelta(seconds=gap), 100 + j))
+    # near-bot but too few events
+    for i in range(5):
+        rows.append((3, base + pd.Timedelta(seconds=60 * i), 200 + i))
+    rows.append((4, base, 300))  # single event: no gaps, no row
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    outs = []
+    for parts in (1, 4):
+        out = (
+            user_cadence(ray.data.from_pandas(ev).repartition(parts))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        assert set(out.user_id) == {1, 2, 3}
+        assert int(out.loc[out.user_id == 1, "is_bot"].iloc[0]) == 1
+        assert abs(out.loc[out.user_id == 1, "gap_cv"].iloc[0]) < 1e-12
+        assert abs(out.loc[out.user_id == 1, "mean_gap_s"].iloc[0] - 30.0) < 1e-12
+        assert int(out.loc[out.user_id == 2, "is_bot"].iloc[0]) == 0
+        assert out.loc[out.user_id == 2, "gap_cv"].iloc[0] > 1.0
+        assert int(out.loc[out.user_id == 3, "is_bot"].iloc[0]) == 0  # < min_events
+    assert outs[0].equals(outs[1])
+
+
+def test_label_centroids(ray_session):
+    """Prototype table equals the per-label numpy mean exactly (up to
+    float reassociation), 1-based dims, partition-invariant shape."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.cluster import label_centroids
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["label", "embedding"]
+    )
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    for parts in (1, 5):
+        out = (
+            label_centroids(ray.data.from_pandas(emb).repartition(parts))
+            .to_pandas()
+            .sort_values(["label", "i"])
+            .reset_index(drop=True)
+        )
+        assert set(out.i) == set(range(1, m.shape[1] + 1))
+        for lab in sorted(emb.label.unique()):
+            want = m[emb.label.to_numpy() == lab].mean(axis=0)
+            got = out.loc[out.label == lab].sort_values("i").centroid.to_numpy()
+            assert np.allclose(got, want, atol=1e-12)
