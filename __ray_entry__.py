@@ -1242,6 +1242,21 @@ def _docs_nb_calibration(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def _docs_readability(sf_dir: str) -> pd.DataFrame:
+    """Readability + information-density signals (ops/quality.
+    readability_signals): Flesch reading ease (deterministic
+    sentence/syllable approximations, mirrored verbatim in SQL) and
+    code-point Shannon entropy — the complexity axis next to the
+    Gopher rules. Row-local, shuffle-free, fully SQL-oracled."""
+    from pdf_extractor_ray.ops.quality import readability_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = readability_signals(ds).to_pandas()
+    for c in ("doc_id", "n_words", "n_sentences", "n_syllables"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _embeddings_label_centroids(sf_dir: str) -> pd.DataFrame:
     """Class prototypes (ops/cluster.label_centroids): per-label mean
     embedding via one (label x dim) scalar-row reduction — the
@@ -2367,7 +2382,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 127 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 128 registered). Ordering
 # is a deliberate ROTATION POLICY, not a name list: queries with the
 # fewest prior driver rows come first.
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
@@ -2444,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_template_families": _extract_template_families,
         "events_bot_cadence": _events_bot_cadence,
         "embeddings_label_centroids": _embeddings_label_centroids,
+        "docs_readability": _docs_readability,
         "docs_heavy_bigrams": _docs_heavy_bigrams,
         "events_kmv_distinct": _events_kmv_distinct,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
@@ -2603,6 +2619,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "docs_readability": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_words,
+                       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                            AS BIGINT) AS n_sentences,
+                       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                            AS BIGINT) AS n_syllables
+                FROM documents
+            ),
+            ch AS (SELECT doc_id, substr(text, i, 1) AS c
+                   FROM documents, UNNEST(range(1, length(text)+1)) r(i)),
+            cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+                   FROM ch GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY doc_id),
+            ent AS (SELECT cc.doc_id, -sum((k / n) * ln(k / n)) AS char_entropy
+                    FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id)
+            SELECT b.doc_id, n_words, n_sentences, n_syllables,
+                   206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                           - 84.6 * (CASE WHEN n_words > 0
+                                          THEN CAST(n_syllables AS DOUBLE) / n_words
+                                          ELSE 0 END) AS flesch,
+                   COALESCE(ent.char_entropy, 0.0) AS char_entropy
+            FROM base b LEFT JOIN ent ON b.doc_id = ent.doc_id
+            ORDER BY b.doc_id
         """,
         "embeddings_label_centroids": """
             SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS centroid

@@ -273,6 +273,7 @@ def run_queries() -> dict[str, float]:
         "extract_template_families",
         "events_bot_cadence",
         "embeddings_label_centroids",
+        "docs_readability",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

@@ -3443,3 +3443,44 @@ def test_label_centroids(ray_session):
             want = m[emb.label.to_numpy() == lab].mean(axis=0)
             got = out.loc[out.label == lab].sort_values("i").centroid.to_numpy()
             assert np.allclose(got, want, atol=1e-12)
+
+
+def test_readability_signals(ray_session):
+    """Flesch variant and code-point entropy on handcrafted docs:
+    known formula values, empty-doc fixed point, multi-byte script
+    entropy counted per code point, partition-invariant."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import readability_signals
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat sat. the dog ran!",   # 6 words, 2 sentences, 6 vowel runs
+                "aaaa",                         # 1 word, min-1 sentence, 1 run
+                "",                             # empty: zeros, flesch fixed point
+                "ああい",           # 2 distinct code points (JA)
+            ],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            readability_signals(ray.data.from_pandas(docs).repartition(parts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        r0 = out.iloc[0]
+        assert (r0.n_words, r0.n_sentences, r0.n_syllables) == (6, 2, 6)
+        assert abs(r0.flesch - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
+        r1 = out.iloc[1]
+        assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (1, 1, 1)
+        r2 = out.iloc[2]
+        assert (r2.n_words, r2.n_syllables, r2.char_entropy) == (0, 0, 0.0)
+        assert abs(r2.flesch - 206.835) < 1e-9
+        r3 = out.iloc[3]
+        want_ent = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+        assert abs(r3.char_entropy - want_ent) < 1e-12
