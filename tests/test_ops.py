@@ -3484,3 +3484,83 @@ def test_readability_signals(ray_session):
         r3 = out.iloc[3]
         want_ent = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
         assert abs(r3.char_entropy - want_ent) < 1e-12
+
+
+def test_quantization_constant_dimension(ray_session):
+    """A constant embedding dimension (mx == mn) must code to 0 and
+    dequantize back to the constant exactly — the zero-scale guard."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import quantize_embeddings, quantize_fit
+
+    rng = np.random.RandomState(3)
+    m = rng.normal(0, 1, (50, 6))
+    m[:, 2] = 0.75  # constant dimension
+    m[:, 5] = -1.25  # another, negative
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64), "embedding": list(m)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    fit = quantize_fit(ds)
+    assert fit.mn.iloc[2] == fit.mx.iloc[2] == 0.75
+    qpd = quantize_embeddings(ds, fit).to_pandas()
+    codes = np.stack([np.asarray(v) for v in qpd.qvec])
+    assert (codes[:, 2] == 0).all() and (codes[:, 5] == 0).all()
+    # dequantization convention: code 0 of a constant dim -> mn exactly
+    mn, mx = fit.mn.to_numpy(), fit.mx.to_numpy()
+    dq = mn + codes.astype(np.float64) * (mx - mn) / 255.0
+    assert (dq[:, 2] == 0.75).all() and (dq[:, 5] == -1.25).all()
+
+
+def test_user_cadence_random_parity(ray_session):
+    """Hypothesis sweep: user_cadence equals a direct pandas
+    computation (sort, diff, closed-form cv) on random event sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import user_cadence
+
+    ev_st = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # user
+            st.integers(min_value=0, max_value=10_000),  # offset seconds
+        ),
+        min_size=2,
+        max_size=40,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(ev_st)
+    def run(rows):
+        base = pd.Timestamp("2024-03-01")
+        ev = pd.DataFrame(
+            {
+                "user_id": [u for u, _ in rows],
+                "ts": [base + pd.Timedelta(seconds=s) for _, s in rows],
+                "event_id": range(len(rows)),
+            }
+        )
+        out = user_cadence(ray.data.from_pandas(ev).repartition(2)).to_pandas()
+        ref_rows = []
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            gaps = g.ts.diff().dropna().dt.total_seconds().to_numpy()
+            if len(gaps) == 0:
+                continue
+            n, s, s2 = float(len(gaps)), gaps.sum(), (gaps ** 2).sum()
+            cv = np.sqrt(max(n * s2 - s * s, 0.0)) / (s if s > 0 else 1.0)
+            ref_rows.append((uid, len(g), s / n, cv))
+        ref = pd.DataFrame(
+            ref_rows, columns=["user_id", "n_events", "mean_gap_s", "gap_cv"]
+        ).sort_values("user_id").reset_index(drop=True)
+        if ref.empty:
+            # all users single-event: empty result surfaces schema-less
+            assert len(out) == 0
+            return
+        out = out.sort_values("user_id").reset_index(drop=True)
+        assert list(out.user_id) == list(ref.user_id)
+        assert list(out.n_events) == list(ref.n_events)
+        assert np.allclose(out.mean_gap_s, ref.mean_gap_s, atol=1e-9)
+        assert np.allclose(out.gap_cv, ref.gap_cv, atol=1e-9)
+
+    run()
