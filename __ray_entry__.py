@@ -1242,6 +1242,56 @@ def _docs_nb_calibration(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def _docs_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """Containment detection (ops/dedup.containment_pairs): every
+    25th document gains a deterministic "aggregator" twin (re-id'd
+    +200000) holding its full text plus ~40 filler tokens derived
+    from the id — the quote/mirror case where the original is ~fully
+    contained but symmetric Jaccard reads ~0.6. Per-ROW derivation,
+    so the augmented corpus is partition-independent. Verified
+    containment pairs at threshold 0.9, bands=32/rows=4 for the
+    low-resemblance sensitivity documented on the operator.
+    Rows-only (MinHash LSH)."""
+    from pdf_extractor_ray.ops.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_aggregators(b: pd.DataFrame) -> pd.DataFrame:
+        base = b[b["doc_id"] % 25 == 0]
+        if base.empty:
+            return b
+        agg = pd.DataFrame(
+            {
+                "doc_id": base["doc_id"].to_numpy() + 200000,
+                "text": [
+                    t + " " + " ".join(f"fill{d}w{j}" for j in range(40))
+                    for d, t in zip(base["doc_id"], base["text"])
+                ],
+            }
+        )
+        return pd.concat([b, agg], ignore_index=True)
+
+    aug = ds.map_batches(with_aggregators, batch_format="pandas")
+    out = containment_pairs(aug, threshold=0.9, bands=32, rows=4).to_pandas()
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _docs_temperature_sample(sf_dir: str) -> pd.DataFrame:
+    """Temperature rebalancing (ops/selection.temperature_sample,
+    XLM-R alpha=0.3): high-resource languages downsample toward the
+    flattened n^alpha distribution, md5-deterministic survivor set.
+    SQL-oracled with the identical float expression and
+    floor(p*2^52)-vs-md5-u52 threshold discipline."""
+    from pdf_extractor_ray.ops.selection import temperature_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = temperature_sample(ds, alpha=0.3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_readability(sf_dir: str) -> pd.DataFrame:
     """Readability + information-density signals (ops/quality.
     readability_signals): Flesch reading ease (deterministic
@@ -2382,7 +2432,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 128 registered). Ordering
+# 50 in dict order; r3: 57 -> first 50; r4: 130 registered). Ordering
 # is a deliberate ROTATION POLICY, not a name list: queries with the
 # fewest prior driver rows come first.
 #   1-11   the 7 queries past r3's cap (promised rows this round) plus
@@ -2460,6 +2510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bot_cadence": _events_bot_cadence,
         "embeddings_label_centroids": _embeddings_label_centroids,
         "docs_readability": _docs_readability,
+        "docs_temperature_sample": _docs_temperature_sample,
+        "docs_containment_pairs": _docs_containment_pairs,
         "docs_heavy_bigrams": _docs_heavy_bigrams,
         "events_kmv_distinct": _events_kmv_distinct,
         "docs_decontaminated_bloom": _docs_decontaminated_bloom,
@@ -2619,6 +2671,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "docs_temperature_sample": """
+            WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY lang),
+            qs AS (SELECT sum(power(n, 0.3)) AS s, sum(n) AS total FROM c),
+            t AS (SELECT lang,
+                         floor(least(1.0,
+                               (qs.total * (power(n, 0.3) / qs.s)) / n)
+                               * 4503599627370496.0) AS thr
+                  FROM c CROSS JOIN qs)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN t USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::UBIGINT < thr
+            ORDER BY d.doc_id
         """,
         "docs_readability": r"""
             WITH base AS (

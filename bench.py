@@ -274,6 +274,8 @@ def run_queries() -> dict[str, float]:
         "events_bot_cadence",
         "embeddings_label_centroids",
         "docs_readability",
+        "docs_temperature_sample",
+        "docs_containment_pairs",
         "docs_export_shards",
         "docs_decontaminated_bloom",
         "docs_dup_span_scrub",

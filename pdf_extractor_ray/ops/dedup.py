@@ -371,16 +371,26 @@ def _surviving_pairs(rows, hash_kind: str, param: int, threshold: float) -> list
     def grams(doc_id: int, text: str) -> np.ndarray:
         s = memo.get(doc_id)
         if s is None:
-            s = _shingle_hashes(text, param) if hash_kind == "char" else _word_ngram_hashes(text, param)
+            s = (
+                _shingle_hashes(text, param)
+                if hash_kind.startswith("char")
+                else _word_ngram_hashes(text, param)
+            )
             memo[doc_id] = s
         return s
 
+    containment = hash_kind.endswith("_containment")
     kept = []
     for a, b, ta, tb in rows:
         sa, sb = grams(int(a), ta), grams(int(b), tb)
         inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        sim = 1.0 if union == 0 else inter / union
+        if containment:
+            # max containment: inter / min(|A|, |B|) — 1.0 when the
+            # smaller doc's gram set is a subset of the larger's
+            denom = min(sa.size, sb.size)
+        else:
+            denom = sa.size + sb.size - inter  # union
+        sim = 1.0 if denom == 0 else inter / denom
         if sim >= threshold:
             kept.append((int(a), int(b)))
     return kept
@@ -1917,3 +1927,38 @@ def component_size_histogram(
         return out
 
     return hist.map_batches(rename, batch_format="pandas")
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 5,
+    bands: int = 16,
+    rows: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """CONTAINMENT detection: pairs where one document's shingle set
+    is >= threshold contained in the other's (inter / min(|A|, |B|))
+    — the quote/aggregator/mirror-with-extra-boilerplate case that
+    symmetric Jaccard under-scores (a page embedded in a larger one
+    has low Jaccard but containment ~ 1; Broder 1997 distinguishes
+    resemblance from containment). Candidates come from the SAME
+    MinHash-LSH band pass as minhash_dedup; the exact verify kernel
+    runs with the containment denominator via the two-exchange
+    co-shuffle. Returns the verified (a, b) pair Dataset.
+
+    Boundary (documented, inherent to Jaccard-LSH candidates): a doc
+    MUCH smaller than its container has low resemblance and can fall
+    below the band sensitivity — recall is reliable for size ratios
+    where jaccard >= roughly (1/bands)^(1/rows); fully
+    containment-sensitive candidate generation would band per size
+    class and is the scale-up path if aggregator pages dominate."""
+    sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
+    pairs = minhash_lsh_candidates(sigs, bands=bands, rows=rows, num_partitions=num_partitions)
+    return _verified_pairs_shuffle(
+        ds, pairs, hash_kind="char_containment", param=k, threshold=threshold,
+        id_col=id_col, text_col=text_col, num_partitions=num_partitions,
+    )

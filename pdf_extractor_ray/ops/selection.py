@@ -366,3 +366,49 @@ def weighted_sample_per_group(
         .groupby(group_col)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    alpha: float = 0.3,
+    budget: int = 0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Temperature-based multilingual/multi-source rebalancing
+    (Conneau et al. 2020 XLM-R §3.1 / mT5: sample group i with
+    probability proportional to n_i^alpha): high-resource groups are
+    downsampled toward the temperature-flattened distribution,
+    low-resource groups keep (almost) everything. Target rows per
+    group: m_i = budget * q_i with q_i = n_i^alpha / sum_j n_j^alpha
+    (budget defaults to the corpus size, i.e. pure rebalancing);
+    acceptance p_i = min(1, m_i / n_i), drawn deterministically per
+    id via the floor(p * 2^52)-vs-md5-u52 discipline of
+    mixture_sample, so the survivor SET is engine-exact and
+    cluster-size independent.
+
+    One tiny per-group count exchange feeds the driver's threshold
+    table; acceptance is a shuffle-free vectorized filter scan."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    counts = grouped_sum(
+        ds.map_batches(lambda b: b[[group_col]], batch_format="pandas"),
+        [group_col],
+        [],
+    ).to_pandas()  # one row per group
+    n = counts["n"].to_numpy(dtype="float64")
+    q = n ** alpha
+    q = q / q.sum()
+    total = float(budget) if budget else float(n.sum())
+    p = np.minimum(1.0, (total * q) / n)
+    thr = {
+        g: float(np.floor(pi * 2.0**52)) for g, pi in zip(counts[group_col], p)
+    }
+
+    def accept(b: pd.DataFrame) -> pd.DataFrame:
+        u = md5_u52([str(v) for v in b[id_col]]).astype("float64")
+        t = b[group_col].map(thr).to_numpy(dtype="float64", na_value=-1.0)
+        return b[u < t]
+
+    return ds.map_batches(accept, batch_format="pandas")

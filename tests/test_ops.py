@@ -3564,3 +3564,82 @@ def test_user_cadence_random_parity(ray_session):
         assert np.allclose(out.gap_cv, ref.gap_cv, atol=1e-9)
 
     run()
+
+
+def test_temperature_sample(ray_session):
+    """Temperature rebalancing: alpha=1 keeps everything (p_i = 1);
+    small alpha flattens — the high-resource group's keep-rate drops
+    below the low-resource group's; deterministic per id and
+    partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.selection import temperature_sample
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(1100, dtype=np.int64),
+            "lang": ["big"] * 1000 + ["small"] * 100,
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(4)
+    full = temperature_sample(ds, alpha=1.0).to_pandas()
+    assert len(full) == 1100  # alpha=1: q_i proportional to n_i -> p_i = 1
+
+    outs = []
+    for parts in (1, 4):
+        out = temperature_sample(
+            ray.data.from_pandas(docs).repartition(parts), alpha=0.3
+        ).to_pandas()
+        outs.append(set(out.doc_id))
+        rates = out.groupby("lang").size() / docs.groupby("lang").size()
+        assert rates["small"] > rates["big"]  # flattening
+        assert rates["small"] > 0.9           # low-resource nearly intact
+        # expectation check: big's keep-rate ~ total*q_big/n_big
+        n = np.array([1000.0, 100.0])
+        q = n ** 0.3
+        q = q / q.sum()
+        p_big = min(1.0, 1100.0 * q[0] / 1000.0)
+        assert abs(rates["big"] - p_big) < 0.06
+    assert outs[0] == outs[1]
+
+
+def test_containment_pairs(ray_session):
+    """A document strictly contained in a larger one is found even
+    when symmetric Jaccard sits well under the containment threshold;
+    unrelated docs never pair; existing jaccard-kind dedup behavior
+    untouched (dispatch regression)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import containment_pairs, jaccard
+
+    inner = " ".join(
+        f"sentence{i} with plenty of shared running text over the river bank"
+        for i in range(8)
+    )
+    outer = inner + " trailing boiler plate navigation footer block"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                inner,
+                outer,
+                "completely unrelated content about distributed execution engines and arrow",
+                "another standalone document with its own words entirely",
+            ],
+        }
+    )
+    # sanity: resemblance sits BELOW the containment threshold but
+    # containment is ~1 (symmetric jaccard would need threshold <= 0.9)
+    assert jaccard(inner, outer) < 0.92
+    for parts in (1, 3):
+        out = (
+            containment_pairs(
+                ray.data.from_pandas(docs).repartition(parts),
+                threshold=0.95,
+                bands=32,
+                rows=4,
+            )
+            .to_pandas()
+        )
+        got = set(map(tuple, out[["a", "b"]].to_numpy()))
+        assert got == {(0, 1)}, got
