@@ -2721,21 +2721,25 @@ def oracle_sql() -> dict[str, str]:
         "events_bot_cadence": """
             WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
                        FROM events GROUP BY user_id),
+            -- exact-integer accumulation (cross-engine float
+            -- doctrine): gaps stay integer microseconds, sums are
+            -- HUGEINT (order-free), each emitted double rounds ONCE
+            -- from an exact int128 — mirrors ops/windows.user_cadence
             g AS (SELECT user_id,
                          CAST(date_diff('microsecond',
                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                              ts) AS DOUBLE) / 1e6 AS gap
+                              ts) AS HUGEINT) AS gap_us
                   FROM events),
-            a AS (SELECT user_id, CAST(count(gap) AS DOUBLE) AS n,
-                         sum(gap) AS s, sum(gap * gap) AS s2
-                  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+            a AS (SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n,
+                         sum(gap_us) AS s, sum(gap_us * gap_us) AS s2
+                  FROM g WHERE gap_us IS NOT NULL GROUP BY user_id)
             SELECT a.user_id, c.n_events,
-                   s / n AS mean_gap_s,
-                   sqrt(greatest(n * s2 - s * s, 0))
-                     / CASE WHEN s > 0 THEN s ELSE 1 END AS gap_cv,
+                   (CAST(s AS DOUBLE) / n) / 1e6 AS mean_gap_s,
+                   sqrt(CAST(greatest(n * s2 - s * s, 0) AS DOUBLE))
+                     / CASE WHEN s > 0 THEN CAST(s AS DOUBLE) ELSE 1 END AS gap_cv,
                    CAST(CASE WHEN c.n_events >= 10
-                             AND sqrt(greatest(n * s2 - s * s, 0))
-                                 / CASE WHEN s > 0 THEN s ELSE 1 END < 0.1
+                             AND sqrt(CAST(greatest(n * s2 - s * s, 0) AS DOUBLE))
+                                 / CASE WHEN s > 0 THEN CAST(s AS DOUBLE) ELSE 1 END < 0.1
                         THEN 1 ELSE 0 END AS BIGINT) AS is_bot
             FROM a JOIN c USING (user_id) ORDER BY a.user_id
         """,
@@ -2872,8 +2876,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings, UNNEST(range(1, len(embedding)+1)) r(i)),
             mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
             q AS (SELECT vec_id,
-                         CAST(least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
-                                             0), 255) AS BIGINT) AS c
+                         -- zero-scale guard mirrors the op: a constant
+                         -- dim (mx = mn) codes to 0, never 0/0 = NaN
+                         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                              ELSE CAST(least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+                                                       0), 255) AS BIGINT) END AS c
                   FROM x JOIN mm USING (i))
             SELECT vec_id, CAST(sum(c) AS BIGINT) AS q_sum
             FROM q GROUP BY vec_id ORDER BY vec_id
@@ -2883,8 +2890,9 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings, UNNEST(range(1, len(embedding)+1)) r(i)),
             mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i),
             q AS (SELECT vec_id, i,
-                         CAST(least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
-                                             0), 255) AS BIGINT) AS c
+                         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                              ELSE CAST(least(greatest(floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+                                                       0), 255) AS BIGINT) END AS c
                   FROM x JOIN mm USING (i)),
             dq AS (SELECT vec_id, i, mn + c * (mx - mn) / 255.0 AS dv
                    FROM q JOIN mm USING (i)),

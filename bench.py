@@ -2,11 +2,18 @@
 
 Runs the headline pipelines over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1) under ray.init(address="local",
-num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE compact JSON line LAST:
 
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
-     "extract_docs": N, "extract_docs_per_s": X, "extract_mb_per_s": X}
+     "queries": {extract + 12 slowest: sec, ...}, "n_queries": N,
+     "queries_sidecar": "bench_queries.json", "sf": ..., "num_cpus": N,
+     "extract_docs": N, "extract_docs_per_s": X, "extract_mb_per_s": X,
+     "extract_stage_stats": [...]}
+
+The FULL per-query map (all ~110 registry queries) is written to
+bench_queries.json next to this file — the inline map is capped so the
+summary line stays within the driver's tail capture (BENCH_r04.json
+came back parsed:null when the single line outgrew it).
 
 `--scaling` runs the flagship extraction pipeline at two parallelism
 levels (N and 4N CPUs) in fresh processes on the same input and
@@ -338,13 +345,40 @@ def main() -> None:
         queries = {"extract": round(ext["sec"], 3)}
         queries.update(run_queries())
         total = round(sum(queries.values()), 3)
+        # The registry outgrew the driver's tail capture at ~107
+        # queries (BENCH_r04.json parsed:null) — the FULL per-query
+        # map goes to a sidecar file and the LAST stdout line is a
+        # compact summary the driver can always parse: suite seconds,
+        # extract throughput, stage stats, and only the extract leg +
+        # the 12 slowest queries inline.
+        full = {
+            "metric": "pipeline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_value(),
+            "num_cpus": NUM_CPUS,
+            "extract_docs": ext["docs"],
+            "extract_docs_per_s": round(ext["docs_per_s"], 1),
+            "extract_mb_per_s": round(ext["mb_per_s"], 2),
+            "extract_stage_stats": ext["stage_stats"],
+        }
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json")
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+        slowest = dict(
+            sorted(queries.items(), key=lambda kv: -kv[1])[:12]
+        )
+        slowest["extract"] = queries["extract"]
         print(
             json.dumps(
                 {
                     "metric": "pipeline_suite_seconds",
                     "value": total,
                     "unit": "sec",
-                    "queries": queries,
+                    "queries": slowest,
+                    "n_queries": len(queries),
+                    "queries_sidecar": "bench_queries.json",
                     "sf": _sf_value(),
                     "num_cpus": NUM_CPUS,
                     "extract_docs": ext["docs"],

@@ -75,8 +75,11 @@ def host_edges(links: ray.data.Dataset) -> ray.data.Dataset:
     from pdf_extractor_ray.ops.relational import grouped_sum
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        src = batch["url"].astype(str).str.extract(_HOST_RE.pattern, expand=False)
-        dst = batch["href"].astype(str).str.extract(_HOST_RE.pattern, expand=False)
+        # lowercase BEFORE extraction: str.extract(pattern) drops the
+        # compiled IGNORECASE flag, and hosts are case-insensitive —
+        # HTTP:// schemes must match and Example.com == example.com
+        src = batch["url"].astype(str).str.lower().str.extract(_HOST_RE.pattern, expand=False)
+        dst = batch["href"].astype(str).str.lower().str.extract(_HOST_RE.pattern, expand=False)
         ok = src.notna() & dst.notna() & (src != dst)
         g = (
             pd.DataFrame({"src_host": src[ok], "dst_host": dst[ok]})
@@ -628,7 +631,9 @@ def target_anchor_terms(
     from pdf_extractor_ray.ops.windows import topk_per_group
 
     def term_rows(b: pd.DataFrame) -> pd.DataFrame:
-        dst = b["href"].astype(str).str.extract(_HOST_RE.pattern, expand=False)
+        # lowercase first: extract(pattern) drops IGNORECASE, and a
+        # mixed-case host must not split the dst_host aggregation key
+        dst = b["href"].astype(str).str.lower().str.extract(_HOST_RE.pattern, expand=False)
         ok = dst.notna() & (b["anchor"].astype(str) != "")
         d = pd.DataFrame({"dst_host": dst[ok], "anchor": b.loc[ok, "anchor"].astype(str)})
         if d.empty:

@@ -267,7 +267,16 @@ def select_to_budget(
 
     def cut(b: pd.DataFrame) -> pd.DataFrame:
         if b.empty or "_off" not in b.columns:
-            return pd.DataFrame({c: pd.Series(dtype="int64") for c in (cols or [])})
+            # derive the empty frame from the REAL batch schema — a
+            # hard-coded int64 empty conflicts at concat time when a
+            # keep column is a string or float (ADVICE r4)
+            empty = b.drop(columns=["_off"], errors="ignore").iloc[0:0]
+            if cols is not None:
+                present = [c for c in cols if c in empty.columns]
+                if len(present) == len(cols):
+                    return empty[cols]
+                return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            return empty
         fits = b["_off"].to_numpy(dtype=np.int64) + b[weight_col].to_numpy(dtype=np.int64) <= budget
         out = b[fits].drop(columns=["_off"])
         return out[cols] if cols is not None else out

@@ -314,7 +314,13 @@ def domain_stats(
 # ---------------------------------------------------------------------------
 
 _TRACKING_PARAM_RE = (
-    r"&?(?:utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=[^&]*"
+    # left-anchored to a param boundary (start-of-query or a '&'
+    # lookbehind — the lookbehind still sees a '&' consumed by the
+    # previous match) so a param whose NAME merely ends with a tracked
+    # name (xgclid=, myutm_source=) is never partially stripped; the
+    # optional trailing '&' keeps separators paired mid-string, and a
+    # dangling tail '&' is cleaned after substitution
+    r"(?:^|(?<=&))(?:utm_[^=&]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=[^&]*&?"
 )
 
 
@@ -353,6 +359,7 @@ def canonicalize_urls(s: pd.Series) -> pd.Series:
     query = (
         query.str.replace(_TRACKING_PARAM_RE, "", regex=True)
         .str.replace(r"^&+", "", regex=True)
+        .str.replace(r"&+$", "", regex=True)
     )
     path = path.mask(path == "", "/")
     rebuilt = scheme + "://" + host + path + ("?" + query).where(query != "", "")

@@ -17,6 +17,8 @@ per-user / per-document event streams; salt hot keys otherwise).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray.data
@@ -605,12 +607,18 @@ def user_cadence(
     Shape: the slim (key, ts[, tiebreak]) projection co-shuffles on
     hash(key) mod P (the sessionize discipline — never per-key
     map_groups); one vectorized pass per partition computes each
-    user's gap sums in closed form (n, sum g, sum g^2 with g in
-    float64 seconds — mirrored verbatim in the SQL twin: cv =
-    sqrt(max(n*S2 - S^2, 0)) / S, which is the population-std/mean
-    identity cleared of one division). Emits
-    (key, n_events, mean_gap_s, gap_cv, is_bot) for users with >= 2
-    events (a single event has no gaps)."""
+    user's gap sums in closed form. Cross-engine float discipline
+    (CLAUDE.md): the per-user sums S = sum(gap_us) and
+    S2 = sum(gap_us^2) are accumulated as EXACT integers
+    (microseconds / microseconds^2, Python int so S2 never overflows
+    int64 — a single 55-minute gap squared already would), so the
+    sums are order-free; each emitted double then rounds ONCE from
+    an exact integer: mean_gap_s = (float(S)/n)/1e6 and
+    cv = sqrt(float(max(n*S2 - S^2, 0))) / float(S) — mirrored
+    verbatim in the SQL twin with HUGEINT sums (n*S2 - S*S stays
+    int128-exact, CAST ... AS DOUBLE is the single rounding).
+    Emits (key, n_events, mean_gap_s, gap_cv, is_bot) for users
+    with >= 2 events (a single event has no gaps)."""
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         cols = [key, ts_col] + ([order_tiebreak] if order_tiebreak in b else [])
@@ -636,19 +644,29 @@ def user_cadence(
         ts = pd.to_datetime(g[ts_col]).astype("datetime64[us]").astype("int64").to_numpy()
         keys = g[key].to_numpy()
         same = keys[1:] == keys[:-1]
-        # diff-then-divide: the integer us difference is exact, and
-        # us/1e6 rounds once — bit-identical to the SQL twin's
-        # date_diff('microseconds')/1e6
-        gaps = (ts[1:] - ts[:-1]).astype("float64") / 1e6  # seconds
-        rows = pd.DataFrame({key: keys[1:][same], "g": gaps[same]})
+        # keep gaps as EXACT integer microseconds; sums of ints
+        # commute, so partition/aggregation order cannot perturb the
+        # emitted doubles (the r4 driver-hash flake)
+        gaps_us = ts[1:] - ts[:-1]  # int64 microseconds
+        rows = pd.DataFrame({key: keys[1:][same], "g": gaps_us[same]})
         counts = pd.Series(keys).value_counts()
-        agg = rows.groupby(key)["g"].agg(["count", "sum"])
-        agg["s2"] = rows.assign(g2=rows["g"] ** 2).groupby(key)["g2"].sum()
-        n = agg["count"].to_numpy(dtype="float64")
-        s = agg["sum"].to_numpy(dtype="float64")
-        s2 = agg["s2"].to_numpy(dtype="float64")
-        mean = s / n
-        cv = np.sqrt(np.maximum(n * s2 - s * s, 0.0)) / np.where(s > 0, s, 1.0)
+        grp = rows.groupby(key)["g"]
+        n_gaps = grp.count().to_numpy(dtype="int64")
+        # Python-int sums: g^2 of a 55-minute gap already overflows
+        # int64, and per-user totals must stay exact
+        s_int = grp.agg(lambda v: sum(int(x) for x in v))
+        s2_int = grp.agg(lambda v: sum(int(x) * int(x) for x in v))
+        mean = np.empty(len(n_gaps), dtype="float64")
+        cv = np.empty(len(n_gaps), dtype="float64")
+        for i, (n_i, s_i, s2_i) in enumerate(
+            zip(n_gaps.tolist(), s_int.tolist(), s2_int.tolist())
+        ):
+            # each double rounds ONCE from an exact integer —
+            # mirrored literally in the SQL twin (HUGEINT sums)
+            mean[i] = (float(s_i) / n_i) / 1e6
+            d = max(n_i * s2_i - s_i * s_i, 0)
+            cv[i] = math.sqrt(float(d)) / (float(s_i) if s_i > 0 else 1.0)
+        agg = pd.DataFrame(index=s_int.index)
         n_events = counts.reindex(agg.index).to_numpy(dtype="int64")
         return pd.DataFrame(
             {

@@ -2898,6 +2898,28 @@ def test_select_to_budget(ray_session):
             assert got == want, (budget, parts)
             if "w" in out.columns:
                 assert int(out.w.sum()) <= budget or budget > int(df.w.sum())
+    # string keep column + more partitions than rows (empty blocks):
+    # the empty-block guard must emit schema-compatible frames, not
+    # hard-coded int64 (ADVICE r4)
+    sdf = pd.DataFrame(
+        {
+            "id": np.arange(4, dtype=np.int64),
+            "name": ["a", "b", "c", "d"],
+            "q": [0.9, 0.8, 0.7, 0.6],
+            "w": np.array([5, 5, 5, 5], dtype=np.int64),
+        }
+    )
+    out = select_to_budget(
+        ray.data.from_pandas(sdf).repartition(3),
+        ["q", "id"],
+        [False, True],
+        weight_col="w",
+        budget=10,
+        keep_cols=["id", "name", "q"],
+        num_partitions=8,
+    ).to_pandas()
+    assert sorted(out.name) == ["a", "b"]
+    assert out.q.dtype == np.float64
 
 
 def test_component_size_histogram(ray_session):
@@ -3072,6 +3094,12 @@ def test_canonicalize_urls():
         "ftp://odd.example/file": "ftp://odd.example/file",
         "not a url": "not a url",
         "https://d.example/ok?keep=1": "https://d.example/ok?keep=1",
+        # boundary anchoring (ADVICE r4): a param NAME merely ending in
+        # a tracked name must survive intact, not leave '?x' residue
+        "https://e.example/p?xgclid=A": "https://e.example/p?xgclid=A",
+        "https://e.example/p?myutm_source=a": "https://e.example/p?myutm_source=a",
+        "https://e.example/p?utm_a=1&a=2": "https://e.example/p?a=2",
+        "https://e.example/p?fbclid=1&utm_b=2&c=3": "https://e.example/p?c=3",
     }
     got = canonicalize_urls(pd.Series(list(cases)))
     assert list(got) == list(cases.values())
@@ -3201,7 +3229,9 @@ def test_anchor_texts_and_target_terms(ray_session):
                     '<a href="https://t.example/y">great <i>tool</i></a>'
                     '<a href="https://t.example/z"><img src="i.png"></a>'
                 ).encode(),
-                '<a href="https://t.example/w">GREAT stuff</a>'.encode(),
+                # mixed-case scheme + host (ADVICE r4): must still
+                # count toward the same lowercase dst_host key
+                '<a href="HTTPS://T.Example/w">GREAT stuff</a>'.encode(),
             ],
         }
     )
@@ -3564,6 +3594,50 @@ def test_user_cadence_random_parity(ray_session):
         assert np.allclose(out.gap_cv, ref.gap_cv, atol=1e-9)
 
     run()
+
+
+def test_user_cadence_duckdb_bit_parity(ray_session):
+    """Cross-ENGINE hash stability (the r4 driver flake): the emitted
+    mean_gap_s/gap_cv doubles must be BIT-identical to the DuckDB twin
+    regardless of input partitioning, because both sides accumulate
+    exact integer-microsecond sums and round once. The earlier
+    Ray-vs-pandas Hypothesis test shares float ops with the op and
+    cannot catch sum-order drift — this one can."""
+    import duckdb
+    import ray.data
+
+    from pdf_extractor_ray.ops.windows import user_cadence
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-03-01")
+    # long gaps on purpose: hours-scale gaps squared overflow int64 µs²
+    offs = np.cumsum(rng.randint(1, 30_000_000, size=400))  # up to ~8h gaps
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.randint(1, 25, size=400).astype(np.int64),
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in offs],
+            "event_id": np.arange(400, dtype=np.int64),
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", ev)
+    sql = __import__("__ray_entry__").oracle_sql()["events_bot_cadence"]
+    want = con.execute(sql).df()
+    for parts in (1, 3, 7):
+        got = (
+            user_cadence(ray.data.from_pandas(ev).repartition(parts))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.user_id) == list(want.user_id)
+        # bit-exact: exact integer sums + one rounding on each side
+        assert (
+            got.mean_gap_s.to_numpy().tobytes()
+            == want.mean_gap_s.to_numpy().tobytes()
+        )
+        assert got.gap_cv.to_numpy().tobytes() == want.gap_cv.to_numpy().tobytes()
+        assert list(got.is_bot.astype("int64")) == list(want.is_bot)
 
 
 def test_temperature_sample(ray_session):

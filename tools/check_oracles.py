@@ -3,7 +3,10 @@ __ray_entry__.queries() callable and its oracle_sql() on the same
 parquet tables; compare row-count, column names, and order-insensitive
 values (floats rounded). Usage:
 
-    python tools/check_oracles.py [sf_dir]
+    python tools/check_oracles.py [sf_dir] [--only substr[,substr...]]
+
+--only filters query names by case-sensitive substring match (any of
+the comma-separated fragments) for fast iteration on one operator.
 """
 
 from __future__ import annotations
@@ -44,7 +47,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
     if not ray.is_initialized():
@@ -63,6 +72,8 @@ def main() -> int:
 
     t_start = time.monotonic()
     for name, fn in qs.items():
+        if only and not any(frag in name for frag in only):
+            continue
         t0 = time.monotonic()
         try:
             got = canon(to_pandas(fn(sf_dir)))
