@@ -1929,6 +1929,74 @@ def component_size_histogram(
     return hist.map_batches(rename, batch_format="pandas")
 
 
+def anchor_gram_candidates(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    anchor_rate_log2: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Containment-SENSITIVE candidate pairs via deterministic gram
+    sampling (Broder-style min-wise sampling with a fixed universal
+    threshold): every doc emits the shingle hashes whose top
+    `anchor_rate_log2` bits are zero (a 1/2^rate sample chosen by the
+    hash VALUE, so any two docs sharing a shingle automatically agree
+    on whether it is sampled); docs sharing any sampled "anchor" gram
+    become a candidate pair.
+
+    Why this beats symmetric Jaccard-LSH for containment: the hit
+    probability for a pair with intersection I is
+    1 - (1 - 2^-rate)^|I| — it depends ONLY on the absolute overlap,
+    never on the container's size, so a 300-shingle quote inside a
+    100x larger page is found with the same probability as inside a
+    2x page. Boundary: recall decays for ABSOLUTE-small overlaps
+    (|I| shingles ~ 2^rate or fewer); lower `anchor_rate_log2` to
+    trade exchange volume for small-quote recall.
+
+    Shape: the sampled-gram exchange is corpus_shingles / 2^rate rows
+    of (gram, doc_id) — linear, hash-partitioned on gram; pair
+    emission reuses the hot-bucket-capped vectorized bucket pass
+    (boilerplate grams shared by everything star-pair, as in LSH)."""
+    thresh = np.uint64(1) << np.uint64(64 - anchor_rate_log2)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        gram_out: list[np.ndarray] = []
+        id_out: list[np.ndarray] = []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            h = _shingle_hashes(str(text), k)
+            sel = h[h < thresh]
+            if len(sel):
+                gram_out.append(sel)
+                id_out.append(np.full(len(sel), doc_id, dtype=np.int64))
+        if not gram_out:
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "_part": pd.Series(dtype="int64"),
+                }
+            )
+        grams = np.concatenate(gram_out)
+        return pd.DataFrame(
+            {
+                "gram": grams.astype(np.int64),  # wrap-cast; identity preserved
+                "doc_id": np.concatenate(id_out),
+                "_part": (grams % np.uint64(num_partitions)).astype(np.int64),
+            }
+        )
+
+    def pairs_in_partition(g: pd.DataFrame) -> pa.Table:
+        return _pairs_in_buckets(g, ["gram"])
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+    return dedup_pairs_ds(pairs, num_partitions=num_partitions)
+
+
 def containment_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.8,
@@ -1939,26 +2007,45 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 32,
+    tier: str = "both",
+    anchor_rate_log2: int = 6,
 ) -> ray.data.Dataset:
     """CONTAINMENT detection: pairs where one document's shingle set
     is >= threshold contained in the other's (inter / min(|A|, |B|))
     — the quote/aggregator/mirror-with-extra-boilerplate case that
     symmetric Jaccard under-scores (a page embedded in a larger one
     has low Jaccard but containment ~ 1; Broder 1997 distinguishes
-    resemblance from containment). Candidates come from the SAME
-    MinHash-LSH band pass as minhash_dedup; the exact verify kernel
-    runs with the containment denominator via the two-exchange
-    co-shuffle. Returns the verified (a, b) pair Dataset.
+    resemblance from containment). The exact verify kernel runs with
+    the containment denominator via the two-exchange co-shuffle.
+    Returns the verified (a, b) pair Dataset.
 
-    Boundary (documented, inherent to Jaccard-LSH candidates): a doc
-    MUCH smaller than its container has low resemblance and can fall
-    below the band sensitivity — recall is reliable for size ratios
-    where jaccard >= roughly (1/bands)^(1/rows); fully
-    containment-sensitive candidate generation would band per size
-    class and is the scale-up path if aggregator pages dominate."""
-    sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
-    pairs = minhash_lsh_candidates(sigs, bands=bands, rows=rows, num_partitions=num_partitions)
+    Candidate tiers (`tier`):
+
+    - ``"lsh"``: the shared MinHash-LSH band pass (good when sizes are
+      comparable; a doc MUCH smaller than its container has low
+      resemblance and falls below band sensitivity at jaccard <
+      roughly (1/bands)^(1/rows) — the r4-documented recall boundary).
+    - ``"anchor"``: containment-sensitive sampled-gram candidates
+      (anchor_gram_candidates) whose hit probability depends only on
+      the absolute shingle overlap, never the size ratio — the
+      embedded-quote/aggregator recall fix.
+    - ``"both"`` (default): union of the two, deduplicated before the
+      single verify pass."""
+    cand: ray.data.Dataset | None = None
+    if tier in ("lsh", "both"):
+        sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
+        cand = minhash_lsh_candidates(sigs, bands=bands, rows=rows, num_partitions=num_partitions)
+    if tier in ("anchor", "both"):
+        anchors = anchor_gram_candidates(
+            ds, k=k, anchor_rate_log2=anchor_rate_log2,
+            id_col=id_col, text_col=text_col, num_partitions=num_partitions,
+        )
+        cand = anchors if cand is None else dedup_pairs_ds(
+            cand.union(anchors), num_partitions=num_partitions
+        )
+    if cand is None:
+        raise ValueError(f"unknown containment tier: {tier!r}")
     return _verified_pairs_shuffle(
-        ds, pairs, hash_kind="char_containment", param=k, threshold=threshold,
+        ds, cand, hash_kind="char_containment", param=k, threshold=threshold,
         id_col=id_col, text_col=text_col, num_partitions=num_partitions,
     )

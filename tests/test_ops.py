@@ -3288,6 +3288,45 @@ def test_hard_negatives(ray_session):
         assert set(r1.neg_id) == {10}
 
 
+def test_hard_negatives_bucketed_tier(ray_session):
+    """The IVF-bucketed scale tier (VERDICT r4 item 3): with every
+    bucket probed it EQUALS the exact miner (each pool vector lives in
+    exactly one bucket, so all pairs get scored); at n_probe=5 of 8
+    its rank-1 recall vs exact stays >= 0.8 on the fixture embeddings
+    (near-uniform vectors, IVF's worst case — measured 0.77/0.86/0.93
+    at probe 4/5/6) — the same bound style as the SRP near-dup test."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import hard_negatives
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    ds = ray.data.from_pandas(emb).repartition(4)
+    exact = hard_negatives(ds, k=3, tier="exact")
+    full = hard_negatives(
+        ds, k=3, tier="bucketed", n_centroids=8, n_probe=8
+    )
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full.reset_index(drop=True)
+    )
+    approx = hard_negatives(
+        ds, k=3, tier="bucketed", n_centroids=8, n_probe=5
+    )
+    e1 = exact[exact["rank"] == 1].set_index("vec_id").neg_id
+    a1 = approx[approx["rank"] == 1].set_index("vec_id").neg_id
+    hit = sum(
+        1 for vid in e1.index if vid in a1.index and a1.loc[vid] == e1.loc[vid]
+    )
+    assert hit / len(e1) >= 0.8, hit / len(e1)
+    # auto tier: small corpus routes exact
+    auto = hard_negatives(ds, k=3)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), auto.reset_index(drop=True)
+    )
+
+
 def test_semantic_outliers(ray_session):
     """Per-cluster z-scored centroid distance: planted far-out vector
     carries the cluster's max z; z is mean-0 within each cluster;
@@ -3717,3 +3756,52 @@ def test_containment_pairs(ray_session):
         )
         got = set(map(tuple, out[["a", "b"]].to_numpy()))
         assert got == {(0, 1)}, got
+
+
+def test_containment_anchor_tier_recovers_lsh_miss(ray_session):
+    """VERDICT r4 item 4: a short distinctive quote embedded in a ~40x
+    larger page has jaccard ~ 0.025 — far below even the sensitive
+    bands=32/rows=4 LSH threshold, so the pure-LSH tier MISSES it —
+    while the anchor-gram tier (hit probability depends only on the
+    absolute overlap, not the size ratio) recovers it. The default
+    'both' tier therefore finds it too, and never invents pairs among
+    the unrelated filler docs."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import containment_pairs, jaccard
+
+    rng = np.random.RandomState(7)
+
+    def prose(n_words: int, tag: str) -> str:
+        words = [f"{tag}{rng.randint(0, 4000):04d}" for _ in range(n_words)]
+        return " ".join(words)
+
+    quote = (
+        "the quick brown fox jumps over the lazy dog while the five "
+        "boxing wizards jump quickly and pack my box with dozen liquor jugs "
+        "sphinx of black quartz judge my vow amazingly few discotheques "
+        "provide jukeboxes for the waltzing matilda chorus line tonight"
+    )
+    container = prose(2000, "filler") + " " + quote + " " + prose(2600, "more")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                quote,
+                container,
+                prose(300, "aaa"),
+                prose(300, "bbb"),
+            ],
+        }
+    )
+    assert jaccard(quote, container) < 0.05  # symmetric LSH hopeless
+    ds = ray.data.from_pandas(docs).repartition(2)
+    lsh_only = containment_pairs(ds, threshold=0.9, bands=32, rows=4, tier="lsh").to_pandas()
+    lsh_pairs = (
+        set(map(tuple, lsh_only[["a", "b"]].to_numpy())) if len(lsh_only) else set()
+    )
+    assert (0, 1) not in lsh_pairs
+    for tier in ("anchor", "both"):
+        out = containment_pairs(ds, threshold=0.9, tier=tier).to_pandas()
+        got = set(map(tuple, out[["a", "b"]].to_numpy()))
+        assert got == {(0, 1)}, (tier, got)
