@@ -2142,6 +2142,46 @@ def _extract_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _extract_golden_match(sf_dir: str) -> pd.DataFrame:
+    """Flagship byte-identity through the DRIVER'S oracle (VERDICT r4
+    item 6): extract the COMMITTED fixture corpus
+    (tests/fixtures/pages.parquet) with the production pipeline and
+    join the result to the committed goldens on url, emitting
+    (n_docs, n_byte_identical). The DuckDB twin encodes the
+    north-rule expectation directly — every golden url extracted
+    byte-identically, i.e. both counts equal the golden row count —
+    so ANY extraction divergence flips the driver's hash_match red.
+    Join shape: the 502-row golden map broadcasts via ray.put; only
+    slim (url, ok) pairs leave the extraction stage."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.pipelines.extract import extraction_dataset
+
+    pages = os.path.join(_REPO, "tests", "fixtures", "pages.parquet")
+    golden = pq.read_table(
+        os.path.join(_REPO, "tests", "fixtures", "golden.parquet"),
+        columns=["url", "golden_text"],
+    )
+    gref = ray.put(dict(zip(golden["url"].to_pylist(), golden["golden_text"].to_pylist())))
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=4)
+    ds = extraction_dataset(pages, cfg).select_columns(["url", "extracted_text"])
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        gmap = ray.get(gref)
+        ok = [int(gmap.get(u) == t) for u, t in zip(b["url"], b["extracted_text"])]
+        return pd.DataFrame({"url": b["url"], "ok": np.asarray(ok, dtype=np.int64)})
+
+    pairs = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    # the generator's deliberate duplicate urls carry identical
+    # payloads; the identity contract is per unique url
+    pairs = pairs.drop_duplicates("url")
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([len(pairs)], dtype=np.int64),
+            "n_byte_identical": np.array([int(pairs["ok"].sum())], dtype=np.int64),
+        }
+    )
+
+
 def _media_payload(i: int, kind: str) -> bytes:
     """One deterministic REAL media payload for doc_id `i`: PNG / BMP /
     GIF / baseline-JPEG gradient images, 16-bit PCM WAV tones, or
@@ -2480,7 +2520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_semantic_dedup": _docs_semantic_dedup,
         "docs_source_cap": _docs_source_cap,
         "similarity_topk_filtered": _similarity_topk_filtered,
-        # -- extraction pipelines (rows-only by nature) ----------------
+        # -- extraction pipelines ----------------
+        "extract_golden_match": _extract_golden_match,
         "extract_corpus": _extract_corpus,
         "extract_dedup_sorted_urls": _extract_dedup_sorted_urls,
         "extract_consensus": _extract_consensus,
@@ -2610,6 +2651,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the north-rule byte-identity contract as a driver-checkable
+        # value: the twin asserts that BOTH counts equal the committed
+        # golden row count (extraction can't run in SQL; the oracle
+        # encodes its expected outcome — any divergent url makes the
+        # Ray side's n_byte_identical smaller and the hash red)
+        "extract_golden_match": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_byte_identical
+            FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "golden.parquet")}')
+        """,
         # engine sums are exact scaled-int64 at 4 decimals; DECIMAL(38,4)
         # casts here make the oracle's sums identically exact
         "docs_bm25_topk": r"""
