@@ -307,6 +307,8 @@ def run_queries() -> dict[str, float]:
         "embeddings_pca",
         "docs_compression_ratio",
         "extract_host_pagerank",
+        "extract_golden_match",
+        "docs_pii_redact",
         "training_data_pipeline",
     ]
     qs = e.queries()
