@@ -189,11 +189,13 @@ class MinHasher:
         self.k = k
         self.num_perm = num_perm
 
-    def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k)  # (S,)
+    def signature_from_hashes(self, h: np.ndarray) -> np.ndarray:
         # (a*h + b) mod p over all perms: (P, S) -> min over S
         vals = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signature_from_hashes(_shingle_hashes(text, self.k))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack([self.signature(t) for t in batch["text"]])
@@ -1997,6 +1999,73 @@ def anchor_gram_candidates(
     return dedup_pairs_ds(pairs, num_partitions=num_partitions)
 
 
+def _sig_anchor_task(
+    batch: pd.DataFrame, num_perm: int, k: int, rate_log2: int,
+    id_col: str, text_col: str,
+) -> pd.DataFrame:
+    """Fused minhash-signature + anchor-gram pass: ONE _shingle_hashes
+    scan per doc feeds both candidate tiers of containment_pairs (the
+    gram hash is the dominant per-doc cost; running the tiers from
+    separate scans doubled it)."""
+    key = ("minhash", num_perm, k)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_perm=num_perm, k=k)
+    thresh = np.uint64(1) << np.uint64(64 - rate_log2)
+    sigs: list[np.ndarray] = []
+    anchors: list[np.ndarray] = []
+    for t in batch[text_col]:
+        hh = _shingle_hashes(str(t), k)
+        sigs.append(h.signature_from_hashes(hh))
+        anchors.append(hh[hh < thresh])
+    out = batch[[id_col]].copy()
+    if id_col != "doc_id":
+        out = out.rename(columns={id_col: "doc_id"})
+    out["sig"] = sigs
+    out["anchor"] = anchors
+    return out
+
+
+def _anchor_pairs_from_col(
+    combo: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Candidate pairs from a precomputed per-doc anchor-gram column
+    (see _sig_anchor_task); same exchange shape as
+    anchor_gram_candidates but without re-hashing the text."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        gram_out: list[np.ndarray] = []
+        id_out: list[np.ndarray] = []
+        for doc_id, sel in zip(batch["doc_id"], batch["anchor"]):
+            sel = np.asarray(sel, dtype=np.uint64)
+            if len(sel):
+                gram_out.append(sel)
+                id_out.append(np.full(len(sel), doc_id, dtype=np.int64))
+        if not gram_out:
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "_part": pd.Series(dtype="int64"),
+                }
+            )
+        grams = np.concatenate(gram_out)
+        return pd.DataFrame(
+            {
+                "gram": grams.astype(np.int64),
+                "doc_id": np.concatenate(id_out),
+                "_part": (grams % np.uint64(num_partitions)).astype(np.int64),
+            }
+        )
+
+    pairs = (
+        combo.map_batches(explode, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(lambda g: _pairs_in_buckets(g, ["gram"]), batch_format="pandas")
+    )
+    return dedup_pairs_ds(pairs, num_partitions=num_partitions)
+
+
 def containment_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.8,
@@ -2030,20 +2099,35 @@ def containment_pairs(
       the absolute shingle overlap, never the size ratio — the
       embedded-quote/aggregator recall fix.
     - ``"both"`` (default): union of the two, deduplicated before the
-      single verify pass."""
-    cand: ray.data.Dataset | None = None
-    if tier in ("lsh", "both"):
+      single verify pass. The two tiers share ONE fused gram-hash scan
+      (_sig_anchor_task — hashing the shingles dominates per-doc cost)
+      whose slim (id, 128-u64 sig, few anchors) output is materialized
+      once and feeds both candidate exchanges; no text is held."""
+    if tier == "both":
+        combo = ds.map_batches(
+            _sig_anchor_task,
+            fn_kwargs={
+                "num_perm": num_perm, "k": k, "rate_log2": anchor_rate_log2,
+                "id_col": id_col, "text_col": text_col,
+            },
+            batch_format="pandas",
+            batch_size=128,
+        ).materialize()  # slim, bounded: ~1KB/doc, consumed by 2 branches
+        cand = dedup_pairs_ds(
+            minhash_lsh_candidates(
+                combo, bands=bands, rows=rows, num_partitions=num_partitions
+            ).union(_anchor_pairs_from_col(combo, num_partitions)),
+            num_partitions=num_partitions,
+        )
+    elif tier == "lsh":
         sigs = minhash_signatures(ds, num_perm=num_perm, k=k)
         cand = minhash_lsh_candidates(sigs, bands=bands, rows=rows, num_partitions=num_partitions)
-    if tier in ("anchor", "both"):
-        anchors = anchor_gram_candidates(
+    elif tier == "anchor":
+        cand = anchor_gram_candidates(
             ds, k=k, anchor_rate_log2=anchor_rate_log2,
             id_col=id_col, text_col=text_col, num_partitions=num_partitions,
         )
-        cand = anchors if cand is None else dedup_pairs_ds(
-            cand.union(anchors), num_partitions=num_partitions
-        )
-    if cand is None:
+    else:
         raise ValueError(f"unknown containment tier: {tier!r}")
     return _verified_pairs_shuffle(
         ds, cand, hash_kind="char_containment", param=k, threshold=threshold,
