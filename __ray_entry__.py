@@ -1912,6 +1912,22 @@ def _docs_pii_redact(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_lang_percentile(sf_dir: str) -> pd.DataFrame:
+    """Per-language percentile normalization (ops/rank.
+    grouped_percent_rank): percent_rank of n_chars within each lang —
+    the cross-group score normalizer a blended multi-language
+    selection needs. One range-partitioned global rank with lang as
+    the lead key + a k-row per-lang (min rank, count) exchange; SQL
+    twin is percent_rank() PARTITION BY lang."""
+    from pdf_extractor_ray.ops.rank import grouped_percent_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_percent_rank(docs, "lang", "n_chars", "doc_id").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_decontaminated(sf_dir: str) -> pd.DataFrame:
     """Eval-phrase decontamination: drop every doc containing any
     blocklisted literal phrase (broadcast blocklist, vectorized
@@ -2505,10 +2521,11 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # registered). Ordering is a deliberate ROTATION POLICY, not a name
 # list: queries with the fewest / oldest prior driver rows come first.
 # Round-5 first 50:
-#   1-2    extract_golden_match (NEW oracled byte-identity gate for
-#          the flagship extraction pipeline, VERDICT r4 item 6) and
-#          docs_pii_redact (NEW r5 regex-parity PII scrub);
-#   3-40   every query that has NEVER had a driver row (the mid/late-r4
+#   1-3    the NEW r5 oracled queries: extract_golden_match (byte-
+#          identity gate for the flagship pipeline, VERDICT r4 item
+#          6), docs_pii_redact (regex-parity PII scrub) and
+#          docs_lang_percentile (per-group percentile normalizer);
+#   4-41   every query that has NEVER had a driver row (the mid/late-r4
 #          wave displaced past r4's cap: weighted/mixture/perplexity
 #          sampling, delta dedup, winnow, KL, funnel/retention/
 #          anomalies, gini, quality blend, PMI, triangles, export
@@ -2516,7 +2533,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 #          NB lang/report, image neardup, span scrub, components,
 #          postings, link graph, url filter, t-digest, PCA,
 #          compression, domain cap, keep-best);
-#   41-50  the longest-idle r3-checked queries (exact-green r3, no
+#   42-50  the longest-idle r3-checked queries (exact-green r3, no
 #          row since).
 # Everything past position 50 is either (a) one of the 31 remaining
 # r3-driver-green relational/window queries (rows exactly two rounds
@@ -2545,6 +2562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    r3-checked queries -------------------------------------------
         "extract_golden_match": _extract_golden_match,
         "docs_pii_redact": _docs_pii_redact,
+        "docs_lang_percentile": _docs_lang_percentile,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
@@ -2692,6 +2710,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_byte_identical
             FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "golden.parquet")}')
+        """,
+        "docs_lang_percentile": """
+            SELECT doc_id, lang, n_chars,
+                   percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS pct_rank
+            FROM documents ORDER BY doc_id
         """,
         # PII redaction parity: the stage order (email -> ipv4 ->
         # phone), per-stage count-then-replace, and the regexes

@@ -309,6 +309,7 @@ def run_queries() -> dict[str, float]:
         "extract_host_pagerank",
         "extract_golden_match",
         "docs_pii_redact",
+        "docs_lang_percentile",
         "training_data_pipeline",
     ]
     qs = e.queries()

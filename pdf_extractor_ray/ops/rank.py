@@ -137,6 +137,79 @@ def global_rank(
     return parted.groupby("_rpart").map_groups(rank_partition, batch_format="pandas")
 
 
+def grouped_percent_rank(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out_col: str = "pct_rank",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value,
+    id)`` — the cross-group score normalizer (percentile-normalize
+    quality scores within each language/source so one group's score
+    scale doesn't dominate a blended selection).
+
+    Shape: ONE global range-partitioned rank over (group, value, id)
+    — global_rank's three-pass machinery with the group as the lead
+    sort key, so a group never straddles partitions by construction —
+    then a tiny (group -> min rank, count) exchange (k rows, k =
+    group cardinality: languages / sources, bounded by design)
+    broadcast back into a shuffle-free pass computing
+    pct = (rank - min_rank) / (n - 1). Both engines perform the same
+    single int->double division, so the doubles match bitwise."""
+    ranked = global_rank(
+        ds,
+        [group_col, value_col, id_col],
+        keep_cols=[group_col, value_col, id_col],
+        rank_col="_gr",
+        num_partitions=num_partitions,
+    )
+
+    def local_stats(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or group_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype="object"),
+                    "mn": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        g = b.groupby(group_col, sort=False)["_gr"].agg(["min", "size"])
+        return pd.DataFrame(
+            {
+                group_col: g.index.to_numpy(),
+                "mn": g["min"].to_numpy(dtype="int64"),
+                "n": g["size"].to_numpy(dtype="int64"),
+            }
+        )
+
+    stats = ranked.map_batches(local_stats, batch_format="pandas").to_pandas()
+    agg = stats.groupby(group_col).agg(mn=("mn", "min"), n=("n", "sum"))
+    mins = agg["mn"].to_dict()
+    ns = agg["n"].to_dict()
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "_gr" not in b.columns:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype="object"),
+                    value_col: pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="int64"),
+                    out_col: pd.Series(dtype="float64"),
+                }
+            )
+        mn = b[group_col].map(mins).to_numpy(dtype="int64")
+        n = b[group_col].map(ns).to_numpy(dtype="int64")
+        num = (b["_gr"].to_numpy(dtype="int64") - mn).astype("float64")
+        den = np.maximum(n - 1, 1).astype("float64")
+        out = b[[group_col, value_col, id_col]].copy()
+        out[out_col] = num / den
+        return out
+
+    return ranked.map_batches(attach, batch_format="pandas")
+
+
 def global_prefix_sum(
     ds: ray.data.Dataset,
     keys: Sequence[str],

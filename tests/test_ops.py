@@ -2956,6 +2956,49 @@ def test_select_to_budget(ray_session):
     assert out.q.dtype == np.float64
 
 
+def test_grouped_percent_rank(ray_session):
+    """percent_rank within each group matches the pandas closed form
+    ((rank-1)/(n-1), 0 for singleton groups), endpoints are exactly
+    0 and 1, partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import grouped_percent_rank
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(301, dtype=np.int64),
+            "lang": ["en"] * 150 + ["ja"] * 100 + ["de"] * 50 + ["xx"],  # singleton group
+            "n_chars": rng.randint(10, 10_000, size=301).astype(np.int64),
+        }
+    )
+    want = {}
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        den = max(len(g) - 1, 1)
+        for pos, doc in enumerate(g.doc_id):
+            want[doc] = pos / den
+    outs = []
+    for parts in (1, 5):
+        out = (
+            grouped_percent_rank(
+                ray.data.from_pandas(df).repartition(parts), "lang", "n_chars", "doc_id"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        assert len(out) == len(df)
+        for doc, pct in zip(out.doc_id, out.pct_rank):
+            assert pct == want[doc], (doc, pct, want[doc])
+        for lang in ("en", "ja", "de"):
+            grp = out[out.lang == lang]
+            assert grp.pct_rank.min() == 0.0 and grp.pct_rank.max() == 1.0
+        assert float(out[out.lang == "xx"].pct_rank.iloc[0]) == 0.0
+    assert outs[0].equals(outs[1])
+
+
 def test_component_size_histogram(ray_session):
     """Histogram of dup-cluster sizes from a component labeling: two
     grouped reductions, partition-invariant."""
@@ -3839,3 +3882,35 @@ def test_containment_anchor_tier_recovers_lsh_miss(ray_session):
         out = containment_pairs(ds, threshold=0.9, tier=tier).to_pandas()
         got = set(map(tuple, out[["a", "b"]].to_numpy()))
         assert got == {(0, 1)}, (tier, got)
+
+
+def test_containment_anchor_size_ratio_sweep(ray_session):
+    """Anchor-tier recall is container-size INDEPENDENT by
+    construction: the same ~600-char quote embedded at size ratios
+    10x / 40x / 100x is recovered at every ratio (hit probability
+    1-(1-2^-rate)^|I| depends only on the quote's own shingle count),
+    across several seeds."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import containment_pairs
+
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+
+        def prose(n_words: int, tag: str) -> str:
+            return " ".join(f"{tag}{rng.randint(0, 9000):04d}" for _ in range(n_words))
+
+        quote = prose(90, f"quote{seed}x")  # ~600 chars of distinctive text
+        rows = [(0, quote)]
+        for j, ratio in enumerate((10, 40, 100), start=1):
+            n_fill = 90 * ratio
+            body = prose(n_fill // 2, f"f{seed}{j}a") + " " + quote + " " + prose(
+                n_fill - n_fill // 2, f"f{seed}{j}b"
+            )
+            rows.append((j, body))
+        docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+        out = containment_pairs(
+            ray.data.from_pandas(docs).repartition(2), threshold=0.9, tier="anchor"
+        ).to_pandas()
+        got = set(map(tuple, out[["a", "b"]].to_numpy())) if len(out) else set()
+        assert {(0, 1), (0, 2), (0, 3)} <= got, (seed, got)
