@@ -1928,6 +1928,29 @@ def _docs_lang_percentile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_budget_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language budgeted selection (ops/rank.
+    select_to_budget_per_group): fill each language's 12,000-char
+    budget with its longest documents — one hash(lang)-mod-P
+    co-shuffle, int64-exact per-group running sums. SQL twin is the
+    per-partition QUALIFY running-window sum."""
+    from pdf_extractor_ray.ops.rank import select_to_budget_per_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = select_to_budget_per_group(
+        docs,
+        "lang",
+        ["n_chars", "doc_id"],
+        [False, True],
+        weight_col="n_chars",
+        budget=12_000,
+        keep_cols=["doc_id", "lang", "n_chars"],
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_decontaminated(sf_dir: str) -> pd.DataFrame:
     """Eval-phrase decontamination: drop every doc containing any
     blocklisted literal phrase (broadcast blocklist, vectorized
@@ -2521,11 +2544,12 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # registered). Ordering is a deliberate ROTATION POLICY, not a name
 # list: queries with the fewest / oldest prior driver rows come first.
 # Round-5 first 50:
-#   1-3    the NEW r5 oracled queries: extract_golden_match (byte-
+#   1-4    the NEW r5 oracled queries: extract_golden_match (byte-
 #          identity gate for the flagship pipeline, VERDICT r4 item
-#          6), docs_pii_redact (regex-parity PII scrub) and
-#          docs_lang_percentile (per-group percentile normalizer);
-#   4-41   every query that has NEVER had a driver row (the mid/late-r4
+#          6), docs_pii_redact (regex-parity PII scrub),
+#          docs_lang_percentile (per-group percentile normalizer) and
+#          docs_budget_by_lang (per-group budgeted selection);
+#   5-42   every query that has NEVER had a driver row (the mid/late-r4
 #          wave displaced past r4's cap: weighted/mixture/perplexity
 #          sampling, delta dedup, winnow, KL, funnel/retention/
 #          anomalies, gini, quality blend, PMI, triangles, export
@@ -2533,7 +2557,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 #          NB lang/report, image neardup, span scrub, components,
 #          postings, link graph, url filter, t-digest, PCA,
 #          compression, domain cap, keep-best);
-#   42-50  the longest-idle r3-checked queries (exact-green r3, no
+#   43-50  the longest-idle r3-checked queries (exact-green r3, no
 #          row since).
 # Everything past position 50 is either (a) one of the 31 remaining
 # r3-driver-green relational/window queries (rows exactly two rounds
@@ -2563,6 +2587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_golden_match": _extract_golden_match,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
+        "docs_budget_by_lang": _docs_budget_by_lang,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
@@ -2717,6 +2742,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lang ORDER BY n_chars, doc_id
                    ) AS pct_rank
             FROM documents ORDER BY doc_id
+        """,
+        "docs_budget_by_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY sum(n_chars) OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                ROWS UNBOUNDED PRECEDING
+            ) <= 12000
+            ORDER BY doc_id
         """,
         # PII redaction parity: the stage order (email -> ipv4 ->
         # phone), per-stage count-then-replace, and the regexes

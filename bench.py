@@ -310,6 +310,7 @@ def run_queries() -> dict[str, float]:
         "extract_golden_match",
         "docs_pii_redact",
         "docs_lang_percentile",
+        "docs_budget_by_lang",
         "training_data_pipeline",
     ]
     qs = e.queries()

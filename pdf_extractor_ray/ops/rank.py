@@ -357,6 +357,71 @@ def select_to_budget(
     return pref.map_batches(cut, batch_format="pandas")
 
 
+def select_to_budget_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    keys: Sequence[str],
+    ascending: Sequence[bool],
+    weight_col: str,
+    budget: int | dict,
+    keep_cols: Sequence[str] | None = None,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Greedy budgeted selection WITHIN each group: per group, keep
+    the best prefix of the (keys, ascending) order whose inclusive
+    cumulative `weight_col` fits that group's budget — "fill each
+    language's token budget with its best documents", the per-group
+    form of select_to_budget. `budget` is a scalar or a
+    {group: budget} dict (missing groups keep nothing). SQL:
+    ``QUALIFY sum(w) OVER (PARTITION BY group ORDER BY keys ROWS
+    UNBOUNDED PRECEDING) <= budget``.
+
+    Shape: rows co-shuffle on hash(group) mod P (each group lands
+    whole in one partition at ANY group cardinality — the sessionize
+    discipline, never per-group map_groups); one vectorized pass per
+    partition sorts by (group, keys), cumsums int64-exact weights per
+    group, and filters. Pass a unique id as the last key for a total
+    order."""
+    cols = list(keep_cols) if keep_cols is not None else None
+    bmap = budget if isinstance(budget, dict) else None
+    bscalar = int(budget) if not isinstance(budget, dict) else 0
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if len(b) == 0:
+            b["_part"] = pd.Series(dtype="int64")
+            return b
+        b["_part"] = (
+            pd.util.hash_array(b[group_col].to_numpy()) % num_partitions
+        ).astype(np.int64)
+        return b
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = cols if cols is not None else [
+            c for c in g.columns if c not in ("_part",)
+        ]
+        if g.empty or group_col not in g.columns:
+            return g.drop(columns=["_part"], errors="ignore").iloc[0:0]
+        g = g.sort_values(
+            [group_col, *keys], ascending=[True, *ascending], kind="stable"
+        )
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        cum = pd.Series(w).groupby(g[group_col].to_numpy(), sort=False).cumsum().to_numpy()
+        if bmap is not None:
+            caps = g[group_col].map(bmap).fillna(0).to_numpy(dtype=np.int64)
+        else:
+            caps = np.full(len(g), bscalar, dtype=np.int64)
+        keep = cum <= caps
+        g = g[keep].drop(columns=["_part"])
+        return g[out_cols]
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(cut, batch_format="pandas")
+    )
+
+
 def gini_coefficient(
     ds: ray.data.Dataset,
     value_col: str,

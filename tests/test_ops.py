@@ -2999,6 +2999,51 @@ def test_grouped_percent_rank(ray_session):
     assert outs[0].equals(outs[1])
 
 
+def test_select_to_budget_per_group(ray_session):
+    """Per-group budgeted selection equals the per-group greedy prefix
+    (inclusive fit, straddler dropped); dict budgets apply per group
+    and absent groups keep nothing; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import select_to_budget_per_group
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(120, dtype=np.int64),
+            "g": np.repeat(["a", "b", "c"], 40),
+            "q": rng.permutation(120).astype(np.float64),
+            "w": rng.randint(1, 30, size=120).astype(np.int64),
+        }
+    )
+
+    def want_ids(budget_of):
+        keep = []
+        for g, grp in df.groupby("g"):
+            grp = grp.sort_values(["q", "id"], ascending=[False, True])
+            cum = grp.w.cumsum()
+            keep += list(grp.id[cum <= budget_of(g)])
+        return set(keep)
+
+    for parts in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = select_to_budget_per_group(
+            ds, "g", ["q", "id"], [False, True], weight_col="w", budget=100,
+            keep_cols=["id", "g", "w"],
+        ).to_pandas()
+        assert set(out.id) == want_ids(lambda g: 100), parts
+        per_g = out.groupby("g").w.sum()
+        assert (per_g <= 100).all()
+        # dict budgets: group c absent -> keeps nothing
+        out2 = select_to_budget_per_group(
+            ds, "g", ["q", "id"], [False, True], weight_col="w",
+            budget={"a": 50, "b": 200},
+            keep_cols=["id", "g", "w"],
+        ).to_pandas()
+        assert set(out2.id) == want_ids(lambda g: {"a": 50, "b": 200}.get(g, 0))
+        assert "c" not in set(out2.g)
+
+
 def test_component_size_histogram(ray_session):
     """Histogram of dup-cluster sizes from a component labeling: two
     grouped reductions, partition-invariant."""
