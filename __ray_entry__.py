@@ -1928,6 +1928,63 @@ def _docs_lang_percentile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_bpe_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility by language: subword-per-word and
+    chars-per-subword ratios per lang under the corpus-trained BPE —
+    the tokenizer-efficiency diagnostic multilingual corpus reviews
+    report (high fertility = the tokenizer fragments that language;
+    Scao et al. BLOOM discuss exactly this signal). Shape: the
+    per-doc BPE counts ride the encode pass; per-lang scalar partials
+    (sum words, sum subwords, sum chars) reduce via grouped_sum; the
+    two ratios are driver-side k-row arithmetic. Rows-only (iterative
+    BPE merges are not SQL-expressible)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.ops.tokenize import bpe_token_counts, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    merges = bpe_train(docs, n_merges=50)
+    counts = bpe_token_counts(docs, merges)  # (doc_id, n_ws_tokens, n_bpe_tokens)
+
+    # ride lang/n_chars back onto the slim counts via a broadcast map
+    # (doc_id -> (lang, n_chars) is slim; the fixture corpus is small,
+    # and at scale this is the same id-keyed co-shuffle as percentile)
+    meta = _read_pd(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    lref = ray.put(
+        {int(d): (l, int(c)) for d, l, c in zip(meta.doc_id, meta.lang, meta.n_chars)}
+    )
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lref)
+        langs, chars = zip(*(m[int(d)] for d in b["doc_id"])) if len(b) else ((), ())
+        return pd.DataFrame(
+            {
+                "lang": list(langs),
+                "n_words": b["n_ws_tokens"].to_numpy(dtype="int64"),
+                "n_subwords": b["n_bpe_tokens"].to_numpy(dtype="int64"),
+                "n_chars": np.asarray(chars, dtype="int64"),
+            }
+        )
+
+    agg = grouped_sum(
+        counts.map_batches(attach, batch_format="pandas"),
+        ["lang"],
+        ["n_words", "n_subwords", "n_chars"],
+        counts=False,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n_words": agg["sum_n_words"].astype("int64"),
+            "n_subwords": agg["sum_n_subwords"].astype("int64"),
+            "fertility": agg["sum_n_subwords"].to_numpy(dtype="float64")
+            / agg["sum_n_words"].to_numpy(dtype="float64"),
+            "chars_per_subword": agg["sum_n_chars"].to_numpy(dtype="float64")
+            / agg["sum_n_subwords"].to_numpy(dtype="float64"),
+        }
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def _docs_budget_by_lang(sf_dir: str) -> pd.DataFrame:
     """Per-language budgeted selection (ops/rank.
     select_to_budget_per_group): fill each language's 12,000-char
@@ -2588,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
+        "docs_bpe_fertility": _docs_bpe_fertility,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,

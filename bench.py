@@ -311,6 +311,7 @@ def run_queries() -> dict[str, float]:
         "docs_pii_redact",
         "docs_lang_percentile",
         "docs_budget_by_lang",
+        "docs_bpe_fertility",
         "training_data_pipeline",
     ]
     qs = e.queries()

