@@ -1985,6 +1985,26 @@ def _docs_bpe_fertility(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _embeddings_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Semantic decontamination against a held-out set (ops/similarity
+    .embedding_decontaminate): drop corpus vectors within cosine 0.8
+    of ANY test vector (every 20th vec_id stands in as the benchmark
+    set — its members drop at cos(self)=1). Broadcast test matrix,
+    (B x T) tiles, no shuffle; SQL twin is NOT-EXISTS-style max-cos
+    filtering over list_cosine_similarity."""
+    from pdf_extractor_ray.ops.similarity import embedding_decontaminate
+
+    emb = _read_pd(sf_dir, "embeddings", ["vec_id", "embedding"])
+    test = np.stack(emb.loc[emb.vec_id % 20 == 0, "embedding"].to_numpy())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    out = embedding_decontaminate(
+        ds, test, threshold=0.8, keep_cols=["vec_id", "label"]
+    ).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _docs_budget_by_lang(sf_dir: str) -> pd.DataFrame:
     """Per-language budgeted selection (ops/rank.
     select_to_budget_per_group): fill each language's 12,000-char
@@ -2601,12 +2621,13 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # registered). Ordering is a deliberate ROTATION POLICY, not a name
 # list: queries with the fewest / oldest prior driver rows come first.
 # Round-5 first 50:
-#   1-4    the NEW r5 oracled queries: extract_golden_match (byte-
-#          identity gate for the flagship pipeline, VERDICT r4 item
-#          6), docs_pii_redact (regex-parity PII scrub),
-#          docs_lang_percentile (per-group percentile normalizer) and
-#          docs_budget_by_lang (per-group budgeted selection);
-#   5-42   every query that has NEVER had a driver row (the mid/late-r4
+#   first  the NEW r5 queries: extract_golden_match (byte-identity
+#          gate for the flagship pipeline, VERDICT r4 item 6),
+#          docs_pii_redact (regex-parity PII scrub),
+#          docs_lang_percentile (per-group percentile normalizer),
+#          docs_budget_by_lang (per-group budgeted selection) and
+#          docs_bpe_fertility (tokenizer fertility by language);
+#   then   every query that has NEVER had a driver row (the mid/late-r4
 #          wave displaced past r4's cap: weighted/mixture/perplexity
 #          sampling, delta dedup, winnow, KL, funnel/retention/
 #          anomalies, gini, quality blend, PMI, triangles, export
@@ -2614,8 +2635,8 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 #          NB lang/report, image neardup, span scrub, components,
 #          postings, link graph, url filter, t-digest, PCA,
 #          compression, domain cap, keep-best);
-#   43-50  the longest-idle r3-checked queries (exact-green r3, no
-#          row since).
+#   last   filling to 50: the longest-idle r3-checked queries
+#          (exact-green r3, no row since).
 # Everything past position 50 is either (a) one of the 31 remaining
 # r3-driver-green relational/window queries (rows exactly two rounds
 # old — they rotate back in r6) or (b) a query freshly driver-checked
@@ -2646,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
         "docs_bpe_fertility": _docs_bpe_fertility,
+        "embeddings_decontaminate": _embeddings_decontaminate,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
@@ -2808,6 +2830,20 @@ def oracle_sql() -> dict[str, str]:
                 ROWS UNBOUNDED PRECEDING
             ) <= 12000
             ORDER BY doc_id
+        """,
+        "embeddings_decontaminate": """
+            WITH test AS (
+                SELECT embedding FROM embeddings WHERE vec_id % 20 = 0
+            ), s AS (
+                SELECT e.vec_id, e.label,
+                       max(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(t.embedding AS DOUBLE[]))) AS max_test_cos
+                FROM embeddings e CROSS JOIN test t
+                GROUP BY e.vec_id, e.label
+            )
+            SELECT vec_id, label, max_test_cos FROM s
+            WHERE max_test_cos < 0.8 ORDER BY vec_id
         """,
         # PII redaction parity: the stage order (email -> ipv4 ->
         # phone), per-stage count-then-replace, and the regexes

@@ -312,6 +312,7 @@ def run_queries() -> dict[str, float]:
         "docs_lang_percentile",
         "docs_budget_by_lang",
         "docs_bpe_fertility",
+        "embeddings_decontaminate",
         "training_data_pipeline",
     ]
     qs = e.queries()

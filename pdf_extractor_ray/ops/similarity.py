@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 import ray
@@ -722,6 +724,54 @@ def _hard_negatives_bucketed(
             }
         )
     return out.sort_values([id_col, "rank"], kind="stable").reset_index(drop=True)
+
+
+def embedding_decontaminate(
+    ds: ray.data.Dataset,
+    test_vecs: np.ndarray,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: Sequence[str] | None = None,
+    block_rows: int = 4096,
+) -> ray.data.Dataset:
+    """Semantic decontamination against a held-out set: drop every
+    corpus row whose embedding is cosine->= `threshold` similar to ANY
+    test vector — the embedding-space complement of the n-gram /
+    Bloom decontaminations in ops/scrub (paraphrased eval leakage
+    that exact text matching misses; the Phi-style 'semantic dedup
+    against the benchmark' pass).
+
+    Shape: the (T x d) test matrix broadcasts ONCE via ray.put (the
+    small side of an asymmetric join — never a shuffle); each task
+    scores its rows in one (B x T) float64 tile and keeps rows whose
+    max test-cosine stays below threshold. Emits keep_cols +
+    max_test_cos. Fully SQL-oracle-able (NOT EXISTS over
+    list_cosine_similarity)."""
+    t = _normalize_rows(np.asarray(test_vecs, dtype=np.float64))
+    tref = ray.put(t)
+    cols = list(keep_cols) if keep_cols is not None else [id_col]
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        empty_cols = {c: pd.Series(dtype="object") for c in cols}
+        empty_cols["max_test_cos"] = pd.Series(dtype="float64")
+        if len(batch) == 0:
+            return pd.DataFrame(empty_cols)
+        tm = _QUERY_CACHE.get(("edc", tref.hex()))
+        if tm is None:
+            tm = _QUERY_CACHE[("edc", tref.hex())] = ray.get(tref)
+        out_frames = []
+        for i0 in range(0, len(batch), block_rows):
+            b = batch.iloc[i0 : i0 + block_rows]
+            m = _normalize_rows(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+            mx = (m @ tm.T).max(axis=1)
+            keep = mx < threshold
+            out = b.loc[keep, cols].copy()
+            out["max_test_cos"] = mx[keep]
+            out_frames.append(out)
+        return pd.concat(out_frames, ignore_index=True) if out_frames else pd.DataFrame(empty_cols)
+
+    return ds.map_batches(f, batch_format="pandas")
 
 
 def semantic_outliers(

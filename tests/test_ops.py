@@ -3469,6 +3469,41 @@ def test_hard_negatives_bucketed_tier(ray_session):
     )
 
 
+def test_embedding_decontaminate(ray_session):
+    """Semantic decontamination: test-set members drop (cos(self)=1),
+    a planted near-paraphrase of a test vector drops, orthogonal
+    corpus rows survive with their max_test_cos; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import embedding_decontaminate
+
+    test = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    corpus = pd.DataFrame(
+        {
+            "vec_id": np.arange(5, dtype=np.int64),
+            "embedding": [
+                [1.0, 0.0, 0.0],     # exact test member -> drop
+                [0.98, 0.2, 0.0],    # paraphrase of test[0] -> drop
+                [0.0, 0.0, 1.0],     # orthogonal -> keep
+                [0.5, 0.5, 0.7071],  # cos ~ 0.5 to both -> keep
+                [0.1, 0.99, 0.0],    # paraphrase of test[1] -> drop
+            ],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            embedding_decontaminate(
+                ray.data.from_pandas(corpus).repartition(parts), test, threshold=0.9
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert list(out.vec_id) == [2, 3]
+        assert (out.max_test_cos < 0.9).all()
+        assert abs(out.max_test_cos.iloc[0] - 0.0) < 1e-12
+
+
 def test_semantic_outliers(ray_session):
     """Per-cluster z-scored centroid distance: planted far-out vector
     carries the cluster's max z; z is mean-0 within each cluster;
