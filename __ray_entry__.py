@@ -2005,6 +2005,46 @@ def _embeddings_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _docs_crawl_delta(sf_dir: str) -> pd.DataFrame:
+    """Crawl-delta classification (ops/relational.snapshot_delta):
+    two snapshots derived deterministically from documents (old drops
+    every 10th id, new drops every 7th and rewrites every 5th text),
+    every key classified added/removed/changed/unchanged through the
+    hash(key)-mod-P full-outer co-shuffle. SQL twin is the FULL OUTER
+    JOIN; fingerprints are md5 hex on both sides."""
+    import hashlib
+
+    from pdf_extractor_ray.ops.relational import snapshot_delta
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_rows(side: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["doc_id"].astype("int64")
+            if side == "old":
+                sel = ids % 10 != 0
+                texts = b.loc[sel, "text"].astype(str)
+            else:
+                sel = ids % 7 != 0
+                texts = b.loc[sel, "text"].astype(str)
+                mod = (ids[sel] % 5 == 0).to_numpy()
+                texts = texts.where(~mod, texts + " v2")
+            return pd.DataFrame(
+                {
+                    "doc_id": ids[sel].to_numpy(),
+                    "fp": [hashlib.md5(t.encode()).hexdigest() for t in texts],
+                }
+            )
+
+        return f
+
+    old = docs.map_batches(fp_rows("old"), batch_format="pandas")
+    new = docs.map_batches(fp_rows("new"), batch_format="pandas")
+    out = snapshot_delta(old, new, key="doc_id", fp_col="fp").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_budget_by_lang(sf_dir: str) -> pd.DataFrame:
     """Per-language budgeted selection (ops/rank.
     select_to_budget_per_group): fill each language's 12,000-char
@@ -2668,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_budget_by_lang": _docs_budget_by_lang,
         "docs_bpe_fertility": _docs_bpe_fertility,
         "embeddings_decontaminate": _embeddings_decontaminate,
+        "docs_crawl_delta": _docs_crawl_delta,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
@@ -2829,6 +2870,24 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang ORDER BY n_chars DESC, doc_id
                 ROWS UNBOUNDED PRECEDING
             ) <= 12000
+            ORDER BY doc_id
+        """,
+        "docs_crawl_delta": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS fp FROM documents
+                WHERE doc_id % 10 <> 0
+            ), new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                            ELSE md5(text) END AS fp
+                FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.fp = n.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
             ORDER BY doc_id
         """,
         "embeddings_decontaminate": """

@@ -313,6 +313,7 @@ def run_queries() -> dict[str, float]:
         "docs_budget_by_lang",
         "docs_bpe_fertility",
         "embeddings_decontaminate",
+        "docs_crawl_delta",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -614,3 +614,69 @@ def grouped_linregress(
         return out
 
     return red.map_batches(finish, batch_format="pandas")
+
+
+def snapshot_delta(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key: str = "url",
+    fp_col: str = "fp",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Crawl-delta classification between two corpus snapshots: for
+    every key (canonical url) emit its status — ``added`` (new crawl
+    only), ``removed`` (old only), ``changed`` (both, fingerprint
+    differs), ``unchanged`` — the recrawl bookkeeping every
+    incremental-ingestion pipeline starts from (what to re-extract,
+    what to tombstone, what to skip).
+
+    Shape: both snapshots project to slim (key, fp, side) rows, union,
+    co-shuffle on hash(key) mod P (a key's two rows always meet in one
+    partition — the distributed FULL OUTER JOIN, never Ray's actor-pool
+    join), and one vectorized pivot per partition classifies. Keys are
+    assumed unique per snapshot (canonicalize + exact-dedup first)."""
+
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {
+                        key: pd.Series(dtype="object"),
+                        fp_col: pd.Series(dtype="object"),
+                        "_side": pd.Series(dtype="int8"),
+                        "_part": pd.Series(dtype="int64"),
+                    }
+                )
+            out = b[[key, fp_col]].copy()
+            out["_side"] = np.int8(side)
+            out["_part"] = (
+                pd.util.hash_array(out[key].to_numpy()) % num_partitions
+            ).astype(np.int64)
+            return out
+
+        return f
+
+    both = old.map_batches(tag(0), batch_format="pandas").union(
+        new.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or key not in g.columns:
+            return pd.DataFrame(
+                {key: pd.Series(dtype="object"), "status": pd.Series(dtype="object")}
+            )
+        p = g.pivot_table(
+            index=key, columns="_side", values=fp_col, aggfunc="first"
+        )
+        has_old = 0 in p.columns
+        has_new = 1 in p.columns
+        o = p[0] if has_old else pd.Series(index=p.index, dtype="object")
+        n = p[1] if has_new else pd.Series(index=p.index, dtype="object")
+        status = np.where(
+            o.isna(),
+            "added",
+            np.where(n.isna(), "removed", np.where(o == n, "unchanged", "changed")),
+        )
+        return pd.DataFrame({key: p.index.to_numpy(), "status": status})
+
+    return both.groupby("_part").map_groups(classify, batch_format="pandas")

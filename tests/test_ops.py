@@ -3504,6 +3504,36 @@ def test_embedding_decontaminate(ray_session):
         assert abs(out.max_test_cos.iloc[0] - 0.0) < 1e-12
 
 
+def test_snapshot_delta(ray_session):
+    """Full-outer crawl-delta classification on a handcrafted pair of
+    snapshots: all four statuses land on the right keys, keys present
+    in neither never appear; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import snapshot_delta
+
+    old = pd.DataFrame(
+        {"url": ["a", "b", "c", "d"], "fp": ["1", "2", "3", "4"]}
+    )
+    new = pd.DataFrame(
+        {"url": ["b", "c", "d", "e"], "fp": ["2", "XX", "4", "5"]}
+    )
+    want = {"a": "removed", "b": "unchanged", "c": "changed", "d": "unchanged", "e": "added"}
+    for parts in (1, 3):
+        out = (
+            snapshot_delta(
+                ray.data.from_pandas(old).repartition(parts),
+                ray.data.from_pandas(new).repartition(parts),
+                key="url",
+                fp_col="fp",
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert dict(zip(out.url, out.status)) == want
+
+
 def test_semantic_outliers(ray_session):
     """Per-cluster z-scored centroid distance: planted far-out vector
     carries the cluster's max z; z is mean-0 within each cluster;
