@@ -1943,25 +1943,17 @@ def _docs_bpe_fertility(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     merges = bpe_train(docs, n_merges=50)
-    counts = bpe_token_counts(docs, merges)  # (doc_id, n_ws_tokens, n_bpe_tokens)
-
-    # ride lang/n_chars back onto the slim counts via a broadcast map
-    # (doc_id -> (lang, n_chars) is slim; the fixture corpus is small,
-    # and at scale this is the same id-keyed co-shuffle as percentile)
-    meta = _read_pd(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    lref = ray.put(
-        {int(d): (l, int(c)) for d, l, c in zip(meta.doc_id, meta.lang, meta.n_chars)}
-    )
+    # lang/n_chars ride the encode pass row-aligned (keep_cols) — no
+    # driver-side id map at any corpus size
+    counts = bpe_token_counts(docs, merges, keep_cols=["lang", "n_chars"])
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(lref)
-        langs, chars = zip(*(m[int(d)] for d in b["doc_id"])) if len(b) else ((), ())
         return pd.DataFrame(
             {
-                "lang": list(langs),
+                "lang": b["lang"],
                 "n_words": b["n_ws_tokens"].to_numpy(dtype="int64"),
                 "n_subwords": b["n_bpe_tokens"].to_numpy(dtype="int64"),
-                "n_chars": np.asarray(chars, dtype="int64"),
+                "n_chars": b["n_chars"].to_numpy(dtype="int64"),
             }
         )
 

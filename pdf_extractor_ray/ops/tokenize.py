@@ -29,6 +29,7 @@ training-data-pipeline operator the north rule's webtext target needs
 from __future__ import annotations
 
 from collections import Counter, defaultdict
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -152,13 +153,17 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: Sequence[str] | None = None,
 ) -> ray.data.Dataset:
     """Per-document BPE token counts under a trained merge table:
-    (id, n_ws_tokens, n_bpe_tokens). Broadcast the ranks once; each
-    batch encodes its DISTINCT words only (per-worker memo persists
-    across batches) and re-expands by word frequency — the hot path
-    never encodes a word twice per worker."""
+    (id, n_ws_tokens, n_bpe_tokens[, keep_cols...]). Broadcast the
+    ranks once; each batch encodes its DISTINCT words only (per-worker
+    memo persists across batches) and re-expands by word frequency —
+    the hot path never encodes a word twice per worker. `keep_cols`
+    ride along row-aligned (the nb_predict idiom) so downstream
+    rollups never need a driver-side id map."""
     ref = ray.put({p: r for r, p in enumerate(merges)})
+    extra = list(keep_cols) if keep_cols is not None else []
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         key = ("bpe", ref.hex())
@@ -169,25 +174,31 @@ def bpe_token_counts(
         toks = batch.set_index(id_col)[text_col].str.split().explode().dropna()
         toks = toks[toks != ""]
         if toks.empty:
-            return pd.DataFrame(
-                {
-                    id_col: np.array([], dtype="int64"),
-                    "n_ws_tokens": np.array([], dtype="int64"),
-                    "n_bpe_tokens": np.array([], dtype="int64"),
-                }
-            )
+            out = {
+                id_col: np.array([], dtype="int64"),
+                "n_ws_tokens": np.array([], dtype="int64"),
+                "n_bpe_tokens": np.array([], dtype="int64"),
+            }
+            for c in extra:
+                out[c] = batch[c].iloc[0:0]
+            return pd.DataFrame(out)
         for w in pd.unique(toks.to_numpy()):
             if w not in memo:
                 memo[w] = len(bpe_encode_word(w, ranks))
         per_tok = toks.map(memo).astype("int64")
         g_ws = toks.groupby(level=0).size()
         g_bpe = per_tok.groupby(level=0).sum()
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: g_ws.index.to_numpy(),
                 "n_ws_tokens": g_ws.to_numpy().astype("int64"),
                 "n_bpe_tokens": g_bpe.to_numpy().astype("int64"),
             }
         )
+        if extra:
+            side = batch.set_index(id_col)[extra]
+            for c in extra:
+                out[c] = side[c].reindex(out[id_col]).to_numpy()
+        return out
 
     return ds.map_batches(f, batch_format="pandas")
