@@ -1986,8 +1986,17 @@ def _embeddings_decontaminate(sf_dir: str) -> pd.DataFrame:
     filtering over list_cosine_similarity."""
     from pdf_extractor_ray.ops.similarity import embedding_decontaminate
 
-    emb = _read_pd(sf_dir, "embeddings", ["vec_id", "embedding"])
-    test = np.stack(emb.loc[emb.vec_id % 20 == 0, "embedding"].to_numpy())
+    # collect ONLY the small test side (filtered distributedly); the
+    # benchmark set is tiny by definition, so this driver collect is
+    # bounded regardless of corpus size
+    test_rows = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            lambda b: b[b["vec_id"] % 20 == 0], batch_format="pandas"
+        )
+        .take_all()
+    )
+    test = np.stack([np.asarray(r["embedding"]) for r in test_rows])
     ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
     out = embedding_decontaminate(
         ds, test, threshold=0.8, keep_cols=["vec_id", "label"]
