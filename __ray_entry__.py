@@ -2345,16 +2345,44 @@ def _extract_golden_match(sf_dir: str) -> pd.DataFrame:
     pages = os.path.join(_REPO, "tests", "fixtures", "pages.parquet")
     golden = pq.read_table(
         os.path.join(_REPO, "tests", "fixtures", "golden.parquet"),
-        columns=["url", "golden_text"],
+        columns=["url", "golden_text", "n_blocks", "n_words"],
     )
-    gref = ray.put(dict(zip(golden["url"].to_pylist(), golden["golden_text"].to_pylist())))
+    gref = ray.put(
+        {
+            u: (t, int(nb), int(nw))
+            for u, t, nb, nw in zip(
+                golden["url"].to_pylist(),
+                golden["golden_text"].to_pylist(),
+                golden["n_blocks"].to_pylist(),
+                golden["n_words"].to_pylist(),
+            )
+        }
+    )
     cfg = DEFAULT_CONFIG.with_overrides(concurrency=4)
-    ds = extraction_dataset(pages, cfg).select_columns(["url", "extracted_text"])
+    ds = extraction_dataset(pages, cfg).select_columns(
+        ["url", "extracted_text", "n_blocks", "n_words", "error"]
+    )
 
     def flag(b: pd.DataFrame) -> pd.DataFrame:
         gmap = ray.get(gref)
-        ok = [int(gmap.get(u) == t) for u, t in zip(b["url"], b["extracted_text"])]
-        return pd.DataFrame({"url": b["url"], "ok": np.asarray(ok, dtype=np.int64)})
+        ok, cnt = [], []
+        for u, t, nb, nw, err in zip(
+            b["url"], b["extracted_text"], b["n_blocks"], b["n_words"], b["error"]
+        ):
+            g = gmap.get(u)
+            ok.append(int(g is not None and g[0] == t))
+            # count parity is asserted for clean rows (error rows pin
+            # text identity only, matching the pytest contract)
+            cnt.append(
+                int(g is not None and (bool(err) or (int(nb), int(nw)) == g[1:]))
+            )
+        return pd.DataFrame(
+            {
+                "url": b["url"],
+                "ok": np.asarray(ok, dtype=np.int64),
+                "cnt_ok": np.asarray(cnt, dtype=np.int64),
+            }
+        )
 
     pairs = ds.map_batches(flag, batch_format="pandas").to_pandas()
     # the generator's deliberate duplicate urls carry identical
@@ -2364,6 +2392,7 @@ def _extract_golden_match(sf_dir: str) -> pd.DataFrame:
         {
             "n_docs": np.array([len(pairs)], dtype=np.int64),
             "n_byte_identical": np.array([int(pairs["ok"].sum())], dtype=np.int64),
+            "n_counts_match": np.array([int(pairs["cnt_ok"].sum())], dtype=np.int64),
         }
     )
 
@@ -2855,7 +2884,8 @@ def oracle_sql() -> dict[str, str]:
         # Ray side's n_byte_identical smaller and the hash red)
         "extract_golden_match": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(count(*) AS BIGINT) AS n_byte_identical
+                   CAST(count(*) AS BIGINT) AS n_byte_identical,
+                   CAST(count(*) AS BIGINT) AS n_counts_match
             FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "golden.parquet")}')
         """,
         "docs_lang_percentile": """
