@@ -2006,6 +2006,19 @@ def _embeddings_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _docs_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust per-lang length outliers (ops/quality.mad_outliers):
+    |n_chars - median_lang| > 3 * MAD_lang — exact integer arithmetic
+    end-to-end (discrete medians from the value-frequency reduction),
+    so the flag is engine-portable by construction. SQL twin uses
+    quantile_disc twice."""
+    from pdf_extractor_ray.ops.quality import mad_outliers
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = mad_outliers(docs, "lang", "n_chars", "doc_id", k=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Crawl-delta classification (ops/relational.snapshot_delta):
     two snapshots derived deterministically from documents (old drops
@@ -2739,6 +2752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_fertility": _docs_bpe_fertility,
         "embeddings_decontaminate": _embeddings_decontaminate,
         "docs_crawl_delta": _docs_crawl_delta,
+        "docs_mad_outliers": _docs_mad_outliers,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
@@ -2902,6 +2916,24 @@ def oracle_sql() -> dict[str, str]:
                 ROWS UNBOUNDED PRECEDING
             ) <= 12000
             ORDER BY doc_id
+        """,
+        "docs_mad_outliers": """
+            WITH med AS (
+                SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+                FROM documents GROUP BY lang
+            ), dev AS (
+                SELECT d.doc_id, d.lang, d.n_chars,
+                       abs(d.n_chars - m.med) AS abs_dev
+                FROM documents d JOIN med m USING (lang)
+            ), mad AS (
+                SELECT lang, CAST(quantile_disc(abs_dev, 0.5) AS BIGINT) AS mad
+                FROM dev GROUP BY lang
+            )
+            SELECT dev.doc_id, dev.lang, dev.n_chars,
+                   CAST(dev.abs_dev AS BIGINT) AS abs_dev,
+                   CAST(CASE WHEN dev.abs_dev > 3 * mad.mad
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM dev JOIN mad USING (lang) ORDER BY dev.doc_id
         """,
         "docs_crawl_delta": """
             WITH old AS (

@@ -314,6 +314,7 @@ def run_queries() -> dict[str, float]:
         "docs_bpe_fertility",
         "embeddings_decontaminate",
         "docs_crawl_delta",
+        "docs_mad_outliers",
         "training_data_pipeline",
     ]
     qs = e.queries()

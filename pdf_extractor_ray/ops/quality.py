@@ -519,3 +519,81 @@ def readability_signals(ds: ray.data.Dataset, text_col: str = "text") -> ray.dat
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Robust per-group outlier gate via the median absolute
+    deviation: flag rows with |x - median_g| > k * MAD_g — the
+    heavy-tail-resistant alternative to z-scores for screening corpus
+    lengths/scores (Leys et al. 2013; crawl length distributions are
+    exactly the skewed case where mean/std gates misfire).
+
+    Shape: two exact grouped-median passes through grouped_quantiles'
+    value-frequency reduction (the exchange is bounded by the value
+    DOMAIN, megabytes at 100 TB), each reduced (group -> median) table
+    collected as k rows (group cardinality = langs/sources, bounded by
+    design — the grouped_quantiles precedent) and shipped in the task
+    closure; the flag pass is shuffle-free. `k` is an INTEGER so the
+    comparison |dev| > k * MAD stays in exact int64 arithmetic and is
+    engine-portable by construction.
+
+    Emits (id, group, value, abs_dev, is_outlier)."""
+    from pdf_extractor_ray.ops.relational import grouped_quantiles
+
+    med = grouped_quantiles(
+        ds.select_columns([group_col, value_col]), [group_col], value_col,
+        qs=(0.5,), num_partitions=num_partitions,
+    ).to_pandas()
+    med_map = dict(zip(med[group_col], med[f"p50_{value_col}"].astype("int64")))
+
+    def dev_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series(dtype="object"), "_dev": pd.Series(dtype="int64")}
+            )
+        m = b[group_col].map(med_map).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "_dev": np.abs(b[value_col].to_numpy(dtype="int64") - m),
+            }
+        )
+
+    mad = grouped_quantiles(
+        ds.map_batches(dev_rows, batch_format="pandas"), [group_col], "_dev",
+        qs=(0.5,), num_partitions=num_partitions,
+    ).to_pandas()
+    mad_map = dict(zip(mad[group_col], mad["p50__dev"].astype("int64")))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    group_col: pd.Series(dtype="object"),
+                    value_col: pd.Series(dtype="int64"),
+                    "abs_dev": pd.Series(dtype="int64"),
+                    "is_outlier": pd.Series(dtype="int64"),
+                }
+            )
+        m = b[group_col].map(med_map).to_numpy(dtype="int64")
+        md = b[group_col].map(mad_map).to_numpy(dtype="int64")
+        dev = np.abs(b[value_col].to_numpy(dtype="int64") - m)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype="int64"),
+                group_col: b[group_col],
+                value_col: b[value_col].to_numpy(dtype="int64"),
+                "abs_dev": dev,
+                "is_outlier": (dev > k * md).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")

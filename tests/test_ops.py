@@ -3504,6 +3504,42 @@ def test_embedding_decontaminate(ray_session):
         assert abs(out.max_test_cos.iloc[0] - 0.0) < 1e-12
 
 
+def test_mad_outliers(ray_session):
+    """MAD outlier gate on a handcrafted skewed group: the planted
+    extreme value flags, the bulk does not, exact integer medians
+    match the closed-form expectation; a symmetric tight group flags
+    nothing; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import mad_outliers
+
+    # group a: bulk 100..119 (median 109 or 110 by disc rank), one 9999
+    a_vals = list(range(100, 120)) + [9999]
+    b_vals = [50] * 10  # MAD 0: any deviation > 0 flags... but all equal
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(a_vals) + len(b_vals), dtype=np.int64),
+            "lang": ["a"] * len(a_vals) + ["b"] * len(b_vals),
+            "n_chars": np.array(a_vals + b_vals, dtype=np.int64),
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        out = (
+            mad_outliers(
+                ray.data.from_pandas(df).repartition(parts), "lang", "n_chars", "doc_id"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+        flagged = set(out.loc[out.is_outlier == 1, "n_chars"])
+        assert flagged == {9999}, flagged
+        assert (out.loc[out.lang == "b", "is_outlier"] == 0).all()
+    assert outs[0].equals(outs[1])
+
+
 def test_snapshot_delta(ray_session):
     """Full-outer crawl-delta classification on a handcrafted pair of
     snapshots: all four statuses land on the right keys, keys present
