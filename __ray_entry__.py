@@ -2019,6 +2019,32 @@ def _docs_mad_outliers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_signal_correlations(sf_dir: str) -> pd.DataFrame:
+    """Quality-signal redundancy matrix (ops/relational.
+    signal_correlations): exact Pearson correlations between n_chars,
+    whitespace-token count and digit count from integer moment sums —
+    one partial-moments row per block, k^2 scalars to the driver. SQL
+    twin folds HUGEINT sums through the identical expression."""
+    from pdf_extractor_ray.ops.relational import signal_correlations
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def signals(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        return pd.DataFrame(
+            {
+                "n_chars": b["n_chars"].to_numpy(dtype="int64"),
+                "n_ws_tokens": [len(x.split()) for x in t],
+                "n_digits": t.str.count(r"[0-9]").to_numpy(dtype="int64"),
+            }
+        )
+
+    return signal_correlations(
+        docs.map_batches(signals, batch_format="pandas"),
+        ["n_chars", "n_ws_tokens", "n_digits"],
+    )
+
+
 def _docs_crawl_delta(sf_dir: str) -> pd.DataFrame:
     """Crawl-delta classification (ops/relational.snapshot_delta):
     two snapshots derived deterministically from documents (old drops
@@ -2753,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_decontaminate": _embeddings_decontaminate,
         "docs_crawl_delta": _docs_crawl_delta,
         "docs_mad_outliers": _docs_mad_outliers,
+        "docs_signal_correlations": _docs_signal_correlations,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "docs_dedup_against": _docs_dedup_against,
@@ -2916,6 +2943,54 @@ def oracle_sql() -> dict[str, str]:
                 ROWS UNBOUNDED PRECEDING
             ) <= 12000
             ORDER BY doc_id
+        """,
+        "docs_signal_correlations": r"""
+            WITH sig AS (
+                SELECT CAST(n_chars AS BIGINT) AS a,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT) AS b,
+                       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS c
+                FROM documents
+            ), m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       sum(CAST(a AS HUGEINT)) AS sa,
+                       sum(CAST(b AS HUGEINT)) AS sb,
+                       sum(CAST(c AS HUGEINT)) AS sc,
+                       sum(CAST(a AS HUGEINT) * a) AS saa,
+                       sum(CAST(a AS HUGEINT) * b) AS sab,
+                       sum(CAST(a AS HUGEINT) * c) AS sac,
+                       sum(CAST(b AS HUGEINT) * b) AS sbb,
+                       sum(CAST(b AS HUGEINT) * c) AS sbc,
+                       sum(CAST(c AS HUGEINT) * c) AS scc
+                FROM sig
+            )
+            -- zero-variance guard mirrors the op: a constant signal
+            -- correlates 0.0, never NaN
+            SELECT col_a, col_b, corr FROM (
+                SELECT 'n_chars' AS col_a, 'n_digits' AS col_b,
+                       CASE WHEN n*saa - sa*sa > 0 AND n*scc - sc*sc > 0
+                            THEN CAST(n*sac - sa*sc AS DOUBLE)
+                                 / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+                                    * sqrt(CAST(n*scc - sc*sc AS DOUBLE)))
+                            ELSE 0.0 END AS corr
+                FROM m
+                UNION ALL
+                SELECT 'n_chars', 'n_ws_tokens',
+                       CASE WHEN n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0
+                            THEN CAST(n*sab - sa*sb AS DOUBLE)
+                                 / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+                                    * sqrt(CAST(n*sbb - sb*sb AS DOUBLE)))
+                            ELSE 0.0 END
+                FROM m
+                UNION ALL
+                SELECT 'n_ws_tokens', 'n_digits',
+                       CASE WHEN n*sbb - sb*sb > 0 AND n*scc - sc*sc > 0
+                            THEN CAST(n*sbc - sb*sc AS DOUBLE)
+                                 / (sqrt(CAST(n*sbb - sb*sb AS DOUBLE))
+                                    * sqrt(CAST(n*scc - sc*sc AS DOUBLE)))
+                            ELSE 0.0 END
+                FROM m
+            ) ORDER BY col_a, col_b
         """,
         "docs_mad_outliers": """
             WITH med AS (

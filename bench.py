@@ -315,6 +315,7 @@ def run_queries() -> dict[str, float]:
         "embeddings_decontaminate",
         "docs_crawl_delta",
         "docs_mad_outliers",
+        "docs_signal_correlations",
         "training_data_pipeline",
     ]
     qs = e.queries()

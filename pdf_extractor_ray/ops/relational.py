@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import math
+
 import numpy as np
 import pandas as pd
 import ray
@@ -680,3 +682,59 @@ def snapshot_delta(
         return pd.DataFrame({key: p.index.to_numpy(), "status": status})
 
     return both.groupby("_part").map_groups(classify, batch_format="pandas")
+
+
+def signal_correlations(
+    ds: ray.data.Dataset,
+    cols: Sequence[str],
+) -> pd.DataFrame:
+    """Exact Pearson correlation matrix over k INTEGER signal columns
+    — the redundancy check a quality-signal ensemble needs before
+    blending (two signals correlated 0.98 should not both carry
+    weight). One pass of per-block partial moments: each block emits
+    the single row (n, S_i, S_ij for i <= j) — k + k(k+1)/2 scalars —
+    and the driver folds those into closed-form correlations.
+
+    Cross-engine float discipline: all moments accumulate as EXACT
+    integers (Python int — S_ij can exceed int64 at corpus scale), so
+    every emitted double derives from exact integer sums via the same
+    expression the SQL twin uses on HUGEINT sums:
+    (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)).
+    Emits (col_a, col_b, corr) for i < j, sorted."""
+    cols = list(cols)
+    k = len(cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out: dict = {"n": [len(b)]}
+        vals = {c: b[c].to_numpy(dtype="int64") for c in cols}
+        for i, ci in enumerate(cols):
+            out[f"s_{i}"] = [int(vals[ci].sum())]
+            for j in range(i, k):
+                # object-int product sum: exact at any magnitude
+                out[f"s_{i}_{j}"] = [
+                    int(sum(int(x) * int(y) for x, y in zip(vals[ci], vals[cols[j]])))
+                ]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    n = int(parts["n"].sum())
+    s = [int(sum(int(v) for v in parts[f"s_{i}"])) for i in range(k)]
+    sij = {
+        (i, j): int(sum(int(v) for v in parts[f"s_{i}_{j}"]))
+        for i in range(k)
+        for j in range(i, k)
+    }
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = n * sij[(i, j)] - s[i] * s[j]
+            di = n * sij[(i, i)] - s[i] * s[i]
+            dj = n * sij[(j, j)] - s[j] * s[j]
+            corr = (
+                float(num) / (math.sqrt(float(di)) * math.sqrt(float(dj)))
+                if di > 0 and dj > 0
+                else 0.0
+            )
+            rows.append((cols[i], cols[j], corr))
+    out = pd.DataFrame(rows, columns=["col_a", "col_b", "corr"])
+    return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)

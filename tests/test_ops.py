@@ -3504,6 +3504,38 @@ def test_embedding_decontaminate(ray_session):
         assert abs(out.max_test_cos.iloc[0] - 0.0) < 1e-12
 
 
+def test_signal_correlations(ray_session):
+    """Exact Pearson matrix: matches numpy corrcoef to 1e-12 on random
+    integer signals; a perfectly linear pair reads 1.0 exactly; a
+    constant column correlates 0.0 (guard, not NaN);
+    partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import signal_correlations
+
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 1000, size=400).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "a": a,
+            "b": 3 * a + 7,                                 # corr(a,b) == 1
+            "c": rng.randint(0, 50, size=400).astype(np.int64),
+            "d": np.full(400, 42, dtype=np.int64),          # constant
+        }
+    )
+    outs = []
+    for parts in (1, 5):
+        out = signal_correlations(
+            ray.data.from_pandas(df).repartition(parts), ["a", "b", "c", "d"]
+        )
+        outs.append(out)
+        m = {(r.col_a, r.col_b): r.corr for r in out.itertuples()}
+        assert m[("a", "b")] == 1.0
+        assert abs(m[("a", "c")] - np.corrcoef(df.a, df.c)[0, 1]) < 1e-12
+        assert m[("a", "d")] == 0.0 and m[("c", "d")] == 0.0
+    assert outs[0].equals(outs[1])
+
+
 def test_mad_outliers(ray_session):
     """MAD outlier gate on a handcrafted skewed group: the planted
     extreme value flags, the bulk does not, exact integer medians
