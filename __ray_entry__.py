@@ -2474,6 +2474,27 @@ def _media_payload(i: int, kind: str) -> bytes:
             img[:, :, 1] = (i + f) % 256
             frames.append(img)
         return encode_avi(frames, fps=8.0)
+    if kind == "av":
+        # lossy-media column: real MP3 frame chains / H.264 Annex-B
+        # streams (functions/av_metadata.py writers); every header
+        # byte is spec-valid, payload bytes are opaque by design
+        from pdf_extractor_ray.functions.av_metadata import encode_h264, encode_mp3
+
+        if i % 2:
+            w = (64, 100, 128, 176, 320)[i % 5] + 16 * (i % 3)
+            h = (48, 62, 96, 144)[i % 4]
+            p = encode_h264(w, h, n_frames=3 + i % 6, idr_interval=2 + i % 3, profile_idc=66 if i % 3 else 77)
+        else:
+            sr = (44100, 22050, 8000)[i % 3]
+            br = 128 + (i % 3) * 32 if sr == 44100 else 64 + (i % 3) * 16
+            p = encode_mp3(
+                8 + i % 20, bitrate_kbps=br, sample_rate=sr,
+                mono=i % 5 == 0, id3_title=b"doc%d" % i if i % 4 == 0 else None,
+            )
+        # a few deterministic corrupt MP3 rows (i%36==8 is always even
+        # -> mp3 branch; a 9-byte cut truncates the final frame) keep
+        # the error column honest
+        return p[:-9] if i % 36 == 8 else p
     rate = 8000
     dur = 0.05 + (i % 10) * 0.01
     t = np.arange(int(rate * dur)) / rate
@@ -2526,6 +2547,24 @@ def _multimodal_featurize(sf_dir: str) -> pd.DataFrame:
         assert part["error"].isna().all(), "real decode failed"
     out = pd.concat([img, aud, vid], ignore_index=True, sort=True)
     return out.sort_values(["kind", "media_id"]).reset_index(drop=True)
+
+
+def _multimodal_av_metadata(sf_dir: str) -> pd.DataFrame:
+    """Header-level curation metadata over a lossy-media binary column:
+    real MP3 frame chains and H.264 Annex-B streams parsed for
+    duration / bitrate / dimensions / profile WITHOUT entropy decode
+    (ops/multimodal.av_metadata over functions/av_metadata.py). The
+    fixture column carries deterministic truncated rows, so the error
+    column is exercised and asserted non-empty exactly there.
+    Rows-only (binary header walks are not SQL-expressible); the
+    parser math is pinned in tests/test_av_metadata.py."""
+    from pdf_extractor_ray.ops.multimodal import av_metadata
+
+    out = av_metadata(_media_table(sf_dir, "av")).to_pandas()
+    bad = out["error"].notna()
+    assert (out.loc[bad, "media_id"] % 36 == 8).all(), "unexpected parse failure"
+    assert out.loc[~bad, "container"].isin(["mp3", "h264"]).all()
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 def _extract_c4_filter(sf_dir: str) -> pd.DataFrame:
@@ -2913,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": _docs_dsir_weights,
         "docs_pack_offsets": _docs_pack_offsets,
         "docs_hash_sample": _docs_hash_sample,
+        "multimodal_av_metadata": _multimodal_av_metadata,
     }
 
 

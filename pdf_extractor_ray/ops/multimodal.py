@@ -4,9 +4,12 @@ Payloads are opaque `binary` columns with typed metadata; decode /
 feature-extract / resize / perceptual-hash are actor-pool map_batches
 stages. Decode is REAL for the pure-python codec subset (PNG / BMP /
 GIF / baseline+progressive JPEG / WAV / uncompressed AVI —
-functions/media_codec.py, jpeg_codec.py); formats outside the subset
-(MP3, compressed video) surface `UnsupportedMediaError` in the
-per-row error column — the honest capability boundary. The
+functions/media_codec.py, jpeg_codec.py); for lossy formats (MP3,
+H.264) the `av_metadata` stage parses spec HEADERS only (duration /
+bitrate / dimensions / profile — functions/av_metadata.py) while full
+entropy decode stays out of scope and surfaces
+`UnsupportedMediaError` in the per-row error column — the honest
+capability boundary. The
 deterministic fake decoder remains available as codec="fake" for
 plumbing tests and as the documented stand-in for formats outside the
 subset.
@@ -519,3 +522,138 @@ def image_dedup(
 
     pairs = image_neardup_pairs(media_ds, max_hamming=max_hamming, codec=codec)
     return drop_larger_of_pairs(media_ds, pairs, id_col="media_id")
+
+
+# ---------------------------------------------------------------------------
+# Compressed-AV header metadata (MP3 / H.264) — the curation-side view
+# of lossy media columns: duration / bitrate / dimensions / profile
+# WITHOUT entropy decode (functions/av_metadata.py walks only spec
+# headers; payload bytes are never touched).
+# ---------------------------------------------------------------------------
+
+AV_META_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("container", pa.string()),
+        # audio (MP3) fields — zero/empty for video rows
+        ("mpeg_version", pa.string()),
+        ("layer", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("channel_mode", pa.string()),
+        ("n_frames", pa.int32()),
+        ("duration_s", pa.float64()),
+        ("bitrate_kbps", pa.int32()),
+        ("vbr", pa.bool_()),
+        # video (H.264) fields — zero for audio rows
+        ("profile_idc", pa.int32()),
+        ("level_idc", pa.int32()),
+        ("chroma_format_idc", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("interlaced", pa.bool_()),
+        ("n_nals", pa.int32()),
+        ("n_slices", pa.int32()),
+        ("n_idr", pa.int32()),
+        ("error", pa.string()),
+    ]
+)
+
+_AV_DEFAULTS = {
+    "container": "unknown",
+    "mpeg_version": "",
+    "layer": 0,
+    "sample_rate": 0,
+    "channel_mode": "",
+    "n_frames": 0,
+    "duration_s": 0.0,
+    "bitrate_kbps": 0,
+    "vbr": False,
+    "profile_idc": 0,
+    "level_idc": 0,
+    "chroma_format_idc": 0,
+    "width": 0,
+    "height": 0,
+    "interlaced": False,
+    "n_nals": 0,
+    "n_slices": 0,
+    "n_idr": 0,
+    "error": None,
+}
+
+
+def _sniff_av(payload: bytes) -> str:
+    """mp3 / h264 / unknown by leading bytes: ID3v2 or an 11-bit MPEG
+    audio sync vs an Annex-B start code (00 00 01 / 00 00 00 01)."""
+    if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
+        return "h264"
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        return "mp3"
+    return "unknown"
+
+
+def _av_meta_batch(batch: pa.Table) -> pa.Table:
+    from pdf_extractor_ray.functions import av_metadata as av
+
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    cols: dict[str, list] = {k: [] for k in _AV_DEFAULTS}
+    for p in payloads:
+        p = p or b""
+        row = dict(_AV_DEFAULTS)
+        kind = _sniff_av(p)
+        try:
+            if kind == "mp3":
+                m = av.mp3_metadata(p)
+                row.update(
+                    container="mp3",
+                    mpeg_version=m["version"],
+                    layer=m["layer"],
+                    sample_rate=m["sample_rate"],
+                    channel_mode=m["channel_mode"],
+                    n_frames=m["n_frames"],
+                    duration_s=m["duration_s"],
+                    bitrate_kbps=m["bitrate_kbps"],
+                    vbr=m["vbr"],
+                )
+            elif kind == "h264":
+                m = av.h264_metadata(p)
+                row.update(
+                    container="h264",
+                    profile_idc=m["profile_idc"],
+                    level_idc=m["level_idc"],
+                    chroma_format_idc=m["chroma_format_idc"],
+                    width=m["width"],
+                    height=m["height"],
+                    interlaced=m["interlaced"],
+                    n_nals=m["n_nals"],
+                    n_slices=m["n_slices"],
+                    n_idr=m["n_idr"],
+                )
+            else:
+                raise mc.UnsupportedMediaError("unknown AV container")
+        except Exception as exc:
+            row["container"] = kind
+            row["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        for k, v in row.items():
+            cols[k].append(v)
+    arrays = [pa.array(ids, pa.int64()), pa.array([len(p or b"") for p in payloads], pa.int64())]
+    for idx in range(2, len(AV_META_SCHEMA)):
+        field = AV_META_SCHEMA.field(idx)
+        arrays.append(pa.array(cols[field.name], field.type))
+    return pa.Table.from_arrays(arrays, schema=AV_META_SCHEMA)
+
+
+def av_metadata(ds: ray.data.Dataset, batch_size: int = 64) -> ray.data.Dataset:
+    """Header-level metadata for compressed-AV binary columns (MP3
+    frame chains, H.264 Annex-B): container, duration, bitrate,
+    dimensions, profile, frame/NAL counts — per-row `error` column for
+    anything outside the parsed layouts, never a raised batch.
+
+    A TASK pool (plain function), not an actor pool: the header walk
+    is stateless and orders of magnitude cheaper than entropy decode,
+    so per-actor state would buy nothing; small batches keep
+    blob x batch in the worker heap like the featurizer stages."""
+    return ds.map_batches(_av_meta_batch, batch_format="pyarrow", batch_size=batch_size)
