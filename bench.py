@@ -316,6 +316,7 @@ def run_queries() -> dict[str, float]:
         "docs_crawl_delta",
         "docs_mad_outliers",
         "docs_signal_correlations",
+        "multimodal_av_metadata",
         "training_data_pipeline",
     ]
     qs = e.queries()
