@@ -746,6 +746,31 @@ def _docs_decontaminated_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_ngram_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Exact cross-corpus n-gram contamination audit (ops/scrub.
+    ngram_decontaminate_against, GPT-3 appendix-C formulation): odd
+    doc_ids are the TRAIN corpus, even doc_ids the EVAL suite; per
+    train doc, its 8-gram positions colliding with any eval 8-gram.
+    Fully SQL-oracled (gram CTEs on both parities + LEFT JOIN); the
+    exact tier doubles as the oracle for the Bloom scale path."""
+    from pdf_extractor_ray.ops.scrub import ngram_decontaminate_against
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == p]
+
+        return f
+
+    out = ngram_decontaminate_against(
+        ds.map_batches(parity(1), batch_format="pandas"),
+        ds.map_batches(parity(0), batch_format="pandas"),
+        n=8,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Conditional-bigram LM quality signal: per-doc log-likelihood
     under the corpus's own bigram model (ops/text_analysis.
@@ -1743,6 +1768,23 @@ def _docs_dup_components(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+def _docs_leakage_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/val split (ops/selection.leakage_safe_split):
+    split assignment by near-dup FAMILY (connected component of the
+    duplicated-8-gram graph; singletons are their own family) so no
+    near-duplicate pair straddles the boundary — the
+    benchmark-contamination gate (Lee et al. 2022 §6). md5-u52 family
+    gate at val_frac=0.1; oracled against the recursive-CTE component
+    twin LEFT JOINed back to documents with the same md5 expression."""
+    from pdf_extractor_ray.ops.dedup import dup_ngram_components
+    from pdf_extractor_ray.ops.selection import leakage_safe_split
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    comp = dup_ngram_components(ds, n=8)
+    out = leakage_safe_split(ds, comp, val_frac=0.1).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _docs_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
@@ -2953,6 +2995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_offsets": _docs_pack_offsets,
         "docs_hash_sample": _docs_hash_sample,
         "multimodal_av_metadata": _multimodal_av_metadata,
+        "docs_leakage_split": _docs_leakage_split,
+        "docs_ngram_decontaminate": _docs_ngram_decontaminate,
     }
 
 
@@ -3638,6 +3682,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "docs_ngram_decontaminate": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), grams AS (
+                SELECT doc_id, array_to_string(toks[u.i:u.i+7], ' ') AS g
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            ), ev AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0
+            ), tr AS (
+                SELECT doc_id, g FROM grams WHERE doc_id % 2 = 1
+            )
+            SELECT tr.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(ev.g) AS BIGINT) AS n_hit_grams,
+                   count(ev.g) > 0 AS contaminated,
+                   CAST(count(ev.g) AS DOUBLE) / count(*) AS hit_fraction
+            FROM tr LEFT JOIN ev ON tr.g = ev.g
+            GROUP BY tr.doc_id ORDER BY tr.doc_id
+        """,
+        "docs_leakage_split": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), grams AS (
+                SELECT doc_id, array_to_string(toks[u.i:u.i+7], ' ') AS g
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            ), dup AS (
+                SELECT g, min(doc_id) AS root FROM grams GROUP BY g HAVING count(*) > 1
+            ), edges AS (
+                SELECT DISTINCT dup.root AS a, grams.doc_id AS b FROM grams JOIN dup USING (g)
+            ), sym AS (
+                SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ), nodes AS (
+                SELECT DISTINCT a AS node FROM sym
+            ), reach AS (
+                SELECT node, node AS comp FROM nodes
+                UNION
+                SELECT s.b AS node, r.comp FROM reach r JOIN sym s ON s.a = r.node
+            ), comp AS (
+                SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+                FROM reach GROUP BY node
+            ), fam AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS family
+                FROM documents d LEFT JOIN comp c USING (doc_id)
+            )
+            -- same md5-u52 gate as the op: val iff the 52-bit md5
+            -- prefix of str(family) is below floor(0.1 * 2^52)
+            SELECT doc_id, family,
+                   CASE WHEN ('0x' || substr(md5(CAST(family AS VARCHAR)), 1, 13))::UBIGINT
+                             < floor(0.1 * 4503599627370496.0)
+                        THEN 'val' ELSE 'train' END AS split
+            FROM fam ORDER BY doc_id
         """,
         "docs_dup_span_scrub": r"""
             WITH t AS (

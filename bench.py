@@ -317,6 +317,8 @@ def run_queries() -> dict[str, float]:
         "docs_mad_outliers",
         "docs_signal_correlations",
         "multimodal_av_metadata",
+        "docs_leakage_split",
+        "docs_ngram_decontaminate",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -857,3 +857,99 @@ def ngram_overlap_fraction(
         )
 
     return red.map_batches(finish, batch_format="pandas")
+
+
+def ngram_decontaminate_against(
+    train_ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """EXACT cross-corpus n-gram contamination audit (the GPT-3
+    appendix-C / PaLM eval-decontamination formulation, exact-match
+    tier): for every train document, how many of its word-n-gram
+    POSITIONS collide with any n-gram of the eval corpus — the signal
+    that decides whether a train doc must be dropped (or span-scrubbed)
+    before an eval suite can be trusted. The Bloom tier
+    (bloom_decontaminate) is the huge-blocklist scale path; this one
+    is exact, so it doubles as the oracle for it.
+
+    Same join-free gram-string shuffle as dup_ngram_stats: train
+    (doc_id, gram, m) rows and eval DISTINCT-gram rows co-shuffle on
+    hash(gram) mod num_partitions (every occurrence of a gram string
+    lands in exactly one partition — string keys, no hash-collision
+    false hits), one vectorized isin pass resolves hits per partition,
+    and per-doc partials reduce through grouped_sum. Document text
+    never crosses an exchange. Docs shorter than n words emit nothing,
+    mirroring the SQL oracle's gram CTE."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    cols = ["doc_id", "gram", "m", "_side", "_part"]
+
+    def explode(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            ids: list = []
+            grams: list[str] = []
+            for doc_id, t in zip(batch[id_col], batch[text_col]):
+                toks = str(t).split()
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                ids.extend([int(doc_id)] * m)
+                grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+            df = pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "gram": pd.Series(grams, dtype="object")}
+            )
+            g = df.groupby(["doc_id", "gram"], sort=False).size().reset_index(name="m")
+            g["m"] = g["m"].astype("int64")
+            if side == 0:
+                # eval side ships only its distinct gram strings
+                g = g.drop_duplicates("gram")[["gram"]].assign(doc_id=-1, m=0)
+            g["_side"] = np.int8(side)
+            g["_part"] = (
+                pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+            ).astype("int64")
+            return g[cols]
+
+        return f
+
+    both = train_ds.map_batches(explode(1), batch_format="pandas").union(
+        eval_ds.map_batches(explode(0), batch_format="pandas")
+    )
+
+    def part_pass(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"doc_id": "int64", "n_grams_p": "int64", "n_hit_p": "int64"}
+        if g.empty or "_side" not in g.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        tr = g[g["_side"] == 1]
+        if tr.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in out_cols.items()})
+        ev = set(g.loc[g["_side"] == 0, "gram"])
+        hit = tr["gram"].isin(ev).to_numpy()
+        out = (
+            tr.assign(_hit=tr["m"].to_numpy() * hit)
+            .groupby("doc_id", sort=False)
+            .agg(n_grams_p=("m", "sum"), n_hit_p=("_hit", "sum"))
+            .reset_index()
+        )
+        return out.astype(out_cols)
+
+    partials = both.groupby("_part").map_groups(part_pass, batch_format="pandas")
+    red = grouped_sum(partials, ["doc_id"], ["n_grams_p", "n_hit_p"], counts=False)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        ng = batch["sum_n_grams_p"].to_numpy().astype("int64")
+        nh = batch["sum_n_hit_p"].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_grams": ng,
+                "n_hit_grams": nh,
+                "contaminated": nh > 0,
+                "hit_fraction": nh.astype("float64") / ng.astype("float64"),
+            }
+        )
+
+    return red.map_batches(finish, batch_format="pandas")

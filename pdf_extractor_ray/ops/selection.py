@@ -412,3 +412,111 @@ def temperature_sample(
         return b[u < t]
 
     return ds.map_batches(accept, batch_format="pandas")
+
+
+_SPLIT_SIDE_SCHEMA_COLS = ("node", "component", "_side", "_part")
+
+
+def leakage_safe_split(
+    ds: ray.data.Dataset,
+    comp: ray.data.Dataset,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Train/val split assignment that CANNOT leak near-duplicates
+    across the boundary: every document inherits its dup-FAMILY's
+    split, where family = its connected component in the duplicate
+    graph (`comp`: (node, component) rows, e.g.
+    ops/dedup.dup_ngram_components) and docs outside the graph are
+    their own singleton family. A per-DOC split lets two
+    near-identical pages land one in train and one in val — the
+    benchmark-contamination failure mode (Lee et al. 2022 §6 "Dedup
+    lets us train-test split safely"; Lewis et al. 2021 on QA
+    train-test overlap); splitting by family closes it by
+    construction.
+
+    split = 'val' iff md5_u52(str(family)) < floor(val_frac * 2^52)
+    — deterministic, engine-exact (DuckDB:
+    ``('0x' || substr(md5(CAST(family AS VARCHAR)), 1, 13))::UBIGINT``)
+    and independent of partitioning, so the assignment is stable
+    under resume and cluster-size changes.
+
+    Execution shape: the (node, component) rows and the corpus id
+    column co-shuffle on hash(id) mod P (document text never enters
+    the exchange), families resolve with one vectorized merge per
+    partition, and the md5 gate is a row-local pass — no driver-side
+    id map at any corpus size."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops.dedup import _typed_table
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    side_schema = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("component", pa.int64()),
+            ("_side", pa.int8()),
+            ("_part", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("family", pa.int64()), ("split", pa.string())]
+    )
+    thr = float(np.floor(val_frac * 2.0**52))
+
+    def proj_comp(t: pa.Table) -> pa.Table:
+        # comp datasets name their id column either after the corpus
+        # id (dup_ngram_components) or "node" (connected_components)
+        comp_id = id_col if id_col in t.column_names else "node"
+        if t.num_rows == 0 or comp_id not in t.column_names:
+            return _typed_table(side_schema)
+        ids = np.asarray(t.column(comp_id).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                t.column("component").cast(pa.int64()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    def proj_ids(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(t.num_rows, pa.int64()),
+                pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    both = comp.map_batches(proj_comp, batch_format="pyarrow").union(
+        ds.select_columns([id_col]).map_batches(proj_ids, batch_format="pyarrow")
+    )
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_side" not in g.columns:
+            return _typed_table(out_schema)
+        docs = g[g["_side"] == 1]
+        if docs.empty:
+            return _typed_table(out_schema)
+        members = g[g["_side"] == 0]
+        lookup = pd.Series(
+            members["component"].to_numpy(dtype=np.int64), index=members["node"].to_numpy()
+        )
+        fam = docs["node"].map(lookup).fillna(docs["node"]).to_numpy(dtype=np.int64)
+        u = md5_u52([str(int(f)) for f in fam]).astype("float64")
+        return _typed_table(
+            out_schema,
+            **{
+                id_col: docs["node"].to_numpy(dtype=np.int64),
+                "family": fam,
+                "split": np.where(u < thr, "val", "train"),
+            },
+        )
+
+    return both.groupby("_part").map_groups(assign, batch_format="pandas")

@@ -4112,3 +4112,95 @@ def test_containment_anchor_size_ratio_sweep(ray_session):
         ).to_pandas()
         got = set(map(tuple, out[["a", "b"]].to_numpy())) if len(out) else set()
         assert {(0, 1), (0, 2), (0, 3)} <= got, (seed, got)
+
+
+def test_leakage_safe_split_family_invariants(ray_session):
+    """No near-dup pair may straddle the split: docs sharing a dup
+    component carry identical (family, split); docs outside the dup
+    graph are their own singleton family; every doc appears exactly
+    once; the md5-u52 gate matches a direct recomputation."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import dup_ngram_components
+    from pdf_extractor_ray.ops.scrub import md5_u52
+    from pdf_extractor_ray.ops.selection import leakage_safe_split
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                f"{shared} tail one",
+                f"{shared} tail two",  # dups with doc 0 via the shared 8-gram
+                "unique words only here nothing repeats at all ever once",
+                f"intro text {shared}",  # also in the family
+                "another fully unique document with its own words entirely",
+                "", " ",  # empty/blank docs are singletons, never dropped
+                f"{shared} tail three",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    comp = dup_ngram_components(ds, n=8)
+    out = leakage_safe_split(ds, comp, val_frac=0.25).to_pandas()
+
+    assert sorted(out["doc_id"]) == list(range(8))
+    fam = out.set_index("doc_id")["family"]
+    spl = out.set_index("doc_id")["split"]
+    assert fam[0] == fam[1] == fam[3] == fam[7] == 0  # min doc_id labels the family
+    assert len({spl[0], spl[1], spl[3], spl[7]}) == 1  # never straddles
+    for singleton in (2, 4, 5, 6):
+        assert fam[singleton] == singleton
+    # the gate is exactly md5_u52(str(family)) < floor(frac * 2^52)
+    thr = np.floor(0.25 * 2.0**52)
+    want = np.where(
+        md5_u52([str(int(f)) for f in out["family"]]).astype("float64") < thr, "val", "train"
+    )
+    assert (out["split"].to_numpy() == want).all()
+
+
+def test_ngram_decontaminate_against_hand_computed(ray_session):
+    """Known-answer contamination: doc 1 embeds the 5-word eval phrase
+    verbatim, so exactly its three interior 3-grams hit (grams
+    straddling the phrase boundary do not — hand-counted below);
+    doc 2 is clean; doc 3 is a verbatim eval copy (every position
+    hits); docs shorter than n words emit nothing."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import ngram_decontaminate_against
+
+    eval_docs = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps"]}
+    )
+    train_docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                # contains "quick brown fox" -> exactly one 3-gram hit,
+                # plus "the quick brown"/"brown fox jumps" also present
+                "yesterday the quick brown fox jumps over something new",
+                "completely clean text with no overlap whatsoever here",
+                "the quick brown fox jumps",  # verbatim eval copy
+                "too short",  # < n tokens -> no row
+            ],
+        }
+    )
+    out = (
+        ngram_decontaminate_against(
+            ray.data.from_pandas(train_docs).repartition(2),
+            ray.data.from_pandas(eval_docs),
+            n=3,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    # doc 1: 7 positions, hits = "the quick brown", "quick brown fox",
+    # "brown fox jumps" = 3
+    assert out.loc[1, "n_grams"] == 7 and out.loc[1, "n_hit_grams"] == 3
+    assert bool(out.loc[1, "contaminated"]) is True
+    assert out.loc[2, "n_hit_grams"] == 0 and not out.loc[2, "contaminated"]
+    assert out.loc[3, "n_grams"] == 3 and out.loc[3, "n_hit_grams"] == 3
+    assert out.loc[3, "hit_fraction"] == 1.0
