@@ -746,6 +746,43 @@ def _docs_decontaminated_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_eval_scrub(sf_dir: str) -> pd.DataFrame:
+    """Decontaminate-by-scrubbing (ops/scrub.eval_span_scrub): train
+    docs (odd doc_ids) lose every token covered by an 8-gram that
+    also occurs in the eval corpus (even doc_ids) — the GPT-3
+    appendix-C remedy applied, not just audited. Fully SQL-oracled
+    with the dup_span_scrub coverage CTE split by parity."""
+    from pdf_extractor_ray.ops.scrub import eval_span_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == p]
+
+        return f
+
+    out = eval_span_scrub(
+        ds.map_batches(parity(1), batch_format="pandas"),
+        ds.map_batches(parity(0), batch_format="pandas"),
+        n=8,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_source_gate(sf_dir: str) -> pd.DataFrame:
+    """Source-level mean-quality gate (ops/quality.group_mean_gate —
+    the CCNet/RefinedWeb whole-domain drop): every doc of a source
+    whose mean n_chars < 300 is removed. Integer sum >= mean*count
+    inequality on both engines, so the kept set is bit-exact; oracled
+    with the same window-sum QUALIFY."""
+    from pdf_extractor_ray.ops.quality import group_mean_gate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = group_mean_gate(ds, "source", "n_chars", min_mean=300).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_ngram_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Exact cross-corpus n-gram contamination audit (ops/scrub.
     ngram_decontaminate_against, GPT-3 appendix-C formulation): odd
@@ -2997,6 +3034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_av_metadata": _multimodal_av_metadata,
         "docs_leakage_split": _docs_leakage_split,
         "docs_ngram_decontaminate": _docs_ngram_decontaminate,
+        "docs_source_gate": _docs_source_gate,
+        "docs_eval_scrub": _docs_eval_scrub,
     }
 
 
@@ -3682,6 +3721,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "docs_eval_scrub": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), toks AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       unnest(generate_series(1, len(toks))) AS pos
+                FROM t WHERE doc_id % 2 = 1
+            ), grams AS (
+                SELECT doc_id, u.i AS pos,
+                       array_to_string(toks[u.i:u.i+7], ' ') AS g
+                FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+            ), ev AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0
+            ), cov AS (
+                SELECT DISTINCT grams.doc_id, grams.pos + k.k AS pos
+                FROM grams JOIN ev USING (g),
+                     unnest(generate_series(0, 7)) AS k(k)
+                WHERE grams.doc_id % 2 = 1
+            )
+            SELECT toks.doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY toks.pos)
+                            FILTER (cov.pos IS NULL), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(cov.pos) AS BIGINT) AS n_removed_tokens
+            FROM toks LEFT JOIN cov
+              ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+            GROUP BY toks.doc_id ORDER BY toks.doc_id
+        """,
+        "docs_source_gate": """
+            SELECT doc_id, source, n_chars FROM documents
+            QUALIFY sum(n_chars) OVER (PARTITION BY source)
+                    >= 300 * count(*) OVER (PARTITION BY source)
+            ORDER BY doc_id
         """,
         "docs_ngram_decontaminate": r"""
             WITH t AS (

@@ -319,6 +319,8 @@ def run_queries() -> dict[str, float]:
         "multimodal_av_metadata",
         "docs_leakage_split",
         "docs_ngram_decontaminate",
+        "docs_eval_scrub",
+        "docs_source_gate",
         "training_data_pipeline",
     ]
     qs = e.queries()

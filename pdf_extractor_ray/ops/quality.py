@@ -597,3 +597,45 @@ def mad_outliers(
         )
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def group_mean_gate(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    signal_col: str = "n_chars",
+    min_mean: int = 900,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """GROUP-level quality gate: drop EVERY document of a group whose
+    mean signal falls below `min_mean` — the host/source-level filter
+    of CCNet ("head/middle/tail by domain") and RefinedWeb (document-
+    level scores aggregated per domain decide whole-domain drops): a
+    consistently low-quality source is better removed wholesale than
+    doc-by-doc, because its surviving tail is usually boilerplate.
+
+    Exactness contract (CLAUDE.md cross-engine floats): the signal is
+    INTEGER and the gate compares sum(signal) >= min_mean * count —
+    order-free integer arithmetic, so the kept SET is bit-identical in
+    any engine (the SQL twin uses the same inequality via window
+    sums, never a float avg). One tiny (group, sum, count) exchange
+    (grouped_sum) feeds a driver-held threshold dict under the same
+    bounded-group-cardinality contract as temperature_sample; the
+    gate itself is a shuffle-free vectorized filter scan."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    stats = grouped_sum(
+        ds.map_batches(lambda b: b[[group_col, signal_col]], batch_format="pandas"),
+        [group_col],
+        [signal_col],
+    ).to_pandas()  # one row per group, driver-bounded by design
+    s = stats[f"sum_{signal_col}"].to_numpy(dtype="int64")
+    n = stats["n"].to_numpy(dtype="int64")
+    keep_groups = set(stats.loc[s >= min_mean * n, group_col])
+
+    cols = list(keep_cols) if keep_cols else None
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b[group_col].isin(keep_groups)]
+        return out[cols] if cols else out
+
+    return ds.map_batches(gate, batch_format="pandas")

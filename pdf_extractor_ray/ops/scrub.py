@@ -953,3 +953,232 @@ def ngram_decontaminate_against(
         )
 
     return red.map_batches(finish, batch_format="pandas")
+
+
+def eval_span_scrub(
+    train_ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    broadcast_max_grams: int = _DUP_SPAN_MAX_GRAMS,
+    broadcast_max_bytes: int = _DUP_SPAN_MAX_BYTES,
+) -> ray.data.Dataset:
+    """Decontaminate by SCRUBBING instead of dropping: remove every
+    train-doc token covered by an n-token window that also occurs in
+    the eval corpus — the GPT-3 appendix-C remedy (they remove the
+    colliding 13-gram window plus context rather than the whole
+    document, keeping the rest of the page's training value). The
+    audit twin is ngram_decontaminate_against; this op applies the
+    fix. Same coverage semantics as dup_span_scrub (difference-array
+    span union via _scrub_tokens), so a train doc equal to an eval
+    doc scrubs to the empty string. Token-less train docs emit no
+    row; docs shorter than n tokens pass through unchanged.
+
+    Tiers, mirroring dup_span_scrub:
+    - broadcast (the realistic case — eval suites are tiny next to
+      the crawl): the eval corpus's DISTINCT grams pre-aggregate per
+      batch, ship once via ray.put under the same gram/byte caps, and
+      one shuffle-free pass rebuilds every train doc locally;
+    - positional (huge eval side): train (doc_id, pos, gram) rows and
+      eval distinct-gram rows co-shuffle on hash(gram) mod P — hit
+      START positions fall out of one vectorized isin pass — then the
+      (tiny) removed-start rows co-shuffle with the train corpus on
+      hash(doc_id) mod P for the per-partition rebuild. Grams travel
+      as STRINGS (exact; no hash-collision scrubs)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from pdf_extractor_ray.ops.dedup import _typed_table
+
+    def explode_eval_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: set = set()
+        for t in batch[text_col]:
+            toks = str(t).split()
+            m = len(toks) - n + 1
+            if m > 0:
+                grams.update(" ".join(toks[i : i + n]) for i in range(m))
+        return pd.DataFrame({"gram": pd.Series(sorted(grams), dtype="object")})
+
+    ev_grams = (
+        eval_ds.map_batches(explode_eval_distinct, batch_format="pandas")
+        .map_batches(lambda b: b.drop_duplicates("gram"), batch_format="pandas")
+        .materialize()
+    )
+    n_ev = ev_grams.count()
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("text", pa.large_string()),
+            ("n_tokens", pa.int64()),
+            ("n_removed_tokens", pa.int64()),
+        ]
+    )
+
+    def rebuild_rows(ids, texts, starts_of) -> pa.Table:
+        out_ids: list[int] = []
+        out_text: list[str] = []
+        out_nt: list[int] = []
+        out_nr: list[int] = []
+        for doc_id, t in zip(ids, texts):
+            toks = str(t).split()
+            if not toks:
+                continue  # token-less doc: no row (mirrors the oracle)
+            cleaned, nt, nr = _scrub_tokens(toks, starts_of(doc_id, toks), n)
+            out_ids.append(int(doc_id))
+            out_text.append(cleaned)
+            out_nt.append(nt)
+            out_nr.append(nr)
+        return _typed_table(
+            out_schema,
+            **{
+                id_col: np.array(out_ids, dtype=np.int64),
+                "text": out_text,
+                "n_tokens": np.array(out_nt, dtype=np.int64),
+                "n_removed_tokens": np.array(out_nr, dtype=np.int64),
+            },
+        )
+
+    if n_ev <= broadcast_max_grams and ev_grams.size_bytes() <= broadcast_max_bytes:
+        evset = frozenset(ev_grams.to_pandas()["gram"]) if n_ev else frozenset()
+        ref = _ray.put(evset)
+
+        def score(batch: pd.DataFrame) -> pa.Table:
+            key = ("evalspan", ref.hex())
+            s = _DUPSET_CACHE.get(key)
+            if s is None:  # resolve the broadcast once per worker process
+                s = _DUPSET_CACHE[key] = _ray.get(ref)
+
+            def starts_of(_doc_id, toks):
+                m = len(toks) - n + 1
+                if m <= 0 or not s:
+                    return np.empty(0, dtype=np.int64)
+                return np.fromiter(
+                    (i for i in range(m) if " ".join(toks[i : i + n]) in s),
+                    dtype=np.int64,
+                )
+
+            return rebuild_rows(batch[id_col], batch[text_col], starts_of)
+
+        return train_ds.map_batches(score, batch_format="pandas")
+
+    # ---- positional tier: eval side too big to broadcast ----
+    pos_cols = [id_col, "pos", "gram", "_side", "_part"]
+
+    def explode_train_positions(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        poss: list[int] = []
+        grams: list[str] = []
+        for doc_id, t in zip(batch[id_col], batch[text_col]):
+            toks = str(t).split()
+            m = len(toks) - n + 1
+            if m <= 0:
+                continue
+            ids.extend([int(doc_id)] * m)
+            poss.extend(range(m))
+            grams.extend(" ".join(toks[i : i + n]) for i in range(m))
+        g = pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "gram": pd.Series(grams, dtype="object"),
+            }
+        )
+        g["_side"] = np.int8(1)
+        g["_part"] = (
+            pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return g[pos_cols]
+
+    def tag_eval(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[["gram"]].copy()
+        g[id_col] = np.int64(-1)
+        g["pos"] = np.int64(-1)
+        g["_side"] = np.int8(0)
+        g["_part"] = (
+            pd.util.hash_array(g["gram"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return g[pos_cols]
+
+    both_grams = train_ds.map_batches(explode_train_positions, batch_format="pandas").union(
+        ev_grams.map_batches(tag_eval, batch_format="pandas")
+    )
+
+    def find_hit_starts(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"), "pos": pd.Series([], dtype="int64")}
+        )
+        if g.empty or "_side" not in g.columns:
+            return empty
+        tr = g[g["_side"] == 1]
+        if tr.empty:
+            return empty
+        ev = set(g.loc[g["_side"] == 0, "gram"])
+        hit = tr["gram"].isin(ev).to_numpy()
+        return tr.loc[hit, [id_col, "pos"]].reset_index(drop=True)
+
+    removed = both_grams.groupby("_part").map_groups(find_hit_starts, batch_format="pandas")
+
+    side_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("pos", pa.int64()),
+            ("text", pa.large_string()),
+            ("side", pa.int8()),
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def proj_docs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(t.num_rows, pa.int64()),
+                t.column(text_col).cast(pa.large_string()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    def proj_removed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pos" not in t.column_names:
+            return _typed_table(side_schema)
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                t.column("pos").cast(pa.int64()),
+                pa.nulls(t.num_rows, pa.large_string()),
+                pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    both = (
+        train_ds.select_columns([id_col, text_col])
+        .map_batches(proj_docs, batch_format="pyarrow")
+        .union(removed.map_batches(proj_removed, batch_format="pyarrow"))
+    )
+
+    def rebuild_partition(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "side" not in g.columns:
+            return _typed_table(out_schema)
+        docs = g[g["side"] == 0]
+        rem = g[g["side"] == 1]
+        starts_by_doc = {
+            int(k): v.to_numpy(dtype=np.int64)
+            for k, v in rem.groupby(id_col, sort=False)["pos"]
+        }
+        empty = np.empty(0, dtype=np.int64)
+
+        def starts_of(doc_id, _toks):
+            return starts_by_doc.get(int(doc_id), empty)
+
+        return rebuild_rows(docs[id_col], docs["text"], starts_of)
+
+    return both.groupby("_part").map_groups(rebuild_partition, batch_format="pandas")

@@ -4204,3 +4204,80 @@ def test_ngram_decontaminate_against_hand_computed(ray_session):
     assert out.loc[2, "n_hit_grams"] == 0 and not out.loc[2, "contaminated"]
     assert out.loc[3, "n_grams"] == 3 and out.loc[3, "n_hit_grams"] == 3
     assert out.loc[3, "hit_fraction"] == 1.0
+
+
+def test_eval_span_scrub_tiers_agree(ray_session):
+    """Scrub semantics: tokens covered by any eval n-gram window are
+    removed (a verbatim eval copy scrubs to the empty string, an
+    embedded phrase loses exactly the covered window, clean and
+    short docs pass through) — and the broadcast and positional tiers
+    return bit-identical frames."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import eval_span_scrub
+
+    eval_docs = pd.DataFrame({"doc_id": [100], "text": ["the quick brown fox jumps"]})
+    train_docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "yesterday the quick brown fox jumps over something new",
+                "completely clean text with no overlap whatsoever here",
+                "the quick brown fox jumps",  # verbatim eval copy
+                "too short",  # < n tokens: passes through unchanged
+            ],
+        }
+    )
+
+    def run(**kw):
+        return (
+            eval_span_scrub(
+                ray.data.from_pandas(train_docs).repartition(2),
+                ray.data.from_pandas(eval_docs),
+                n=3,
+                num_partitions=4,
+                **kw,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    bcast = run()
+    positional = run(broadcast_max_grams=0)
+    pd.testing.assert_frame_equal(bcast, positional)
+
+    out = bcast.set_index("doc_id")
+    # doc 1: positions 1..5 covered (grams starting at 1,2,3 of the
+    # 5-word phrase, window 3) -> 5 tokens removed of 9
+    assert out.loc[1, "text"] == "yesterday over something new"
+    assert out.loc[1, "n_tokens"] == 9 and out.loc[1, "n_removed_tokens"] == 5
+    assert out.loc[2, "n_removed_tokens"] == 0
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_removed_tokens"] == 5
+    assert out.loc[4, "text"] == "too short" and out.loc[4, "n_removed_tokens"] == 0
+
+
+def test_group_mean_gate_integer_inequality(ray_session):
+    """Whole-group drops by integer sum >= min_mean * count (never a
+    float avg): group a mean 10 keeps, group b mean 9.5 drops, the
+    boundary mean == min_mean keeps (>=)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import group_mean_gate
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "source": ["a", "a", "b", "b", "c", "c"],
+            "sig": [8, 12, 9, 10, 10, 10],  # means: a=10, b=9.5, c=10
+        }
+    )
+    out = (
+        group_mean_gate(
+            ray.data.from_pandas(df).repartition(3), "source", "sig", min_mean=10
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert sorted(out["source"].unique()) == ["a", "c"]
+    assert sorted(out["doc_id"]) == [0, 1, 4, 5]
