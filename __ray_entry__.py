@@ -746,6 +746,47 @@ def _docs_decontaminated_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_mixture_plan(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stride-scheduled mixture interleave (ops/
+    selection.mixture_plan): source weights 1 + (src index % 3), L
+    pinned to 6, so any plan prefix holds the sources in integer
+    proportion — the reproducible data-mixing stream. All-integer
+    stride keys + two range-partitioned global ranks; oracled against
+    the same row_number arithmetic in DuckDB."""
+    from pdf_extractor_ray.ops.selection import mixture_plan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    srcs = sorted(set(ds.select_columns(["source"]).to_pandas()["source"]))
+    weights = {s: 1 + int(s[3:]) % 3 for s in srcs}  # src7 -> 2, etc.
+    out = mixture_plan(ds, weights, L=6).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_prefix_strip(sf_dir: str) -> pd.DataFrame:
+    """Source-level boilerplate prefix removal (ops/scrub.
+    source_prefix_strip): docs with doc_id % 3 != 0 get a
+    deterministic 5-token cookie-banner prepended, so ~2/3 of every
+    source shares the opening run and the >= 50% gate fires — the op
+    must strip exactly those docs and leave the rest byte-identical.
+    Fully SQL-oracled (same prepend + window counts in DuckDB)."""
+    from pdf_extractor_ray.ops.scrub import source_prefix_strip
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def banner(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        hit = (b["doc_id"] % 3 != 0).to_numpy()
+        b["text"] = np.where(
+            hit, "cookie banner notice please accept " + b["text"].astype(str), b["text"]
+        )
+        return b
+
+    out = source_prefix_strip(
+        ds.map_batches(banner, batch_format="pandas"), k=5, min_pct=50
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_eval_scrub(sf_dir: str) -> pd.DataFrame:
     """Decontaminate-by-scrubbing (ops/scrub.eval_span_scrub): train
     docs (odd doc_ids) lose every token covered by an 8-gram that
@@ -3036,6 +3077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_decontaminate": _docs_ngram_decontaminate,
         "docs_source_gate": _docs_source_gate,
         "docs_eval_scrub": _docs_eval_scrub,
+        "docs_prefix_strip": _docs_prefix_strip,
+        "docs_mixture_plan": _docs_mixture_plan,
     }
 
 
@@ -3721,6 +3764,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "docs_mixture_plan": r"""
+            WITH u AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS u
+                FROM documents
+            ), r AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (
+                           PARTITION BY source ORDER BY u, doc_id
+                       ) AS BIGINT) AS src_rank
+                FROM u
+            ), k AS (
+                SELECT doc_id, source, src_rank,
+                       src_rank * (6 // (1 + (CAST(substr(source, 4) AS INT) % 3)))
+                           AS stride_key
+                FROM r
+            )
+            SELECT doc_id, source, src_rank,
+                   CAST(stride_key AS BIGINT) AS stride_key,
+                   CAST(row_number() OVER (
+                       ORDER BY stride_key, source, src_rank
+                   ) AS BIGINT) AS mix_rank
+            FROM k ORDER BY doc_id
+        """,
+        "docs_prefix_strip": r"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN 'cookie banner notice please accept ' || text
+                            ELSE text END AS text
+                FROM documents
+            ), t AS (
+                SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+                FROM d WHERE length(trim(text)) > 0
+            ), p AS (
+                SELECT doc_id, source, toks, len(toks) AS nt,
+                       array_to_string(toks[1:5], ' ') AS pref
+                FROM t
+            ), cnt AS (
+                SELECT source, pref, CAST(count(*) AS BIGINT) AS c
+                FROM p WHERE nt >= 5 GROUP BY source, pref
+            ), win AS (
+                SELECT source, pref, c, sum(c) OVER (PARTITION BY source) AS n
+                FROM cnt
+                QUALIFY row_number() OVER (
+                    PARTITION BY source ORDER BY c DESC, pref
+                ) = 1
+            ), strip AS (
+                SELECT source, pref FROM win WHERE 100 * c >= 50 * n
+            )
+            SELECT p.doc_id, p.source,
+                   CASE WHEN s.pref IS NOT NULL AND p.nt >= 5
+                             AND array_to_string(p.toks[1:5], ' ') = s.pref
+                        THEN array_to_string(p.toks[6:len(p.toks)], ' ')
+                        ELSE array_to_string(p.toks, ' ') END AS text,
+                   (s.pref IS NOT NULL AND p.nt >= 5
+                    AND array_to_string(p.toks[1:5], ' ') = s.pref) AS stripped
+            FROM p LEFT JOIN strip s USING (source)
+            ORDER BY p.doc_id
         """,
         "docs_eval_scrub": r"""
             WITH t AS (

@@ -321,6 +321,8 @@ def run_queries() -> dict[str, float]:
         "docs_ngram_decontaminate",
         "docs_eval_scrub",
         "docs_source_gate",
+        "docs_prefix_strip",
+        "docs_mixture_plan",
         "training_data_pipeline",
     ]
     qs = e.queries()

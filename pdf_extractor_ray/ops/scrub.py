@@ -1182,3 +1182,111 @@ def eval_span_scrub(
         return rebuild_rows(docs[id_col], docs["text"], starts_of)
 
     return both.groupby("_part").map_groups(rebuild_partition, batch_format="pandas")
+
+
+def source_prefix_strip(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    k: int = 5,
+    min_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Source-level boilerplate PREFIX removal: when at least
+    `min_pct` percent of a source's (>= k-token) documents open with
+    the same k tokens, that run is site chrome (cookie banners, nav
+    headers, "Subscribe to continue") rather than content — strip it
+    from exactly those documents. The host-level cousin of the
+    extraction stage's per-DOC repeating-header removal
+    (functions/pdf_words.py M2): there repetition is detected across
+    pages of one doc, here across docs of one source.
+
+    Exactness: the gate is integer (100 * c >= min_pct * n, where n
+    counts the source's >= k-token docs); the winning prefix
+    tie-breaks (count DESC, prefix ASC); emitted text is the
+    space-join of surviving tokens — all order-free, so the SQL twin
+    reproduces bitwise.
+
+    Scale shape: per-batch (source, prefix) partials -> grouped_sum
+    (distributed — distinct prefixes per source are unbounded), one
+    hash(source) mod P pass picks each source's argmax row, and only
+    the tiny per-source winner/total tables reach the driver (bounded
+    by source cardinality — the temperature_sample contract). The
+    strip itself is a shuffle-free vectorized scan. Docs with no
+    tokens emit no row; docs with < k tokens never match."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def prefix_partials(b: pd.DataFrame) -> pd.DataFrame:
+        rows_g: list = []
+        rows_p: list[str] = []
+        n_long: dict = {}
+        for src, t in zip(b[group_col], b[text_col]):
+            toks = str(t).split()
+            if len(toks) >= k:
+                rows_g.append(src)
+                rows_p.append(" ".join(toks[:k]))
+                n_long[src] = n_long.get(src, 0) + 1
+        df = pd.DataFrame({group_col: rows_g, "pref": rows_p})
+        g = df.groupby([group_col, "pref"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = grouped_sum(
+        ds.map_batches(prefix_partials, batch_format="pandas"),
+        [group_col, "pref"],
+        ["c"],
+        counts=False,
+    )
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            pd.util.hash_array(b[group_col].astype(str).to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return b
+
+    def argmax_per_source(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {group_col: "object", "pref": "object", "c": "int64", "n": "int64"}
+        if g.empty or "pref" not in g.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        g = g.sort_values(["sum_c", "pref"], ascending=[False, True], kind="stable")
+        tot = g.groupby(group_col, sort=False)["sum_c"].transform("sum")
+        out = g.assign(n=tot).drop_duplicates(group_col, keep="first")
+        out = out.rename(columns={"sum_c": "c"})[list(cols)]
+        return out.astype(cols)
+
+    winners = (
+        counts.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(argmax_per_source, batch_format="pandas")
+        .to_pandas()  # one row per source — driver-bounded by design
+    )
+    strip_map = {
+        row[group_col]: row["pref"]
+        for _, row in winners.iterrows()
+        if 100 * int(row["c"]) >= min_pct * int(row["n"])
+    }
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        out_rows = {id_col: [], group_col: [], "text": [], "stripped": []}
+        for doc_id, src, t in zip(b[id_col], b[group_col], b[text_col]):
+            toks = str(t).split()
+            if not toks:
+                continue  # token-less doc: no row (mirrors the oracle)
+            pref = strip_map.get(src)
+            hit = pref is not None and len(toks) >= k and " ".join(toks[:k]) == pref
+            out_rows[id_col].append(int(doc_id))
+            out_rows[group_col].append(src)
+            out_rows["text"].append(" ".join(toks[k:] if hit else toks))
+            out_rows["stripped"].append(bool(hit))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_rows[id_col], dtype="int64"),
+                group_col: pd.Series(out_rows[group_col], dtype="object"),
+                "text": pd.Series(out_rows["text"], dtype="object"),
+                "stripped": pd.Series(out_rows["stripped"], dtype="bool"),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pandas")

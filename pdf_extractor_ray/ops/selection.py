@@ -520,3 +520,107 @@ def leakage_safe_split(
         )
 
     return both.groupby("_part").map_groups(assign, batch_format="pandas")
+
+
+def mixture_plan(
+    ds: ray.data.Dataset,
+    weights: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+    L: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic training-mixture INTERLEAVE plan: a total order
+    over the corpus in which any prefix contains the sources in
+    (integer) proportion to `weights` — the reproducible "data mixing"
+    stream a trainer consumes (domain weights a la The Pile / DoReMi),
+    computed as a dataset op instead of a loader-time random draw so
+    the schedule is resumable and engine-reproducible.
+
+    Classic stride scheduling, all integer: within each source docs
+    take a deterministic shuffle order r = 1.. (ordered by
+    md5_u52(str(id)), id), each row gets stride_key = r * (L / w_g)
+    with L = lcm(weights) — so source g's rows sit at multiples of
+    L/w_g and a weight-2 source appears twice as densely as a
+    weight-1 source — and mix_rank is the global row_number over
+    (stride_key, group, r). No floats anywhere: the plan is bit-exact
+    in any engine with the same md5 prefix (the SQL twin's
+    row_number + integer CASE weights reproduce it row for row).
+
+    Scale shape: two range-partitioned global_rank passes (the
+    three-pass sample/assign/offset machinery — no driver sort) plus
+    one tiny (group -> min rank) exchange, driver-bounded by group
+    cardinality (the temperature_sample contract). Unknown groups
+    default to weight 1."""
+    import math
+
+    from pdf_extractor_ray.ops.rank import global_rank
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    # L defaults to lcm(weights) but can be pinned explicitly so the
+    # plan (and its SQL twin) is invariant to WHICH groups appear in a
+    # given shard — every weight must divide it
+    if L is None:
+        L = math.lcm(*weights.values()) if weights else 1
+    assert all(L % int(w) == 0 for w in weights.values()), "L must be a multiple of every weight"
+    stride = {g: L // int(w) for g, w in weights.items()}
+
+    def add_u(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[id_col, group_col]].copy()
+        out["_u"] = md5_u52([str(v) for v in out[id_col]]).astype("int64")
+        return out
+
+    ranked = global_rank(
+        ds.map_batches(add_u, batch_format="pandas"),
+        [group_col, "_u", id_col],
+        keep_cols=[group_col, id_col],
+        rank_col="_gr",
+        num_partitions=num_partitions,
+    )
+
+    def group_mins(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or group_col not in b.columns:
+            return pd.DataFrame(
+                {group_col: pd.Series(dtype="object"), "mn": pd.Series(dtype="int64")}
+            )
+        g = b.groupby(group_col, sort=False)["_gr"].min()
+        return pd.DataFrame({group_col: g.index.to_numpy(), "mn": g.to_numpy(dtype="int64")})
+
+    mins = (
+        ranked.map_batches(group_mins, batch_format="pandas")
+        .to_pandas()  # k rows per block-partial, k = group cardinality
+        .groupby(group_col, sort=False)["mn"]
+        .min()
+        .to_dict()
+    )
+
+    def stride_keys(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or group_col not in b.columns:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    group_col: pd.Series(dtype="object"),
+                    "src_rank": pd.Series(dtype="int64"),
+                    "stride_key": pd.Series(dtype="int64"),
+                }
+            )
+        mn = b[group_col].map(mins).to_numpy(dtype="int64")
+        r = b["_gr"].to_numpy(dtype="int64") - mn + 1
+        st = b[group_col].map(stride).fillna(L).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype="int64"),
+                group_col: b[group_col].to_numpy(),
+                "src_rank": r,
+                "stride_key": r * st,
+            }
+        )
+
+    keyed = ranked.map_batches(stride_keys, batch_format="pandas")
+    return global_rank(
+        keyed,
+        ["stride_key", group_col, "src_rank"],
+        keep_cols=[id_col, group_col, "src_rank", "stride_key"],
+        rank_col="mix_rank",
+        num_partitions=num_partitions,
+    )

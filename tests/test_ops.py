@@ -4281,3 +4281,33 @@ def test_group_mean_gate_integer_inequality(ray_session):
     )
     assert sorted(out["source"].unique()) == ["a", "c"]
     assert sorted(out["doc_id"]) == [0, 1, 4, 5]
+
+
+def test_mixture_plan_stride_interleave(ray_session):
+    """Weight-2 source appears twice as densely: with sources a(w=2,
+    4 docs) and b(w=1, 2 docs), strides are 1 and 2, so the plan order
+    by (stride_key, source) is a,a,b,a,a,b — exact 2:1 in every
+    prefix aligned to a stride period. mix_rank is a permutation and
+    src_rank follows the md5-u52 shuffle order."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import md5_u52
+    from pdf_extractor_ray.ops.selection import mixture_plan
+
+    df = pd.DataFrame(
+        {"doc_id": [10, 11, 12, 13, 20, 21], "source": ["a"] * 4 + ["b"] * 2}
+    )
+    out = (
+        mixture_plan(ray.data.from_pandas(df).repartition(3), {"a": 2, "b": 1}, L=2)
+        .to_pandas()
+        .sort_values("mix_rank")
+        .reset_index(drop=True)
+    )
+    assert sorted(out["mix_rank"]) == [1, 2, 3, 4, 5, 6]
+    assert list(out["source"]) == ["a", "a", "b", "a", "a", "b"]
+    # src_rank within each source follows (md5_u52(str(id)), id)
+    for src in ("a", "b"):
+        part = out[out["source"] == src].sort_values("src_rank")
+        ids = part["doc_id"].tolist()
+        u = md5_u52([str(i) for i in ids])
+        assert sorted(range(len(ids)), key=lambda j: (u[j], ids[j])) == list(range(len(ids)))
