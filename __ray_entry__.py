@@ -746,6 +746,44 @@ def _docs_decontaminated_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _embeddings_truncation_recall(sf_dir: str) -> pd.DataFrame:
+    """Dimension-truncation retrieval audit (ops/similarity.
+    truncation_recall, Matryoshka-style): recall@10 of
+    first-16-of-64-dim cosine top-k against full-dim top-k for the
+    deterministic query panel vec_id % 20 == 0, self excluded, ties
+    by (cos DESC, id). Fully SQL-oracled with the same
+    list_cosine_similarity rankings in DuckDB."""
+    from pdf_extractor_ray.ops.similarity import truncation_recall
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return truncation_recall(ds, m=16, k=10, query_mod=20)
+
+
+def _docs_mirror_pairs(sf_dir: str) -> pd.DataFrame:
+    """Mirror-host detection (ops/dedup.mirror_pairs): each source
+    gets a synthetic mirror host '<source>_m' republishing its
+    doc_id % 7 == 0 docs verbatim plus modified-noise docs
+    (doc_id % 7 == 1), so true mirror pairs and sub-threshold pairs
+    both exist. Source pairs sharing >= 30% of the smaller side's
+    distinct texts flag as mirrors — integer gate, fully SQL-oracled
+    with the same UNION ALL construction."""
+    from pdf_extractor_ray.ops.dedup import mirror_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def mirrors(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[b["doc_id"] % 7 == 0].copy()
+        c["source"] = c["source"] + "_m"
+        z = b[b["doc_id"] % 7 == 1].copy()
+        z["source"] = z["source"] + "_m"
+        z["text"] = z["text"].astype(str) + " mirrornoise"
+        return pd.concat([b, c, z], ignore_index=True)
+
+    return mirror_pairs(
+        ds.map_batches(mirrors, batch_format="pandas"), min_shared_pct=30
+    ).to_pandas()
+
+
 def _docs_mixture_plan(sf_dir: str) -> pd.DataFrame:
     """Deterministic stride-scheduled mixture interleave (ops/
     selection.mixture_plan): source weights 1 + (src index % 3), L
@@ -3079,6 +3117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_eval_scrub": _docs_eval_scrub,
         "docs_prefix_strip": _docs_prefix_strip,
         "docs_mixture_plan": _docs_mixture_plan,
+        "docs_mirror_pairs": _docs_mirror_pairs,
+        "embeddings_truncation_recall": _embeddings_truncation_recall,
     }
 
 
@@ -3764,6 +3804,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "embeddings_truncation_recall": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id % 20 = 0
+            ), f AS (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                               e.vec_id
+                       ) AS rn
+                FROM embeddings e, q WHERE e.vec_id <> q.qid
+            ), t AS (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding[1:16] AS DOUBLE[]),
+                               q.qv[1:16]) DESC,
+                               e.vec_id
+                       ) AS rn
+                FROM embeddings e, q WHERE e.vec_id <> q.qid
+            )
+            SELECT f.qid AS query_id,
+                   CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+                   CAST(count(t.vec_id) AS DOUBLE) / 10 AS recall_at_k
+            FROM f LEFT JOIN t
+              ON t.qid = f.qid AND t.vec_id = f.vec_id AND t.rn <= 10
+            WHERE f.rn <= 10
+            GROUP BY f.qid ORDER BY query_id
+        """,
+        "docs_mirror_pairs": r"""
+            WITH d AS (
+                SELECT source, text FROM documents
+                UNION ALL
+                SELECT source || '_m', text FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT source || '_m', text || ' mirrornoise'
+                FROM documents WHERE doc_id % 7 = 1
+            ), dt AS (
+                SELECT DISTINCT source, text FROM d WHERE length(trim(text)) > 0
+            ), tot AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY source
+            ), p AS (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM dt a JOIN dt b ON a.text = b.text AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT p.src_a, p.src_b, p.n_shared, ta.n AS n_a, tb.n AS n_b,
+                   100 * p.n_shared >= 30 * least(ta.n, tb.n) AS mirror
+            FROM p JOIN tot ta ON ta.source = p.src_a
+                   JOIN tot tb ON tb.source = p.src_b
+            ORDER BY src_a, src_b
         """,
         "docs_mixture_plan": r"""
             WITH u AS (

@@ -323,6 +323,8 @@ def run_queries() -> dict[str, float]:
         "docs_source_gate",
         "docs_prefix_strip",
         "docs_mixture_plan",
+        "docs_mirror_pairs",
+        "embeddings_truncation_recall",
         "training_data_pipeline",
     ]
     qs = e.queries()

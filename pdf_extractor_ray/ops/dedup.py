@@ -2133,3 +2133,87 @@ def containment_pairs(
         ds, cand, hash_kind="char_containment", param=k, threshold=threshold,
         id_col=id_col, text_col=text_col, num_partitions=num_partitions,
     )
+
+
+def mirror_pairs(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_shared_pct: int = 30,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Mirror / aggregator HOST detection: source pairs sharing a
+    large fraction of exact content — the crawl-curation signal that
+    two hosts republish the same corpus (mirrors, scraper sites, CDN
+    vhosts), which per-doc dedup sees only one colliding pair at a
+    time. A pair is a mirror when 100 * n_shared >= min_shared_pct *
+    min(n_a, n_b) over DISTINCT text values (integer gate, bit-exact
+    cross-engine).
+
+    Scale shape: per-batch DISTINCT (text, group) partials co-shuffle
+    on hash(text) mod P — each text value lands in exactly one
+    partition, so its source set is complete there and both the
+    per-source distinct-text totals AND the C(k,2) pair partials are
+    partition-local sums (k is bounded by group cardinality, so the
+    worst-case fan-out per text is bounded; text strings never leave
+    the first exchange). The tiny (pair -> sum) and (group -> total)
+    tables reduce via grouped_sum; the final gate joins k^2-bounded
+    rows on the driver-free map_batches path with a broadcast totals
+    dict (temperature_sample contract)."""
+    from itertools import combinations
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def distinct_pairs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[[text_col, group_col]].dropna().drop_duplicates()
+        d = d[d[text_col].astype(str).str.strip() != ""]
+        d["_part"] = (
+            pd.util.hash_array(d[text_col].astype(str).to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return d
+
+    exploded = ds.map_batches(distinct_pairs_partial, batch_format="pandas")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"src_a": "object", "src_b": "object", "c": "int64"}
+        if g.empty or text_col not in g.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        d = g[[text_col, group_col]].drop_duplicates()
+        # per-source distinct-text totals ride the same output as
+        # (src, src) self-rows — one exchange, no second job
+        counts = d.groupby(group_col, sort=False).size()
+        out_a: list = list(counts.index)
+        out_b: list = list(counts.index)
+        out_c: list = [int(v) for v in counts.to_numpy()]
+        for _, srcs in d.groupby(text_col, sort=False)[group_col]:
+            ss = sorted(set(srcs))
+            for a, b2 in combinations(ss, 2):
+                out_a.append(a)
+                out_b.append(b2)
+                out_c.append(1)
+        out = pd.DataFrame({"src_a": out_a, "src_b": out_b, "c": out_c})
+        out = out.groupby(["src_a", "src_b"], sort=False)["c"].sum().reset_index()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    partials = exploded.groupby("_part").map_groups(per_partition, batch_format="pandas")
+    sums = grouped_sum(partials, ["src_a", "src_b"], ["c"], counts=False).to_pandas()
+    # bounded by group-cardinality^2 — driver-held by design
+    totals = {
+        a: int(c) for a, b, c in zip(sums["src_a"], sums["src_b"], sums["sum_c"]) if a == b
+    }
+    pairs = sums[sums["src_a"] != sums["src_b"]].copy()
+    n_a = pairs["src_a"].map(totals).to_numpy(dtype="int64")
+    n_b = pairs["src_b"].map(totals).to_numpy(dtype="int64")
+    shared = pairs["sum_c"].to_numpy(dtype="int64")
+    out = pd.DataFrame(
+        {
+            "src_a": pairs["src_a"].to_numpy(),
+            "src_b": pairs["src_b"].to_numpy(),
+            "n_shared": shared,
+            "n_a": n_a,
+            "n_b": n_b,
+            "mirror": 100 * shared >= min_shared_pct * np.minimum(n_a, n_b),
+        }
+    ).sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)

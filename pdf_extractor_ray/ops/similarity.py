@@ -856,3 +856,77 @@ def semantic_outliers(
 
     out = scored.map_batches(attach_z, batch_format="pandas").to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def truncation_recall(
+    ds: ray.data.Dataset,
+    m: int = 16,
+    k: int = 10,
+    query_mod: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Matryoshka-style dimension-truncation audit (Kusupati et al.
+    2022, "Matryoshka Representation Learning"): before serving or
+    storing TRUNCATED embeddings (first m dims, renormalized), measure
+    how much retrieval they lose — recall@k of truncated-cosine top-k
+    against full-cosine top-k for a deterministic query panel
+    (id % query_mod == 0), self-matches excluded, ties broken by
+    (cos DESC, id ASC).
+
+    Scale shape: the query panel is a distributed filter whose result
+    is bounded by construction (corpus/query_mod rows) and broadcast
+    once via ray.put; ONE streaming pass computes BOTH similarity
+    matrices per batch (two matmuls against the resident panel) and
+    emits only per-(query, variant) top-(k+1) partials, so the final
+    exact reduce sees at most n_queries * 2 * (k+1) rows per block —
+    never a corpus materialization. recall = n_overlap / k is an
+    exact int/int division, bit-identical in the SQL twin."""
+    qdf = ds.map_batches(
+        lambda b: b[b[id_col] % query_mod == 0], batch_format="pandas"
+    ).to_pandas()  # bounded: 1/query_mod of the id space, by contract
+    qdf = qdf.sort_values(id_col).reset_index(drop=True)
+    qids = qdf[id_col].to_numpy(dtype=np.int64)
+    qmat = np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
+    qf = _normalize_rows(qmat)
+    qm = _normalize_rows(qmat[:, :m].copy())
+    ref = ray.put((qids, qf, qm))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_q, f, t = ray.get(ref)
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        vf = _normalize_rows(v)
+        vm = _normalize_rows(v[:, : t.shape[1]].copy())
+        out = {"qid": [], "vec_id": [], "cos": [], "which": []}
+        for which, sims in enumerate((vf @ f.T, vm @ t.T)):
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                keep = ids != ids_q[j]  # exclude self
+                cc, ii = col[keep], ids[keep]
+                top = np.lexsort((ii, -cc))[: k + 1]
+                out["qid"].extend([int(ids_q[j])] * len(top))
+                out["vec_id"].extend(int(x) for x in ii[top])
+                out["cos"].extend(float(x) for x in cc[top])
+                out["which"].extend([which] * len(top))
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="int64"),
+                "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+                "cos": pd.Series(out["cos"], dtype="float64"),
+                "which": pd.Series(out["which"], dtype="int8"),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
+    rows = []
+    for qid, g in parts.groupby("qid", sort=True):
+        tops = {}
+        for which in (0, 1):
+            gg = g[g["which"] == which].sort_values(
+                ["cos", "vec_id"], ascending=[False, True], kind="stable"
+            )
+            tops[which] = set(gg["vec_id"].head(k))
+        n_overlap = len(tops[0] & tops[1])
+        rows.append((int(qid), n_overlap, n_overlap / k))
+    return pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall_at_k"])

@@ -4311,3 +4311,80 @@ def test_mixture_plan_stride_interleave(ray_session):
         ids = part["doc_id"].tolist()
         u = md5_u52([str(i) for i in ids])
         assert sorted(range(len(ids)), key=lambda j: (u[j], ids[j])) == list(range(len(ids)))
+
+
+def test_mirror_pairs_hand_computed(ray_session):
+    """Host pairs by shared distinct content: full mirror (2/2 shared),
+    partial below threshold (1 of min-side 2 = 50% < pct=60),
+    disjoint hosts emit no pair; per-source totals are DISTINCT text
+    counts (the repeated doc in src a counts once)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import mirror_pairs
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "a", "m", "m", "b", "b", "b", "c"],
+            "text": [
+                "shared one",
+                "shared one",  # duplicate within a: distinct-counted once
+                "shared two",
+                "shared one",
+                "shared two",  # m mirrors a fully (2/2)
+                "shared one",
+                "b only text",
+                "b other text",  # b: 1 of 3 shared
+                "c unique",  # c: disjoint
+            ],
+        }
+    )
+    out = (
+        mirror_pairs(
+            ray.data.from_pandas(df).repartition(3), min_shared_pct=60, num_partitions=4
+        )
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+    assert ("a", "c") not in out.index and ("b", "c") not in out.index
+    am = out.loc[("a", "m")]
+    assert am["n_shared"] == 2 and am["n_a"] == 2 and am["n_b"] == 2 and bool(am["mirror"])
+    ab = out.loc[("a", "b")]
+    assert ab["n_shared"] == 1 and ab["n_b"] == 3 and not bool(ab["mirror"])
+    bm = out.loc[("b", "m")]
+    assert bm["n_shared"] == 1 and not bool(bm["mirror"])
+
+
+def test_truncation_recall_reference(ray_session):
+    """m = full dim is a perfect retriever (recall 1.0 for every
+    query); a real truncation reproduces a brute-force numpy
+    reference computed with the same (cos DESC, id) tie-break."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import truncation_recall
+
+    rng = np.random.RandomState(7)
+    n, d = 60, 12
+    vecs = rng.randn(n, d).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(n), "embedding": [list(v) for v in vecs]})
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    full = truncation_recall(ds, m=d, k=5, query_mod=15)
+    assert (full["recall_at_k"] == 1.0).all() and len(full) == 4
+
+    out = truncation_recall(ds, m=4, k=5, query_mod=15).set_index("query_id")
+
+    def norm(a):
+        nn = np.linalg.norm(a, axis=1, keepdims=True)
+        return a / np.where(nn == 0, 1, nn)
+
+    vf, vm = norm(vecs.astype(np.float64)), norm(vecs[:, :4].astype(np.float64))
+    for qid in (0, 15, 30, 45):
+        exp = {}
+        for tag, mat in (("f", vf), ("t", vm)):
+            sims = mat @ mat[qid]
+            ids = np.array([i for i in range(n) if i != qid])
+            cc = sims[ids]
+            exp[tag] = set(ids[np.lexsort((ids, -cc))[:5]])
+        want = len(exp["f"] & exp["t"])
+        assert out.loc[qid, "n_overlap"] == want
+        assert out.loc[qid, "recall_at_k"] == want / 5
