@@ -746,6 +746,32 @@ def _docs_decontaminated_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
+    """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
+    deterministic injections — decomposed e+combining-acute prefix
+    (doc_id%5==0), zero-width space (%5==1), double space (%5==2) —
+    must compose/strip/collapse away, the rest byte-identical. Fully
+    SQL-oracled (DuckDB nfc_normalize + chr()-built regex classes;
+    codepoint length parity probed)."""
+    from pdf_extractor_ray.ops.scrub import unicode_canonicalize
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = (b["doc_id"] % 5).to_numpy()
+        t = b["text"].astype(str)
+        b["text"] = np.select(
+            [m == 0, m == 1, m == 2],
+            ["cafe\u0301 " + t, "\u200b" + t, "  " + t],  # decomposed acute + ZWSP
+            default=t,
+        )
+        return b
+
+    out = unicode_canonicalize(ds.map_batches(inject, batch_format="pandas")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _embeddings_truncation_recall(sf_dir: str) -> pd.DataFrame:
     """Dimension-truncation retrieval audit (ops/similarity.
     truncation_recall, Matryoshka-style): recall@10 of
@@ -3119,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_plan": _docs_mixture_plan,
         "docs_mirror_pairs": _docs_mirror_pairs,
         "embeddings_truncation_recall": _embeddings_truncation_recall,
+        "docs_unicode_canonicalize": _docs_unicode_canonicalize,
     }
 
 
@@ -3804,6 +3831,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "docs_unicode_canonicalize": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN 'cafe' || chr(769) || ' ' || text
+                            WHEN doc_id % 5 = 1 THEN chr(8203) || text
+                            WHEN doc_id % 5 = 2 THEN '  ' || text
+                            ELSE text END AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id, t,
+                       trim(regexp_replace(
+                                regexp_replace(
+                                    nfc_normalize(t),
+                                    '[' || chr(8203) || chr(8204) || chr(8205)
+                                        || chr(65279) || ']', '', 'g'),
+                                '[ \t\n\r\f\v]+', ' ', 'g'),
+                            ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))
+                           AS text
+                FROM d
+            )
+            SELECT doc_id, text, text <> t AS changed,
+                   CAST(length(t) AS BIGINT) AS n_chars_before,
+                   CAST(length(text) AS BIGINT) AS n_chars_after
+            FROM c ORDER BY doc_id
         """,
         "embeddings_truncation_recall": """
             WITH q AS (

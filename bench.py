@@ -325,6 +325,7 @@ def run_queries() -> dict[str, float]:
         "docs_mixture_plan",
         "docs_mirror_pairs",
         "embeddings_truncation_recall",
+        "docs_unicode_canonicalize",
         "training_data_pipeline",
     ]
     qs = e.queries()

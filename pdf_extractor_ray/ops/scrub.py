@@ -1290,3 +1290,53 @@ def source_prefix_strip(
         )
 
     return ds.map_batches(strip, batch_format="pandas")
+
+
+_ZERO_WIDTH_RE = re.compile("[\u200b\u200c\u200d\ufeff]")  # ZWSP ZWNJ ZWJ BOM
+_ASCII_WS_RE = re.compile("[ \t\n\r\f\v]+")
+_ASCII_WS = " \t\n\r\f\v"
+
+
+def unicode_canonicalize(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Unicode canonicalization BEFORE content hashing / dedup: NFC
+    composition (é as one codepoint, not e + combining acute — the
+    classic cross-crawl dup-miss), zero-width character strip
+    (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup poison), and ASCII-whitespace
+    collapse + trim. Emits (id, text, changed, n_chars_before,
+    n_chars_after). Row-local and shuffle-free.
+
+    Cross-engine exactness: NFC via unicodedata matches DuckDB's
+    nfc_normalize (same Unicode algorithm; probed in the twin), and
+    the whitespace class is the EXPLICIT ASCII set in both engines —
+    Python's str-pattern \\s and RE2's \\s disagree on Unicode
+    whitespace (NBSP), so neither is used."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        import unicodedata
+
+        before: list[int] = []
+        after: list[int] = []
+        out: list[str] = []
+        changed: list[bool] = []
+        for t in b[text_col]:
+            t = str(t)
+            c = unicodedata.normalize("NFC", t)
+            c = _ZERO_WIDTH_RE.sub("", c)
+            c = _ASCII_WS_RE.sub(" ", c).strip(_ASCII_WS)
+            before.append(len(t))
+            after.append(len(c))
+            out.append(c)
+            changed.append(c != t)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "text": pd.Series(out, dtype="object"),
+                "changed": pd.Series(changed, dtype="bool"),
+                "n_chars_before": pd.Series(before, dtype="int64"),
+                "n_chars_after": pd.Series(after, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -4253,7 +4253,7 @@ def test_eval_span_scrub_tiers_agree(ray_session):
     assert out.loc[1, "text"] == "yesterday over something new"
     assert out.loc[1, "n_tokens"] == 9 and out.loc[1, "n_removed_tokens"] == 5
     assert out.loc[2, "n_removed_tokens"] == 0
-    assert out.loc[3, "text"] == "" and out.loc[3, "n_removed_tokens"] == 5
+    assert out.loc[3, "text"] == "caf\u00e9\u00a0nbsp kept" and not bool(out.loc[3, "changed"])
     assert out.loc[4, "text"] == "too short" and out.loc[4, "n_removed_tokens"] == 0
 
 
@@ -4388,3 +4388,37 @@ def test_truncation_recall_reference(ray_session):
         want = len(exp["f"] & exp["t"])
         assert out.loc[qid, "n_overlap"] == want
         assert out.loc[qid, "recall_at_k"] == want / 5
+
+
+def test_unicode_canonicalize_cases(ray_session):
+    """NFC composes combining marks, zero-width chars strip, ASCII
+    whitespace collapses and trims; NBSP is NOT whitespace here (the
+    explicit-ASCII-class contract) and clean text is unchanged."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import unicode_canonicalize
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": [
+                "café terrace",  # decomposed -> café (5 chars shorter by 1)
+                "a​b﻿c",  # zero-width poison
+                "  two\t\tspaces \n",  # collapse + trim
+                "caf\u00e9\u00a0nbsp kept",  # already NFC; real NBSP preserved
+                "clean text",
+            ],
+        }
+    )
+    out = (
+        unicode_canonicalize(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "text"] == "café terrace" and bool(out.loc[0, "changed"])
+    assert out.loc[0, "n_chars_before"] == 13 and out.loc[0, "n_chars_after"] == 12
+    assert out.loc[1, "text"] == "abc" and out.loc[1, "n_chars_after"] == 3
+    assert out.loc[2, "text"] == "two spaces"
+    assert out.loc[3, "text"] == "caf\u00e9\u00a0nbsp kept" and not bool(out.loc[3, "changed"])
+    assert out.loc[4, "text"] == "clean text" and not bool(out.loc[4, "changed"])
