@@ -746,6 +746,29 @@ def _docs_decontaminated_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_vocab_drift(sf_dir: str) -> pd.DataFrame:
+    """Snapshot vocabulary-drift monitor (ops/text_analysis.
+    vocab_drift): top-50 terms by exact integer cross-multiplied
+    relative-frequency shift between the even-doc_id corpus (A) and
+    the odd-doc_id corpus (B). SQL-oracled with the same HUGEINT
+    arithmetic."""
+    from pdf_extractor_ray.ops.text_analysis import vocab_drift
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == p]
+
+        return f
+
+    return vocab_drift(
+        ds.map_batches(parity(0), batch_format="pandas"),
+        ds.map_batches(parity(1), batch_format="pandas"),
+        top_n=50,
+    )
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3146,6 +3169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mirror_pairs": _docs_mirror_pairs,
         "embeddings_truncation_recall": _embeddings_truncation_recall,
         "docs_unicode_canonicalize": _docs_unicode_canonicalize,
+        "docs_vocab_drift": _docs_vocab_drift,
     }
 
 
@@ -3831,6 +3855,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "docs_vocab_drift": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents WHERE length(trim(text)) > 0
+            ), c AS (
+                SELECT term,
+                       CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_a,
+                       CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_b
+                FROM tok GROUP BY term
+            ), t AS (
+                SELECT CAST(sum(n_a) AS HUGEINT) AS ta,
+                       CAST(sum(n_b) AS HUGEINT) AS tb
+                FROM c
+            )
+            SELECT term, n_a, n_b,
+                   CAST(abs(CAST(n_a AS HUGEINT) * tb
+                            - CAST(n_b AS HUGEINT) * ta) AS BIGINT) AS drift
+            FROM c, t
+            ORDER BY drift DESC, term LIMIT 50
         """,
         "docs_unicode_canonicalize": r"""
             WITH d AS (

@@ -326,6 +326,7 @@ def run_queries() -> dict[str, float]:
         "docs_mirror_pairs",
         "embeddings_truncation_recall",
         "docs_unicode_canonicalize",
+        "docs_vocab_drift",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -1431,3 +1431,91 @@ def zipf_slope(
             "zipf_intercept": [intercept],
         }
     )
+
+
+def vocab_drift(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    top_n: int = 50,
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Vocabulary DRIFT between two corpus snapshots: the top_n terms
+    whose relative frequency moved most between corpus A and corpus B
+    — the cheap monitor that catches a crawl gone wrong (a spam
+    campaign, an encoding regression, a seed-list change) before
+    anything downstream trains on it.
+
+    Exactness contract: the drift score is the cross-multiplied
+    INTEGER |n_a * N_b - n_b * N_a| (N = corpus token totals), never
+    the float |n_a/N_a - n_b/N_b| — order-free and bit-identical to
+    the SQL twin's HUGEINT arithmetic. Inside the per-partition top
+    pass the products use Python-int (object-dtype) arithmetic, so
+    they cannot overflow int64 at web scale; only the top_n * P
+    candidate rows reach the driver (emitted scores must still fit
+    int64 — true whenever n * N < 2^63, i.e. any corpus the fixture
+    tables model; the SQL twin casts through HUGEINT either way).
+
+    Shape: per-batch term value_counts partials for both sides union
+    into ONE grouped_sum (term-keyed exchange), totals come from two
+    scalar aggregates, and the argtop pass is hash(term)-partitioned
+    with a driver reduce over P * top_n rows."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    def side_counts(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch[text_col].astype(str).str.split().explode().dropna()
+            toks = toks[toks != ""]
+            vc = toks.value_counts()
+            return pd.DataFrame(
+                {
+                    "term": vc.index.astype(str),
+                    "ca": (vc.to_numpy() if side == 0 else np.zeros(len(vc))).astype("int64"),
+                    "cb": (vc.to_numpy() if side == 1 else np.zeros(len(vc))).astype("int64"),
+                }
+            )
+
+        return f
+
+    both = ds_a.map_batches(side_counts(0), batch_format="pandas").union(
+        ds_b.map_batches(side_counts(1), batch_format="pandas")
+    )
+    counts = grouped_sum(both, ["term"], ["ca", "cb"], counts=False).materialize()
+    total_a = int(counts.sum("sum_ca") or 0)
+    total_b = int(counts.sum("sum_cb") or 0)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            pd.util.hash_array(b["term"].to_numpy()) % np.uint64(num_partitions)
+        ).astype("int64")
+        return b
+
+    def partial_top(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"term": "object", "n_a": "int64", "n_b": "int64", "drift": "int64"}
+        if g.empty or "term" not in g.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        na = g["sum_ca"].astype(object).to_numpy()
+        nb = g["sum_cb"].astype(object).to_numpy()
+        # Python-int products: exact at any corpus size
+        score = np.array([abs(int(a) * total_b - int(b2) * total_a) for a, b2 in zip(na, nb)], dtype=object)
+        out = pd.DataFrame(
+            {
+                "term": g["term"].to_numpy(),
+                "n_a": g["sum_ca"].to_numpy(dtype="int64"),
+                "n_b": g["sum_cb"].to_numpy(dtype="int64"),
+                "drift": score,
+            }
+        )
+        out = out.sort_values(["drift", "term"], ascending=[False, True], kind="stable").head(top_n)
+        out["drift"] = out["drift"].astype("int64")  # emitted candidates must fit
+        return out.astype(cols)
+
+    cand = (
+        counts.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(partial_top, batch_format="pandas")
+        .to_pandas()  # P * top_n rows — driver-bounded by construction
+    )
+    cand = cand.sort_values(["drift", "term"], ascending=[False, True], kind="stable").head(top_n)
+    return cand.reset_index(drop=True)

@@ -4422,3 +4422,19 @@ def test_unicode_canonicalize_cases(ray_session):
     assert out.loc[2, "text"] == "two spaces"
     assert out.loc[3, "text"] == "caf\u00e9\u00a0nbsp kept" and not bool(out.loc[3, "changed"])
     assert out.loc[4, "text"] == "clean text" and not bool(out.loc[4, "changed"])
+
+
+def test_vocab_drift_hand_computed(ray_session):
+    """Exact integer cross-multiplied drift: corpus A = 'x x y'
+    (N_a=3), corpus B = 'y y z' (N_b=3); drift(x)=|2*3-0*3|=6,
+    drift(y)=|1*3-2*3|=3, drift(z)=3 — ties break by term."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import vocab_drift
+
+    a = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x x y"]}))
+    b = ray.data.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["y y z"]}))
+    out = vocab_drift(a, b, top_n=10)
+    assert list(out["term"]) == ["x", "y", "z"]
+    assert list(out["drift"]) == [6, 3, 3]
+    assert list(out["n_a"]) == [2, 1, 0] and list(out["n_b"]) == [0, 2, 1]
