@@ -4253,7 +4253,7 @@ def test_eval_span_scrub_tiers_agree(ray_session):
     assert out.loc[1, "text"] == "yesterday over something new"
     assert out.loc[1, "n_tokens"] == 9 and out.loc[1, "n_removed_tokens"] == 5
     assert out.loc[2, "n_removed_tokens"] == 0
-    assert out.loc[3, "text"] == "caf\u00e9\u00a0nbsp kept" and not bool(out.loc[3, "changed"])
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_removed_tokens"] == 5
     assert out.loc[4, "text"] == "too short" and out.loc[4, "n_removed_tokens"] == 0
 
 
