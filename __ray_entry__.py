@@ -769,6 +769,34 @@ def _docs_vocab_drift(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def _embeddings_bitext_pairs(sf_dir: str) -> pd.DataFrame:
+    """Margin-based bitext mining (ops/similarity.bitext_mine,
+    Artetxe & Schwenk 2019 / the LASER-CCMatrix miner): even-vec_id
+    embeddings play the source language, odd ones the target; each
+    source's argmax-ratio-margin target with margin >= 1.0 is its
+    mined pair. Exact broadcast tier here (the SQL-oracle baseline);
+    the IVF-bucketed tier is the 100-TB path (full-probe bitwise
+    parity pinned in pytest). SQL-oracled end to end (cross join +
+    two kNN-mean windows + argmax window)."""
+    from pdf_extractor_ray.ops.similarity import bitext_mine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def parity(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["vec_id"] % 2 == p]
+
+        return f
+
+    return bitext_mine(
+        ds.map_batches(parity(0), batch_format="pandas"),
+        ds.map_batches(parity(1), batch_format="pandas"),
+        k=4,
+        threshold=1.0,
+    )
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3170,6 +3198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_truncation_recall": _embeddings_truncation_recall,
         "docs_unicode_canonicalize": _docs_unicode_canonicalize,
         "docs_vocab_drift": _docs_vocab_drift,
+        "embeddings_bitext_pairs": _embeddings_bitext_pairs,
     }
 
 
@@ -4987,4 +5016,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash/simhash dedup, text_analysis, ivf/neardup, extraction and
         # multimodal stages are not SQL-expressible -> rows-only checks.
+        "embeddings_bitext_pairs": """
+            WITH x AS (
+                SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), y AS (
+                SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 2 = 1
+            ), s AS (
+                SELECT src_id, tgt_id,
+                       list_cosine_similarity(x.v, y.v) AS cos
+                FROM x CROSS JOIN y
+            ), ax AS (
+                SELECT src_id, avg(cos) AS a
+                FROM (SELECT src_id, cos,
+                             row_number() OVER (PARTITION BY src_id
+                                 ORDER BY cos DESC, tgt_id) AS rn
+                      FROM s)
+                WHERE rn <= 4 GROUP BY src_id
+            ), byy AS (
+                SELECT tgt_id, avg(cos) AS b
+                FROM (SELECT tgt_id, cos,
+                             row_number() OVER (PARTITION BY tgt_id
+                                 ORDER BY cos DESC, src_id) AS rn
+                      FROM s)
+                WHERE rn <= 4 GROUP BY tgt_id
+            ), m AS (
+                SELECT s.src_id, s.tgt_id, s.cos,
+                       s.cos / ((ax.a + byy.b) / 2) AS margin
+                FROM s JOIN ax USING (src_id) JOIN byy USING (tgt_id)
+            ), best AS (
+                SELECT *, row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id) AS rn
+                FROM m
+            )
+            SELECT src_id, tgt_id, cos, margin FROM best
+            WHERE rn = 1 AND margin >= 1.0 ORDER BY src_id
+        """,
     }

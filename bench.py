@@ -327,6 +327,7 @@ def run_queries() -> dict[str, float]:
         "embeddings_truncation_recall",
         "docs_unicode_canonicalize",
         "docs_vocab_drift",
+        "embeddings_bitext_pairs",
         "training_data_pipeline",
     ]
     qs = e.queries()

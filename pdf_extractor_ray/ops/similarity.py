@@ -930,3 +930,459 @@ def truncation_recall(
         n_overlap = len(tops[0] & tops[1])
         rows.append((int(qid), n_overlap, n_overlap / k))
     return pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall_at_k"])
+
+
+def _by_reduce(
+    parts: ray.data.Dataset, k: int, num_partitions: int
+) -> dict[int, float]:
+    """Reduce per-batch partial top-k rows (yid, cos) to the per-y
+    mean-of-top-k map b_y (the backward-kNN term of the Artetxe &
+    Schwenk margin denominator). Shuffles only slim scalar rows on
+    hash(yid) mod P; the driver receives exactly |Y| (yid, b) rows."""
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "yid" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "yid": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                    "_part": pd.Series(dtype="int64"),
+                }
+            )
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b["yid"].to_numpy()) % num_partitions).astype(np.int64)
+        return b
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "yid" not in g.columns:
+            return pd.DataFrame(
+                {"yid": pd.Series(dtype="int64"), "b": pd.Series(dtype="float64")}
+            )
+        g = g.sort_values(["yid", "cos"], ascending=[True, False], kind="stable")
+        top = g.groupby("yid", sort=False).head(k)
+        out = top.groupby("yid", sort=True)["cos"].mean().reset_index()
+        return pd.DataFrame({"yid": out["yid"].astype("int64"), "b": out["cos"].astype("float64")})
+
+    rows = (
+        parts.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(reduce_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return dict(zip(rows["yid"].astype(np.int64), rows["b"].astype(np.float64)))
+
+
+def bitext_mine(
+    src: ray.data.Dataset,
+    tgt: ray.data.Dataset,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tier: str = "auto",
+    max_broadcast_rows: int = 100_000,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    cand_per_query: int = 16,
+    num_partitions: int = 32,
+    block_rows: int = 2048,
+) -> pd.DataFrame:
+    """Margin-based parallel-pair mining over two embedding corpora
+    (Artetxe & Schwenk 2019, the LASER / CCMatrix bitext-mining
+    formulation): for every source vector x, score each target y with
+
+        margin(x, y) = cos(x, y) / ((a_x + b_y) / 2)
+
+    where a_x is the mean cosine of x's k nearest targets (forward
+    kNN) and b_y the mean cosine of y's k nearest sources (backward
+    kNN) — the ratio margin discounts hubs that are near everything.
+    The mined pair for x is its argmax-margin target (tie: smallest
+    tgt_id); pairs below `threshold` are dropped. Emits one row
+    (src_id, tgt_id, cos, margin) per mined source vector.
+
+    Tiers (the hard_negatives exact/bucketed pattern):
+
+    - ``exact`` (the SQL-oracle baseline, auto when the TARGET side is
+      <= `max_broadcast_rows`): the normalized target matrix
+      broadcasts once via ray.put; pass 1 streams the source side and
+      emits per-batch per-target partial top-k rows (backward kNN,
+      reduced by a hash(yid)-mod-P scalar shuffle); pass 2 re-streams
+      the source side and computes forward kNN + margins per row-block
+      in one (B x |Y|) float64 tile. Sources stream twice, targets
+      never leave the object store, and nothing materializes the
+      source corpus anywhere. O(|X| * |Y|), honest while one side is
+      broadcastable.
+    - ``bucketed`` (the 100-TB scale path, auto above the cap): IVF
+      centroids train on a target prefix sample; each target lands in
+      its argmax bucket as pool, each source replicates into its
+      `n_probe` nearest buckets as query; per-bucket tiles emit (a)
+      per-source top-max(k, cand_per_query) candidate pairs and (b)
+      per-target top-k backward partials. Three hash-mod-P scalar
+      shuffles finish: a_x + candidate cut on hash(xid), b_y on
+      hash(yid), margin join on hash(yid) then argmax on hash(xid).
+      Recall < 1.0 by design (a true pair hiding in an unprobed
+      bucket, or outside the top-cand_per_query cosines, is missed);
+      with n_probe == n_centroids and cand_per_query >= |Y| it equals
+      the exact tier bitwise (pinned in tests).
+
+    Both tiers compute a_x / b_y as the mean of the top-k cosines
+    sorted descending before summation, so the tiers agree bitwise
+    and the DuckDB twin (row_number <= k -> avg) agrees at the
+    driver's 4-decimal rounding."""
+    if tier == "auto":
+        tier = "exact" if tgt.count() <= max_broadcast_rows else "bucketed"
+    if tier == "bucketed":
+        return _bitext_mine_bucketed(
+            src, tgt, k, threshold, id_col, vec_col,
+            n_centroids=n_centroids, n_probe=n_probe,
+            cand_per_query=cand_per_query,
+            num_partitions=num_partitions, block_rows=block_rows,
+        )
+
+    out_empty = pd.DataFrame(
+        {
+            "src_id": pd.Series(dtype="int64"),
+            "tgt_id": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+            "margin": pd.Series(dtype="float64"),
+        }
+    )
+    rows = tgt.select_columns([id_col, vec_col]).take_all()  # bounded: |Y| x d
+    if not rows:
+        return out_empty
+    ids_y = np.fromiter((r[id_col] for r in rows), dtype=np.int64, count=len(rows))
+    my = _normalize_rows(np.stack([np.asarray(r[vec_col]) for r in rows]).astype(np.float64))
+    order = np.argsort(ids_y, kind="stable")
+    ids_y, my = ids_y[order], my[order]
+    yref = ray.put((ids_y, my))
+    src_slim = src.select_columns([id_col, vec_col])
+
+    def ytop_task(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"yid": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")}
+            )
+        cached = _QUERY_CACHE.get(("bt", yref.hex()))
+        if cached is None:
+            cached = _QUERY_CACHE[("bt", yref.hex())] = ray.get(yref)
+        yids, ym = cached
+        mx = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        s = mx @ ym.T  # (B, |Y|)
+        kk = min(k, s.shape[0])
+        top = -np.sort(-s, axis=0)[:kk, :]  # per-target top-k of this batch
+        return pd.DataFrame(
+            {
+                "yid": np.tile(yids, kk).astype(np.int64),
+                "cos": top.reshape(-1).astype(np.float64),
+            }
+        )
+
+    parts = src_slim.map_batches(ytop_task, batch_format="pandas", batch_size=4096)
+    b_map = _by_reduce(parts, k, num_partitions)
+    if not b_map:  # empty source side
+        return out_empty
+    b_arr = np.array([b_map[int(y)] for y in ids_y], dtype=np.float64)
+    bref = ray.put((ids_y, my, b_arr))
+
+    def margin_task(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return out_empty.copy()
+        cached = _QUERY_CACHE.get(("btm", bref.hex()))
+        if cached is None:
+            cached = _QUERY_CACHE[("btm", bref.hex())] = ray.get(bref)
+        yids, ym, b = cached
+        mx = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        xids = batch[id_col].to_numpy(dtype=np.int64)
+        s = mx @ ym.T
+        kk = min(k, s.shape[1])
+        a = (-np.sort(-s, axis=1)[:, :kk]).mean(axis=1)
+        marg = s / ((a[:, None] + b[None, :]) / 2.0)
+        best = np.lexsort((np.broadcast_to(yids, marg.shape), -marg), axis=1)[:, 0]
+        rows_i = np.arange(len(xids))
+        mvals = marg[rows_i, best]
+        keep = mvals >= threshold
+        return pd.DataFrame(
+            {
+                "src_id": xids[keep],
+                "tgt_id": yids[best[keep]],
+                "cos": s[rows_i[keep], best[keep]].astype(np.float64),
+                "margin": mvals[keep].astype(np.float64),
+            }
+        )
+
+    out = src_slim.map_batches(margin_task, batch_format="pandas", batch_size=4096).to_pandas()
+    if out.empty:
+        return out_empty
+    return out.sort_values("src_id", kind="stable").reset_index(drop=True)
+
+
+def _bitext_mine_bucketed(
+    src: ray.data.Dataset,
+    tgt: ray.data.Dataset,
+    k: int,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    n_probe: int,
+    cand_per_query: int,
+    num_partitions: int,
+    block_rows: int,
+) -> pd.DataFrame:
+    """Scale tier of bitext_mine — see its docstring. Only the
+    centroid matrix broadcasts; vectors move once as pool plus
+    n_probe times as query; every later exchange ships slim scalar
+    rows."""
+    cents = train_centroids(tgt, n_centroids=n_centroids, vec_col=vec_col)
+    n_probe = min(n_probe, len(cents))
+    cref = ray.put(cents.astype(np.float32))
+    keep_cand = max(k, cand_per_query)
+
+    def tag_pool(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                vec_col: pd.Series(dtype="object"),
+                "bucket": pd.Series(dtype="int32"),
+                "side": pd.Series(dtype="int8"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        c = _QUERY_CACHE.get(("btb", cref.hex()))
+        if c is None:
+            c = _QUERY_CACHE[("btb", cref.hex())] = ray.get(cref)
+        m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+        out = batch[[id_col, vec_col]].copy()
+        out["bucket"] = (m @ c.T).argmax(axis=1).astype(np.int32)
+        out["side"] = np.int8(0)
+        return out
+
+    def tag_query(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                vec_col: pd.Series(dtype="object"),
+                "bucket": pd.Series(dtype="int32"),
+                "side": pd.Series(dtype="int8"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        c = _QUERY_CACHE.get(("btb", cref.hex()))
+        if c is None:
+            c = _QUERY_CACHE[("btb", cref.hex())] = ray.get(cref)
+        m = _normalize_rows(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
+        top = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :n_probe]
+        qidx = np.repeat(np.arange(len(batch)), n_probe)
+        out = batch.iloc[qidx][[id_col, vec_col]].copy()
+        out["bucket"] = top.reshape(-1).astype(np.int32)
+        out["side"] = np.int8(1)
+        return out
+
+    tagged = tgt.select_columns([id_col, vec_col]).map_batches(
+        tag_pool, batch_format="pandas"
+    ).union(src.select_columns([id_col, vec_col]).map_batches(tag_query, batch_format="pandas"))
+
+    def mine(g: pd.DataFrame) -> pd.DataFrame:
+        # kind 0: candidate pair (xid, yid, cos); kind 1: backward
+        # partial (yid, cos) with xid = -1
+        empty = pd.DataFrame(
+            {
+                "kind": pd.Series(dtype="int8"),
+                "xid": pd.Series(dtype="int64"),
+                "yid": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if g.empty or "side" not in g.columns:
+            return empty
+        pool = g[g["side"] == 0]
+        qs = g[g["side"] == 1]
+        if pool.empty or qs.empty:
+            return empty
+        yids = pool[id_col].to_numpy(dtype=np.int64)
+        ym = _normalize_rows(np.stack(pool[vec_col].to_numpy()).astype(np.float64))
+        frames = []
+        ytop_chunks = []  # per-chunk (kk, |Yb|) top value tiles
+        for i0 in range(0, len(qs), block_rows):
+            q = qs.iloc[i0 : i0 + block_rows]
+            qm = _normalize_rows(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+            s = qm @ ym.T  # (block, |Yb|)
+            cc = min(keep_cand, s.shape[1])
+            order = np.lexsort((np.broadcast_to(yids, s.shape), -s), axis=1)[:, :cc]
+            rows_i = np.repeat(np.arange(len(q)), cc)
+            cols = order.reshape(-1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.int8(0),
+                        "xid": q[id_col].to_numpy(dtype=np.int64)[rows_i],
+                        "yid": yids[cols],
+                        "cos": s[rows_i, cols].astype(np.float64),
+                    }
+                )
+            )
+            kk = min(k, s.shape[0])
+            ytop_chunks.append(-np.sort(-s, axis=0)[:kk, :])
+        if ytop_chunks:
+            merged = np.concatenate(ytop_chunks, axis=0)
+            kk = min(k, merged.shape[0])
+            top = -np.sort(-merged, axis=0)[:kk, :]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.int8(1),
+                        "xid": np.int64(-1),
+                        "yid": np.tile(yids, kk).astype(np.int64),
+                        "cos": top.reshape(-1).astype(np.float64),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    # bucket cardinality == n_centroids (small by construction), so the
+    # per-bucket map_groups obeys the groupby scale rule
+    mined = tagged.groupby("bucket").map_groups(mine, batch_format="pandas")
+
+    def part_on(col: str, kinds: tuple[int, ...]):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            if b.empty or "kind" not in b.columns:
+                return pd.DataFrame(
+                    {
+                        "kind": pd.Series(dtype="int8"),
+                        "xid": pd.Series(dtype="int64"),
+                        "yid": pd.Series(dtype="int64"),
+                        "cos": pd.Series(dtype="float64"),
+                        "_part": pd.Series(dtype="int64"),
+                    }
+                )
+            b = b[b["kind"].isin(kinds)].copy()
+            b["_part"] = (pd.util.hash_array(b[col].to_numpy()) % num_partitions).astype(
+                np.int64
+            )
+            return b
+
+        return f
+
+    # stage 1: per-source a_x + candidate cut (hash(xid) mod P)
+    def fwd_finish(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "xid": pd.Series(dtype="int64"),
+                "yid": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "a": pd.Series(dtype="float64"),
+            }
+        )
+        if g.empty or "xid" not in g.columns:
+            return empty
+        g = g.sort_values(["xid", "cos", "yid"], ascending=[True, False, True], kind="stable")
+        # dedup (xid, yid) pairs scored in more than one probed bucket
+        g = g.drop_duplicates(subset=["xid", "yid"], keep="first")
+        topk = g.groupby("xid", sort=False).head(k)
+        a = topk.groupby("xid", sort=False)["cos"].mean()
+        cand = g.groupby("xid", sort=False).head(keep_cand).copy()
+        cand["a"] = cand["xid"].map(a).astype(np.float64)
+        return cand[["xid", "yid", "cos", "a"]]
+
+    cands = (
+        mined.map_batches(part_on("xid", (0,)), batch_format="pandas")
+        .groupby("_part")
+        .map_groups(fwd_finish, batch_format="pandas")
+    )
+
+    # stage 2: per-target b_y (hash(yid) mod P) — same reduce as exact
+    def to_y(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "kind" not in b.columns:
+            return pd.DataFrame(
+                {"yid": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")}
+            )
+        b = b[b["kind"] == 1]
+        return b[["yid", "cos"]].copy()
+
+    b_rows = _by_reduce(mined.map_batches(to_y, batch_format="pandas"), k, num_partitions)
+
+    # stage 3: margins (b_y is |Y|-bounded per partition via broadcast
+    # of the reduced map — k scalars per target, not vectors)
+    bref = ray.put(b_rows)
+
+    def margins(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "xid": pd.Series(dtype="int64"),
+                "yid": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "margin": pd.Series(dtype="float64"),
+            }
+        )
+        if b.empty or "xid" not in b.columns:
+            return empty
+        bm = _QUERY_CACHE.get(("btb2", bref.hex()))
+        if bm is None:
+            bm = _QUERY_CACHE[("btb2", bref.hex())] = ray.get(bref)
+        bv = b["yid"].map(bm).to_numpy(dtype=np.float64)
+        marg = b["cos"].to_numpy(dtype=np.float64) / (
+            (b["a"].to_numpy(dtype=np.float64) + bv) / 2.0
+        )
+        out = b[["xid", "yid", "cos"]].copy()
+        out["margin"] = marg
+        return out
+
+    def pick_best(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src_id": pd.Series(dtype="int64"),
+                "tgt_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "margin": pd.Series(dtype="float64"),
+            }
+        )
+        if g.empty or "xid" not in g.columns:
+            return empty
+        g = g.sort_values(
+            ["xid", "margin", "yid"], ascending=[True, False, True], kind="stable"
+        )
+        best = g.groupby("xid", sort=False).head(1)
+        best = best[best["margin"] >= threshold]
+        return pd.DataFrame(
+            {
+                "src_id": best["xid"].astype("int64"),
+                "tgt_id": best["yid"].astype("int64"),
+                "cos": best["cos"].astype("float64"),
+                "margin": best["margin"].astype("float64"),
+            }
+        )
+
+    def part_x(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "xid" not in b.columns:
+            return pd.DataFrame(
+                {
+                    "xid": pd.Series(dtype="int64"),
+                    "yid": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                    "margin": pd.Series(dtype="float64"),
+                    "_part": pd.Series(dtype="int64"),
+                }
+            )
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b["xid"].to_numpy()) % num_partitions).astype(np.int64)
+        return b
+
+    out = (
+        cands.map_batches(margins, batch_format="pandas")
+        .map_batches(part_x, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pick_best, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "src_id": pd.Series(dtype="int64"),
+                "tgt_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "margin": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values("src_id", kind="stable").reset_index(drop=True)

@@ -4438,3 +4438,83 @@ def test_vocab_drift_hand_computed(ray_session):
     assert list(out["term"]) == ["x", "y", "z"]
     assert list(out["drift"]) == [6, 3, 3]
     assert list(out["n_a"]) == [2, 1, 0] and list(out["n_b"]) == [0, 2, 1]
+
+
+def test_bitext_mine_planted_pairs(ray_session):
+    """Margin mining on a planted bilingual fixture: each source
+    vector's true translation is its own direction + tiny noise among
+    random distractor targets — the mined pair per source is exactly
+    the planted one, with margin comfortably above the distractor
+    margins, partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import bitext_mine
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 6
+    dirs = rng.normal(size=(n, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    src = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [list(v) for v in dirs]}
+    )
+    # targets: planted translation i -> 100+i, plus 10 random distractors
+    tgt_vecs = [list(v + rng.normal(scale=0.05, size=d)) for v in dirs]
+    tgt_ids = [100 + i for i in range(n)]
+    for j in range(10):
+        tgt_ids.append(200 + j)
+        tgt_vecs.append(list(rng.normal(size=d)))
+    tgt = pd.DataFrame({"vec_id": tgt_ids, "embedding": tgt_vecs})
+    for parts in (1, 3):
+        out = bitext_mine(
+            ray.data.from_pandas(src).repartition(parts),
+            ray.data.from_pandas(tgt).repartition(parts),
+            k=3,
+            threshold=1.2,
+        )
+        assert list(out["src_id"]) == list(range(n))
+        assert list(out["tgt_id"]) == [100 + i for i in range(n)]
+        assert (out["margin"] > 1.2).all() and (out["cos"] > 0.9).all()
+    # a hub-discounting check: raising the threshold past the planted
+    # margins mines nothing
+    none = bitext_mine(
+        ray.data.from_pandas(src),
+        ray.data.from_pandas(tgt),
+        k=3,
+        threshold=float(out["margin"].max()) + 1.0,
+    )
+    assert none.empty
+
+
+def test_bitext_mine_bucketed_tier(ray_session):
+    """The IVF-bucketed scale tier: with every bucket probed and an
+    uncapped candidate cut it EQUALS the exact miner bitwise (each
+    target lives in exactly one bucket, every source visits all of
+    them); at n_probe=5 of 8 the mined-pair recall vs exact stays
+    >= 0.8 on the fixture embeddings (near-uniform vectors, IVF's
+    worst case — measured 0.853); the auto tier routes a small target
+    side to exact."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import bitext_mine
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    src = ray.data.from_pandas(emb[emb.vec_id % 2 == 0]).repartition(3)
+    tgt = ray.data.from_pandas(emb[emb.vec_id % 2 == 1]).repartition(3)
+    exact = bitext_mine(src, tgt, k=4, threshold=1.0, tier="exact")
+    full = bitext_mine(
+        src, tgt, k=4, threshold=1.0, tier="bucketed",
+        n_centroids=8, n_probe=8, cand_per_query=10_000,
+    )
+    pd.testing.assert_frame_equal(exact, full)
+    approx = bitext_mine(
+        src, tgt, k=4, threshold=1.0, tier="bucketed",
+        n_centroids=8, n_probe=5, cand_per_query=16,
+    )
+    m = exact.merge(approx, on="src_id", suffixes=("_e", "_a"))
+    rec = (m.tgt_id_e == m.tgt_id_a).mean()
+    assert rec >= 0.8, rec
+    auto = bitext_mine(src, tgt, k=4, threshold=1.0)
+    pd.testing.assert_frame_equal(exact, auto)
