@@ -797,6 +797,50 @@ def _embeddings_bitext_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def _docs_line_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """Corpus-frequency boilerplate line removal (ops/dedup.
+    boilerplate_line_filter — the CCNet / RefinedWeb line-dedup
+    pass): deterministic chrome injections — a mod-3 rotating footer
+    on every doc (df ~ n/3, removed), 'visit our homepage' on
+    doc_id%50==0 (df >= min_docs, removed), 'curator note alpha' on
+    doc_id%250==0 (df=2 < min_docs, KEPT) — every occurrence of a
+    line in >= 5 distinct docs is dropped, blanks and unique body
+    lines survive byte-identical. Fully SQL-oracled (line unnest +
+    distinct-doc counts + ordered string_agg rebuild)."""
+    from pdf_extractor_ray.ops.dedup import boilerplate_line_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    _FOOTERS = [
+        "subscribe to our newsletter",
+        "all rights reserved",
+        "cookie policy accepted",
+    ]
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        ids = b["doc_id"].to_numpy()
+        t = b["text"].astype(str)
+        lines = [
+            np.asarray(_FOOTERS, dtype=object)[ids % 3],
+            t.to_numpy(dtype=object),
+        ]
+        body = [a + "\n" + c for a, c in zip(*lines)]
+        body = np.asarray(body, dtype=object)
+        m50 = ids % 50 == 0
+        body[m50] = body[m50] + "\nvisit our homepage"
+        m250 = ids % 250 == 0
+        body[m250] = body[m250] + "\ncurator note alpha"
+        b["text"] = body
+        return b
+
+    out = boilerplate_line_filter(
+        ds.map_batches(inject, batch_format="pandas"), min_docs=5
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3199,6 +3243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_unicode_canonicalize": _docs_unicode_canonicalize,
         "docs_vocab_drift": _docs_vocab_drift,
         "embeddings_bitext_pairs": _embeddings_bitext_pairs,
+        "docs_line_boilerplate": _docs_line_boilerplate,
     }
 
 
@@ -5052,5 +5097,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, tgt_id, cos, margin FROM best
             WHERE rn = 1 AND margin >= 1.0 ORDER BY src_id
+        """,
+        "docs_line_boilerplate": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE doc_id % 3
+                            WHEN 0 THEN 'subscribe to our newsletter'
+                            WHEN 1 THEN 'all rights reserved'
+                            ELSE 'cookie policy accepted' END
+                       || chr(10) || text
+                       || CASE WHEN doc_id % 50 = 0
+                               THEN chr(10) || 'visit our homepage' ELSE '' END
+                       || CASE WHEN doc_id % 250 = 0
+                               THEN chr(10) || 'curator note alpha' ELSE '' END
+                       AS t
+                FROM documents
+            ), l AS (
+                SELECT doc_id, i - 1 AS pidx, lines[i] AS line
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS lines FROM inj),
+                     UNNEST(range(1, len(lines) + 1)) u(i)
+            ), hot AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS df
+                    FROM l WHERE trim(line) <> '' GROUP BY line
+                ) WHERE df >= 5
+            ), kept AS (
+                SELECT doc_id, pidx, line FROM l
+                WHERE trim(line) = '' OR line NOT IN (SELECT line FROM hot)
+            ), counts AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pidx), '') AS text,
+                   c.n_lines,
+                   c.n_lines - CAST(count(k.pidx) AS BIGINT) AS n_removed
+            FROM counts c LEFT JOIN kept k USING (doc_id)
+            GROUP BY c.doc_id, c.n_lines ORDER BY c.doc_id
         """,
     }

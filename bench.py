@@ -328,6 +328,7 @@ def run_queries() -> dict[str, float]:
         "docs_unicode_canonicalize",
         "docs_vocab_drift",
         "embeddings_bitext_pairs",
+        "docs_line_boilerplate",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -1577,6 +1577,196 @@ def paragraph_dedup(
 
 _PARA_CACHE: dict = {}  # per-worker resolved broadcast drop maps
 
+def boilerplate_line_filter(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 3,
+    num_partitions: int = 32,
+    broadcast_max_pairs: int = _BROADCAST_MAX_PAIRS,
+) -> ray.data.Dataset:
+    """Corpus-frequency boilerplate line removal (the CCNet /
+    RefinedWeb line-dedup pass): a non-blank line whose exact content
+    appears in >= `min_docs` DISTINCT documents is boilerplate (nav
+    bars, cookie banners, footers, subscribe prompts) and EVERY
+    occurrence is removed — including the first, which is what
+    separates this from paragraph_dedup's keep-first semantics (a
+    footer is noise in all N documents, not content in one). Blank
+    lines are document structure and never counted or removed. Emits
+    (id_col, text_col, n_lines, n_removed) for every input document.
+
+    Scale shape (the paragraph_dedup discipline): pass 1 ships slim
+    (hash, id, pidx) triples on hash mod P; each partition counts
+    distinct documents per line hash VECTORIZED (never a groupby over
+    the line-hash key outside its partition) and emits the (id, pidx)
+    occurrences of hot lines as drop pairs. Drop pairs broadcast once
+    under `broadcast_max_pairs` (boilerplate is a tiny fraction of
+    distinct lines but a large fraction of occurrences — the pair
+    count is bounded by occurrences of hot lines, so crawl-scale runs
+    with pervasive chrome should lower min_docs pressure by
+    pre-stripping with source_prefix_strip), else they co-shuffle
+    with the corpus on hash(id) mod P. Line TEXT never enters an
+    exchange; documents rebuild locally by re-splitting. Same 63-bit
+    sha1-prefix key and collision policy as exact_dedup."""
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (text_col, pa.large_string()),
+            ("n_lines", pa.int64()),
+            ("n_removed", pa.int64()),
+        ]
+    )
+
+    def slim_triples(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        parts = batch[text_col].astype(str).str.split(sep)
+        ex = parts.explode()
+        pidx = ex.groupby(level=0).cumcount().to_numpy(dtype=np.int64)
+        ids = batch[id_col].reindex(ex.index).to_numpy(dtype=np.int64)
+        lines = ex.to_numpy(dtype=object)
+        nonblank = np.fromiter(
+            (bool(p.strip()) for p in lines), dtype=bool, count=len(lines)
+        )
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.sha1(p.encode("utf-8")).digest()[:8], "big") >> 1
+                for p in lines[nonblank]
+            ),
+            dtype=np.int64,
+            count=int(nonblank.sum()),
+        )
+        out = pd.DataFrame({"_h": h, id_col: ids[nonblank], "_pidx": pidx[nonblank]})
+        out["_part"] = out["_h"] % num_partitions
+        return out
+
+    def hot_drops(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_h" not in g.columns:
+            return _typed_table(_DROP_PAIR_SCHEMA)
+        df = g.groupby("_h", sort=False)[id_col].nunique()
+        hot = df.index[df.to_numpy() >= min_docs]
+        lost = g[g["_h"].isin(set(hot))]
+        return _typed_table(
+            _DROP_PAIR_SCHEMA,
+            drop_id=lost[id_col].to_numpy(dtype=np.int64),
+            drop_pidx=lost["_pidx"].to_numpy(dtype=np.int64),
+        )
+
+    drops = (
+        ds.map_batches(slim_triples, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(hot_drops, batch_format="pandas")
+        .materialize()
+    )
+
+    def rebuild_rows(ids, texts, drop_of) -> pa.Table:
+        out_ids, out_texts, n_lines, n_rem = [], [], [], []
+        for i, t in zip(ids, texts):
+            parts_i = str(t).split(sep)
+            gone = drop_of(int(i))
+            if len(gone):
+                keep = np.ones(len(parts_i), dtype=bool)
+                keep[gone] = False
+                kept = [p for p, k in zip(parts_i, keep) if k]
+            else:
+                kept = parts_i
+            out_ids.append(int(i))
+            out_texts.append(sep.join(kept))
+            n_lines.append(len(parts_i))
+            n_rem.append(len(gone) if len(gone) else 0)
+        return _typed_table(
+            out_schema,
+            **{
+                id_col: np.asarray(out_ids, dtype=np.int64),
+                text_col: out_texts,
+                "n_lines": np.asarray(n_lines, dtype=np.int64),
+                "n_removed": np.asarray(n_rem, dtype=np.int64),
+            },
+        )
+
+    n_pairs = drops.count()
+    if n_pairs <= broadcast_max_pairs:
+        tbl = drops.to_pandas() if n_pairs else pd.DataFrame(columns=["drop_id", "drop_pidx"])
+        by_doc = {
+            int(k): np.sort(v.to_numpy(dtype=np.int64))
+            for k, v in tbl.groupby("drop_id")["drop_pidx"]
+        }
+        ref = ray.put(by_doc)
+        empty = np.empty(0, dtype=np.int64)
+
+        def apply_bc(batch: pd.DataFrame) -> pa.Table:
+            key = ("linefilter", ref.hex())
+            m = _PARA_CACHE.get(key)
+            if m is None:
+                m = _PARA_CACHE[key] = ray.get(ref)
+            return rebuild_rows(
+                batch[id_col], batch[text_col], lambda i: m.get(i, empty)
+            )
+
+        return ds.map_batches(apply_bc, batch_format="pandas")
+
+    # co-shuffle tier: union corpus + drop pairs on hash(id) mod P
+    side_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("_pidx", pa.int64()),
+            (text_col, pa.large_string()),
+            ("_side", pa.int8()),
+            ("_part", pa.int64()),
+        ]
+    )
+
+    def proj_docs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(t.num_rows, pa.int64()),
+                t.column(text_col).cast(pa.large_string()),
+                pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    def proj_drops(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "drop_id" not in t.column_names:
+            return _typed_table(side_schema)
+        ids = np.asarray(t.column("drop_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                t.column("drop_pidx").cast(pa.int64()),
+                pa.nulls(t.num_rows, pa.large_string()),
+                pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                pa.array(ids % num_partitions, pa.int64()),
+            ],
+            schema=side_schema,
+        )
+
+    both = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(proj_docs, batch_format="pyarrow")
+        .union(drops.map_batches(proj_drops, batch_format="pyarrow"))
+    )
+
+    def rebuild_partition(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_side" not in g.columns:
+            return _typed_table(out_schema)
+        docs = g[g["_side"] == 0]
+        rem = g[g["_side"] == 1]
+        by_doc = {
+            int(k): np.sort(v.to_numpy(dtype=np.int64))
+            for k, v in rem.groupby(id_col, sort=False)["_pidx"]
+        }
+        empty = np.empty(0, dtype=np.int64)
+        return rebuild_rows(
+            docs[id_col], docs[text_col], lambda i: by_doc.get(i, empty)
+        )
+
+    return both.groupby("_part").map_groups(rebuild_partition, batch_format="pandas")
+
+
 
 # ---------------------------------------------------------------------------
 # Delta-ingestion dedup: new shard vs an existing corpus

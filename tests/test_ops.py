@@ -4518,3 +4518,52 @@ def test_bitext_mine_bucketed_tier(ray_session):
     assert rec >= 0.8, rec
     auto = bitext_mine(src, tgt, k=4, threshold=1.0)
     pd.testing.assert_frame_equal(exact, auto)
+
+
+def test_boilerplate_line_filter(ray_session):
+    """CCNet/RefinedWeb line-frequency boilerplate removal: a line in
+    >= min_docs distinct documents is removed EVERYWHERE (including
+    its first occurrence and repeats within one doc); df below the
+    threshold keeps; blank lines are structure and never count;
+    broadcast and co-shuffle tiers agree bitwise;
+    partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import boilerplate_line_filter
+
+    footer = "all rights reserved"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                f"body one\n{footer}",
+                f"{footer}\nbody two\n\nbody two tail",
+                f"body three\n{footer}\n{footer}",  # footer twice
+                f"body four\nseen twice",
+                f"seen twice\nbody five",  # df=2 < min_docs -> kept
+                footer,  # all-boilerplate doc -> empty
+            ],
+        }
+    )
+
+    def run(parts, **kw):
+        return (
+            boilerplate_line_filter(
+                ray.data.from_pandas(docs).repartition(parts), min_docs=3, **kw
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(1)
+    pd.testing.assert_frame_equal(out, run(3))
+    pd.testing.assert_frame_equal(out, run(3, broadcast_max_pairs=0))
+    o = out.set_index("doc_id")
+    assert o.loc[1, "text"] == "body one" and o.loc[1, "n_removed"] == 1
+    assert o.loc[2, "text"] == "body two\n\nbody two tail"  # blank kept
+    assert o.loc[3, "text"] == "body three" and o.loc[3, "n_removed"] == 2
+    assert o.loc[4, "text"] == "body four\nseen twice"
+    assert o.loc[5, "text"] == "seen twice\nbody five"
+    assert o.loc[6, "text"] == "" and o.loc[6, "n_lines"] == 1
+    assert list(o["n_lines"]) == [2, 4, 3, 2, 2, 1]
