@@ -841,6 +841,20 @@ def _docs_line_boilerplate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def _events_shuffle_skew(sf_dir: str) -> pd.DataFrame:
+    """Keyed-shuffle skew pre-flight (ops/relational.
+    shuffle_skew_audit): simulate hash(user_id) mod 32 with the
+    engine-independent md5-u52 assignment and report per-partition
+    row count, distinct-key count and hottest key — the salting
+    decision input for every groupby/co-shuffle in this repo. Fully
+    SQL-oracled (same md5 hex-prefix partition function in DuckDB)."""
+    from pdf_extractor_ray.ops.relational import shuffle_skew_audit
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return shuffle_skew_audit(ds, "user_id", num_partitions=32)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3244,6 +3258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_drift": _docs_vocab_drift,
         "embeddings_bitext_pairs": _embeddings_bitext_pairs,
         "docs_line_boilerplate": _docs_line_boilerplate,
+        "events_shuffle_skew": _events_shuffle_skew,
     }
 
 
@@ -5133,5 +5148,27 @@ def oracle_sql() -> dict[str, str]:
                    c.n_lines - CAST(count(k.pidx) AS BIGINT) AS n_removed
             FROM counts c LEFT JOIN kept k USING (doc_id)
             GROUP BY c.doc_id, c.n_lines ORDER BY c.doc_id
+        """,
+        "events_shuffle_skew": """
+            WITH k AS (
+                SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT
+                            % 32 AS BIGINT) AS part,
+                       user_id
+                FROM events
+            ), c AS (
+                SELECT part, user_id, CAST(count(*) AS BIGINT) AS n
+                FROM k GROUP BY part, user_id
+            ), t AS (
+                SELECT part, user_id AS top_key, n AS top_key_rows,
+                       row_number() OVER (PARTITION BY part
+                           ORDER BY n DESC, user_id) AS rn
+                FROM c
+            ), s AS (
+                SELECT part, CAST(sum(n) AS BIGINT) AS n_rows,
+                       CAST(count(*) AS BIGINT) AS n_keys
+                FROM c GROUP BY part
+            )
+            SELECT s.part, s.n_rows, s.n_keys, t.top_key, t.top_key_rows
+            FROM s JOIN t USING (part) WHERE t.rn = 1 ORDER BY s.part
         """,
     }

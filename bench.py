@@ -329,6 +329,7 @@ def run_queries() -> dict[str, float]:
         "docs_vocab_drift",
         "embeddings_bitext_pairs",
         "docs_line_boilerplate",
+        "events_shuffle_skew",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -738,3 +738,100 @@ def signal_correlations(
             rows.append((cols[i], cols[j], corr))
     out = pd.DataFrame(rows, columns=["col_a", "col_b", "corr"])
     return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)
+
+
+def shuffle_skew_audit(
+    ds: ray.data.Dataset,
+    key: str,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Pre-flight skew profiler for a planned keyed shuffle: simulate
+    `hash(key) mod P` partition assignment (the repo's md5-u52
+    discipline, so the simulation is engine-independent and
+    SQL-oracle-able) and report, per target partition, the row count,
+    distinct-key count, and the hottest key with its row count — the
+    numbers that decide whether a groupby/co-shuffle on this key needs
+    salting before it runs at 100 TB. A partition whose top key owns
+    most of its rows cannot be fixed by more partitions (the hot key
+    is atomic under hashing); that is the signal to salt or
+    pre-aggregate.
+
+    Scale shape: each batch pre-aggregates to distinct
+    (part, key, n) triples (the exchange is bounded by distinct keys,
+    never rows); partials co-shuffle on their own part id and reduce
+    vectorized. The driver receives exactly `num_partitions` rows.
+
+    Emits (part, n_rows, n_keys, top_key, top_key_rows) sorted by
+    part; parts with no rows are absent (mirrors SQL GROUP BY)."""
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "part": pd.Series(dtype="int64"),
+                "_key": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        c = b.groupby(key, sort=False).size()
+        keys = c.index.to_numpy()
+        part = (
+            md5_u52([str(int(k)) for k in keys]) % np.uint64(num_partitions)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "part": part,
+                "_key": keys.astype(np.int64),
+                "n": c.to_numpy(dtype=np.int64),
+            }
+        )
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "part": pd.Series(dtype="int64"),
+                "n_rows": pd.Series(dtype="int64"),
+                "n_keys": pd.Series(dtype="int64"),
+                "top_key": pd.Series(dtype="int64"),
+                "top_key_rows": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty or "part" not in g.columns:
+            return empty
+        tot = g.groupby(["part", "_key"], sort=False)["n"].sum().reset_index()
+        rows = []
+        for p, gg in tot.groupby("part", sort=True):
+            gg = gg.sort_values(["n", "_key"], ascending=[False, True], kind="stable")
+            rows.append(
+                (
+                    int(p),
+                    int(gg["n"].sum()),
+                    int(len(gg)),
+                    int(gg["_key"].iloc[0]),
+                    int(gg["n"].iloc[0]),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["part", "n_rows", "n_keys", "top_key", "top_key_rows"]
+        ).astype("int64")
+
+    out = (
+        ds.select_columns([key])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "part": pd.Series(dtype="int64"),
+                "n_rows": pd.Series(dtype="int64"),
+                "n_keys": pd.Series(dtype="int64"),
+                "top_key": pd.Series(dtype="int64"),
+                "top_key_rows": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values("part").reset_index(drop=True)

@@ -4567,3 +4567,37 @@ def test_boilerplate_line_filter(ray_session):
     assert o.loc[5, "text"] == "seen twice\nbody five"
     assert o.loc[6, "text"] == "" and o.loc[6, "n_lines"] == 1
     assert list(o["n_lines"]) == [2, 4, 3, 2, 2, 1]
+
+
+def test_shuffle_skew_audit(ray_session):
+    """Partition-skew pre-flight: md5-u52 part assignment matches the
+    hashlib formula, per-part totals and distinct-key counts are
+    exact, the hot key surfaces as top_key with its row count, and
+    the result is partition-invariant."""
+    import hashlib
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import shuffle_skew_audit
+
+    # key 7 is hot (60 rows); keys 1..5 get 3 rows each
+    keys = [7] * 60 + [1, 2, 3, 4, 5] * 3
+    df = pd.DataFrame({"user_id": keys})
+    P = 8
+
+    def part_of(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16) % P
+
+    for parts in (1, 4):
+        out = shuffle_skew_audit(
+            ray.data.from_pandas(df).repartition(parts), "user_id", num_partitions=P
+        )
+        assert int(out["n_rows"].sum()) == len(df)
+        hot_part = part_of(7)
+        row = out.set_index("part").loc[hot_part]
+        assert int(row["top_key"]) == 7 and int(row["top_key_rows"]) == 60
+        # every emitted part id matches the md5 assignment of its top key
+        for _, r in out.iterrows():
+            assert part_of(int(r["top_key"])) == int(r["part"])
+        # distinct keys across parts = 6
+        assert int(out["n_keys"].sum()) == 6
