@@ -855,6 +855,21 @@ def _events_shuffle_skew(sf_dir: str) -> pd.DataFrame:
     return shuffle_skew_audit(ds, "user_id", num_partitions=32)
 
 
+
+def _docs_cluster_topics(sf_dir: str) -> pd.DataFrame:
+    """Cluster topic labeling (ops/cluster.cluster_topics, the
+    BERTopic c-TF-IDF formulation): k-means the embedding corpus,
+    join assignments to document text by id via a hash-mod-P union
+    co-shuffle, and rank each cluster's distinguishing terms by
+    tf * ln(1 + A/ft). Rows-only (k-means is iterative); the score
+    algebra is pytest-pinned on planted vocabulary clusters."""
+    from pdf_extractor_ray.ops.cluster import cluster_topics
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cluster_topics(emb, docs, n_clusters=8, top_terms=10)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3259,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_bitext_pairs": _embeddings_bitext_pairs,
         "docs_line_boilerplate": _docs_line_boilerplate,
         "events_shuffle_skew": _events_shuffle_skew,
+        "docs_cluster_topics": _docs_cluster_topics,
     }
 
 

@@ -330,6 +330,7 @@ def run_queries() -> dict[str, float]:
         "embeddings_bitext_pairs",
         "docs_line_boilerplate",
         "events_shuffle_skew",
+        "docs_cluster_topics",
         "training_data_pipeline",
     ]
     qs = e.queries()

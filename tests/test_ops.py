@@ -4601,3 +4601,48 @@ def test_shuffle_skew_audit(ray_session):
             assert part_of(int(r["top_key"])) == int(r["part"])
         # distinct keys across parts = 6
         assert int(out["n_keys"].sum()) == 6
+
+
+def test_cluster_topics_planted_vocab(ray_session):
+    """c-TF-IDF topic labeling (BERTopic): two well-separated embedding
+    clusters whose documents use disjoint planted vocabularies — each
+    cluster's top terms are exactly its own vocabulary, ranked above
+    the everywhere-word, and the score algebra matches the closed form
+    tf * ln(1 + A/ft)."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.cluster import cluster_topics
+
+    rng = np.random.default_rng(3)
+    n_per = 8
+    rows_e, rows_d = [], []
+    for i in range(n_per * 2):
+        side = i % 2
+        base = np.zeros(6)
+        base[side] = 1.0
+        v = base + rng.normal(scale=0.05, size=6)
+        rows_e.append({"vec_id": i, "embedding": list(v)})
+        words = (
+            ["alpha", "beta", "alpha", "common"]
+            if side == 0
+            else ["delta", "epsilon", "delta", "common"]
+        )
+        rows_d.append({"doc_id": i, "text": " ".join(words)})
+    emb = ray.data.from_pandas(pd.DataFrame(rows_e)).repartition(3)
+    docs = ray.data.from_pandas(pd.DataFrame(rows_d)).repartition(2)
+    out = cluster_topics(emb, docs, n_clusters=2, top_terms=3)
+    assert set(out["cluster"]) == {0, 1}
+    by_c = {c: list(g.sort_values("rank")["term"]) for c, g in out.groupby("cluster")}
+    vocabs = [set(t) for t in by_c.values()]
+    assert {"alpha", "beta"} <= (vocabs[0] | vocabs[1])
+    for c, terms in by_c.items():
+        if "alpha" in terms:
+            assert terms[0] == "alpha" and "delta" not in terms and "epsilon" not in terms
+        else:
+            assert terms[0] == "delta" and "alpha" not in terms and "beta" not in terms
+    # closed-form score check: alpha has tf=16, ft=16; A = 32 words/cluster
+    row = out[out["term"] == "alpha"].iloc[0]
+    assert row["tf"] == 16 and row["ft"] == 16
+    assert abs(row["score"] - 16 * math.log1p(32 / 16)) < 1e-12
