@@ -870,6 +870,37 @@ def _docs_cluster_topics(sf_dir: str) -> pd.DataFrame:
     return cluster_topics(emb, docs, n_clusters=8, top_terms=10)
 
 
+
+def _docs_logreg_quality(sf_dir: str) -> pd.DataFrame:
+    """Trainable linear quality gate (ops/classify.logreg_train /
+    logreg_predict — the fastText-shaped classifier the public data
+    recipes train between curated positives and crawl negatives;
+    GPT-3 appendix A, CCNet, DCLM-baseline). Here the deterministic
+    stand-in task is en-vs-rest from hashed bag-of-words features:
+    full-batch GD, one (n_buckets,) gradient partial per block per
+    iteration. Rows-only (iterative float fit); the GD algebra and
+    partition invariance are pytest-pinned."""
+    from pdf_extractor_ray.ops.classify import logreg_predict, logreg_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def lab(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["y"] = (b["lang"] == "en").astype("int64")
+        return b
+
+    labeled = ds.map_batches(lab, batch_format="pandas")
+    model = logreg_train(labeled, "y", n_buckets=4096, iters=20)
+    out = (
+        logreg_predict(labeled, model, keep_cols=["doc_id", "y"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3275,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_boilerplate": _docs_line_boilerplate,
         "events_shuffle_skew": _events_shuffle_skew,
         "docs_cluster_topics": _docs_cluster_topics,
+        "docs_logreg_quality": _docs_logreg_quality,
     }
 
 

@@ -331,6 +331,7 @@ def run_queries() -> dict[str, float]:
         "docs_line_boilerplate",
         "events_shuffle_skew",
         "docs_cluster_topics",
+        "docs_logreg_quality",
         "training_data_pipeline",
     ]
     qs = e.queries()

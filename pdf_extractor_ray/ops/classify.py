@@ -337,3 +337,158 @@ def calibration_buckets(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+@dataclass
+class LogRegModel:
+    """Broadcastable trained logistic-regression gate: hashed-feature
+    weights + bias. `w` is (n_buckets,) float64."""
+
+    w: np.ndarray
+    b: float
+    n_buckets: int
+    meta: dict = field(default_factory=dict)
+
+
+def _lr_explode(batch: pd.DataFrame, text_col: str, n_buckets: int):
+    """Vectorized sparse feature triples for a batch: per-row token
+    count per bucket, plus per-row token totals. Returns
+    (row_idx, bucket, count, n_tokens) numpy arrays; rows with no
+    tokens get n_tokens = 1 (their feature vector is all-zero)."""
+    toks = batch[text_col].astype(str).str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    nz = lens > 0
+    ex = toks[nz].explode()
+    row_of = np.flatnonzero(nz)
+    rid = np.repeat(row_of, lens[nz])
+    bk = _bucketize(ex.astype(str), n_buckets)
+    tc = (
+        pd.DataFrame({"r": rid, "b": bk})
+        .groupby(["r", "b"], sort=False)
+        .size()
+        .reset_index(name="c")
+    )
+    return (
+        tc["r"].to_numpy(dtype=np.int64),
+        tc["b"].to_numpy(dtype=np.int64),
+        tc["c"].to_numpy(dtype=np.float64),
+        np.maximum(lens, 1).astype(np.float64),
+    )
+
+
+def logreg_train(
+    ds: ray.data.Dataset,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> LogRegModel:
+    """Trainable linear quality classifier over hashed bag-of-words
+    features — the fastText-shaped gate the public data recipes train
+    between a curated positive set and raw crawl negatives (GPT-3
+    appendix A, CCNet, DCLM-baseline). Features are term-frequency /
+    doc-length over `n_buckets` hashed buckets (Weinberger et al.
+    2009), so the model is a fixed (n_buckets,) weight vector no
+    matter the corpus vocabulary.
+
+    Training is deterministic full-batch gradient descent: each
+    iteration broadcasts w (ray.put) and streams ONE map_batches pass
+    emitting a single (n_buckets,) gradient partial per batch — the
+    exchange per iteration is #blocks x d floats, never a row. The
+    driver folds partials and applies w -= lr * (grad/N + l2*w).
+    Full-batch GD (not SGD) is what makes the distributed fit
+    order-free up to float reassociation of per-block partials —
+    deterministic for a fixed block layout (the kmeans_fit
+    discipline); partition invariance is pinned in pytest at 1e-8.
+
+    `iters` streaming passes over the corpus (fastText's epoch cost);
+    at 100 TB train on a hash-sampled subset — a linear gate saturates
+    long before the full corpus."""
+    n_buckets = int(n_buckets)
+    w = np.zeros(n_buckets, dtype=np.float64)
+    b = 0.0
+
+    def grad_pass(batch: pd.DataFrame, wref) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "gw": pd.Series(dtype="object"),
+                "gb": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64"),
+                "loss": pd.Series(dtype="float64"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        cached = ray.get(wref)  # local object store after first fetch
+        wv, bv = cached
+        rid, bk, cnt, lens = _lr_explode(batch, text_col, n_buckets)
+        y = batch[label_col].to_numpy(dtype=np.float64)
+        z = np.zeros(len(batch), dtype=np.float64)
+        np.add.at(z, rid, wv[bk] * cnt)
+        z = z / lens + bv
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        gw = np.zeros(n_buckets, dtype=np.float64)
+        np.add.at(gw, bk, r[rid] * cnt / lens[rid])
+        eps = 1e-12
+        loss = float(-np.sum(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)))
+        return pd.DataFrame(
+            {"gw": [gw], "gb": [float(r.sum())], "n": [len(batch)], "loss": [loss]}
+        )
+
+    losses = []
+    slim = ds.select_columns([text_col, label_col])
+    for _ in range(iters):
+        wref = ray.put((w, b))
+        parts = slim.map_batches(
+            grad_pass,
+            fn_kwargs={"wref": wref},
+            batch_format="pandas",
+            batch_size=1024,
+        ).to_pandas()
+        if parts.empty:
+            break
+        n = float(parts["n"].sum())
+        gw = np.sum(np.stack(parts["gw"].to_numpy()), axis=0)
+        gb = float(parts["gb"].sum())
+        losses.append(float(parts["loss"].sum()) / n)
+        w = w - lr * (gw / n + l2 * w)
+        b = b - lr * (gb / n)
+    return LogRegModel(w=w, b=float(b), n_buckets=n_buckets, meta={"losses": losses})
+
+
+def logreg_predict(
+    ds: ray.data.Dataset,
+    model: LogRegModel,
+    text_col: str = "text",
+    keep_cols: list | None = None,
+    score_col: str = "score",
+    pred_col: str = "pred",
+) -> ray.data.Dataset:
+    """Shuffle-free scoring pass: broadcast the weight vector once,
+    add sigmoid probability + 0/1 prediction columns per batch."""
+    keep = list(keep_cols or [])
+    wref = ray.put((model.w, model.b))
+    nb = model.n_buckets
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {c: batch[c] for c in keep} if len(batch) else {}
+        if len(batch) == 0:
+            out = pd.DataFrame({c: pd.Series(dtype="object") for c in keep})
+            out[score_col] = pd.Series(dtype="float64")
+            out[pred_col] = pd.Series(dtype="int64")
+            return out
+        wv, bv = ray.get(wref)
+        rid, bk, cnt, lens = _lr_explode(batch, text_col, nb)
+        z = np.zeros(len(batch), dtype=np.float64)
+        np.add.at(z, rid, wv[bk] * cnt)
+        z = z / lens + bv
+        p = 1.0 / (1.0 + np.exp(-z))
+        out = pd.DataFrame(cols).reset_index(drop=True)
+        out[score_col] = p
+        out[pred_col] = (p >= 0.5).astype(np.int64)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=4096)
