@@ -901,6 +901,36 @@ def _docs_logreg_quality(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+
+def _docs_export_jsonl(sf_dir: str) -> pd.DataFrame:
+    """JSONL interchange export (pipelines/export.export_jsonl_shards):
+    the same md5(doc_id) % 8 shard placement, atomic publish and
+    _SUCCESS resume as the parquet exporter, but newline-delimited
+    JSON files — the format public training-data releases ship
+    (Dolma, RedPajama, FineWeb). Round-trips losslessly through
+    read_jsonl_shards (pytest). Shard counts SQL-oracled against the
+    same md5 bucketing; the gate also proves a read-back row-count
+    match inside the query."""
+    import tempfile
+
+    from pdf_extractor_ray.pipelines.export import (
+        export_jsonl_shards,
+        read_jsonl_shards,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="jsonl_", dir="/tmp")
+    m = export_jsonl_shards(ds, out_dir, n_shards=8)
+    n_back = read_jsonl_shards(out_dir).count()
+    out = m[["shard", "n_rows"]].copy()
+    out["shard"] = out["shard"].astype("int64")
+    # read-back gate folded into the oracled frame: n_total is the
+    # corpus count in BOTH engines only if the JSONL round-trip is lossless
+    out["n_total"] = np.int64(n_back)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3307,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_shuffle_skew": _events_shuffle_skew,
         "docs_cluster_topics": _docs_cluster_topics,
         "docs_logreg_quality": _docs_logreg_quality,
+        "docs_export_jsonl": _docs_export_jsonl,
     }
 
 
@@ -5218,5 +5249,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.part, s.n_rows, s.n_keys, t.top_key, t.top_key_rows
             FROM s JOIN t USING (part) WHERE t.rn = 1 ORDER BY s.part
+        """,
+        "docs_export_jsonl": """
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                        % 8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total
+            FROM documents GROUP BY 1 ORDER BY shard
         """,
     }

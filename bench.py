@@ -332,6 +332,7 @@ def run_queries() -> dict[str, float]:
         "events_shuffle_skew",
         "docs_cluster_topics",
         "docs_logreg_quality",
+        "docs_export_jsonl",
         "training_data_pipeline",
     ]
     qs = e.queries()

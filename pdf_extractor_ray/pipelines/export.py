@@ -131,3 +131,95 @@ def read_training_shards(out_dir: str) -> ray.data.Dataset:
             raise FileNotFoundError(f"shard {d} has no _SUCCESS marker — export incomplete")
         paths.append(os.path.join(out_dir, d, "part-0.parquet"))
     return ray.data.read_parquet(paths)
+
+
+def export_jsonl_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    gzip_compress: bool = False,
+) -> pd.DataFrame:
+    """JSONL interchange export — the same shard contract as
+    export_training_shards (md5(id) % n_shards placement, internal
+    (md5, id) order, atomic publish, _SUCCESS resume) but each shard
+    is a newline-delimited JSON file (optionally gzip), the lingua
+    franca of public training-data releases (Dolma, RedPajama,
+    FineWeb all ship JSONL). Column order is preserved; encoding is
+    UTF-8 with non-ASCII passed through raw. Returns the same
+    per-shard manifest frame."""
+    import gzip as _gzip
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir, n_shards)
+    ext = ".jsonl.gz" if gzip_compress else ".jsonl"
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = md5_u52([str(v) for v in b[id_col]])
+        b["_h"] = h.astype("int64")
+        b["_shard"] = (h % np.uint64(n_shards)).astype("int64")
+        if done:
+            b = b[~b["_shard"].isin(list(done))]
+        return b
+
+    def write_shard(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_shard" not in g.columns:
+            return _SHARD_ROW_SCHEMA.empty_table()
+        t0 = time.monotonic()
+        shard = int(g["_shard"].iloc[0])
+        g = g.sort_values(["_h", id_col], kind="stable").drop(columns=["_h", "_shard"])
+        sdir = os.path.join(out_dir, f"shard={shard:05d}")
+        os.makedirs(sdir, exist_ok=True)
+        path = os.path.join(sdir, "part-0" + ext)
+        tmp = path + ".tmp"
+        payload = g.to_json(orient="records", lines=True, force_ascii=False)
+        data = payload.encode("utf-8")
+        if gzip_compress:
+            # mtime=0: byte-identical archives run to run
+            data = _gzip.compress(data, mtime=0)
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        with open(_success_path(out_dir, shard) + ".tmp", "w", encoding="utf-8") as f:
+            json.dump({"shard": shard, "n_rows": len(g)}, f)
+        os.replace(_success_path(out_dir, shard) + ".tmp", _success_path(out_dir, shard))
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "n_rows": pa.array([len(g)], pa.int64()),
+                "path": pa.array([path], pa.string()),
+                "wall_time_s": pa.array([round(time.monotonic() - t0, 4)], pa.float64()),
+            },
+            schema=_SHARD_ROW_SCHEMA,
+        )
+
+    manifest = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if manifest.empty:
+        return _SHARD_ROW_SCHEMA.empty_table().to_pandas()
+    return manifest.sort_values("shard").reset_index(drop=True)
+
+
+def read_jsonl_shards(out_dir: str) -> ray.data.Dataset:
+    """Stream a JSONL shard export back in shard order. Missing
+    _SUCCESS markers raise (partial corpora must never train). Plain
+    and gzip shards both read via ray.data.read_json (Arrow infers
+    gzip from the extension)."""
+    shards = sorted(d for d in os.listdir(out_dir) if d.startswith("shard="))
+    paths = []
+    for d in shards:
+        if not os.path.exists(os.path.join(out_dir, d, "_SUCCESS")):
+            raise FileNotFoundError(f"shard {d} has no _SUCCESS marker — export incomplete")
+        sdir = os.path.join(out_dir, d)
+        part = [p for p in os.listdir(sdir) if p.startswith("part-0.jsonl")]
+        if not part:
+            raise FileNotFoundError(f"shard {d} has no part file")
+        paths.append(os.path.join(sdir, part[0]))
+    # partitioning=None: the shard=NNNNN dirs are a resume contract,
+    # not hive columns — don't let the reader inject a 'shard' column
+    return ray.data.read_json(paths, partitioning=None)

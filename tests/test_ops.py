@@ -4708,3 +4708,61 @@ def test_logreg_quality_gate(ray_session):
         ds1, LogRegModel(w=np.zeros(nb), b=0.0, n_buckets=nb), keep_cols=["doc_id"]
     ).to_pandas()
     assert (z0["score"] == 0.5).all()
+
+
+def test_export_jsonl_shards_roundtrip(ray_session):
+    """JSONL interchange export: md5-sharded placement identical to
+    the parquet exporter, byte-deterministic files (gzip mtime=0),
+    lossless roundtrip through read_jsonl_shards for plain and gz,
+    _SUCCESS resume skips completed shards, and a missing marker
+    refuses to read."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.export import (
+        export_jsonl_shards,
+        export_training_shards,
+        read_jsonl_shards,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"zeile {i} éß" for i in range(40)],
+            "lang": ["en", "fr"] * 20,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    d_j = tempfile.mkdtemp(prefix="jl_")
+    d_p = tempfile.mkdtemp(prefix="pq_")
+    mj = export_jsonl_shards(ds, d_j, n_shards=4)
+    mp = export_training_shards(ds, d_p, n_shards=4)
+    # identical placement contract as the parquet exporter
+    pd.testing.assert_frame_equal(
+        mj[["shard", "n_rows"]], mp[["shard", "n_rows"]]
+    )
+    back = read_jsonl_shards(d_j).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+    d_g = tempfile.mkdtemp(prefix="jlgz_")
+    export_jsonl_shards(ds, d_g, n_shards=4, gzip_compress=True)
+    bg = read_jsonl_shards(d_g).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bg, df)
+    # byte-determinism: same export twice -> identical gz bytes
+    d_g2 = tempfile.mkdtemp(prefix="jlgz2_")
+    export_jsonl_shards(ds, d_g2, n_shards=4, gzip_compress=True)
+    for s in os.listdir(d_g):
+        if s.startswith("shard="):
+            a = open(os.path.join(d_g, s, "part-0.jsonl.gz"), "rb").read()
+            b = open(os.path.join(d_g2, s, "part-0.jsonl.gz"), "rb").read()
+            assert a == b
+
+    assert len(export_jsonl_shards(ds, d_j, n_shards=4)) == 0  # resume no-op
+    os.remove(os.path.join(d_j, "shard=00001", "_SUCCESS"))
+    try:
+        read_jsonl_shards(d_j)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
