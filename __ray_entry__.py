@@ -931,6 +931,52 @@ def _docs_export_jsonl(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("shard").reset_index(drop=True)
 
 
+
+def _docs_blocklist_gate(sf_dir: str) -> pd.DataFrame:
+    """Token-blocklist gate (ops/quality.blocklist_signals — the C4
+    badwords pass, Raffel et al. 2020): case-folded whitespace-token
+    membership against a demo blocklist, flag when the blocked
+    fraction exceeds 5%. Row-local, shuffle-free, fully SQL-oracled
+    (token unnest + isin counts)."""
+    from pdf_extractor_ray.ops.quality import blocklist_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = blocklist_signals(
+        ds, ["spark", "join", "window"], keep_cols=["doc_id"], max_fraction=0.05
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _docs_script_mix(sf_dir: str) -> pd.DataFrame:
+    """Unicode script-mix spam signal (ops/text_analysis.
+    script_mix_signals): deterministic injections — CJK run on
+    doc_id%4==0, Cyrillic run on %4==1, a single CJK char on %4==3
+    (below the 5% floor on normal-length docs: the boundary case) —
+    per-script letter counts, n_scripts at the 5% fraction floor,
+    mixed flag. Fully SQL-oracled with the identical RE2 codepoint
+    ranges."""
+    from pdf_extractor_ray.ops.text_analysis import script_mix_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = (b["doc_id"] % 4).to_numpy()
+        t = b["text"].astype(str).to_numpy(dtype=object)
+        t[m == 0] = t[m == 0] + " \u4e2d\u6587\u6df7\u5165\u30c6\u30b9\u30c8"
+        t[m == 1] = t[m == 1] + " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+        t[m == 3] = t[m == 3] + " \u4e00"
+        b["text"] = t
+        return b
+
+    out = script_mix_signals(
+        ds.map_batches(inject, batch_format="pandas"), keep_cols=["doc_id"]
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3338,6 +3384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cluster_topics": _docs_cluster_topics,
         "docs_logreg_quality": _docs_logreg_quality,
         "docs_export_jsonl": _docs_export_jsonl,
+        "docs_blocklist_gate": _docs_blocklist_gate,
+        "docs_script_mix": _docs_script_mix,
     }
 
 
@@ -5256,5 +5304,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows,
                    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total
             FROM documents GROUP BY 1 ORDER BY shard
+        """,
+        "docs_blocklist_gate": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (term <> '') AS BIGINT) AS n_tokens,
+                       CAST(count(*) FILTER (
+                           term IN ('spark', 'join', 'window')) AS BIGINT) AS n_blocked
+                FROM tok GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.n_tokens, 0) AS n_tokens,
+                   coalesce(c.n_blocked, 0) AS n_blocked,
+                   CAST(coalesce(c.n_blocked, 0) AS DOUBLE)
+                       / greatest(coalesce(c.n_tokens, 0), 1) AS blocked_fraction,
+                   CAST(coalesce(c.n_blocked, 0) AS DOUBLE)
+                       / greatest(coalesce(c.n_tokens, 0), 1) > 0.05 AS flagged
+            FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id
+        """,
+        "docs_script_mix": r"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 4
+                                    WHEN 0 THEN ' ' || chr(20013) || chr(25991) || chr(28151)
+                                                || chr(20837) || chr(12486) || chr(12473) || chr(12488)
+                                    WHEN 1 THEN ' ' || chr(1087) || chr(1088) || chr(1080)
+                                                || chr(1074) || chr(1077) || chr(1090) || ' '
+                                                || chr(1084) || chr(1080) || chr(1088)
+                                    WHEN 3 THEN ' ' || chr(19968)
+                                    ELSE '' END AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST(length(regexp_replace(t, '[^A-Za-z' || chr(192) || '-' || chr(591) || ']', '', 'g')) AS BIGINT) AS n_latin,
+                       CAST(length(regexp_replace(t, '[^' || chr(12352) || '-' || chr(12543) || chr(19968) || '-' || chr(40959) || ']', '', 'g')) AS BIGINT) AS n_cjk,
+                       CAST(length(regexp_replace(t, '[^' || chr(1024) || '-' || chr(1279) || ']', '', 'g')) AS BIGINT) AS n_cyrillic,
+                       CAST(length(regexp_replace(t, '[^' || chr(1536) || '-' || chr(1791) || ']', '', 'g')) AS BIGINT) AS n_arabic
+                FROM inj
+            ), s AS (
+                SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+                       n_latin + n_cjk + n_cyrillic + n_arabic AS n_letters,
+                       greatest(n_latin + n_cjk + n_cyrillic + n_arabic, 1) AS d
+                FROM c
+            )
+            SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_letters,
+                   CAST((CAST(n_latin AS DOUBLE)/d >= 0.05)::INT
+                      + (CAST(n_cjk AS DOUBLE)/d >= 0.05)::INT
+                      + (CAST(n_cyrillic AS DOUBLE)/d >= 0.05)::INT
+                      + (CAST(n_arabic AS DOUBLE)/d >= 0.05)::INT AS BIGINT) AS n_scripts,
+                   (CAST(n_latin AS DOUBLE)/d >= 0.05)::INT
+                      + (CAST(n_cjk AS DOUBLE)/d >= 0.05)::INT
+                      + (CAST(n_cyrillic AS DOUBLE)/d >= 0.05)::INT
+                      + (CAST(n_arabic AS DOUBLE)/d >= 0.05)::INT >= 2 AS mixed
+            FROM s ORDER BY doc_id
         """,
     }

@@ -333,6 +333,8 @@ def run_queries() -> dict[str, float]:
         "docs_cluster_topics",
         "docs_logreg_quality",
         "docs_export_jsonl",
+        "docs_blocklist_gate",
+        "docs_script_mix",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -639,3 +639,49 @@ def group_mean_gate(
         return out[cols] if cols else out
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+def blocklist_signals(
+    ds: ray.data.Dataset,
+    words: list[str],
+    text_col: str = "text",
+    keep_cols: list | None = None,
+    max_fraction: float = 0.0,
+) -> ray.data.Dataset:
+    """Token-blocklist gate — the C4 badwords pass (Raffel et al.
+    2020 dropped any page containing a word from a public blocklist;
+    Dolma and FineWeb run the same shape with per-language lists).
+    Tokens are whitespace words lowercased; a document flags when its
+    blocklisted-token fraction EXCEEDS `max_fraction` (0.0 = the C4
+    any-occurrence rule). Emits keep_cols + (n_tokens, n_blocked,
+    blocked_fraction, flagged).
+
+    Row-local and shuffle-free: the list broadcasts in the task
+    closure (tiny), membership is one vectorized pandas isin per
+    batch — at 100 TB this runs at read speed. Case-folding is ASCII
+    lower() on BOTH sides (mirrors the SQL twin)."""
+    keep = list(keep_cols or [])
+    wset = {w.lower() for w in words}
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = pd.DataFrame({c: pd.Series(dtype="object") for c in keep})
+            out["n_tokens"] = pd.Series(dtype="int64")
+            out["n_blocked"] = pd.Series(dtype="int64")
+            out["blocked_fraction"] = pd.Series(dtype="float64")
+            out["flagged"] = pd.Series(dtype="bool")
+            return out
+        toks = batch[text_col].astype(str).str.lower().str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        hit = ex.isin(wset).groupby(level=0).sum()
+        nb = hit.reindex(batch.index).fillna(0).to_numpy(dtype=np.int64)
+        frac = nb / np.maximum(n, 1)
+        out = batch[keep].copy().reset_index(drop=True)
+        out["n_tokens"] = n
+        out["n_blocked"] = nb
+        out["blocked_fraction"] = frac
+        out["flagged"] = frac > max_fraction
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1519,3 +1519,62 @@ def vocab_drift(
     )
     cand = cand.sort_values(["drift", "term"], ascending=[False, True], kind="stable").head(top_n)
     return cand.reset_index(drop=True)
+
+
+# script classes for script_mix_signals — each (name, regex char class)
+# pair must match the docs_script_mix oracle SQL verbatim (RE2-safe:
+# plain codepoint ranges, no \p{Script=} shorthand, no lookaround)
+_SCRIPT_CLASSES = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cjk", "[぀-ヿ一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿ]"),
+)
+
+
+def script_mix_signals(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    keep_cols: list | None = None,
+    min_fraction: float = 0.05,
+) -> ray.data.Dataset:
+    """Unicode script-mix detection — the mixed-script spam signal
+    (keyword-stuffed pages interleaving CJK/Cyrillic into Latin text
+    defeat single-language filters; CCNet-style pipelines gate on
+    script consistency before language ID). Counts letters per script
+    class (Latin incl. Latin-1/Extended, CJK kana+unified, Cyrillic,
+    Arabic), takes fractions over the doc's total lettered chars, and
+    flags a doc `mixed` when >= 2 scripts each clear `min_fraction`.
+
+    Row-local and shuffle-free (one vectorized str.count per class
+    per batch). Emits keep_cols + per-script counts, n_letters,
+    n_scripts, mixed. The char classes are plain codepoint ranges so
+    the DuckDB twin uses the IDENTICAL regexes (RE2-safe)."""
+    keep = list(keep_cols or [])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = pd.DataFrame({c: pd.Series(dtype="object") for c in keep})
+            for name, _ in _SCRIPT_CLASSES:
+                out[f"n_{name}"] = pd.Series(dtype="int64")
+            out["n_letters"] = pd.Series(dtype="int64")
+            out["n_scripts"] = pd.Series(dtype="int64")
+            out["mixed"] = pd.Series(dtype="bool")
+            return out
+        t = batch[text_col].astype(str)
+        out = batch[keep].copy().reset_index(drop=True)
+        counts = {}
+        for name, cls in _SCRIPT_CLASSES:
+            counts[name] = t.str.count(cls).to_numpy(dtype=np.int64)
+            out[f"n_{name}"] = counts[name]
+        total = np.sum(np.stack(list(counts.values())), axis=0)
+        out["n_letters"] = total
+        denom = np.maximum(total, 1)
+        n_scripts = np.sum(
+            np.stack([c / denom >= min_fraction for c in counts.values()]), axis=0
+        ).astype(np.int64)
+        out["n_scripts"] = n_scripts
+        out["mixed"] = n_scripts >= 2
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")

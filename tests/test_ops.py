@@ -4766,3 +4766,79 @@ def test_export_jsonl_shards_roundtrip(ray_session):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_blocklist_signals(ray_session):
+    """C4-style token blocklist: case-folded whitespace-token
+    membership, any-occurrence flag at max_fraction=0, fraction
+    thresholding above it, zero-token docs never flag."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import blocklist_signals
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "clean words only here",
+                "one BADWORD among five tokens",
+                "badword badword badword clean",
+                "",
+            ],
+        }
+    )
+    out = (
+        blocklist_signals(
+            ray.data.from_pandas(docs).repartition(2),
+            ["badword"],
+            keep_cols=["doc_id"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert list(out["n_blocked"]) == [0, 1, 3, 0]
+    assert list(out["flagged"]) == [False, True, True, False]
+    assert abs(out.loc[3, "blocked_fraction"] - 0.75) < 1e-12
+    # fraction threshold: 1/5 = 0.2 <= 0.25 passes
+    lax = (
+        blocklist_signals(
+            ray.data.from_pandas(docs), ["badword"], keep_cols=["doc_id"],
+            max_fraction=0.25,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(lax["flagged"]) == [False, False, True, False]
+
+
+def test_script_mix_signals(ray_session):
+    """Script-mix spam signal: per-script letter counts, fraction
+    threshold, mixed flag only when two scripts both clear 5%."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import script_mix_signals
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "pure latin text here",
+                "latin stuffed 中文内容很多 words",  # CJK mix
+                "привет",  # pure cyrillic
+                "a 一",  # 1 latin + 1 cjk: both 50% -> mixed
+            ],
+        }
+    )
+    out = (
+        script_mix_signals(
+            ray.data.from_pandas(docs).repartition(2), keep_cols=["doc_id"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_scripts"] == 1 and not out.loc[1, "mixed"]
+    assert out.loc[2, "n_cjk"] == 6 and out.loc[2, "mixed"]
+    assert out.loc[3, "n_cyrillic"] == 6 and not out.loc[3, "mixed"]
+    assert out.loc[4, "mixed"] and out.loc[4, "n_letters"] == 2
