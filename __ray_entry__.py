@@ -977,6 +977,36 @@ def _docs_script_mix(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def _docs_cdc_shared(sf_dir: str) -> pd.DataFrame:
+    """Content-defined-chunking dedup report (ops/dedup.
+    cdc_shared_bytes — the LBFS/rsync rolling-boundary trick on
+    corpus text): a deterministic recrawl injection (every doc_id%10==0
+    doc reappears as id+100000 with an inserted preamble, the shape
+    that defeats exact-hash dedup and shifts every fixed-size block)
+    must report high shared-byte fractions on both family members
+    while untouched docs report 0. Rows-only (rolling-hash
+    boundaries); span tiling, clamps and shift-robustness are
+    pytest-pinned."""
+    from pdf_extractor_ray.ops.dedup import cdc_shared_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        cp = b[b["doc_id"] % 10 == 0].copy()
+        cp["doc_id"] = cp["doc_id"] + 100000
+        cp["text"] = "Mirrored by the archive crawler on a later pass. " + cp[
+            "text"
+        ].astype(str)
+        return pd.concat([b, cp], ignore_index=True)
+
+    out = cdc_shared_bytes(
+        ds.map_batches(inject, batch_format="pandas")
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3386,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_export_jsonl": _docs_export_jsonl,
         "docs_blocklist_gate": _docs_blocklist_gate,
         "docs_script_mix": _docs_script_mix,
+        "docs_cdc_shared": _docs_cdc_shared,
     }
 
 

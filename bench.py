@@ -335,6 +335,7 @@ def run_queries() -> dict[str, float]:
         "docs_export_jsonl",
         "docs_blocklist_gate",
         "docs_script_mix",
+        "docs_cdc_shared",
         "training_data_pipeline",
     ]
     qs = e.queries()

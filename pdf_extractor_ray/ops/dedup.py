@@ -2407,3 +2407,230 @@ def mirror_pairs(
         }
     ).sort_values(["src_a", "src_b"]).reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+# CDC rolling-hash constants (FNV-64 prime base, uint64 wraparound —
+# the scrub.py bloom discipline: every constant explicitly np.uint64)
+_CDC_BASE = np.uint64(1099511628211)
+
+
+def _cdc_cut_chunks(
+    data: bytes, window: int, mask: int, min_size: int, max_size: int
+) -> list[tuple[int, int]]:
+    """Chunk (start, end) spans for one document: candidate cuts where
+    the `window`-byte rolling hash & mask == 0, clamped to
+    [min_size, max_size] (a forced cut every max_size bytes when no
+    candidate lands). Deterministic pure function of the bytes."""
+    n = len(data)
+    if n == 0:
+        return []
+    if n < window:
+        return [(0, n)]
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    h = np.zeros(n - window + 1, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(window - 1, -1, -1):
+        h += p * arr[j : n - window + 1 + j]
+        p = p * _CDC_BASE
+    cand = np.flatnonzero((h & np.uint64(mask)) == np.uint64(0)) + window  # cut AFTER pos
+    spans = []
+    last = 0
+    ci = 0
+    while last < n:
+        # next candidate cut past the min-size floor
+        while ci < len(cand) and cand[ci] < last + min_size:
+            ci += 1
+        if ci < len(cand) and cand[ci] <= last + max_size:
+            cut = int(cand[ci])
+            ci += 1
+        else:
+            cut = min(last + max_size, n)
+        spans.append((last, cut))
+        last = cut
+    if spans and spans[-1][1] - spans[-1][0] < min_size and len(spans) > 1:
+        # fold a sub-min tail into its predecessor (standard CDC tail rule)
+        s, _ = spans.pop()
+        ps, _ = spans.pop()
+        spans.append((ps, len(data)))
+    return spans
+
+
+def cdc_shared_bytes(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    boundary_bits: int = 6,
+    min_size: int = 32,
+    max_size: int = 512,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Content-defined-chunking dedup report (the LBFS/rsync rolling
+    boundary trick, Muthitacharoen et al. 2001, applied to corpus
+    text): cut each document into variable-size chunks at positions
+    where a `window`-byte rolling hash masks to zero, so the SAME
+    content produces the SAME chunks regardless of byte offset — an
+    inserted preamble shifts every fixed-size block but leaves CDC
+    chunks aligned. A chunk hash seen in >= 2 distinct documents is
+    shared; each document reports how many of its bytes sit in shared
+    chunks. This catches the wrapped-copy/shifted-mirror shape that
+    exact-hash dedup misses and MinHash only scores, and it does so
+    with an exact, explainable byte count.
+
+    Scale shape: chunking is row-local; the only exchange is slim
+    (chunk_hash, doc, n_bytes) triples on hash mod P (chunk TEXT never
+    moves); per-partition distinct-doc counts flag shared hashes
+    vectorized; per-doc partials co-shuffle with the per-doc base
+    stats on hash(id) mod P. Expected chunk size is
+    2^boundary_bits bytes between [min_size, max_size] clamps (forced
+    cut at max_size; sub-min tails fold into their predecessor).
+
+    Emits (id_col, n_bytes, n_chunks, shared_bytes, shared_fraction)
+    for every input document."""
+    mask = (1 << boundary_bits) - 1
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("n_chunks", pa.int64()),
+            ("shared_bytes", pa.int64()),
+            ("shared_fraction", pa.float64()),
+        ]
+    )
+
+    def chunk_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_o, h_o, nb_o = [], [], []
+        base_rows = []
+        for i, t in zip(batch[id_col], batch[text_col].astype(str)):
+            data = t.encode("utf-8")
+            spans = _cdc_cut_chunks(data, window, mask, min_size, max_size)
+            base_rows.append((int(i), len(data), len(spans)))
+            for s, e in spans:
+                ids_o.append(int(i))
+                h_o.append(
+                    int.from_bytes(hashlib.sha1(data[s:e]).digest()[:8], "big") >> 1
+                )
+                nb_o.append(e - s)
+        ch = pd.DataFrame(
+            {
+                "_h": pd.Series(h_o, dtype="int64"),
+                "_doc": pd.Series(ids_o, dtype="int64"),
+                "_nb": pd.Series(nb_o, dtype="int64"),
+                "_kind": np.int8(0),
+            }
+        )
+        ch["_part"] = ch["_h"] % num_partitions
+        base = pd.DataFrame(
+            base_rows, columns=["_doc", "_nb", "_h"]
+        ) if base_rows else pd.DataFrame({"_doc": [], "_nb": [], "_h": []})
+        base = pd.DataFrame(
+            {
+                "_h": base["_h"].astype("int64"),   # n_chunks rides in _h
+                "_doc": base["_doc"].astype("int64"),
+                "_nb": base["_nb"].astype("int64"),
+                "_kind": np.int8(1),
+            }
+        )
+        base["_part"] = (
+            pd.util.hash_array(base["_doc"].to_numpy()) % num_partitions
+        ).astype(np.int64)
+        return pd.concat([ch, base], ignore_index=True)
+
+    tagged = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(chunk_rows, batch_format="pandas")
+        .materialize()  # consumed by BOTH the chunk and base sides; slim rows only
+    )
+
+    def shared_partials(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "_doc": pd.Series(dtype="int64"),
+                "_sb": pd.Series(dtype="int64"),
+                "_part": pd.Series(dtype="int64"),
+                "_nchunks": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty or "_kind" not in g.columns:
+            return empty
+        g = g[g["_kind"] == 0]
+        if g.empty:
+            return empty
+        ndocs = g.groupby("_h", sort=False)["_doc"].transform("nunique")
+        hot = g[ndocs >= 2]
+        if hot.empty:
+            return empty
+        per_doc = hot.groupby("_doc", sort=False)["_nb"].sum().reset_index()
+        out = pd.DataFrame(
+            {"_doc": per_doc["_doc"].astype("int64"), "_sb": per_doc["_nb"].astype("int64")}
+        )
+        out["_part"] = (
+            pd.util.hash_array(out["_doc"].to_numpy()) % num_partitions
+        ).astype(np.int64)
+        out["_nchunks"] = np.int64(0)
+        return out
+
+    # chunk rows group by CHUNK-hash partition to find shared hashes...
+    chunk_side = (
+        tagged.map_batches(
+            lambda b: b[b["_kind"] == 0]
+            if len(b) and "_kind" in b.columns
+            else b,
+            batch_format="pandas",
+        )
+        .groupby("_part")
+        .map_groups(shared_partials, batch_format="pandas")
+    )
+    # ...then partials + base stats co-shuffle on hash(doc) mod P
+    base_side = tagged.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "_doc": b.loc[b["_kind"] == 1, "_doc"],
+                "_sb": -1 - b.loc[b["_kind"] == 1, "_nb"],  # base marker: -(n_bytes+1)
+                "_part": b.loc[b["_kind"] == 1, "_part"],
+                "_nchunks": b.loc[b["_kind"] == 1, "_h"],
+            }
+        )
+        if len(b) and "_kind" in b.columns
+        else pd.DataFrame(
+            {
+                "_doc": pd.Series(dtype="int64"),
+                "_sb": pd.Series(dtype="int64"),
+                "_part": pd.Series(dtype="int64"),
+                "_nchunks": pd.Series(dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_doc" not in g.columns:
+            return _typed_table(out_schema)
+        if "_nchunks" not in g.columns:
+            g = g.assign(_nchunks=np.int64(0))
+        g = g.copy()
+        g["_nchunks"] = g["_nchunks"].fillna(0).astype("int64")
+        base = g[g["_sb"] < 0]
+        sh = g[g["_sb"] >= 0].groupby("_doc", sort=False)["_sb"].sum()
+        docs = base["_doc"].to_numpy(dtype=np.int64)
+        nb = (-base["_sb"].to_numpy(dtype=np.int64)) - 1
+        nch = base["_nchunks"].to_numpy(dtype=np.int64)
+        sb = sh.reindex(base["_doc"]).fillna(0).to_numpy(dtype=np.int64)
+        frac = sb / np.maximum(nb, 1)
+        order = np.argsort(docs, kind="stable")
+        return _typed_table(
+            out_schema,
+            **{
+                id_col: docs[order],
+                "n_bytes": nb[order],
+                "n_chunks": nch[order],
+                "shared_bytes": sb[order],
+                "shared_fraction": frac[order],
+            },
+        )
+
+    return (
+        chunk_side.union(base_side)
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -4842,3 +4842,54 @@ def test_script_mix_signals(ray_session):
     assert out.loc[2, "n_cjk"] == 6 and out.loc[2, "mixed"]
     assert out.loc[3, "n_cyrillic"] == 6 and not out.loc[3, "mixed"]
     assert out.loc[4, "mixed"] and out.loc[4, "n_letters"] == 2
+
+
+def test_cdc_shared_bytes(ray_session):
+    """Content-defined chunking: an inserted preamble SHIFTS every
+    byte but leaves CDC chunks aligned, so the copied body is detected
+    as shared bytes (> 60% here) while an unrelated doc reports zero;
+    chunk spans tile the document exactly; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import _cdc_cut_chunks, cdc_shared_bytes
+
+    body = " ".join(f"word{i} content token" for i in range(120))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                body,
+                "A COMPLETELY NEW INSERTED PREAMBLE SENTENCE. " + body,
+                " ".join(f"other{i} unrelated stuff" for i in range(120)),
+            ],
+        }
+    )
+
+    def run(parts):
+        return (
+            cdc_shared_bytes(ray.data.from_pandas(docs).repartition(parts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(2)
+    pd.testing.assert_frame_equal(out, run(3))
+    o = out.set_index("doc_id")
+    assert o.loc[1, "shared_fraction"] > 0.6
+    assert o.loc[2, "shared_fraction"] > 0.6
+    assert o.loc[3, "shared_bytes"] == 0
+    assert o.loc[1, "shared_bytes"] == o.loc[2, "shared_bytes"]  # the common body
+
+    # span tiling + clamps: spans cover [0, n) contiguously, sizes
+    # within [min, max] except a possibly-longer folded tail
+    data = body.encode()
+    spans = _cdc_cut_chunks(data, 16, 63, 32, 512)
+    assert spans[0][0] == 0 and spans[-1][1] == len(data)
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert e0 == s1
+    assert all(e - s >= 32 for s, e in spans)
+    assert all(e - s <= 512 + 32 for s, e in spans)
+    # empty + tiny docs
+    assert _cdc_cut_chunks(b"", 16, 63, 32, 512) == []
+    assert _cdc_cut_chunks(b"abc", 16, 63, 32, 512) == [(0, 3)]
