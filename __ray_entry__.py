@@ -1007,6 +1007,35 @@ def _docs_cdc_shared(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def _docs_mojibake(sf_dir: str) -> pd.DataFrame:
+    """Encoding-damage detection (ops/text_analysis.mojibake_signals,
+    the ftfy problem class): deterministic cp1252 round-trip
+    injections — accent artifacts on doc_id%5==0, curly-punctuation
+    artifacts on %5==1, stray-\u00c2 artifacts on %5==2 — counted per
+    class with a per-kchar damage flag. Fully SQL-oracled via
+    replace()-length arithmetic over the identical literals."""
+    from pdf_extractor_ray.ops.text_analysis import mojibake_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = (b["doc_id"] % 5).to_numpy()
+        t = b["text"].astype(str).to_numpy(dtype=object)
+        t[m == 0] = t[m == 0] + " historia caf\u00c3\u00a9 art\u00c3\u00bc chapter"
+        t[m == 1] = t[m == 1] + " said \u00e2\u20ac\u2122 and \u00e2\u20ac\u0153 intro"
+        t[m == 2] = t[m == 2] + " width \u00c2\u00b0 note"
+        b["text"] = t
+        return b
+
+    out = mojibake_signals(
+        ds.map_batches(inject, batch_format="pandas"), keep_cols=["doc_id"]
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3417,6 +3446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_blocklist_gate": _docs_blocklist_gate,
         "docs_script_mix": _docs_script_mix,
         "docs_cdc_shared": _docs_cdc_shared,
+        "docs_mojibake": _docs_mojibake,
     }
 
 
@@ -5392,5 +5422,30 @@ def oracle_sql() -> dict[str, str]:
                       + (CAST(n_cyrillic AS DOUBLE)/d >= 0.05)::INT
                       + (CAST(n_arabic AS DOUBLE)/d >= 0.05)::INT >= 2 AS mixed
             FROM s ORDER BY doc_id
+        """,
+        "docs_mojibake": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 5
+                                    WHEN 0 THEN ' historia cafÃ© artÃ¼ chapter'
+                                    WHEN 1 THEN ' said â€™ and â€œ intro'
+                                    WHEN 2 THEN ' width Â° note'
+                                    ELSE '' END AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CAST((length(t) - length(replace(t, 'Ã©', ''))) / 2 + (length(t) - length(replace(t, 'Ã¨', ''))) / 2 + (length(t) - length(replace(t, 'Ã¼', ''))) / 2 + (length(t) - length(replace(t, 'Ã±', ''))) / 2 + (length(t) - length(replace(t, 'Ã¡', ''))) / 2 AS BIGINT) AS n_accents,
+                       CAST((length(t) - length(replace(t, 'â€™', ''))) / 3 + (length(t) - length(replace(t, 'â€œ', ''))) / 3 + (length(t) - length(replace(t, 'â€”', ''))) / 3 + (length(t) - length(replace(t, 'â€“', ''))) / 3 AS BIGINT) AS n_punct,
+                       CAST((length(t) - length(replace(t, 'Â ', ''))) / 2 + (length(t) - length(replace(t, 'Â°', ''))) / 2 AS BIGINT) AS n_nbsp,
+                       CAST(length(t) AS BIGINT) AS n_chars
+                FROM inj
+            )
+            SELECT doc_id, n_accents, n_punct, n_nbsp,
+                   n_accents + n_punct + n_nbsp AS n_artifacts,
+                   (n_accents + n_punct + n_nbsp) * 1000.0
+                       / greatest(n_chars, 1) AS per_kchars,
+                   (n_accents + n_punct + n_nbsp) * 1000.0
+                       / greatest(n_chars, 1) > 1.0 AS damaged
+            FROM c ORDER BY doc_id
         """,
     }

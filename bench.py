@@ -336,6 +336,7 @@ def run_queries() -> dict[str, float]:
         "docs_blocklist_gate",
         "docs_script_mix",
         "docs_cdc_shared",
+        "docs_mojibake",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -5,6 +5,8 @@ token counts, fingerprints — the training-data-pipeline operators
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import ray.data
@@ -1575,6 +1577,67 @@ def script_mix_signals(
         ).astype(np.int64)
         out["n_scripts"] = n_scripts
         out["mixed"] = n_scripts >= 2
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# mojibake artifact literals — the strings UTF-8 text acquires when
+# round-tripped through cp1252/Latin-1 (the ftfy catalogue's dominant
+# entries). PLAIN LITERALS by design: no character classes, so the
+# DuckDB twin counts the IDENTICAL strings with replace()-arithmetic.
+_MOJIBAKE_CLASSES = (
+    ("accents", ("\u00c3\u00a9", "\u00c3\u00a8", "\u00c3\u00bc", "\u00c3\u00b1", "\u00c3\u00a1")),  # Ã© Ã¨ Ã¼ Ã± Ã¡
+    ("punct", ("\u00e2\u20ac\u2122", "\u00e2\u20ac\u0153", "\u00e2\u20ac\u201d", "\u00e2\u20ac\u201c")),  # â€™ â€œ â€” â€“
+    ("nbsp", ("\u00c2 ", "\u00c2\u00b0")),  # Â+space, Â°
+)
+
+
+def mojibake_signals(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    keep_cols: list | None = None,
+    max_per_kchars: float = 1.0,
+) -> ray.data.Dataset:
+    """Encoding-damage detection (the ftfy problem class): UTF-8 text
+    decoded as cp1252/Latin-1 leaves unmistakable artifact strings —
+    'Ã©' for é, 'â€™' for a curly apostrophe, stray 'Â' before
+    NBSP/degree. Real crawls carry double-encoded pockets that poison
+    tokenizers; flagging them BEFORE dedup keeps a mojibake mirror
+    from shielding the clean copy. Counts literal artifact hits per
+    class and flags docs above `max_per_kchars` artifacts per 1000
+    chars.
+
+    Row-local, shuffle-free, one vectorized count per literal. The
+    probes are plain literals (never regex classes — cp1252 vs
+    Latin-1 readings of continuation bytes do not form contiguous
+    codepoint ranges), mirrored verbatim by the DuckDB twin via
+    replace()-length arithmetic."""
+    keep = list(keep_cols or [])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = pd.DataFrame({c: pd.Series(dtype="object") for c in keep})
+            for name, _ in _MOJIBAKE_CLASSES:
+                out[f"n_{name}"] = pd.Series(dtype="int64")
+            out["n_artifacts"] = pd.Series(dtype="int64")
+            out["per_kchars"] = pd.Series(dtype="float64")
+            out["damaged"] = pd.Series(dtype="bool")
+            return out
+        t = batch[text_col].astype(str)
+        out = batch[keep].copy().reset_index(drop=True)
+        total = np.zeros(len(batch), dtype=np.int64)
+        for name, lits in _MOJIBAKE_CLASSES:
+            c = np.zeros(len(batch), dtype=np.int64)
+            for lit in lits:
+                c += t.str.count(re.escape(lit)).to_numpy(dtype=np.int64)
+            out[f"n_{name}"] = c
+            total += c
+        out["n_artifacts"] = total
+        chars = np.maximum(t.str.len().to_numpy(dtype=np.int64), 1)
+        per_k = total * 1000.0 / chars
+        out["per_kchars"] = per_k
+        out["damaged"] = per_k > max_per_kchars
         return out
 
     return ds.map_batches(f, batch_format="pandas")

@@ -4893,3 +4893,42 @@ def test_cdc_shared_bytes(ray_session):
     # empty + tiny docs
     assert _cdc_cut_chunks(b"", 16, 63, 32, 512) == []
     assert _cdc_cut_chunks(b"abc", 16, 63, 32, 512) == [(0, 3)]
+
+
+def test_mojibake_signals(ray_session):
+    """ftfy-class encoding-damage probes: genuine utf8->latin1
+    round-trip artifacts count per class, clean text (including real
+    accents and real curly quotes) never flags, per-kchar threshold
+    flags dense damage only."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import mojibake_signals
+
+    # browsers mis-decode UTF-8 as cp1252 (NOT latin-1: continuation
+    # bytes must surface as the €™œ glyphs the probes target); ” is
+    # excluded — its 0x9D byte has no cp1252 mapping
+    damaged = "café résumé don’t “quote – dash—".encode("utf-8").decode("cp1252")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                damaged,  # dense artifacts, short -> flags
+                "clean café text with a real ’ curly quote " + "pad " * 300,
+                "plain ascii only here",
+            ],
+        }
+    )
+    out = (
+        mojibake_signals(
+            ray.data.from_pandas(docs).repartition(2), keep_cols=["doc_id"]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    # 'café résumé' -> 3 Ã© artifacts; ’ “ – — -> 4 punct artifacts
+    assert out.loc[1, "n_accents"] == 3
+    assert out.loc[1, "n_punct"] == 4
+    assert bool(out.loc[1, "damaged"])
+    assert out.loc[2, "n_artifacts"] == 0 and not bool(out.loc[2, "damaged"])
+    assert out.loc[3, "n_artifacts"] == 0
