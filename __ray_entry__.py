@@ -1036,6 +1036,29 @@ def _docs_mojibake(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def _docs_export_curriculum(sf_dir: str) -> pd.DataFrame:
+    """Curriculum-ordered shard export (pipelines/export.
+    export_curriculum_shards): global rank by (n_chars DESC, doc_id)
+    via the range-partition + prefix-offset machinery (no driver
+    sort), shard s = contiguous rank range s*N/8 — the
+    quality-annealing training layout. Per-shard counts SQL-oracled
+    against the identical row_number() bucketing."""
+    import tempfile
+
+    from pdf_extractor_ray.pipelines.export import export_curriculum_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="curr_", dir="/tmp")
+    m = export_curriculum_shards(
+        ds, out_dir, keys=["n_chars", "doc_id"], ascending=[False, True], n_shards=8
+    )
+    out = m[["shard", "n_rows"]].copy()
+    out["shard"] = out["shard"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3447,6 +3470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_script_mix": _docs_script_mix,
         "docs_cdc_shared": _docs_cdc_shared,
         "docs_mojibake": _docs_mojibake,
+        "docs_export_curriculum": _docs_export_curriculum,
     }
 
 
@@ -5447,5 +5471,15 @@ def oracle_sql() -> dict[str, str]:
                    (n_accents + n_punct + n_nbsp) * 1000.0
                        / greatest(n_chars, 1) > 1.0 AS damaged
             FROM c ORDER BY doc_id
+        """,
+        "docs_export_curriculum": """
+            WITH r AS (
+                SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+                       (SELECT count(*) FROM documents) AS total
+                FROM documents
+            )
+            SELECT CAST((rn - 1) * 8 // total AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM r GROUP BY 1 ORDER BY shard
         """,
     }

@@ -337,6 +337,7 @@ def run_queries() -> dict[str, float]:
         "docs_script_mix",
         "docs_cdc_shared",
         "docs_mojibake",
+        "docs_export_curriculum",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -223,3 +223,79 @@ def read_jsonl_shards(out_dir: str) -> ray.data.Dataset:
     # partitioning=None: the shard=NNNNN dirs are a resume contract,
     # not hive columns — don't let the reader inject a 'shard' column
     return ray.data.read_json(paths, partitioning=None)
+
+
+def export_curriculum_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    keys,
+    ascending=None,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Curriculum-ordered shard export: rows rank globally by `keys`
+    (the ops/rank.global_rank machinery — range partition + prefix
+    offsets, no driver sort) and shard s receives the contiguous rank
+    range [s*N/n, (s+1)*N/n) in rank order — so a training job that
+    streams shards 0..n-1 consumes the corpus easiest-first (or
+    highest-quality-first), the standard curriculum / quality-annealing
+    layout. Same atomic publish + _SUCCESS resume contract as the md5
+    exporters; unlike them the placement depends on the RANKING, so a
+    resume re-ranks but only rewrites missing shards.
+
+    Emits the per-shard manifest plus each shard's rank span
+    (rank_lo, rank_hi) for auditability."""
+    from pdf_extractor_ray.ops.rank import global_rank
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir, n_shards)
+    ranked = global_rank(ds, keys, ascending=ascending, rank_col="_rank")
+    total = ranked.count()
+    if total == 0:
+        return _SHARD_ROW_SCHEMA.empty_table().to_pandas()
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "_rank" not in b.columns:
+            return pd.DataFrame()
+        b = b.copy()
+        b["_shard"] = ((b["_rank"] - 1) * n_shards // total).astype("int64")
+        if done:
+            b = b[~b["_shard"].isin(list(done))]
+        return b
+
+    def write_shard(g: pd.DataFrame) -> pa.Table:
+        if g.empty or "_shard" not in g.columns:
+            return _SHARD_ROW_SCHEMA.empty_table()
+        t0 = time.monotonic()
+        shard = int(g["_shard"].iloc[0])
+        g = g.sort_values("_rank", kind="stable")
+        lo, hi = int(g["_rank"].iloc[0]), int(g["_rank"].iloc[-1])
+        g = g.drop(columns=["_shard"])
+        sdir = os.path.join(out_dir, f"shard={shard:05d}")
+        os.makedirs(sdir, exist_ok=True)
+        path = os.path.join(sdir, "part-0.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        with open(_success_path(out_dir, shard) + ".tmp", "w", encoding="utf-8") as f:
+            json.dump({"shard": shard, "n_rows": len(g), "rank_lo": lo, "rank_hi": hi}, f)
+        os.replace(_success_path(out_dir, shard) + ".tmp", _success_path(out_dir, shard))
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "n_rows": pa.array([len(g)], pa.int64()),
+                "path": pa.array([path], pa.string()),
+                "wall_time_s": pa.array([round(time.monotonic() - t0, 4)], pa.float64()),
+            },
+            schema=_SHARD_ROW_SCHEMA,
+        )
+
+    manifest = (
+        ranked.map_batches(assign, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    if manifest.empty:
+        return _SHARD_ROW_SCHEMA.empty_table().to_pandas()
+    return manifest.sort_values("shard").reset_index(drop=True)

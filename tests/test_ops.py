@@ -4932,3 +4932,50 @@ def test_mojibake_signals(ray_session):
     assert bool(out.loc[1, "damaged"])
     assert out.loc[2, "n_artifacts"] == 0 and not bool(out.loc[2, "damaged"])
     assert out.loc[3, "n_artifacts"] == 0
+
+
+def test_export_curriculum_shards(ray_session):
+    """Curriculum export: shard s holds exactly the contiguous global
+    rank range [s*N/n, (s+1)*N/n) in rank order (here: quality
+    descending), spans are contiguous across shards, read-back of
+    shard 0 yields the top-quality rows, and resume is a no-op."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.export import export_curriculum_shards
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "quality": rng.permutation(40).astype("float64"),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="curr_")
+    m = export_curriculum_shards(
+        ray.data.from_pandas(df).repartition(3),
+        d,
+        keys=["quality", "doc_id"],
+        ascending=[False, True],
+        n_shards=4,
+    )
+    assert list(m["shard"]) == [0, 1, 2, 3] and list(m["n_rows"]) == [10] * 4
+    expected = df.sort_values("quality", ascending=False).reset_index(drop=True)
+    got0 = _pq.read_table(os.path.join(d, "shard=00000", "part-0.parquet")).to_pandas()
+    assert list(got0["doc_id"]) == list(expected["doc_id"].head(10))
+    assert list(got0["quality"]) == sorted(got0["quality"], reverse=True)
+    # spans contiguous: shard s covers ranks [10s+1, 10s+10]
+    import json as _json
+
+    for s in range(4):
+        meta = _json.load(open(os.path.join(d, f"shard={s:05d}", "_SUCCESS")))
+        assert (meta["rank_lo"], meta["rank_hi"]) == (10 * s + 1, 10 * s + 10)
+    assert len(
+        export_curriculum_shards(
+            ray.data.from_pandas(df), d, keys=["quality", "doc_id"],
+            ascending=[False, True], n_shards=4,
+        )
+    ) == 0
