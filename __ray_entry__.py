@@ -1059,6 +1059,46 @@ def _docs_export_curriculum(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("shard").reset_index(drop=True)
 
 
+
+def _docs_gate_overlap(sf_dir: str) -> pd.DataFrame:
+    """Filter-ablation overlap matrix (ops/quality.gate_overlap):
+    exact pairwise drop intersections of four demo gates — short
+    (n_chars < 600), few_words (< 150 whitespace tokens), blocky
+    (> 5% of tokens in {spark, join, window}), non_en — in one
+    streaming pass; diagonal = per-gate drops, _any = union. The
+    governance table that catches redundant or compounding gates
+    before a 100-TB run. Fully SQL-oracled (identical CASE flags +
+    FILTER sums)."""
+    from pdf_extractor_ray.ops.quality import gate_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def blocky(b: pd.DataFrame) -> np.ndarray:
+        toks = b["text"].astype(str).str.lower().str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        hits = (
+            ex.isin({"spark", "join", "window"})
+            .groupby(level=0)
+            .sum()
+            .reindex(b.index)
+            .fillna(0)
+            .to_numpy(dtype=np.int64)
+        )
+        return hits > 0.05 * np.maximum(n, 1)
+
+    gates = {
+        "short": lambda b: (b["n_chars"] < 600).to_numpy(),
+        "few_words": lambda b: (
+            b["text"].astype(str).str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+            < 150
+        ),
+        "blocky": blocky,
+        "non_en": lambda b: (b["lang"] != "en").to_numpy(),
+    }
+    return gate_overlap(ds, gates)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3471,6 +3511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_shared": _docs_cdc_shared,
         "docs_mojibake": _docs_mojibake,
         "docs_export_curriculum": _docs_export_curriculum,
+        "docs_gate_overlap": _docs_gate_overlap,
     }
 
 
@@ -5481,5 +5522,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((rn - 1) * 8 // total AS BIGINT) AS shard,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM r GROUP BY 1 ORDER BY shard
+        """,
+        "docs_gate_overlap": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (term <> '') AS BIGINT) AS n_tokens,
+                       CAST(count(*) FILTER (term IN ('spark', 'join', 'window'))
+                            AS BIGINT) AS n_hits
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+                      FROM documents)
+                GROUP BY doc_id
+            ), f AS (
+                SELECT d.doc_id,
+                       d.n_chars < 600 AS g_short,
+                       coalesce(t.n_tokens, 0) < 150 AS g_few,
+                       coalesce(t.n_hits, 0) > 0.05 * greatest(coalesce(t.n_tokens, 0), 1)
+                           AS g_blocky,
+                       d.lang <> 'en' AS g_non_en
+                FROM documents d LEFT JOIN tok t USING (doc_id)
+            ), pairs AS (
+                SELECT '_any' AS gate_a, '_any' AS gate_b,
+                       CAST(count(*) FILTER (g_short OR g_few OR g_blocky OR g_non_en) AS BIGINT) AS n_dropped FROM f
+                UNION ALL SELECT 'blocky', 'blocky', CAST(count(*) FILTER (g_blocky) AS BIGINT) FROM f
+                UNION ALL SELECT 'blocky', 'few_words', CAST(count(*) FILTER (g_blocky AND g_few) AS BIGINT) FROM f
+                UNION ALL SELECT 'blocky', 'non_en', CAST(count(*) FILTER (g_blocky AND g_non_en) AS BIGINT) FROM f
+                UNION ALL SELECT 'blocky', 'short', CAST(count(*) FILTER (g_blocky AND g_short) AS BIGINT) FROM f
+                UNION ALL SELECT 'few_words', 'few_words', CAST(count(*) FILTER (g_few) AS BIGINT) FROM f
+                UNION ALL SELECT 'few_words', 'non_en', CAST(count(*) FILTER (g_few AND g_non_en) AS BIGINT) FROM f
+                UNION ALL SELECT 'few_words', 'short', CAST(count(*) FILTER (g_few AND g_short) AS BIGINT) FROM f
+                UNION ALL SELECT 'non_en', 'non_en', CAST(count(*) FILTER (g_non_en) AS BIGINT) FROM f
+                UNION ALL SELECT 'non_en', 'short', CAST(count(*) FILTER (g_non_en AND g_short) AS BIGINT) FROM f
+                UNION ALL SELECT 'short', 'short', CAST(count(*) FILTER (g_short) AS BIGINT) FROM f
+            )
+            SELECT gate_a, gate_b, n_dropped FROM pairs ORDER BY gate_a, gate_b
         """,
     }

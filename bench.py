@@ -338,6 +338,7 @@ def run_queries() -> dict[str, float]:
         "docs_cdc_shared",
         "docs_mojibake",
         "docs_export_curriculum",
+        "docs_gate_overlap",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -685,3 +685,62 @@ def blocklist_signals(
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def gate_overlap(
+    ds: ray.data.Dataset,
+    gates: dict,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Filter-ablation overlap matrix — the governance question every
+    multi-gate pipeline answers before shipping thresholds: how many
+    documents does each quality gate drop, and how redundant are the
+    gates pairwise? (A gate whose drops are a subset of another's is
+    dead weight; two near-disjoint gates compound into unexpected
+    volume loss.) `gates` maps gate name -> callable(batch) ->
+    boolean drop-mask array; all gates evaluate in ONE streaming pass.
+
+    Emits the upper-triangle matrix (gate_a, gate_b, n_dropped) with
+    diagonal rows (a == b) carrying each gate's individual drop count,
+    plus an ('_any', '_any') row for the union — the exact counts, not
+    a sample. Exchange: k(k+1)/2 + 1 integer partials per block; the
+    driver folds scalars."""
+    names = sorted(gates)
+    k = len(names)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "gate_a": pd.Series(dtype="object"),
+                "gate_b": pd.Series(dtype="object"),
+                "n_dropped": pd.Series(dtype="int64"),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        flags = np.stack(
+            [np.asarray(gates[n](batch), dtype=bool) for n in names]
+        )  # (k, B)
+        rows = []
+        for i in range(k):
+            for j in range(i, k):
+                rows.append((names[i], names[j], int(np.sum(flags[i] & flags[j]))))
+        rows.append(("_any", "_any", int(np.sum(flags.any(axis=0)))))
+        return pd.DataFrame(rows, columns=["gate_a", "gate_b", "n_dropped"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "gate_a": pd.Series(dtype="object"),
+                "gate_b": pd.Series(dtype="object"),
+                "n_dropped": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["gate_a", "gate_b"], sort=True)["n_dropped"]
+        .sum()
+        .reset_index()
+    )
+    out["n_dropped"] = out["n_dropped"].astype("int64")
+    return out

@@ -4979,3 +4979,32 @@ def test_export_curriculum_shards(ray_session):
             ascending=[False, True], n_shards=4,
         )
     ) == 0
+
+
+def test_gate_overlap_matrix(ray_session):
+    """Filter-ablation overlap: exact pairwise drop intersections on a
+    handcrafted frame — diagonal = individual counts, off-diagonal =
+    intersections, _any = union; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import gate_overlap
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "n_chars": [10, 10, 10, 500, 500, 500, 500, 500, 10, 500],
+            "lang": ["en", "fr", "en", "fr", "en", "fr", "en", "en", "fr", "en"],
+        }
+    )
+    gates = {
+        "short": lambda b: (b["n_chars"] < 100).to_numpy(),
+        "nonen": lambda b: (b["lang"] != "en").to_numpy(),
+    }
+    for parts in (1, 3):
+        out = gate_overlap(
+            ray.data.from_pandas(df).repartition(parts), gates
+        ).set_index(["gate_a", "gate_b"])
+        assert out.loc[("short", "short"), "n_dropped"] == 4
+        assert out.loc[("nonen", "nonen"), "n_dropped"] == 4
+        assert out.loc[("nonen", "short"), "n_dropped"] == 2  # docs 1, 8
+        assert out.loc[("_any", "_any"), "n_dropped"] == 6
