@@ -1099,6 +1099,19 @@ def _docs_gate_overlap(sf_dir: str) -> pd.DataFrame:
     return gate_overlap(ds, gates)
 
 
+
+def _docs_packing_efficiency(sf_dir: str) -> pd.DataFrame:
+    """Context-length planning table (ops/tokenize.packing_efficiency):
+    exact padding waste (pad-per-doc layout) and truncation loss
+    (one-seq-per-doc layout) at candidate sequence lengths, from
+    3-integer per-block partials. Fully SQL-oracled — all-integer
+    ceil/min arithmetic."""
+    from pdf_extractor_ray.ops.tokenize import packing_efficiency
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return packing_efficiency(ds, seq_lens=(64, 128, 256, 512))
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3512,6 +3525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mojibake": _docs_mojibake,
         "docs_export_curriculum": _docs_export_curriculum,
         "docs_gate_overlap": _docs_gate_overlap,
+        "docs_packing_efficiency": _docs_packing_efficiency,
     }
 
 
@@ -5556,5 +5570,34 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'short', 'short', CAST(count(*) FILTER (g_short) AS BIGINT) FROM f
             )
             SELECT gate_a, gate_b, n_dropped FROM pairs ORDER BY gate_a, gate_b
+        """,
+        "docs_packing_efficiency": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (term <> '') AS BIGINT) AS t
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(text, '\s+')) AS term
+                      FROM documents)
+                GROUP BY doc_id
+            ), alltok AS (
+                SELECT d.doc_id, coalesce(t.t, 0) AS t
+                FROM documents d LEFT JOIN tok t USING (doc_id)
+            ), ls AS (
+                SELECT unnest([64, 128, 256, 512]) AS seq_len
+            ), c AS (
+                SELECT ls.seq_len,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(t) AS BIGINT) AS n_tokens,
+                       CAST(sum(((t + ls.seq_len - 1) // ls.seq_len) * ls.seq_len)
+                            AS BIGINT) AS padded_slots,
+                       CAST(sum(least(t, ls.seq_len)) AS BIGINT) AS kept
+                FROM alltok, ls GROUP BY ls.seq_len
+            )
+            SELECT seq_len, n_docs, n_tokens, padded_slots,
+                   1.0 - CAST(n_tokens AS DOUBLE) / greatest(padded_slots, 1)
+                       AS pad_waste,
+                   1.0 - CAST(kept AS DOUBLE) / greatest(n_tokens, 1)
+                       AS truncate_loss
+            FROM c ORDER BY seq_len
         """,
     }

@@ -339,6 +339,7 @@ def run_queries() -> dict[str, float]:
         "docs_mojibake",
         "docs_export_curriculum",
         "docs_gate_overlap",
+        "docs_packing_efficiency",
         "training_data_pipeline",
     ]
     qs = e.queries()

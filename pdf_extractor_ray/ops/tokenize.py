@@ -202,3 +202,78 @@ def bpe_token_counts(
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def packing_efficiency(
+    ds: ray.data.Dataset,
+    seq_lens=(256, 512, 1024, 2048),
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Context-length planning table: for each candidate sequence
+    length L, the exact padding waste of the two standard batching
+    layouts over this corpus's whitespace-token counts —
+
+    - pad_waste: one document per sequence, padded to ceil(tok/L)*L
+      (the SFT / no-cross-doc-attention layout); waste =
+      1 - sum(tok) / sum(ceil(tok/L) * L).
+    - truncate_loss: one sequence per document, truncated at L (the
+      cheap layout); loss = 1 - sum(min(tok, L)) / sum(tok).
+
+    Concat-and-chunk packing has ~zero waste by construction (see
+    pack_offsets) — this table quantifies what the simpler layouts
+    cost BEFORE a 100-TB tokenization run commits to one.
+
+    One streaming pass; per-block partials are 3 integers per L (the
+    sums), folded on the driver. All-integer arithmetic, so the
+    DuckDB twin reproduces every cell exactly."""
+    lens = sorted(int(x) for x in seq_lens)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "seq_len": pd.Series(dtype="int64"),
+                "tok": pd.Series(dtype="int64"),
+                "padded": pd.Series(dtype="int64"),
+                "kept": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        tok = b[text_col].astype(str).str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+        rows = []
+        for L in lens:
+            padded = int(np.sum((tok + L - 1) // L) * L)
+            rows.append((L, int(tok.sum()), padded, int(np.minimum(tok, L).sum()), len(b)))
+        return pd.DataFrame(rows, columns=["seq_len", "tok", "padded", "kept", "n_docs"])
+
+    parts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pandas"
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "seq_len": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "padded_slots": pd.Series(dtype="int64"),
+                "pad_waste": pd.Series(dtype="float64"),
+                "truncate_loss": pd.Series(dtype="float64"),
+            }
+        )
+    agg = parts.groupby("seq_len", sort=True).sum().reset_index()
+    out = pd.DataFrame(
+        {
+            "seq_len": agg["seq_len"].astype("int64"),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["tok"].astype("int64"),
+            "padded_slots": agg["padded"].astype("int64"),
+            "pad_waste": 1.0
+            - agg["tok"].to_numpy(dtype=np.float64)
+            / np.maximum(agg["padded"].to_numpy(dtype=np.float64), 1.0),
+            "truncate_loss": 1.0
+            - agg["kept"].to_numpy(dtype=np.float64)
+            / np.maximum(agg["tok"].to_numpy(dtype=np.float64), 1.0),
+        }
+    )
+    return out.reset_index(drop=True)

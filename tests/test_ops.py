@@ -5008,3 +5008,30 @@ def test_gate_overlap_matrix(ray_session):
         assert out.loc[("nonen", "nonen"), "n_dropped"] == 4
         assert out.loc[("nonen", "short"), "n_dropped"] == 2  # docs 1, 8
         assert out.loc[("_any", "_any"), "n_dropped"] == 6
+
+
+def test_packing_efficiency(ray_session):
+    """Context-length planning: exact integer padding/truncation
+    arithmetic on a handcrafted token distribution, partition-
+    invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.tokenize import packing_efficiency
+
+    # docs with 3, 5, 8 tokens
+    df = pd.DataFrame(
+        {"text": ["a b c", "a b c d e", "a b c d e f g h"]}
+    )
+    for parts in (1, 2):
+        out = packing_efficiency(
+            ray.data.from_pandas(df).repartition(parts), seq_lens=(4, 8)
+        ).set_index("seq_len")
+        # L=4: padded slots = 4 + 8 + 8 = 20; tokens = 16
+        assert out.loc[4, "padded_slots"] == 20
+        assert abs(out.loc[4, "pad_waste"] - (1 - 16 / 20)) < 1e-15
+        # L=4 truncation: kept = 3 + 4 + 4 = 11
+        assert abs(out.loc[4, "truncate_loss"] - (1 - 11 / 16)) < 1e-15
+        # L=8: padded = 8*3 = 24; truncation keeps everything
+        assert out.loc[8, "padded_slots"] == 24
+        assert out.loc[8, "truncate_loss"] == 0.0
+        assert out.loc[8, "n_tokens"] == 16 and out.loc[8, "n_docs"] == 3
