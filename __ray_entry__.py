@@ -1112,6 +1112,36 @@ def _docs_packing_efficiency(sf_dir: str) -> pd.DataFrame:
     return packing_efficiency(ds, seq_lens=(64, 128, 256, 512))
 
 
+
+def _docs_dup_explain(sf_dir: str) -> pd.DataFrame:
+    """Near-dup audit spans (ops/dedup.dup_pair_explain): the planted
+    mirror families (doc_id%10==0 re-crawled as id+100000 with an
+    inserted preamble) explain as ~full-coverage few-span overlaps —
+    the human-checkable audit trail behind every dedup deletion, and
+    the span-count signal separating true mirrors from template
+    collisions. Rows-only; span/coverage algebra pytest-pinned."""
+    from pdf_extractor_ray.ops.dedup import dup_pair_explain
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        cp = b[b["doc_id"] % 10 == 0].copy()
+        cp["doc_id"] = cp["doc_id"] + 100000
+        cp["text"] = "Mirrored by the archive crawler on a later pass. " + cp[
+            "text"
+        ].astype(str)
+        return pd.concat([b, cp], ignore_index=True)
+
+    base = ds.map_batches(inject, batch_format="pandas")
+    ids = sorted(
+        r["doc_id"]
+        for r in ds.select_columns(["doc_id"]).take_all()
+        if r["doc_id"] % 10 == 0
+    )
+    pairs = pd.DataFrame({"id_a": ids, "id_b": [i + 100000 for i in ids]})
+    return dup_pair_explain(base, pairs, n=5)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3526,6 +3556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_export_curriculum": _docs_export_curriculum,
         "docs_gate_overlap": _docs_gate_overlap,
         "docs_packing_efficiency": _docs_packing_efficiency,
+        "docs_dup_explain": _docs_dup_explain,
     }
 
 

@@ -340,6 +340,7 @@ def run_queries() -> dict[str, float]:
         "docs_export_curriculum",
         "docs_gate_overlap",
         "docs_packing_efficiency",
+        "docs_dup_explain",
         "training_data_pipeline",
     ]
     qs = e.queries()

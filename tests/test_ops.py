@@ -5035,3 +5035,45 @@ def test_packing_efficiency(ray_session):
         assert out.loc[8, "padded_slots"] == 24
         assert out.loc[8, "truncate_loss"] == 0.0
         assert out.loc[8, "n_tokens"] == 16 and out.loc[8, "n_docs"] == 3
+
+
+def test_dup_pair_explain(ray_session):
+    """Dup-pair audit spans: a full mirror reports ~1.0 coverage in
+    ONE span; a two-fragment template collision reports exactly two
+    spans with the planted coverage; disjoint texts report zero."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import dup_pair_explain
+
+    body = [f"w{i}" for i in range(40)]
+    frag1, frag2 = body[:10], body[20:30]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(body),
+                "intro " + " ".join(body) + " outro",  # mirror + padding
+                " ".join(frag1 + [f"x{i}" for i in range(15)] + frag2),  # 2 fragments
+                " ".join(f"z{i}" for i in range(40)),  # disjoint
+            ],
+        }
+    )
+    pairs = pd.DataFrame({"id_a": [1, 1, 1], "id_b": [2, 3, 4]})
+    out = dup_pair_explain(
+        ray.data.from_pandas(docs).repartition(2), pairs, n=5
+    ).set_index("id_b")
+    assert out.loc[2, "cov_frac_a"] == 1.0 and out.loc[2, "n_spans_a"] == 1
+    assert out.loc[2, "cov_frac_b"] > 0.9
+    # doc 3 shares exactly the two 10-token fragments: 6 grams each,
+    # covering 10 tokens each side per fragment -> 20/40 on side a
+    assert out.loc[3, "n_spans_a"] == 2 and out.loc[3, "n_spans_b"] == 2
+    assert abs(out.loc[3, "cov_frac_a"] - 0.5) < 1e-12
+    assert out.loc[4, "n_shared_grams"] == 0 and out.loc[4, "cov_frac_a"] == 0.0
+    # bounded-audit contract
+    try:
+        dup_pair_explain(
+            ray.data.from_pandas(docs), pairs, max_pairs=2
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
