@@ -1142,6 +1142,42 @@ def _docs_dup_explain(sf_dir: str) -> pd.DataFrame:
     return dup_pair_explain(base, pairs, n=5)
 
 
+
+def _events_hll_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental sketch persistence (ops/sketch.hll_registers /
+    hll_estimate_registers): the even-event_id half sketches to a
+    register table PERSISTED as parquet under /tmp (the between-
+    snapshots store), the odd half sketches independently, and the
+    loaded + merged registers estimate distinct users per event type
+    — bitwise identical to the one-shot full-corpus HLL because
+    register max is associative, so the SQL twin is the SAME
+    full-corpus DuckDB HLL as events_hll_distinct. Yesterday's corpus
+    never re-streams; only register tables move."""
+    import tempfile
+
+    from pdf_extractor_ray.ops.sketch import hll_estimate_registers, hll_registers
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def half(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["event_id"] % 2 == p]
+
+        return f
+
+    ra = hll_registers(
+        ev.map_batches(half(0), batch_format="pandas"), "event_type", "user_id", p=12
+    )
+    path = tempfile.mkdtemp(prefix="hllregs_", dir="/tmp") + "/regs.parquet"
+    ra.to_parquet(path, index=False)  # persist the snapshot sketch
+    rb = hll_registers(
+        ev.map_batches(half(1), batch_format="pandas"), "event_type", "user_id", p=12
+    )
+    merged = pd.concat([pd.read_parquet(path), rb], ignore_index=True)
+    out = hll_estimate_registers(merged, "event_type", p=12)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3557,6 +3593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gate_overlap": _docs_gate_overlap,
         "docs_packing_efficiency": _docs_packing_efficiency,
         "docs_dup_explain": _docs_dup_explain,
+        "events_hll_incremental": _events_hll_incremental,
     }
 
 
@@ -5630,5 +5667,34 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - CAST(kept AS DOUBLE) / greatest(n_tokens, 1)
                        AS truncate_loss
             FROM c ORDER BY seq_len
+        """,
+        "events_hll_incremental": """
+            WITH d AS (SELECT DISTINCT event_type,
+                              CAST(user_id AS VARCHAR) AS v FROM events),
+            h AS (SELECT event_type,
+                         ('0x' || substr(md5(v),1,13))::UBIGINT AS hv FROM d),
+            r AS (SELECT event_type,
+                         CAST(hv >> 40 AS BIGINT) AS bucket,
+                         CASE WHEN (hv & ((1::UBIGINT << 40) - 1)) = 0 THEN 41
+                              ELSE 40 - length(bin(hv & ((1::UBIGINT << 40) - 1))) + 1
+                         END AS rho
+                  FROM h),
+            regs AS (SELECT event_type, bucket, max(rho) AS mrho
+                     FROM r GROUP BY event_type, bucket),
+            agg AS (SELECT event_type,
+                           sum(1::BIGINT << (41 - mrho)) AS z_occ,
+                           count(*) AS n_occ
+                    FROM regs GROUP BY event_type),
+            e AS (SELECT event_type,
+                         CAST(z_occ + (4096 - n_occ) * (1::BIGINT << 41) AS DOUBLE) AS z,
+                         4096 - n_occ AS v_empty FROM agg)
+            SELECT event_type,
+                   CASE WHEN (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
+                             * 2199023255552e0 / z <= 2.5 * 4096
+                             AND v_empty > 0
+                        THEN 4096e0 * ln(4096e0 / v_empty)
+                        ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
+                             * 2199023255552e0 / z END AS hll_est
+            FROM e ORDER BY event_type
         """,
     }

@@ -341,6 +341,7 @@ def run_queries() -> dict[str, float]:
         "docs_gate_overlap",
         "docs_packing_efficiency",
         "docs_dup_explain",
+        "events_hll_incremental",
         "training_data_pipeline",
     ]
     qs = e.queries()

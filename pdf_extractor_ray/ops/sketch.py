@@ -472,3 +472,106 @@ def hll_distinct(
     out = pd.DataFrame(rows, columns=[group_col, "hll_est"])
     out["hll_est"] = out["hll_est"].astype("float64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def hll_registers(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """The PERSISTABLE form of hll_distinct: the per-group register
+    table (group, bucket, rho) after max-reduction — the mergeable
+    sketch state an incremental pipeline stores between crawl
+    snapshots. Register max is associative/commutative/idempotent, so
+    registers(A) merged with registers(B) EQUALS registers(A ∪ B)
+    exactly — yesterday's corpus never re-streams (pytest pins the
+    merged estimate bitwise against the one-shot estimate).
+
+    Same partial/shuffle shape as hll_distinct (<= m rows per group
+    per block, hash(group)-mod-P reduce); the returned table is
+    bounded by n_groups * 2^p rows."""
+    shift = np.uint64(52 - p)
+    mask = np.uint64((1 << (52 - p)) - 1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # identical hash/bucket/rho derivation as hll_distinct.partial
+        d = batch[[group_col, value_col]].drop_duplicates()
+        hv = md5_u52([str(v) for v in d[value_col]])
+        bucket = (hv >> shift).astype(np.int64)
+        rest = hv & mask
+        bl = np.frexp(rest.astype(np.float64))[1].astype(np.int64)
+        rho = (52 - p) - bl + 1
+        out = pd.DataFrame(
+            {group_col: d[group_col].to_numpy(), "_bucket": bucket, "_rho": rho}
+        )
+        out = (
+            out.groupby([group_col, "_bucket"], sort=False)["_rho"].max().reset_index()
+        )
+        out["_part"] = (
+            pd.util.hash_array(out[group_col].to_numpy()) % num_partitions
+        ).astype(np.int64)
+        return out
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or group_col not in g.columns:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series(dtype="object"),
+                    "bucket": pd.Series(dtype="int64"),
+                    "rho": pd.Series(dtype="int64"),
+                }
+            )
+        regs = g.groupby([group_col, "_bucket"], sort=False)["_rho"].max().reset_index()
+        return pd.DataFrame(
+            {
+                group_col: regs[group_col].to_numpy(),
+                "bucket": regs["_bucket"].to_numpy(dtype=np.int64),
+                "rho": regs["_rho"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(reduce_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values([group_col, "bucket"]).reset_index(drop=True)
+
+
+def hll_estimate_registers(
+    regs: pd.DataFrame, group_col: str, p: int = 12
+) -> pd.DataFrame:
+    """Estimate per-group distinct counts from one or more
+    CONCATENATED register tables (pd.concat the snapshots first):
+    registers merge by (group, bucket) max, then the estimation
+    expression is hll_distinct's VERBATIM (integer harmonic sum,
+    linear-counting correction) so a merged estimate reproduces the
+    one-shot estimate bit for bit — pinned in pytest."""
+    m = 1 << p
+    rmax = 52 - p + 1
+    if regs.empty:
+        return pd.DataFrame(
+            {group_col: pd.Series(dtype="object"), "hll_est": pd.Series(dtype="float64")}
+        )
+    merged = regs.groupby([group_col, "bucket"], sort=False)["rho"].max().reset_index()
+    terms = np.int64(1) << (np.int64(rmax) - merged["rho"].to_numpy(dtype=np.int64))
+    byg = pd.DataFrame({group_col: merged[group_col].to_numpy(), "_t": terms}).groupby(
+        group_col, sort=False
+    )["_t"]
+    z_scaled = byg.sum().astype(np.int64)
+    n_regs = byg.size().to_numpy(dtype=np.int64)
+    v_empty = m - n_regs
+    z = z_scaled.to_numpy() + (v_empty << np.int64(rmax))
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    e_raw = alpha * float(m) * float(m) * float(2 ** rmax) / z.astype(np.float64)
+    with np.errstate(divide="ignore"):
+        linear = float(m) * np.log(
+            float(m) / np.where(v_empty > 0, v_empty, 1).astype(np.float64)
+        )
+    est = np.where((e_raw <= 2.5 * m) & (v_empty > 0), linear, e_raw)
+    out = pd.DataFrame({group_col: z_scaled.index.to_numpy(), "hll_est": est})
+    out["hll_est"] = out["hll_est"].astype("float64")
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -5077,3 +5077,44 @@ def test_dup_pair_explain(ray_session):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_hll_incremental_registers(ray_session):
+    """Sketch persistence: hll_registers(A) + hll_registers(B) merged
+    through hll_estimate_registers reproduces hll_distinct(A ∪ B)
+    BITWISE (register max is associative/idempotent), including with
+    overlapping halves; single-table estimate also equals the
+    one-shot op."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.sketch import (
+        hll_distinct,
+        hll_estimate_registers,
+        hll_registers,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, size=3000).astype(str),
+            "v": rng.integers(0, 800, size=3000),
+        }
+    )
+    full = ray.data.from_pandas(df).repartition(3)
+    one_shot = hll_distinct(full, "g", "v", p=10)
+
+    a = ray.data.from_pandas(df.iloc[:1700]).repartition(2)   # overlapping halves
+    b = ray.data.from_pandas(df.iloc[1300:]).repartition(2)
+    ra = hll_registers(a, "g", "v", p=10)
+    rb = hll_registers(b, "g", "v", p=10)
+    merged = hll_estimate_registers(pd.concat([ra, rb]), "g", p=10)
+    pd.testing.assert_frame_equal(
+        one_shot.reset_index(drop=True), merged.reset_index(drop=True)
+    )
+    # single snapshot: registers -> estimate == one-shot on that snapshot
+    single = hll_estimate_registers(hll_registers(full, "g", "v", p=10), "g", p=10)
+    pd.testing.assert_frame_equal(one_shot.reset_index(drop=True), single)
+    # idempotence: merging a snapshot with itself changes nothing
+    twice = hll_estimate_registers(pd.concat([ra, ra]), "g", p=10)
+    once = hll_estimate_registers(ra, "g", p=10)
+    pd.testing.assert_frame_equal(twice, once)
