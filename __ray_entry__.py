@@ -1178,6 +1178,48 @@ def _events_hll_incremental(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+
+def _docs_neardedup_indexed(sf_dir: str) -> pd.DataFrame:
+    """Index-backed incremental near-dedup (pipelines/export.
+    export_minhash_index + ops/dedup.near_dedup_against_sigs): the
+    corpus's MinHash signatures persist as a sharded parquet index
+    (~1 KB/doc), then a derived recrawl shard (every doc_id%10==0 doc
+    with an appended marker, id+100000) delta-dedups against the
+    LOADED index — yesterday's text never re-streams. Rows-only
+    (signature-estimated Jaccard); estimator-vs-text-verified
+    agreement is pytest-pinned."""
+    import tempfile
+
+    from pdf_extractor_ray.ops.dedup import near_dedup_against_sigs
+    from pdf_extractor_ray.pipelines.export import (
+        export_minhash_index,
+        read_minhash_index,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out_dir = tempfile.mkdtemp(prefix="mhidx_", dir="/tmp")
+    export_minhash_index(ds, out_dir, n_shards=8)
+
+    def recrawl(b: pd.DataFrame) -> pd.DataFrame:
+        cp = b[b["doc_id"] % 10 == 0].copy()
+        cp["doc_id"] = cp["doc_id"] + 100000
+        cp["text"] = cp["text"].astype(str) + " recrawlmarker"
+        fresh = b[b["doc_id"] % 10 == 3].copy()
+        fresh["doc_id"] = fresh["doc_id"] + 200000
+        fresh["text"] = "entirely new material " + fresh["text"].astype(str).str[::-1]
+        return pd.concat([cp, fresh], ignore_index=True)
+
+    new_shard = ds.map_batches(recrawl, batch_format="pandas")
+    kept = near_dedup_against_sigs(
+        new_shard, read_minhash_index(out_dir), threshold=0.7
+    ).to_pandas()
+    kept["doc_id"] = kept["doc_id"].astype("int64")
+    kept["n_chars"] = kept["text"].str.len().astype("int64")
+    return (
+        kept[["doc_id", "n_chars"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3594,6 +3636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_packing_efficiency": _docs_packing_efficiency,
         "docs_dup_explain": _docs_dup_explain,
         "events_hll_incremental": _events_hll_incremental,
+        "docs_neardedup_indexed": _docs_neardedup_indexed,
     }
 
 

@@ -342,6 +342,7 @@ def run_queries() -> dict[str, float]:
         "docs_packing_efficiency",
         "docs_dup_explain",
         "events_hll_incremental",
+        "docs_neardedup_indexed",
         "training_data_pipeline",
     ]
     qs = e.queries()

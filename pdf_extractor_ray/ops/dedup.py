@@ -2764,3 +2764,194 @@ def dup_pair_explain(
     if out.empty:
         return empty.copy()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def near_dedup_against_sigs(
+    ds_new: ray.data.Dataset,
+    sig_index: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    k: int = 5,
+    bands: int = 16,
+    rows: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Index-backed delta near-dedup: drop from `ds_new` every doc
+    whose MinHash-ESTIMATED Jaccard against some document of a stored
+    signature index clears `threshold` — the incremental form of
+    near_dedup_against for when the historical corpus exists only as
+    its signature table (1 KB/doc at 128 perms vs the full text):
+    yesterday's crawl never re-streams, and the index grows by
+    appending each day's new signatures (export_minhash_index).
+
+    The trade vs the text-verified op, stated: similarity here is the
+    signature-agreement estimator (mean of equal components —
+    unbiased for true Jaccard, std ~ sqrt(j(1-j)/num_perm), ~0.035 at
+    j = 0.8 with 128 perms), because the index stores no text to run
+    the exact shingle kernel on. Near the threshold a pair can land
+    on the wrong side by estimator noise; raise num_perm or keep the
+    text-verified op for adjudication. Pytest pins estimated-vs-exact
+    agreement on planted families.
+
+    Shape: new-side signatures compute in the stateful task pool; both
+    sig tables (encoded 2*id + side) flow through the SAME band-bucket
+    LSH shuffle; cross-side candidate pairs attach their two
+    signatures via two hash-mod-P co-shuffles (pairs are rare, sigs
+    1 KB — the exchange is pair-bounded); agreement filters row-local;
+    drops anti-join. Nothing driver-sized anywhere."""
+
+    def enc_sig(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0 or "doc_id" not in b.columns:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"), "sig": pd.Series(dtype="object")}
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy(dtype=np.int64) * 2 + side,
+                    "sig": [np.asarray(s, dtype=np.uint64) for s in b["sig"]],
+                }
+            )
+            return out
+
+        return f
+
+    new_sigs = minhash_signatures(
+        ds_new.select_columns([id_col, text_col]).rename_columns(
+            {id_col: "doc_id", text_col: "text"}
+        )
+        if id_col != "doc_id" or text_col != "text"
+        else ds_new.select_columns([id_col, text_col]),
+        num_perm=num_perm,
+        k=k,
+    ).map_batches(enc_sig(1), batch_format="pandas")
+    old_sigs = sig_index.map_batches(enc_sig(0), batch_format="pandas")
+    all_sigs = old_sigs.union(new_sigs).materialize()  # consumed twice (LSH + attach)
+
+    pairs = minhash_lsh_candidates(all_sigs, bands=bands, rows=rows, num_partitions=num_partitions)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _typed_table(_PAIR_SCHEMA)
+        a = np.asarray(t.column("a").to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t.column("b").to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = (a & 1) != (b & 1)
+        return _typed_table(_PAIR_SCHEMA, a=a[keep], b=b[keep])
+
+    cross = pairs.map_batches(cross_only, batch_format="pyarrow")
+
+    # --- attach sig of key column via hash-mod-P union co-shuffle ---
+    def attach(pair_ds: ray.data.Dataset, key: str, out_col: str) -> ray.data.Dataset:
+        def tag_pairs(b: pd.DataFrame) -> pd.DataFrame:
+            cols = {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "sig_a": pd.Series(dtype="object"),
+                "sig_b": pd.Series(dtype="object"),
+                "_key": pd.Series(dtype="int64"),
+                "_side": pd.Series(dtype="int8"),
+                "_part": pd.Series(dtype="int64"),
+            }
+            if len(b) == 0 or "a" not in b.columns:
+                return pd.DataFrame(cols)
+            out = pd.DataFrame(
+                {
+                    "a": b["a"].to_numpy(dtype=np.int64),
+                    "b": b["b"].to_numpy(dtype=np.int64),
+                    # sigs travel as BYTES: object columns of ndarrays
+                    # trip Ray's pandas TensorArray inference when a
+                    # block mixes arrays with missing markers
+                    "sig_a": b["sig_a"] if "sig_a" in b.columns else [b""] * len(b),
+                    "sig_b": b["sig_b"] if "sig_b" in b.columns else [b""] * len(b),
+                }
+            )
+            out["_key"] = out[key]
+            out["_side"] = np.int8(1)
+            out["_part"] = (
+                pd.util.hash_array(out["_key"].to_numpy()) % num_partitions
+            ).astype(np.int64)
+            return out
+
+        def tag_sigs(b: pd.DataFrame) -> pd.DataFrame:
+            cols = {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "sig_a": pd.Series(dtype="object"),
+                "sig_b": pd.Series(dtype="object"),
+                "_key": pd.Series(dtype="int64"),
+                "_side": pd.Series(dtype="int8"),
+                "_part": pd.Series(dtype="int64"),
+            }
+            if len(b) == 0 or "doc_id" not in b.columns:
+                return pd.DataFrame(cols)
+            out = pd.DataFrame(
+                {
+                    "a": np.zeros(len(b), dtype=np.int64),
+                    "b": np.zeros(len(b), dtype=np.int64),
+                    "sig_a": [np.asarray(x, dtype=np.uint64).tobytes() for x in b["sig"]],
+                    "sig_b": [b""] * len(b),
+                }
+            )
+            out["_key"] = b["doc_id"].to_numpy(dtype=np.int64)
+            out["_side"] = np.int8(0)
+            out["_part"] = (
+                pd.util.hash_array(out["_key"].to_numpy()) % num_partitions
+            ).astype(np.int64)
+            return out
+
+        def join_part(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "sig_a": pd.Series(dtype="object"),
+                    "sig_b": pd.Series(dtype="object"),
+                }
+            )
+            if g.empty or "_side" not in g.columns:
+                return empty
+            sigs = g[g["_side"] == 0].set_index("_key")["sig_a"]
+            pr = g[g["_side"] == 1]
+            if pr.empty:
+                return empty
+            fetched = pr["_key"].map(sigs)
+            out = pr[["a", "b", "sig_a", "sig_b"]].copy()
+            out[out_col] = [x if isinstance(x, bytes) else b"" for x in fetched]
+            return out
+
+        return (
+            pair_ds.map_batches(tag_pairs, batch_format="pandas")
+            .union(all_sigs.map_batches(tag_sigs, batch_format="pandas"))
+            .groupby("_part")
+            .map_groups(join_part, batch_format="pandas")
+        )
+
+    with_a = attach(cross, "a", "sig_a")
+    with_both = attach(with_a, "b", "sig_b")
+
+    def drops_from(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0 or "sig_a" not in b.columns:
+            return _typed_table(_DROP_ID_SCHEMA)
+        keep_ids = []
+        for a, bb, sa, sb in zip(b["a"], b["b"], b["sig_a"], b["sig_b"]):
+            if not sa or not sb:
+                continue
+            agree = float(
+                np.mean(
+                    np.frombuffer(sa, dtype=np.uint64)
+                    == np.frombuffer(sb, dtype=np.uint64)
+                )
+            )
+            if agree >= threshold:
+                new_enc = a if (int(a) & 1) == 1 else bb
+                keep_ids.append(int(new_enc) >> 1)
+        return _typed_table(
+            _DROP_ID_SCHEMA, drop_id=np.unique(np.asarray(keep_ids, dtype=np.int64))
+        )
+
+    drops = with_both.map_batches(drops_from, batch_format="pandas").materialize()
+    if drops.count() == 0:
+        return ds_new
+    return anti_join_ids(ds_new, drops, id_col=id_col, num_partitions=num_partitions)

@@ -299,3 +299,50 @@ def export_curriculum_shards(
     if manifest.empty:
         return _SHARD_ROW_SCHEMA.empty_table().to_pandas()
     return manifest.sort_values("shard").reset_index(drop=True)
+
+
+def export_minhash_index(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    num_perm: int = 128,
+    k: int = 5,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Persist the corpus's MinHash signature table as a sharded
+    parquet index (md5(id) shards, atomic publish, _SUCCESS resume —
+    the export_training_shards contract): ~1 KB/doc at 128 perms, the
+    state an incremental crawl pipeline keeps between snapshots so
+    ops/dedup.near_dedup_against_sigs can delta-dedup tomorrow's
+    shard WITHOUT re-streaming today's text. Append a new day by
+    exporting its signatures to a sibling directory and reading both.
+
+    Returns the per-shard manifest."""
+    from pdf_extractor_ray.ops.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        ds.select_columns([id_col, "text"]), num_perm=num_perm, k=k
+    )
+
+    def to_list(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "sig": pd.Series(dtype="object")}
+            )
+        b = b.copy()
+        # parquet-friendly: uint64 list column
+        b["sig"] = [np.asarray(s, dtype=np.uint64) for s in b["sig"]]
+        return b
+
+    return export_training_shards(
+        sigs.map_batches(to_list, batch_format="pandas"),
+        out_dir,
+        n_shards=n_shards,
+        id_col="doc_id",
+    )
+
+
+def read_minhash_index(out_dir: str) -> ray.data.Dataset:
+    """Stream a persisted signature index back (refuses partial
+    indexes — a missing shard would silently under-dedup)."""
+    return read_training_shards(out_dir)

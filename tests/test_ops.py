@@ -5118,3 +5118,59 @@ def test_hll_incremental_registers(ray_session):
     twice = hll_estimate_registers(pd.concat([ra, ra]), "g", p=10)
     once = hll_estimate_registers(ra, "g", p=10)
     pd.testing.assert_frame_equal(twice, once)
+
+
+def test_minhash_index_delta_dedup(ray_session):
+    """Persisted signature index: recrawled (lightly edited) docs drop
+    against the stored index WITHOUT re-reading the old corpus text;
+    fresh docs survive; the sig-estimated decision agrees with the
+    text-verified near_dedup_against on clear-margin families; a
+    partial index refuses to load."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import near_dedup_against, near_dedup_against_sigs
+    from pdf_extractor_ray.pipelines.export import (
+        export_minhash_index,
+        read_minhash_index,
+    )
+
+    old = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [" ".join(f"tok{i}_{j}" for j in range(60)) for i in range(20)],
+        }
+    )
+    new_rows = [
+        {"doc_id": 1000 + i, "text": old.loc[i, "text"] + " recrawl marker"}
+        for i in range(5)
+    ] + [
+        {"doc_id": 2000 + i, "text": " ".join(f"fresh{i}_{j}" for j in range(60))}
+        for i in range(5)
+    ]
+    new = pd.DataFrame(new_rows)
+
+    d = tempfile.mkdtemp(prefix="mhidx_")
+    export_minhash_index(ray.data.from_pandas(old).repartition(2), d, n_shards=4)
+    idx = read_minhash_index(d)
+    kept = near_dedup_against_sigs(
+        ray.data.from_pandas(new).repartition(2), idx, threshold=0.7
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [2000, 2001, 2002, 2003, 2004]
+
+    # agreement with the text-verified op on the same clear-margin data
+    kept_exact = near_dedup_against(
+        ray.data.from_pandas(new).repartition(2),
+        ray.data.from_pandas(old).repartition(2),
+        threshold=0.7,
+    ).to_pandas()
+    assert sorted(kept_exact["doc_id"]) == sorted(kept["doc_id"])
+
+    os.remove(os.path.join(d, "shard=00001", "_SUCCESS"))
+    try:
+        read_minhash_index(d)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
