@@ -1220,6 +1220,26 @@ def _docs_neardedup_indexed(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def _docs_contract_check(sf_dir: str) -> pd.DataFrame:
+    """Data-contract ingest gate (ops/relational.schema_contract_check,
+    the Great-Expectations shape): doc_id unique, lang never null,
+    n_chars within [1, 100000] — exact violation counts per check from
+    integer block partials (+ a slim value-hash shuffle for the
+    uniqueness contract). Fully SQL-oracled."""
+    from pdf_extractor_ray.ops.relational import schema_contract_check
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return schema_contract_check(
+        ds,
+        {
+            "doc_id": {"unique": True},
+            "lang": {"max_nulls": 0},
+            "n_chars": {"min": 1, "max": 100000},
+        },
+    )
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3637,6 +3657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_explain": _docs_dup_explain,
         "events_hll_incremental": _events_hll_incremental,
         "docs_neardedup_indexed": _docs_neardedup_indexed,
+        "docs_contract_check": _docs_contract_check,
     }
 
 
@@ -5739,5 +5760,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (0.7213 / (1 + 1.079 / 4096e0)) * 4096e0 * 4096e0
                              * 2199023255552e0 / z END AS hll_est
             FROM e ORDER BY event_type
+        """,
+        "docs_contract_check": """
+            WITH dup AS (
+                SELECT CAST(sum(n - 1) AS BIGINT) AS v
+                FROM (SELECT count(*) AS n FROM documents GROUP BY doc_id)
+            )
+            SELECT 'doc_id' AS "column", 'unique' AS "check",
+                   coalesce((SELECT v FROM dup), 0) AS n_violations,
+                   coalesce((SELECT v FROM dup), 0) = 0 AS passed
+            UNION ALL
+            SELECT 'lang', 'max_nulls',
+                   CAST(count(*) FILTER (lang IS NULL) AS BIGINT),
+                   count(*) FILTER (lang IS NULL) <= 0
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'max',
+                   CAST(count(*) FILTER (n_chars > 100000) AS BIGINT),
+                   count(*) FILTER (n_chars > 100000) = 0
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'min',
+                   CAST(count(*) FILTER (n_chars < 1) AS BIGINT),
+                   count(*) FILTER (n_chars < 1) = 0
+            FROM documents
+            ORDER BY "column", "check"
         """,
     }

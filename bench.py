@@ -343,6 +343,7 @@ def run_queries() -> dict[str, float]:
         "docs_dup_explain",
         "events_hll_incremental",
         "docs_neardedup_indexed",
+        "docs_contract_check",
         "training_data_pipeline",
     ]
     qs = e.queries()

@@ -835,3 +835,108 @@ def shuffle_skew_audit(
             }
         )
     return out.sort_values("part").reset_index(drop=True)
+
+
+def schema_contract_check(
+    ds: ray.data.Dataset,
+    contract: dict,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Data-contract gate (the Great-Expectations shape, distributed):
+    validate a corpus against declared per-column expectations before
+    it enters the pipeline — the cheapest failure is the one caught at
+    the ingest edge. Supported checks per column:
+
+    - ``max_nulls``: int — null count must not exceed it
+    - ``min`` / ``max``: numeric bounds (violations counted exactly)
+    - ``unique``: True — duplicate values counted exactly (the id
+      contract); uses a slim value-hash shuffle, never text
+
+    Emits one row per (column, check): (column, check, n_violations,
+    passed) — exact integer counts, so the DuckDB twin reproduces the
+    frame bit for bit.
+
+    Shape: null/range checks fold from per-block integer partials
+    (one row per check per block); the uniqueness check ships
+    (value, 1) partial counts pre-deduplicated per batch and counts
+    value collisions per hash-mod-P partition."""
+    rows_out = []
+    # ---- per-block partial counts for null/range checks
+    specs = [
+        (col, chk)
+        for col, spec in sorted(contract.items())
+        for chk in sorted(spec)
+        if chk in ("max_nulls", "min", "max")
+    ]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "column": pd.Series(dtype="object"),
+                "check": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        out = []
+        for col, chk in specs:
+            s = b[col]
+            if chk == "max_nulls":
+                out.append((col, "max_nulls", int(s.isna().sum())))
+            elif chk == "min":
+                v = pd.to_numeric(s, errors="coerce")
+                out.append((col, "min", int((v < contract[col]["min"]).sum())))
+            elif chk == "max":
+                v = pd.to_numeric(s, errors="coerce")
+                out.append((col, "max", int((v > contract[col]["max"]).sum())))
+        return pd.DataFrame(out, columns=["column", "check", "n"])
+
+    if specs:
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        agg = parts.groupby(["column", "check"], sort=True)["n"].sum()
+        for (col, chk), n in agg.items():
+            limit = contract[col].get("max_nulls", 0) if chk == "max_nulls" else 0
+            rows_out.append((col, chk, int(n), bool(n <= limit)))
+
+    # ---- exact duplicate counts for unique contracts
+    for col in sorted(c for c, s in contract.items() if s.get("unique")):
+
+        def dup_partial(b: pd.DataFrame, col=col) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {
+                        "_v": pd.Series(dtype="int64"),
+                        "n": pd.Series(dtype="int64"),
+                        "_part": pd.Series(dtype="int64"),
+                    }
+                )
+            c = b.groupby(col, sort=False).size()
+            h = pd.util.hash_array(c.index.to_numpy())
+            return pd.DataFrame(
+                {
+                    "_v": h.astype(np.int64),
+                    "n": c.to_numpy(dtype=np.int64),
+                    "_part": (h % num_partitions).astype(np.int64),
+                }
+            )
+
+        def dup_count(g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty or "_v" not in g.columns:
+                return pd.DataFrame({"n_dup": pd.Series(dtype="int64")})
+            tot = g.groupby("_v", sort=False)["n"].sum()
+            return pd.DataFrame({"n_dup": [int((tot - 1).clip(lower=0).sum())]})
+
+        dups = (
+            ds.select_columns([col])
+            .map_batches(dup_partial, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(dup_count, batch_format="pandas")
+            .to_pandas()
+        )
+        n_dup = int(dups["n_dup"].sum()) if not dups.empty else 0
+        rows_out.append((col, "unique", n_dup, bool(n_dup == 0)))
+
+    out = pd.DataFrame(rows_out, columns=["column", "check", "n_violations", "passed"])
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values(["column", "check"]).reset_index(drop=True)

@@ -5174,3 +5174,33 @@ def test_minhash_index_delta_dedup(ray_session):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+def test_schema_contract_check(ray_session):
+    """Data-contract gate: exact null/range/duplicate violation counts
+    on a handcrafted frame, pass/fail verdicts per check,
+    partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import schema_contract_check
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 3, 4, 5, 5, 5],  # dup 3 (x2), 5 (x3) -> 3 extra rows
+            "score": [0.5, -1.0, 2.0, 0.1, None, 0.9, 1.5, 0.2],  # 1 null, 1 <0, 2 >1
+        }
+    )
+    contract = {
+        "id": {"unique": True},
+        "score": {"max_nulls": 1, "min": 0.0, "max": 1.0},
+    }
+    for parts in (1, 3):
+        out = schema_contract_check(
+            ray.data.from_pandas(df).repartition(parts), contract
+        ).set_index(["column", "check"])
+        assert out.loc[("id", "unique"), "n_violations"] == 3
+        assert not bool(out.loc[("id", "unique"), "passed"])
+        assert out.loc[("score", "max_nulls"), "n_violations"] == 1
+        assert bool(out.loc[("score", "max_nulls"), "passed"])  # limit 1
+        assert out.loc[("score", "min"), "n_violations"] == 1
+        assert out.loc[("score", "max"), "n_violations"] == 2
