@@ -1240,6 +1240,30 @@ def _docs_contract_check(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+def _docs_psi_drift(sf_dir: str) -> pd.DataFrame:
+    """Snapshot drift monitor (ops/relational.psi_drift): PSI of the
+    n_chars distribution between the even- and odd-doc_id halves over
+    16 uniform bins on [0, 2000) — the alert that fires before a
+    drifted crawl source poisons a mixture. Exact integer bin counts;
+    the eps-floored PSI expression is identical in the DuckDB twin."""
+    from pdf_extractor_ray.ops.relational import psi_drift
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def half(p: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == p]
+
+        return f
+
+    return psi_drift(
+        ds.map_batches(half(0), batch_format="pandas"),
+        ds.map_batches(half(1), batch_format="pandas"),
+        {"n_chars": (0.0, 2000.0, 16)},
+    )
+
+
 def _docs_unicode_canonicalize(sf_dir: str) -> pd.DataFrame:
     """Unicode canonicalization gate (ops/scrub.unicode_canonicalize):
     deterministic injections — decomposed e+combining-acute prefix
@@ -3658,6 +3682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_incremental": _events_hll_incremental,
         "docs_neardedup_indexed": _docs_neardedup_indexed,
         "docs_contract_check": _docs_contract_check,
+        "docs_psi_drift": _docs_psi_drift,
     }
 
 
@@ -5785,5 +5810,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (n_chars < 1) = 0
             FROM documents
             ORDER BY "column", "check"
+        """,
+        "docs_psi_drift": """
+            WITH binned AS (
+                SELECT doc_id % 2 AS side,
+                       CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0)
+                                                 / (2000.0 / 16)), 0), 15) AS BIGINT) AS bin
+                FROM documents
+            ), c AS (
+                SELECT bin,
+                       CAST(count(*) FILTER (side = 0) AS BIGINT) AS ca,
+                       CAST(count(*) FILTER (side = 1) AS BIGINT) AS cb
+                FROM binned GROUP BY bin
+            ), bins AS (
+                SELECT unnest(range(0, 16)) AS bin
+            ), f AS (
+                SELECT bins.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+                FROM bins LEFT JOIN c USING (bin)
+            ), t AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+                FROM f
+            )
+            SELECT 'n_chars' AS "column", t.na AS n_a, t.nb AS n_b,
+                   sum((greatest(CAST(ca AS DOUBLE) / greatest(na, 1), 1e-6)
+                        - greatest(CAST(cb AS DOUBLE) / greatest(nb, 1), 1e-6))
+                       * ln(greatest(CAST(ca AS DOUBLE) / greatest(na, 1), 1e-6)
+                            / greatest(CAST(cb AS DOUBLE) / greatest(nb, 1), 1e-6)))
+                       AS psi
+            FROM f, t GROUP BY t.na, t.nb
         """,
     }

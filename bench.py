@@ -344,6 +344,7 @@ def run_queries() -> dict[str, float]:
         "events_hll_incremental",
         "docs_neardedup_indexed",
         "docs_contract_check",
+        "docs_psi_drift",
         "training_data_pipeline",
     ]
     qs = e.queries()

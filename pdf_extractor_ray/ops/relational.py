@@ -940,3 +940,73 @@ def schema_contract_check(
     out = pd.DataFrame(rows_out, columns=["column", "check", "n_violations", "passed"])
     out["n_violations"] = out["n_violations"].astype("int64")
     return out.sort_values(["column", "check"]).reset_index(drop=True)
+
+
+def psi_drift(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    cols: dict,
+    eps: float = 1e-6,
+) -> pd.DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    standard production drift monitor (banking/ML-ops folklore;
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i) over fixed bins, with
+    < 0.1 stable / 0.1-0.25 shifting / > 0.25 drifted as the usual
+    reading): run it per crawl snapshot over length, quality and
+    signal columns and alert before a drifted source poisons a
+    mixture. `cols` maps column -> (lo, hi, n_bins); bins are UNIFORM
+    on [lo, hi) with the two end bins absorbing out-of-range values,
+    so the binning is reproducible in any engine.
+
+    Bin counts fold from per-block integer partials (n_bins ints per
+    column per block); PSI computes once on the driver from exact
+    integer counts with eps-floored fractions — the identical float
+    expression in the DuckDB twin. Emits (column, n_a, n_b, psi)."""
+    def partial(spec_cols):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "column": pd.Series(dtype="object"),
+                    "bin": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+            if len(b) == 0:
+                return empty
+            out = []
+            for col, (lo, hi, k) in spec_cols.items():
+                v = pd.to_numeric(b[col], errors="coerce").to_numpy(dtype=np.float64)
+                v = v[~np.isnan(v)]
+                w = (hi - lo) / k
+                idx = np.clip(np.floor((v - lo) / w), 0, k - 1).astype(np.int64)
+                cnt = np.bincount(idx, minlength=k)
+                out.extend((col, i, int(c)) for i, c in enumerate(cnt))
+            return pd.DataFrame(out, columns=["column", "bin", "n"])
+
+        return f
+
+    def hist(ds):
+        parts = ds.map_batches(partial(cols), batch_format="pandas").to_pandas()
+        if parts.empty:
+            return pd.DataFrame(columns=["column", "bin", "n"]).astype(
+                {"bin": "int64", "n": "int64"}
+            )
+        return parts.groupby(["column", "bin"], sort=True)["n"].sum().reset_index()
+
+    ha, hb = hist(ds_a), hist(ds_b)
+    rows = []
+    for col, (lo, hi, k) in sorted(cols.items()):
+        ca = np.zeros(k, dtype=np.int64)
+        cb = np.zeros(k, dtype=np.int64)
+        for h, c in ((ha, ca), (hb, cb)):
+            m = h[h["column"] == col]
+            c[m["bin"].to_numpy(dtype=np.int64)] = m["n"].to_numpy(dtype=np.int64)
+        na, nb = int(ca.sum()), int(cb.sum())
+        pa = np.maximum(ca / max(na, 1), eps)
+        pb = np.maximum(cb / max(nb, 1), eps)
+        psi = float(np.sum((pa - pb) * np.log(pa / pb)))
+        rows.append((col, na, nb, psi))
+    out = pd.DataFrame(rows, columns=["column", "n_a", "n_b", "psi"])
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)

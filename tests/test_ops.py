@@ -5204,3 +5204,35 @@ def test_schema_contract_check(ray_session):
         assert bool(out.loc[("score", "max_nulls"), "passed"])  # limit 1
         assert out.loc[("score", "min"), "n_violations"] == 1
         assert out.loc[("score", "max"), "n_violations"] == 2
+
+
+def test_psi_drift(ray_session):
+    """PSI drift monitor: identical snapshots score ~0 (eps floor
+    only), a shifted distribution scores the closed-form PSI over the
+    fixed uniform bins, out-of-range values land in the end bins,
+    partition-invariant."""
+    import math
+
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import psi_drift
+
+    a = pd.DataFrame({"x": [0.1] * 60 + [0.9] * 40})
+    b_same = pd.DataFrame({"x": [0.1] * 30 + [0.9] * 20})  # same proportions
+    b_shift = pd.DataFrame({"x": [0.1] * 20 + [0.9] * 80})  # 0.2/0.8 vs 0.6/0.4
+    spec = {"x": (0.0, 1.0, 2)}
+    for parts in (1, 3):
+        da = ray.data.from_pandas(a).repartition(parts)
+        same = psi_drift(da, ray.data.from_pandas(b_same), spec)
+        assert abs(same.loc[0, "psi"]) < 1e-12
+        drift = psi_drift(da, ray.data.from_pandas(b_shift), spec)
+        expect = (0.6 - 0.2) * math.log(0.6 / 0.2) + (0.4 - 0.8) * math.log(0.4 / 0.8)
+        assert abs(drift.loc[0, "psi"] - expect) < 1e-12
+        assert drift.loc[0, "n_a"] == 100 and drift.loc[0, "n_b"] == 100
+    # out-of-range absorption: values below lo / above hi hit end bins
+    oob = psi_drift(
+        ray.data.from_pandas(pd.DataFrame({"x": [-5.0, 9.0]})),
+        ray.data.from_pandas(pd.DataFrame({"x": [0.2, 0.7]})),
+        spec,
+    )
+    assert oob.loc[0, "n_a"] == 2
