@@ -3499,6 +3499,103 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 # unit-tested in tests/.
 
 
+
+def _docs_host_prior(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes source reputation (ops/quality.shrunk_group_mean):
+    per-source mean n_chars shrunk toward the corpus mean by a k=20
+    pseudo-count — the host prior that gates NEW crawl sources before
+    they accumulate enough docs for group_mean_gate\'s wholesale drop.
+    Integer sums end-to-end; the one float expression is quantized
+    floor(x*1e6+0.5)/1e6 on BOTH sides, so fully SQL-oracled."""
+    from pdf_extractor_ray.ops.quality import shrunk_group_mean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return shrunk_group_mean(ds, "source", "n_chars", k=20)
+
+
+def _docs_shard_binpack(sf_dir: str) -> pd.DataFrame:
+    """Weight-balanced training-shard plan (ops/rank.shard_binpack):
+    rank docs by (n_chars DESC, doc_id) with the range-partitioned
+    global_rank, deal ranks serpentine across 8 shards, roll up each
+    shard\'s exact token mass. Integer-only output; SQL twin is
+    row_number() + the same modular dealing."""
+    from pdf_extractor_ray.ops.rank import shard_binpack
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = shard_binpack(ds, "n_chars", "doc_id", num_shards=8).to_pandas()
+    out["shard"] = out["shard"].astype("int64")
+    out["sum_n_chars"] = out["sum_n_chars"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def _docs_dup_debias_sample(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-count-debiased sample (ops/selection.dup_debias_sample):
+    each exact-content cluster of size s keeps members with P ~= 1/s via
+    the integer md5_u52(id) < 2^52 // s acceptance — expected one
+    survivor per cluster, reproduced bitwise by the DuckDB twin. The
+    fixture corpus has no EXACT dups (only near-dups), so docs with
+    doc_id % 50 < 5 get deterministic cluster texts injected (5 clusters
+    of ~10 mirrors each, same CASE in the SQL twin) to exercise the
+    debias path; everything else is a singleton and must survive."""
+    from pdf_extractor_ray.ops.selection import dup_debias_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b["doc_id"].to_numpy() % 50
+        dup = m < 5
+        b.loc[dup, "text"] = pd.Series(m[dup]).map(lambda v: f"mirror-page-{v}").to_numpy()
+        return b
+
+    out = dup_debias_sample(ds.map_batches(inject, batch_format="pandas")).to_pandas()[
+        ["doc_id", "lang", "source", "n_chars"]
+    ]
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _extract_robots_gate(sf_dir: str) -> pd.DataFrame:
+    """Meta-robots compliance gate (ops/structured.robots_gate): a
+    deterministic seventh of the fixture pages get a noindex/none
+    directive injected into <head> (rotating through name=robots,
+    content="none", and name=googlebot spellings, plus a
+    MUST-NOT-trip "noindexing-ok" decoy); the gate must drop exactly
+    the directive pages and keep the decoys. Rows-only; the token
+    grammar is pytest-pinned."""
+    from pdf_extractor_ray.ops.scrub import md5_u52
+    from pdf_extractor_ray.ops.structured import robots_gate
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = md5_u52([str(u) for u in b["url"]]).astype("int64") % 7
+        out = []
+        for payload, mi in zip(b["html"], m):
+            raw = bytes(payload)
+            if mi == 0 and b"<html>" in raw:
+                tag = b'<meta name="robots" content="noindex, follow">'
+            elif mi == 1 and b"<html>" in raw:
+                tag = b'<meta name="robots" content="none">'
+            elif mi == 2 and b"<html>" in raw:
+                tag = b'<meta name="googlebot" content="NOINDEX">'
+            elif mi == 3 and b"<html>" in raw:
+                tag = b'<meta name="robots" content="noindexing-ok">'  # decoy: keep
+            else:
+                out.append(raw)
+                continue
+            out.append(raw.replace(b"<html>", b"<html>" + tag, 1))
+        b["html"] = out
+        return b
+
+    kept = robots_gate(pages.map_batches(inject, batch_format="pandas"))
+    out = kept.to_pandas()[["url"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3683,6 +3780,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardedup_indexed": _docs_neardedup_indexed,
         "docs_contract_check": _docs_contract_check,
         "docs_psi_drift": _docs_psi_drift,
+        "docs_host_prior": _docs_host_prior,
+        "docs_shard_binpack": _docs_shard_binpack,
+        "docs_dup_debias_sample": _docs_dup_debias_sample,
+        "extract_robots_gate": _extract_robots_gate,
     }
 
 
@@ -5838,5 +5939,51 @@ def oracle_sql() -> dict[str, str]:
                             / greatest(CAST(cb AS DOUBLE) / greatest(nb, 1), 1e-6)))
                        AS psi
             FROM f, t GROUP BY t.na, t.nb
+        """,
+        "docs_host_prior": """
+            WITH g AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+                FROM documents GROUP BY source
+            ), t AS (
+                SELECT CAST(sum(sum_n_chars) AS DOUBLE)
+                       / CAST(sum(n_docs) AS DOUBLE) AS gm
+                FROM g
+            )
+            SELECT source, n_docs, sum_n_chars,
+                   floor((CAST(sum_n_chars AS DOUBLE) + 20.0 * gm)
+                         / (CAST(n_docs AS DOUBLE) + 20.0) * 1e6 + 0.5) / 1e6
+                       AS shrunk_mean
+            FROM g, t ORDER BY source
+        """,
+        "docs_shard_binpack": """
+            WITH r AS (
+                SELECT n_chars,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+                FROM documents
+            ), a AS (
+                SELECT n_chars, (rk - 1) % 16 AS r0 FROM r
+            )
+            SELECT CAST(CASE WHEN r0 < 8 THEN r0 ELSE 15 - r0 END AS BIGINT)
+                       AS shard,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a GROUP BY 1 ORDER BY shard
+        """,
+        "docs_dup_debias_sample": """
+            WITH k AS (
+                SELECT doc_id, lang, source, n_chars,
+                       ('0x' || substr(md5(
+                           CASE WHEN doc_id % 50 < 5
+                                THEN 'mirror-page-' || CAST(doc_id % 50 AS VARCHAR)
+                                ELSE text END), 1, 13))::UBIGINT AS key
+                FROM documents
+            ), s AS (
+                SELECT *, count(*) OVER (PARTITION BY key) AS sz FROM k
+            )
+            SELECT doc_id, lang, source, n_chars FROM s
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                  < CAST(4503599627370496 AS BIGINT) // CAST(sz AS BIGINT)
+            ORDER BY doc_id
         """,
     }

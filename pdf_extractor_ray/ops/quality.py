@@ -744,3 +744,51 @@ def gate_overlap(
     )
     out["n_dropped"] = out["n_dropped"].astype("int64")
     return out
+
+
+def shrunk_group_mean(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    signal_col: str = "n_chars",
+    k: int = 20,
+) -> pd.DataFrame:
+    """Empirical-Bayes GROUP reputation prior: the per-group mean of an
+    integer quality signal shrunk toward the corpus mean by a
+    pseudo-count `k` — shrunk = (sum_g + k*global_mean) / (n_g + k).
+    A host seen 3 times cannot earn an extreme reputation from 3 docs
+    (it stays near the corpus mean); a host seen 50k times converges to
+    its raw mean. This is the standard host-prior used to gate NEW
+    crawl sources before enough documents accumulate for
+    group_mean_gate's hard wholesale drop (CCNet/RefinedWeb aggregate
+    per-domain decisions): rank hosts by shrunk mean, review the tail.
+
+    Scale shape: one grouped_sum (group, sum, n) partial exchange —
+    bytes per group, never per doc — then k-row driver math, same
+    bounded-group-cardinality contract as group_mean_gate.
+
+    Exactness (CLAUDE.md cross-engine floats): sums and counts stay
+    int64 end-to-end; the single float expression is evaluated once
+    per group from identical integer operands in both engines, and the
+    emitted mean is quantized floor(x*1e6+0.5)/1e6 on BOTH sides, so
+    the DuckDB twin reproduces it bitwise."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    stats = grouped_sum(
+        ds.map_batches(lambda b: b[[group_col, signal_col]], batch_format="pandas"),
+        [group_col],
+        [signal_col],
+    ).to_pandas()  # one row per group, driver-bounded by design
+    s_i = stats[f"sum_{signal_col}"].to_numpy(dtype="int64")
+    n_i = stats["n"].to_numpy(dtype="int64")
+    # exact-integer totals (Python int, order-free), THEN one division
+    gm = (int(s_i.sum()) / int(n_i.sum())) if len(stats) else 0.0
+    shrunk = (s_i.astype("float64") + float(k) * gm) / (n_i.astype("float64") + float(k))
+    out = pd.DataFrame(
+        {
+            group_col: stats[group_col],
+            "n_docs": stats["n"].astype("int64"),
+            f"sum_{signal_col}": stats[f"sum_{signal_col}"].astype("int64"),
+            "shrunk_mean": np.floor(shrunk * 1e6 + 0.5) / 1e6,
+        }
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

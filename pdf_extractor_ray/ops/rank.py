@@ -553,3 +553,59 @@ def percentile_blend(
     return (
         all_sigs.groupby("_part").map_groups(blend, batch_format="pandas")
     )
+
+
+def shard_binpack(
+    ds: ray.data.Dataset,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Weight-balanced shard plan via SERPENTINE rank assignment: rank
+    every row by (weight DESC, id) with the range-partitioned
+    global_rank (no driver sort), then deal ranks boustrophedon across
+    shards — rank r goes to shard r0 if r0 < S else 2S-1-r0, where
+    r0 = (r-1) mod 2S. Each shard gets one heavy and one light row per
+    2S-row window, so shard token totals track each other to within
+    one document — the classic deterministic alternative to greedy LPT
+    bin packing (LPT needs a sequential heap; serpentine is a pure
+    function of rank, embarrassingly parallel, and within ~1 max-item
+    of LPT's bound on sorted inputs). This is how training shards are
+    balanced to equal token counts so no data-parallel worker starves.
+
+    Output: one row per shard (shard, sum_<weight>, n_docs) — integer
+    only, bit-exact vs the SQL twin (row_number() + the same modular
+    dealing). The full per-row (id, shard) map is the same projection
+    without the final rollup; the rollup is what audits balance.
+
+    Scale shape: global_rank's three passes (sample boundaries, count
+    offsets, per-partition stable sort) move slim (weight, id) rows
+    once; the dealing is a row-local map; the rollup is a grouped_sum
+    whose exchange is one row per (block, shard)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    ranked = global_rank(
+        ds.map_batches(lambda b: b[[weight_col, id_col]], batch_format="pandas"),
+        [weight_col, id_col],
+        ascending=[False, True],
+        keep_cols=[weight_col],
+        rank_col="_r",
+        num_partitions=num_partitions,
+    )
+    two_s = 2 * num_shards
+
+    def deal(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {"shard": pd.Series(dtype="int64"), weight_col: pd.Series(dtype="int64")}
+            )
+        r0 = (b["_r"].to_numpy(dtype=np.int64) - 1) % two_s
+        shard = np.where(r0 < num_shards, r0, two_s - 1 - r0)
+        return pd.DataFrame(
+            {"shard": shard.astype("int64"), weight_col: b[weight_col].to_numpy(dtype=np.int64)}
+        )
+
+    return grouped_sum(
+        ranked.map_batches(deal, batch_format="pandas"), ["shard"], [weight_col]
+    )

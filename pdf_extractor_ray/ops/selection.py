@@ -45,6 +45,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -624,3 +625,60 @@ def mixture_plan(
         rank_col="mix_rank",
         num_partitions=num_partitions,
     )
+
+
+def dup_debias_sample(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Duplicate-count-DEBIASED sampling: every exact-content cluster
+    of size s keeps each member with probability ~1/s, so a document
+    duplicated 40× across mirrors contributes the same expected mass
+    to the corpus as a unique one (E[kept per cluster] ≈ 1) — the
+    softer alternative to exact_dedup when duplication count itself is
+    signal (popular pages stay slightly over-represented by the
+    variance, never by the mean). Lee et al. 2022 measure exactly this
+    over-representation as the harm of naive sampling.
+
+    Determinism (CLAUDE.md float doctrine): acceptance is pure integer
+    math — keep iff md5_u52(str(id)) < 2^52 // s — reproduced bitwise
+    by the DuckDB twin from the same md5 prefix; no float comparison.
+
+    Scale shape (the exact_dedup exchange, ops/dedup.py): the corpus
+    never moves — slim (content-u52, id-u52, id) triples shuffle on
+    hash mod P, cluster sizes are value_counts per co-located
+    partition, REJECTED ids stream to anti_join_ids (broadcast under
+    the small-drop cap, one co-shuffle above it). The 52-bit content
+    key collides at ~2^26 distinct docs (birthday); at 100-TB scale
+    widen the key with a second digest slice (md5_u52 reads hex[0:13];
+    the twin's substr(md5(),14,13) mirrors a tail slice) — a falsely
+    merged pair only slightly lowers both docs' keep odds."""
+    from pdf_extractor_ray.ops.dedup import _DROP_ID_SCHEMA, anti_join_ids
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        key = md5_u52(list(batch[text_col].astype(str))).astype("int64")
+        u = md5_u52([str(v) for v in batch[id_col]]).astype("int64")
+        return pd.DataFrame(
+            {
+                "_k": key,
+                "_u": u,
+                id_col: batch[id_col].to_numpy(dtype=np.int64),
+                "_part": key % num_partitions,
+            }
+        )
+
+    def rejected(g: pd.DataFrame) -> pa.Table:
+        sz = g["_k"].map(g["_k"].value_counts()).to_numpy(dtype=np.int64)
+        thr = np.int64(2**52) // sz  # exact integer per-row threshold
+        lost = g.loc[g["_u"].to_numpy(dtype=np.int64) >= thr, id_col].to_numpy(dtype=np.int64)
+        return pa.table({"drop_id": pa.array(lost, pa.int64())}, schema=_DROP_ID_SCHEMA)
+
+    drops = (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(rejected, batch_format="pandas")
+    )
+    return anti_join_ids(ds, drops, id_col=id_col, num_partitions=num_partitions)

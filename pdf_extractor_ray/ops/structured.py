@@ -339,3 +339,46 @@ def template_families(shapes: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return counts.map_batches(rename, batch_format="pandas")
+
+
+def _robots_noindex(html_text: str) -> bool:
+    """True when a <meta name=robots|googlebot> directive contains the
+    `noindex` or `none` token (RFC 9309 §2.x-adjacent meta protocol;
+    `none` = noindex,nofollow). Token match, not substring: a content
+    of "noindexing-ok" must NOT trip the gate. Only the <head> prefix
+    is parsed — directives are head-only by spec, and skipping the
+    body makes the gate ~page-header-cost at crawl scale."""
+    head_end = html_text.find("</head>")
+    probe = html_text if head_end < 0 else html_text[: head_end + 7]
+    for kind, key, value in extract_metadata_from_html(probe):
+        if kind == "meta" and key.lower() in ("robots", "googlebot"):
+            tokens = {t.strip().lower() for t in value.replace(";", ",").split(",")}
+            if "noindex" in tokens or "none" in tokens:
+                return True
+    return False
+
+
+def robots_gate(
+    ds: ray.data.Dataset, html_col: str = "html", url_col: str = "url"
+) -> ray.data.Dataset:
+    """Compliance gate: DROP pages whose meta robots directives forbid
+    indexing (noindex / none) — the publisher opt-out every responsible
+    training-data crawl honors (the html-meta half of robots.txt
+    compliance; the /robots.txt half needs the fetch-time protocol and
+    is out of scope for a table-in/table-out engine). Shuffle-free:
+    charset-sniff + head-prefix parse per row, one boolean filter per
+    batch, pages stream through untouched."""
+    from pdf_extractor_ray.functions.html_extract import sniff_decode
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = np.ones(len(batch), dtype=bool)
+        for i, payload in enumerate(batch[html_col]):
+            raw = bytes(payload)
+            if b"<" not in raw[:256]:
+                continue  # non-HTML payloads (PDF) are never meta-gated
+            text, _enc = sniff_decode(raw)
+            if _robots_noindex(text):
+                keep[i] = False
+        return batch[keep]
+
+    return ds.map_batches(gate, batch_format="pandas")

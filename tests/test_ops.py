@@ -5236,3 +5236,120 @@ def test_psi_drift(ray_session):
         spec,
     )
     assert oob.loc[0, "n_a"] == 2
+
+
+def test_shrunk_group_mean(ray_session):
+    """Empirical-Bayes host prior: a 2-doc group's shrunk mean sits
+    near the corpus mean, a heavy group's near its raw mean; exact
+    formula reproduced; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.quality import shrunk_group_mean
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(102),
+            "source": ["tiny"] * 2 + ["big"] * 100,
+            "n_chars": [10_000, 10_000] + [100] * 100,
+        }
+    )
+    for parts in (1, 4):
+        out = shrunk_group_mean(
+            ray.data.from_pandas(df).repartition(parts), "source", "n_chars", k=20
+        )
+        assert list(out["source"]) == ["big", "tiny"]
+        gm = (20_000 + 100 * 100) / 102
+        exp_tiny = np.floor((20_000 + 20 * gm) / 22 * 1e6 + 0.5) / 1e6
+        exp_big = np.floor((10_000 + 20 * gm) / 120 * 1e6 + 0.5) / 1e6
+        assert out.loc[1, "shrunk_mean"] == exp_tiny
+        assert out.loc[0, "shrunk_mean"] == exp_big
+        # the shrunk tiny-group mean is pulled far off its raw 10k mean
+        assert out.loc[1, "shrunk_mean"] < 10_000 / 2
+        assert out.loc[0, "n_docs"] == 100 and out.loc[0, "sum_n_chars"] == 10_000
+
+
+def test_shard_binpack(ray_session):
+    """Serpentine shard plan: matches the pandas row_number reference
+    exactly, conserves mass, and balances a skewed corpus to within
+    one max item per shard; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import shard_binpack
+
+    rng = np.random.RandomState(7)
+    w = np.concatenate([rng.randint(1, 50, 200), rng.randint(5_000, 9_000, 8)])
+    df = pd.DataFrame({"doc_id": np.arange(len(w)), "n_chars": w.astype("int64")})
+    S = 4
+    ref = df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    r0 = ref.index.to_numpy() % (2 * S)
+    ref["shard"] = np.where(r0 < S, r0, 2 * S - 1 - r0)
+    exp = (
+        ref.groupby("shard")["n_chars"]
+        .agg(sum_n_chars="sum", n="count")
+        .reset_index()
+        .astype("int64")
+    )
+    for parts in (1, 5):
+        out = (
+            shard_binpack(ray.data.from_pandas(df).repartition(parts), "n_chars", "doc_id", S)
+            .to_pandas()
+            .sort_values("shard")
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(out[["shard", "sum_n_chars", "n"]], exp)
+    assert out["sum_n_chars"].sum() == int(w.sum())
+    assert out["sum_n_chars"].max() - out["sum_n_chars"].min() <= int(w.max())
+
+
+def test_dup_debias_sample(ray_session):
+    """Count-debiased sampling: singletons ALL survive; a duplicated
+    cluster keeps exactly the members the integer acceptance predicts;
+    partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.scrub import md5_u52
+    from pdf_extractor_ray.ops.selection import dup_debias_sample
+
+    n_dup, n_uniq = 40, 30
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_dup + n_uniq, dtype="int64"),
+            "text": ["same mirrored page"] * n_dup
+            + [f"unique doc {i}" for i in range(n_uniq)],
+        }
+    )
+    u = md5_u52([str(i) for i in range(n_dup)]).astype("int64")
+    exp_dup = set(np.arange(n_dup)[u < (2**52 // n_dup)])
+    expected = sorted(exp_dup | set(range(n_dup, n_dup + n_uniq)))
+    for parts in (1, 4):
+        out = dup_debias_sample(ray.data.from_pandas(df).repartition(parts)).to_pandas()
+        assert sorted(out["doc_id"].astype(int)) == expected
+    # the cluster collapsed towards E[kept]=1, never grew
+    assert 0 <= len(exp_dup) <= 5
+
+
+def test_robots_gate(ray_session):
+    """Meta-robots gate: noindex/none/googlebot directives drop the
+    page (any casing), the token decoy and body-only directives keep
+    it, non-HTML payloads pass through untouched."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.structured import robots_gate
+
+    pages = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(7)],
+            "html": [
+                b'<html><head><meta name="robots" content="noindex, follow"></head><body>x</body></html>',
+                b'<html><head><meta name="robots" content="none"></head><body>x</body></html>',
+                b'<html><head><meta name="googlebot" content="NOINDEX"></head><body>x</body></html>',
+                b'<html><head><meta name="robots" content="noindexing-ok"></head><body>x</body></html>',
+                b'<html><head><meta name="robots" content="index, follow"></head><body>x</body></html>',
+                b'<html><head><title>t</title></head><body><meta name="robots" content="noindex">body directive ignored</body></html>',
+                b"%PDF-1.4 not html at all",
+            ],
+        }
+    )
+    out = robots_gate(ray.data.from_pandas(pages)).to_pandas()
+    assert sorted(out["url"]) == ["u3", "u4", "u5", "u6"]
