@@ -3596,6 +3596,49 @@ def _extract_robots_gate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+
+def _docs_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source duplication-rate audit (ops/dedup.dup_rate_by_group):
+    which feeds are mirror farms — n_docs / exact-twin count /
+    quantized dup_frac per source. Same deterministic mirror-cluster
+    injection as docs_dup_debias_sample (the fixture has no exact
+    dups), mirrored by the twin\'s CASE. Fully SQL-oracled."""
+    from pdf_extractor_ray.ops.dedup import dup_rate_by_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        m = b["doc_id"].to_numpy() % 50
+        dup = m < 5
+        b.loc[dup, "text"] = pd.Series(m[dup]).map(lambda v: f"mirror-page-{v}").to_numpy()
+        return b
+
+    return dup_rate_by_group(ds.map_batches(inject, batch_format="pandas"))
+
+
+def _docs_length_deciles(sf_dir: str) -> pd.DataFrame:
+    """Token-density-by-length calibration (ops/rank.decile_profile):
+    exact global length deciles (never approximate ntile) × whitespace
+    token mass — the drift check that keeps n_chars honest as a token
+    proxy in budgeted selection. Integer sums, quantized means; fully
+    SQL-oracled via row_number + the same floor arithmetic."""
+    from pdf_extractor_ray.ops.rank import decile_profile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(dtype="int64"),
+                "n_chars": b["n_chars"].to_numpy(dtype="int64"),
+                "n_ws_tokens": b["text"].astype(str).str.split().str.len().astype("int64"),
+            }
+        )
+
+    return decile_profile(ds.map_batches(tokens, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3784,6 +3827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shard_binpack": _docs_shard_binpack,
         "docs_dup_debias_sample": _docs_dup_debias_sample,
         "extract_robots_gate": _extract_robots_gate,
+        "docs_dup_rate_by_source": _docs_dup_rate_by_source,
+        "docs_length_deciles": _docs_length_deciles,
     }
 
 
@@ -5985,5 +6030,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
                   < CAST(4503599627370496 AS BIGINT) // CAST(sz AS BIGINT)
             ORDER BY doc_id
+        """,
+        "docs_dup_rate_by_source": """
+            WITH k AS (
+                SELECT source,
+                       ('0x' || substr(md5(
+                           CASE WHEN doc_id % 50 < 5
+                                THEN 'mirror-page-' || CAST(doc_id % 50 AS VARCHAR)
+                                ELSE text END), 1, 13))::UBIGINT AS key
+                FROM documents
+            ), s AS (
+                SELECT source, count(*) OVER (PARTITION BY key) AS sz FROM k
+            ), g AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(*) FILTER (sz > 1) AS BIGINT) AS n_dup
+                FROM s GROUP BY source
+            )
+            SELECT source, n_docs, n_dup,
+                   floor(CAST(n_dup AS DOUBLE) * 1e6
+                         / CAST(n_docs AS DOUBLE) + 0.5) / 1e6 AS dup_frac
+            FROM g ORDER BY source
+        """,
+        "docs_length_deciles": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (term <> '') AS BIGINT) AS n_ws_tokens
+                FROM toks GROUP BY doc_id
+            ), r AS (
+                SELECT tok.n_ws_tokens,
+                       row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS rk,
+                       count(*) OVER () AS total
+                FROM documents d JOIN tok USING (doc_id)
+            )
+            SELECT CAST((rk - 1) * 10 // total AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_ws_tokens) AS BIGINT) AS sum_n_ws_tokens,
+                   floor(CAST(sum(n_ws_tokens) AS DOUBLE) * 1e6
+                         / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS mean_n_ws_tokens
+            FROM r GROUP BY 1 ORDER BY decile
         """,
     }

@@ -2955,3 +2955,60 @@ def near_dedup_against_sigs(
     if drops.count() == 0:
         return ds_new
     return anti_join_ids(ds_new, drops, id_col=id_col, num_partitions=num_partitions)
+
+
+def dup_rate_by_group(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Duplication-rate AUDIT per group: for each source/host, how many
+    of its documents have exact-content twins anywhere in the corpus
+    (cluster size > 1, cross-source twins count) and what fraction that
+    is — the rollup that tells a crawl operator WHICH feeds are mirror
+    farms before any dedup runs. High dup_frac sources are candidates
+    for group_mean_gate-style wholesale treatment; near-zero ones can
+    skip the expensive near-dup passes entirely.
+
+    Scale shape (the exact_dedup exchange): slim (content-u52, group)
+    pairs shuffle on hash mod P; per-partition value_counts give every
+    row its GLOBAL cluster size (equal keys are co-located); one
+    (group, n, n_dup) partial per partition feeds a driver-bounded
+    grouped_sum. The corpus scans once; no text crosses the exchange.
+
+    Exactness: counts are int64 end-to-end; dup_frac is the one float,
+    computed as a single expression from exact integers and quantized
+    floor(x*1e6+0.5)/1e6 on both engines."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+    from pdf_extractor_ray.ops.scrub import md5_u52
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        key = md5_u52(list(batch[text_col].astype(str))).astype("int64")
+        return pd.DataFrame(
+            {"_k": key, group_col: batch[group_col], "_part": key % num_partitions}
+        )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g["_k"].map(g["_k"].value_counts()).to_numpy(dtype=np.int64)
+        out = pd.DataFrame({group_col: g[group_col], "n_dup": (sz > 1).astype("int64")})
+        out["n_docs"] = np.int64(1)
+        return out.groupby(group_col, as_index=False)[["n_docs", "n_dup"]].sum()
+
+    parts = (
+        ds.map_batches(slim, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(partial, batch_format="pandas")
+    )
+    stats = grouped_sum(parts, [group_col], ["n_docs", "n_dup"], counts=False).to_pandas()
+    n = stats["sum_n_docs"].to_numpy(dtype="int64")
+    d = stats["sum_n_dup"].to_numpy(dtype="int64")
+    out = pd.DataFrame(
+        {
+            group_col: stats[group_col],
+            "n_docs": n,
+            "n_dup": d,
+            "dup_frac": np.floor(d.astype("float64") * 1e6 / n.astype("float64") + 0.5) / 1e6,
+        }
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -609,3 +609,69 @@ def shard_binpack(
     return grouped_sum(
         ranked.map_batches(deal, batch_format="pandas"), ["shard"], [weight_col]
     )
+
+
+def decile_profile(
+    ds: ray.data.Dataset,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    signal_col: str = "n_ws_tokens",
+    num_deciles: int = 10,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Signal-by-length-decile calibration table: rank every row by
+    (order_col, id), cut the EXACT global rank into `num_deciles`
+    equal-count bins (decile = (rank-1)*D // total — never a sampled
+    approximate ntile), and report each bin's row count, exact integer
+    signal mass, and quantized mean. The canonical use: token density
+    vs document length — if tokens-per-char drifts across length
+    deciles, a token-budgeted selection that reads n_chars as a proxy
+    is silently biased toward one end of the length distribution.
+
+    Scale shape: global_rank's slim three-pass exchange (the row keeps
+    only order/id/signal), then a row-local decile map and a D-row
+    grouped_sum; the driver sees D rows. Exactness: integer sums, one
+    quantized float expression, bit-identical in the SQL twin
+    (row_number + the same floor arithmetic)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    slim = ds.map_batches(
+        lambda b: b[[order_col, id_col, signal_col]], batch_format="pandas"
+    )
+    total = slim.count()
+    ranked = global_rank(
+        slim,
+        [order_col, id_col],
+        keep_cols=[signal_col],
+        rank_col="_r",
+        num_partitions=num_partitions,
+    )
+
+    def to_decile(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {"decile": pd.Series(dtype="int64"), signal_col: pd.Series(dtype="int64")}
+            )
+        r = b["_r"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "decile": (r - 1) * num_deciles // total,
+                signal_col: b[signal_col].to_numpy(dtype=np.int64),
+            }
+        )
+
+    stats = grouped_sum(
+        ranked.map_batches(to_decile, batch_format="pandas"), ["decile"], [signal_col]
+    ).to_pandas()
+    s = stats[f"sum_{signal_col}"].to_numpy(dtype="int64")
+    n = stats["n"].to_numpy(dtype="int64")
+    out = pd.DataFrame(
+        {
+            "decile": stats["decile"].astype("int64"),
+            "n_docs": n,
+            f"sum_{signal_col}": s,
+            f"mean_{signal_col}": np.floor(s.astype("float64") * 1e6 / n.astype("float64") + 0.5)
+            / 1e6,
+        }
+    )
+    return out.sort_values("decile").reset_index(drop=True)

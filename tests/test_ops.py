@@ -5353,3 +5353,53 @@ def test_robots_gate(ray_session):
     )
     out = robots_gate(ray.data.from_pandas(pages)).to_pandas()
     assert sorted(out["url"]) == ["u3", "u4", "u5", "u6"]
+
+
+def test_dup_rate_by_group(ray_session):
+    """Duplication audit: cross-group twins count for BOTH groups,
+    singletons don't, fractions quantized; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.dedup import dup_rate_by_group
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "source": ["a", "a", "a", "b", "b", "b", "b", "c"],
+            "text": ["same", "same", "solo-a", "same", "solo-b1", "solo-b2", "pair", "pair"],
+        }
+    )
+    for parts in (1, 3):
+        out = dup_rate_by_group(ray.data.from_pandas(df).repartition(parts))
+        assert list(out["source"]) == ["a", "b", "c"]
+        assert list(out["n_docs"]) == [3, 4, 1]
+        # 'same' spans a+b (sizes 2+1 -> all 3 are dups); 'pair' spans b+c
+        assert list(out["n_dup"]) == [2, 2, 1]
+        assert out.loc[0, "dup_frac"] == np.floor(2 * 1e6 / 3 + 0.5) / 1e6
+        assert out.loc[2, "dup_frac"] == 1.0
+
+
+def test_decile_profile(ray_session):
+    """Exact-rank decile calibration: equal-count bins from the global
+    rank formula, exact integer signal mass per bin, quantized means;
+    partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.rank import decile_profile
+
+    n = 100
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype="int64"),
+            "n_chars": np.arange(n, dtype="int64") * 3,     # already length-ordered
+            "n_ws_tokens": np.arange(n, dtype="int64") + 1,  # density grows with length
+        }
+    )
+    for parts in (1, 4):
+        out = decile_profile(ray.data.from_pandas(df).repartition(parts))
+        assert list(out["decile"]) == list(range(10))
+        assert (out["n_docs"] == 10).all()
+        # decile d holds tokens d*10+1 .. d*10+10
+        exp = [sum(range(d * 10 + 1, d * 10 + 11)) for d in range(10)]
+        assert list(out["sum_n_ws_tokens"]) == exp
+        assert out.loc[9, "mean_n_ws_tokens"] == 95.5
