@@ -3639,6 +3639,48 @@ def _docs_length_deciles(sf_dir: str) -> pd.DataFrame:
     return decile_profile(ds.map_batches(tokens, batch_format="pandas"))
 
 
+
+def _docs_epoch_plan(sf_dir: str) -> pd.DataFrame:
+    """Data-constrained multi-epoch allocation (ops/selection.
+    epoch_plan, Muennighoff et al. 2023): a 1M-token budget split
+    across sources by weight (3 for sources ending in 0, 2 for 1,
+    else 1), per-source epochs over unique tokens, and the
+    D' = U + U·R*·(1-exp(-R/R*)) effective-token estimate. Integer
+    shares; the two emitted floats are single expressions from exact
+    integers, quantized on both sides. Fully SQL-oracled."""
+    from pdf_extractor_ray.ops.selection import epoch_plan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_ws_tokens": b["text"].astype(str).str.split().str.len().astype("int64"),
+            }
+        )
+
+    srcs = [f"src{i}" for i in range(20)]
+    weights = {s: (3 if s.endswith("0") else 2 if s.endswith("1") else 1) for s in srcs}
+    return epoch_plan(
+        ds.map_batches(tokens, batch_format="pandas"),
+        budget_tokens=1_000_000,
+        weights=weights,
+        group_col="source",
+    )
+
+
+def _docs_truncation_loss(sf_dir: str) -> pd.DataFrame:
+    """Per-language truncation audit (ops/chunking.truncation_loss):
+    what a hard 120-token max_seq_len throws away per language —
+    the table that decides truncate-vs-pack per group. Integer sums,
+    one quantized float; fully SQL-oracled."""
+    from pdf_extractor_ray.ops.chunking import truncation_loss
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return truncation_loss(ds, max_tokens=120, group_col="lang")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3829,6 +3871,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_robots_gate": _extract_robots_gate,
         "docs_dup_rate_by_source": _docs_dup_rate_by_source,
         "docs_length_deciles": _docs_length_deciles,
+        "docs_epoch_plan": _docs_epoch_plan,
+        "docs_truncation_loss": _docs_truncation_loss,
     }
 
 
@@ -6071,5 +6115,62 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(sum(n_ws_tokens) AS DOUBLE) * 1e6
                          / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS mean_n_ws_tokens
             FROM r GROUP BY 1 ORDER BY decile
+        """,
+        "docs_epoch_plan": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (term <> '') AS BIGINT) AS n_ws_tokens
+                FROM toks GROUP BY doc_id
+            ), g AS (
+                SELECT d.source, CAST(sum(tok.n_ws_tokens) AS BIGINT) AS uniq
+                FROM documents d JOIN tok USING (doc_id) GROUP BY d.source
+            ), w AS (
+                SELECT source, uniq,
+                       CAST(CASE WHEN source LIKE '%0' THEN 3
+                                 WHEN source LIKE '%1' THEN 2
+                                 ELSE 1 END AS BIGINT) AS wt
+                FROM g
+            ), t AS (
+                SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w
+            ), s AS (
+                SELECT source, uniq,
+                       CAST(1000000 * wt // wsum AS BIGINT) AS share
+                FROM w, t
+            )
+            SELECT source, uniq AS unique_tokens, share AS share_tokens,
+                   floor(CAST(share AS DOUBLE) / CAST(uniq AS DOUBLE) * 1e6 + 0.5)
+                       / 1e6 AS epochs,
+                   floor((least(CAST(share AS DOUBLE), CAST(uniq AS DOUBLE))
+                          + CASE WHEN CAST(share AS DOUBLE) / CAST(uniq AS DOUBLE) > 1.0
+                                 THEN CAST(uniq AS DOUBLE) * 15.4
+                                      * (1.0 - exp(-(CAST(share AS DOUBLE)
+                                                     / CAST(uniq AS DOUBLE) - 1.0) / 15.4))
+                                 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS effective_tokens
+            FROM s ORDER BY source
+        """,
+        "docs_truncation_loss": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (term <> '') AS BIGINT) AS n_ws_tokens
+                FROM toks GROUP BY doc_id
+            ), g AS (
+                SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(*) FILTER (tok.n_ws_tokens > 120) AS BIGINT)
+                           AS n_overflow,
+                       CAST(sum(tok.n_ws_tokens) AS BIGINT) AS sum_n_tokens,
+                       CAST(sum(least(tok.n_ws_tokens, 120)) AS BIGINT)
+                           AS sum_kept_tokens
+                FROM documents d JOIN tok USING (doc_id) GROUP BY d.lang
+            )
+            SELECT lang, n_docs, n_overflow, sum_n_tokens, sum_kept_tokens,
+                   floor(CAST(sum_n_tokens - sum_kept_tokens AS DOUBLE) * 1e6
+                         / CAST(sum_n_tokens AS DOUBLE) + 0.5) / 1e6 AS lost_frac
+            FROM g ORDER BY lang
         """,
     }

@@ -207,3 +207,61 @@ def pack_offsets(
         return b[[id_col, "n_ws_tokens", "token_offset", "first_seq", "last_seq"]]
 
     return off.map_batches(seqs, batch_format="pandas")
+
+
+def truncation_loss(
+    ds: ray.data.Dataset,
+    max_tokens: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Per-group audit of what a hard max_seq_len truncation throws
+    away: for each group, total whitespace tokens, tokens KEPT under
+    min(n_tokens, max_tokens) per document, the count of documents
+    that overflow, and the quantized lost fraction. This is the table
+    that decides between truncation and chunked packing per language —
+    CJK-heavy or legal-heavy sources routinely lose a multiple of what
+    English loses at the same cap, and nobody notices without the
+    split-by-group view (the chunk_documents/pack_offsets operators
+    are the remedies; this quantifies the need).
+
+    Scale shape: one row-local tokenize pass emitting three int64
+    partials per (block, group), then a driver-bounded grouped_sum —
+    no shuffle wider than the group count. Integer sums; lost_frac is
+    the one quantized float expression, mirrored by the SQL twin."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    cap = np.int64(max_tokens)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b[text_col].astype(str).str.split().str.len().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "n_tokens": n,
+                "kept_tokens": np.minimum(n, cap),
+                "n_overflow": (n > cap).astype("int64"),
+            }
+        )
+
+    stats = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col],
+        ["n_tokens", "kept_tokens", "n_overflow"],
+    ).to_pandas()
+    tot = stats["sum_n_tokens"].to_numpy(dtype="int64")
+    kept = stats["sum_kept_tokens"].to_numpy(dtype="int64")
+    out = pd.DataFrame(
+        {
+            group_col: stats[group_col],
+            "n_docs": stats["n"].astype("int64"),
+            "n_overflow": stats["sum_n_overflow"].astype("int64"),
+            "sum_n_tokens": tot,
+            "sum_kept_tokens": kept,
+            "lost_frac": np.floor(
+                (tot - kept).astype("float64") * 1e6 / tot.astype("float64") + 0.5
+            )
+            / 1e6,
+        }
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -682,3 +682,61 @@ def dup_debias_sample(
         .map_groups(rejected, batch_format="pandas")
     )
     return anti_join_ids(ds, drops, id_col=id_col, num_partitions=num_partitions)
+
+
+def epoch_plan(
+    ds: ray.data.Dataset,
+    budget_tokens: int,
+    weights: dict,
+    group_col: str = "source",
+    tokens_col: str = "n_ws_tokens",
+    r_star: float = 15.4,
+) -> pd.DataFrame:
+    """Data-constrained multi-epoch allocation (Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models"): split a token
+    budget across sources by mixture weight, convert each source's
+    share into EPOCHS over its unique tokens, and report the
+    diminishing-returns effective token count
+
+        D' = U + U * R* * (1 - exp(-R / R*))
+
+    with U the source's unique tokens, R = epochs - 1 the repeat
+    count, and R* = 15.4 the paper's fitted decay constant — repeating
+    data helps, but the (R+1)-th epoch is worth exp(-R/R*) of the
+    first. The plan is what turns "we want a 30B-token run from a 7B-
+    token corpus" into per-source epoch counts plus an honest estimate
+    of how much of the budget buys new signal.
+
+    Scale shape: one grouped_sum (group, sum tokens) exchange, then
+    k-row driver math (the temperature_sample bounded-group contract).
+    Exactness: token sums are int64; share_tokens is exact integer
+    floor math; epochs / effective_tokens are single float expressions
+    from exact integers, quantized floor(x*1e6+0.5)/1e6 like every
+    emitted float (SQL twin mirrors exp/floor expression for
+    expression)."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    stats = grouped_sum(
+        ds.map_batches(lambda b: b[[group_col, tokens_col]], batch_format="pandas"),
+        [group_col],
+        [tokens_col],
+    ).to_pandas()
+    w = stats[group_col].map(lambda g: int(weights.get(g, 1))).to_numpy(dtype="int64")
+    wsum = int(w.sum()) if len(stats) else 1
+    uniq = stats[f"sum_{tokens_col}"].to_numpy(dtype="int64")
+    share = (np.int64(budget_tokens) * w) // np.int64(wsum)  # exact floor split
+    epochs = share.astype("float64") / uniq.astype("float64")
+    r = np.maximum(epochs - 1.0, 0.0)
+    eff = np.minimum(share.astype("float64"), uniq.astype("float64")) + np.where(
+        epochs > 1.0, uniq.astype("float64") * r_star * (1.0 - np.exp(-r / r_star)), 0.0
+    )
+    out = pd.DataFrame(
+        {
+            group_col: stats[group_col],
+            "unique_tokens": uniq,
+            "share_tokens": share.astype("int64"),
+            "epochs": np.floor(epochs * 1e6 + 0.5) / 1e6,
+            "effective_tokens": np.floor(eff * 1e6 + 0.5) / 1e6,
+        }
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

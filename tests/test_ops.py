@@ -5403,3 +5403,66 @@ def test_decile_profile(ray_session):
         exp = [sum(range(d * 10 + 1, d * 10 + 11)) for d in range(10)]
         assert list(out["sum_n_ws_tokens"]) == exp
         assert out.loc[9, "mean_n_ws_tokens"] == 95.5
+
+
+def test_epoch_plan(ray_session):
+    """Data-constrained epoch allocation: integer budget split by
+    weight, epochs = share/unique, effective tokens saturate with the
+    Muennighoff decay (never exceed U*(1+R*)); single-epoch sources
+    get effective = share exactly; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.selection import epoch_plan
+
+    df = pd.DataFrame(
+        {
+            "source": ["a"] * 4 + ["b"] * 4,
+            "n_ws_tokens": [100, 100, 100, 100, 1000, 1000, 1000, 1000],
+        }
+    )
+    for parts in (1, 3):
+        out = epoch_plan(
+            ray.data.from_pandas(df).repartition(parts),
+            budget_tokens=6000,
+            weights={"a": 2, "b": 1},
+            group_col="source",
+        )
+        assert list(out["source"]) == ["a", "b"]
+        assert list(out["unique_tokens"]) == [400, 4000]
+        assert list(out["share_tokens"]) == [4000, 2000]  # 6000 * {2,1} // 3
+        assert out.loc[0, "epochs"] == 10.0
+        assert out.loc[1, "epochs"] == 0.5
+        # b trains on half its data once: effective = share exactly
+        assert out.loc[1, "effective_tokens"] == 2000.0
+        # a repeats 10x: effective strictly between U and U*(1+R*)
+        eff = out.loc[0, "effective_tokens"]
+        exp = 400 + 400 * 15.4 * (1 - np.exp(-9 / 15.4))
+        assert abs(eff - np.floor(exp * 1e6 + 0.5) / 1e6) < 1e-9
+        assert 400 < eff < 400 * (1 + 15.4)
+        assert eff < 4000  # repetition is worth less than fresh data
+
+
+def test_truncation_loss(ray_session):
+    """Truncation audit: exact kept/lost token masses per group under
+    the cap, overflow counts, quantized fractions; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.chunking import truncation_loss
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "ja"],
+            "text": ["w " * 10, "w " * 200, "w " * 150],
+        }
+    )
+    for parts in (1, 2):
+        out = truncation_loss(
+            ray.data.from_pandas(df).repartition(parts), max_tokens=120, group_col="lang"
+        )
+        assert list(out["lang"]) == ["en", "ja"]
+        assert list(out["n_docs"]) == [2, 1]
+        assert list(out["n_overflow"]) == [1, 1]
+        assert list(out["sum_n_tokens"]) == [210, 150]
+        assert list(out["sum_kept_tokens"]) == [130, 120]
+        assert out.loc[0, "lost_frac"] == np.floor(80 * 1e6 / 210 + 0.5) / 1e6
+        assert out.loc[1, "lost_frac"] == 0.2
