@@ -3681,6 +3681,20 @@ def _docs_truncation_loss(sf_dir: str) -> pd.DataFrame:
     return truncation_loss(ds, max_tokens=120, group_col="lang")
 
 
+
+def _events_kmv_overlap(sf_dir: str) -> pd.DataFrame:
+    """KMV set-overlap estimate (ops/sketch.kmv_overlap, Beyer et al.
+    2007): distinct-union / Jaccard / distinct-intersection of click
+    vs purchase user sets from two bottom-64 sketches — the sketch
+    answer to users_click_and_purchase\'s exact co-shuffle. Integer
+    sketch contents; the three estimates are quantized single
+    expressions, reproduced bitwise by the DuckDB twin."""
+    from pdf_extractor_ray.ops.sketch import kmv_overlap
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return kmv_overlap(ds, "event_type", "user_id", "click", "purchase", k=64)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3873,6 +3887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_deciles": _docs_length_deciles,
         "docs_epoch_plan": _docs_epoch_plan,
         "docs_truncation_loss": _docs_truncation_loss,
+        "events_kmv_overlap": _events_kmv_overlap,
     }
 
 
@@ -6172,5 +6187,44 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(sum_n_tokens - sum_kept_tokens AS DOUBLE) * 1e6
                          / CAST(sum_n_tokens AS DOUBLE) + 0.5) / 1e6 AS lost_frac
             FROM g ORDER BY lang
+        """,
+        "events_kmv_overlap": """
+            WITH va AS (
+                SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT AS h
+                FROM events WHERE event_type = 'click'
+            ), vb AS (
+                SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT AS h
+                FROM events WHERE event_type = 'purchase'
+            ), ka AS (SELECT h FROM va ORDER BY h LIMIT 64),
+               kb AS (SELECT h FROM vb ORDER BY h LIMIT 64),
+               ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+                      ORDER BY h LIMIT 64),
+               fl AS (
+                SELECT ku.h,
+                       (ku.h IN (SELECT h FROM ka)) AND (ku.h IN (SELECT h FROM kb)) AS is_both
+                FROM ku
+            ), st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_union,
+                       max(h) AS tau,
+                       CAST(count(*) FILTER (WHERE is_both) AS BIGINT) AS n_common
+                FROM fl
+            )
+            SELECT CAST(64 AS BIGINT) AS k,
+                   n_union AS n_union_sketch,
+                   n_common,
+                   floor((CASE WHEN n_union = 0 THEN 0.0
+                               WHEN n_union < 64 THEN CAST(n_union AS DOUBLE)
+                               ELSE 63.0 * CAST(4503599627370496 AS DOUBLE) / CAST(tau AS DOUBLE)
+                          END) * 1e6 + 0.5) / 1e6 AS union_est,
+                   floor(CAST(n_common AS DOUBLE) * 1e6
+                         / CAST(greatest(n_union, 1) AS DOUBLE) + 0.5) / 1e6 AS jaccard_est,
+                   floor(CAST(n_common AS DOUBLE)
+                         * (CASE WHEN n_union = 0 THEN 0.0
+                                 WHEN n_union < 64 THEN CAST(n_union AS DOUBLE)
+                                 ELSE 63.0 * CAST(4503599627370496 AS DOUBLE) / CAST(tau AS DOUBLE)
+                            END)
+                         / CAST(greatest(n_union, 1) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                       AS intersect_est
+            FROM st
         """,
     }

@@ -575,3 +575,86 @@ def hll_estimate_registers(
     out = pd.DataFrame({group_col: z_scaled.index.to_numpy(), "hll_est": est})
     out["hll_est"] = out["hll_est"].astype("float64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def kmv_overlap(
+    ds: ray.data.Dataset,
+    label_col: str,
+    value_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 64,
+) -> pd.DataFrame:
+    """Set-OVERLAP estimation from two bottom-k (KMV) sketches (Beyer
+    et al. 2007, "On Synopses for Distinct-Value Estimation"): distinct
+    |A ∪ B|, Jaccard, and |A ∩ B| of two label slices' value sets
+    without ever co-shuffling the values — the sketch answer to "how
+    many users did BOTH X and Y" when the exact co-shuffle
+    (users_click_and_purchase) is too wide. K = bottom-k of K_A ∪ K_B
+    with threshold τ = max(K); D_∪ = (k-1)·2^52/τ (exact count when
+    the union sketch holds < k hashes — the sketches ARE the sets
+    then); ρ = |{h ∈ K : h ∈ K_A ∧ h ∈ K_B}| / |K|; D_∩ = ρ·D_∪.
+
+    Determinism: the sketch contents are pure integer md5_u52 set
+    operations — bit-identical in any engine — and the three emitted
+    estimates are single float expressions over those integers,
+    quantized floor(x*1e6+0.5)/1e6, so the DuckDB twin reproduces
+    them exactly (same discipline as events_kmv_distinct).
+
+    Scale shape: per-batch per-side bottom-k partials (≤ 2k rows per
+    block, lossless merge — a global bottom-k hash is bottom-k in its
+    batch), one 2-group merge pass, ≤ 2k rows to the driver."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[[label_col, value_col]]
+        d = d[d[label_col].isin([label_a, label_b])].drop_duplicates()
+        if d.empty:
+            return pd.DataFrame(
+                {"_side": pd.Series(dtype="int64"), "_h": pd.Series(dtype="uint64")}
+            )
+        out = pd.DataFrame(
+            {
+                "_side": (d[label_col] == label_b).astype("int64").to_numpy(),
+                "_h": md5_u52([str(v) for v in d[value_col]]),
+            }
+        )
+        out = out.drop_duplicates().sort_values("_h", kind="stable")
+        return out.groupby("_side", sort=False).head(k)
+
+    def merge_side(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"_side": pd.Series(dtype="int64"), "_h": pd.Series(dtype="uint64")}
+            )
+        d = g.drop_duplicates().sort_values("_h", kind="stable")
+        return d.head(k)
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_side")
+        .map_groups(merge_side, batch_format="pandas")
+        .to_pandas()
+    )  # <= 2k rows by construction
+    ka = set(int(h) for h in rows.loc[rows["_side"] == 0, "_h"])
+    kb = set(int(h) for h in rows.loc[rows["_side"] == 1, "_h"])
+    union_sorted = sorted(ka | kb)[:k]
+    n_union = len(union_sorted)
+    n_common = sum(1 for h in union_sorted if h in ka and h in kb)
+    if n_union == 0:
+        d_union = 0.0
+    elif n_union < k:
+        d_union = float(n_union)  # sketches are the complete sets
+    else:
+        d_union = (k - 1) * float(2**52) / float(union_sorted[-1])
+    rho_num, rho_den = n_common, max(n_union, 1)
+    out = pd.DataFrame(
+        {
+            "k": [np.int64(k)],
+            "n_union_sketch": [np.int64(n_union)],
+            "n_common": [np.int64(n_common)],
+            "union_est": [np.floor(d_union * 1e6 + 0.5) / 1e6],
+            "jaccard_est": [np.floor(rho_num * 1e6 / rho_den + 0.5) / 1e6],
+            "intersect_est": [np.floor(rho_num * d_union / rho_den * 1e6 + 0.5) / 1e6],
+        }
+    )
+    return out

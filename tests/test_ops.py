@@ -5466,3 +5466,37 @@ def test_truncation_loss(ray_session):
         assert list(out["sum_kept_tokens"]) == [130, 120]
         assert out.loc[0, "lost_frac"] == np.floor(80 * 1e6 / 210 + 0.5) / 1e6
         assert out.loc[1, "lost_frac"] == 0.2
+
+
+def test_kmv_overlap(ray_session):
+    """KMV set overlap: below-k sides are EXACT (sketches are the
+    sets), the estimator reproduces the closed-form answer from the
+    union-sketch threshold, estimates track truth within the ~1/sqrt(k)
+    band; partition-invariant."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.sketch import kmv_overlap
+
+    # small exact case: |A|=30, |B|=30, overlap 10 -> union sketch < k
+    a = [f"u{i}" for i in range(30)]
+    b = [f"u{i}" for i in range(20, 50)]
+    df = pd.DataFrame(
+        {"label": ["a"] * 30 + ["b"] * 30, "val": a + b}
+    )
+    for parts in (1, 3):
+        out = kmv_overlap(
+            ray.data.from_pandas(df).repartition(parts), "label", "val", "a", "b", k=64
+        )
+        assert out.loc[0, "n_union_sketch"] == 50
+        assert out.loc[0, "union_est"] == 50.0
+        assert out.loc[0, "n_common"] == 10
+        assert out.loc[0, "jaccard_est"] == 0.2
+        assert out.loc[0, "intersect_est"] == 10.0
+    # estimator case: 400/400 with 200 shared -> union 600 > k
+    a2 = [f"x{i}" for i in range(400)]
+    b2 = [f"x{i}" for i in range(200, 600)]
+    df2 = pd.DataFrame({"label": ["a"] * 400 + ["b"] * 400, "val": a2 + b2})
+    out2 = kmv_overlap(ray.data.from_pandas(df2).repartition(4), "label", "val", "a", "b", k=64)
+    assert out2.loc[0, "n_union_sketch"] == 64
+    assert 300 < out2.loc[0, "union_est"] < 1100  # truth 600, ~13% band + slack
+    assert 50 < out2.loc[0, "intersect_est"] < 450  # truth 200
