@@ -6080,10 +6080,14 @@ def oracle_sql() -> dict[str, str]:
                        ('0x' || substr(md5(
                            CASE WHEN doc_id % 50 < 5
                                 THEN 'mirror-page-' || CAST(doc_id % 50 AS VARCHAR)
-                                ELSE text END), 1, 13))::UBIGINT AS key
+                                ELSE text END), 1, 13))::UBIGINT AS key,
+                       ('0x' || substr(md5(
+                           CASE WHEN doc_id % 50 < 5
+                                THEN 'mirror-page-' || CAST(doc_id % 50 AS VARCHAR)
+                                ELSE text END), 17, 13))::UBIGINT AS key2
                 FROM documents
             ), s AS (
-                SELECT *, count(*) OVER (PARTITION BY key) AS sz FROM k
+                SELECT *, count(*) OVER (PARTITION BY key, key2) AS sz FROM k
             )
             SELECT doc_id, lang, source, n_chars FROM s
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
@@ -6096,10 +6100,14 @@ def oracle_sql() -> dict[str, str]:
                        ('0x' || substr(md5(
                            CASE WHEN doc_id % 50 < 5
                                 THEN 'mirror-page-' || CAST(doc_id % 50 AS VARCHAR)
-                                ELSE text END), 1, 13))::UBIGINT AS key
+                                ELSE text END), 1, 13))::UBIGINT AS key,
+                       ('0x' || substr(md5(
+                           CASE WHEN doc_id % 50 < 5
+                                THEN 'mirror-page-' || CAST(doc_id % 50 AS VARCHAR)
+                                ELSE text END), 17, 13))::UBIGINT AS key2
                 FROM documents
             ), s AS (
-                SELECT source, count(*) OVER (PARTITION BY key) AS sz FROM k
+                SELECT source, count(*) OVER (PARTITION BY key, key2) AS sz FROM k
             ), g AS (
                 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                        CAST(count(*) FILTER (sz > 1) AS BIGINT) AS n_dup

@@ -2971,26 +2971,34 @@ def dup_rate_by_group(
     for group_mean_gate-style wholesale treatment; near-zero ones can
     skip the expensive near-dup passes entirely.
 
-    Scale shape (the exact_dedup exchange): slim (content-u52, group)
-    pairs shuffle on hash mod P; per-partition value_counts give every
+    Scale shape (the exact_dedup exchange): slim (content-key, group)
+    rows shuffle on hash mod P; per-partition value_counts give every
     row its GLOBAL cluster size (equal keys are co-located); one
     (group, n, n_dup) partial per partition feeds a driver-bounded
     grouped_sum. The corpus scans once; no text crosses the exchange.
+    The content key is 104 bits (md5 head + tail u52 slices) —
+    birthday-safe to ~2^52 distinct documents, engine-portable.
 
     Exactness: counts are int64 end-to-end; dup_frac is the one float,
     computed as a single expression from exact integers and quantized
     floor(x*1e6+0.5)/1e6 on both engines."""
     from pdf_extractor_ray.ops.relational import grouped_sum
-    from pdf_extractor_ray.ops.scrub import md5_u52
+    from pdf_extractor_ray.ops.scrub import md5_u52, md5_u52_tail
 
     def slim(batch: pd.DataFrame) -> pd.DataFrame:
-        key = md5_u52(list(batch[text_col].astype(str))).astype("int64")
+        texts = list(batch[text_col].astype(str))
+        key = md5_u52(texts).astype("int64")
         return pd.DataFrame(
-            {"_k": key, group_col: batch[group_col], "_part": key % num_partitions}
+            {
+                "_k": key,
+                "_k2": md5_u52_tail(texts).astype("int64"),
+                group_col: batch[group_col],
+                "_part": key % num_partitions,
+            }
         )
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
-        sz = g["_k"].map(g["_k"].value_counts()).to_numpy(dtype=np.int64)
+        sz = g.groupby(["_k", "_k2"])[group_col].transform("size").to_numpy(dtype=np.int64)
         out = pd.DataFrame({group_col: g[group_col], "n_dup": (sz > 1).astype("int64")})
         out["n_docs"] = np.int64(1)
         return out.groupby(group_col, as_index=False)[["n_docs", "n_dup"]].sum()

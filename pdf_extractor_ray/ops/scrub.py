@@ -621,18 +621,30 @@ _M32 = np.uint64(0xFFFFFFFF)
 
 
 def _md5_words_ab(strs: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
-    """First two 32-bit state words (a, b) of md5(s) for each string,
-    as uint64 arrays — vectorized MD5 compression over numpy uint64
-    lanes (mask-to-32-bit), grouped by padded block count so
-    mixed-length inputs stay vectorized. The hexdigest's first 16
-    characters are the little-endian bytes of (a, b), so every
-    hex-prefix-derived value (split nibble, KMV fraction) comes from
-    these two words. Bit-identical to hashlib (property-tested)."""
+    """First two 32-bit state words (a, b) of md5(s) for each string —
+    see _md5_words for the full-state kernel."""
+    a, b, _c, _d = _md5_words(strs)
+    return a, b
+
+
+def _md5_words(
+    strs: Sequence[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All four 32-bit state words (a, b, c, d) of md5(s) for each
+    string, as uint64 arrays — vectorized MD5 compression over numpy
+    uint64 lanes (mask-to-32-bit), grouped by padded block count so
+    mixed-length inputs stay vectorized. The hexdigest is the
+    little-endian bytes of (a, b, c, d) in order, so every
+    hex-slice-derived value (split nibble, KMV fraction, the head and
+    tail u52s) comes from these words. Bit-identical to hashlib
+    (property-tested)."""
     data = [s.encode() for s in strs]
     n = len(data)
     lens = np.fromiter((len(b) for b in data), dtype=np.int64, count=n)
     out_a = np.empty(n, dtype=np.uint64)
     out_b = np.empty(n, dtype=np.uint64)
+    out_c = np.empty(n, dtype=np.uint64)
+    out_d = np.empty(n, dtype=np.uint64)
     nblocks = (lens + 8) // 64 + 1  # payload + 0x80 + 8-byte bitlen
     for nb in np.unique(nblocks):
         idx = np.nonzero(nblocks == nb)[0]
@@ -681,7 +693,9 @@ def _md5_words_ab(strs: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
             d = (d + D) & _M32
         out_a[idx] = a
         out_b[idx] = b_
-    return out_a, out_b
+        out_c[idx] = c
+        out_d[idx] = d
+    return out_a, out_b, out_c, out_d
 
 
 def md5_first_nibble(strs: Sequence[str]) -> np.ndarray:
@@ -717,6 +731,33 @@ def md5_u52(strs: Sequence[str]) -> np.ndarray:
         | b5
     )
     return (hi48 << np.uint64(4)) | (b6 >> np.uint64(4))
+
+
+def md5_u52_tail(strs: Sequence[str]) -> np.ndarray:
+    """``int(hashlib.md5(s.encode()).hexdigest()[16:29], 16)`` for each
+    string, as uint64 — a SECOND independent 52-bit slice (digest bytes
+    8-14: state word `c` little-endian plus the low bytes of `d`),
+    engine-portable as DuckDB ``('0x' || substr(md5(s), 17, 13))::UBIGINT``.
+    Pairing it with md5_u52 widens a content key to 104 bits, pushing
+    the birthday bound from ~2^26 to ~2^52 distinct values — the
+    collision margin corpus-scale exact dedup needs."""
+    _a, _b, c, d = _md5_words(strs)
+    b8 = c & np.uint64(0xFF)
+    b9 = (c >> np.uint64(8)) & np.uint64(0xFF)
+    b10 = (c >> np.uint64(16)) & np.uint64(0xFF)
+    b11 = (c >> np.uint64(24)) & np.uint64(0xFF)
+    b12 = d & np.uint64(0xFF)
+    b13 = (d >> np.uint64(8)) & np.uint64(0xFF)
+    b14 = (d >> np.uint64(16)) & np.uint64(0xFF)
+    hi48 = (
+        (b8 << np.uint64(40))
+        | (b9 << np.uint64(32))
+        | (b10 << np.uint64(24))
+        | (b11 << np.uint64(16))
+        | (b12 << np.uint64(8))
+        | b13
+    )
+    return (hi48 << np.uint64(4)) | (b14 >> np.uint64(4))
 
 
 def _md5_split(ids: pd.Series, test_hex_prefixes: tuple[str, ...]) -> np.ndarray:

@@ -647,23 +647,24 @@ def dup_debias_sample(
     by the DuckDB twin from the same md5 prefix; no float comparison.
 
     Scale shape (the exact_dedup exchange, ops/dedup.py): the corpus
-    never moves — slim (content-u52, id-u52, id) triples shuffle on
+    never moves — slim (content-key, id-u52, id) rows shuffle on
     hash mod P, cluster sizes are value_counts per co-located
     partition, REJECTED ids stream to anti_join_ids (broadcast under
-    the small-drop cap, one co-shuffle above it). The 52-bit content
-    key collides at ~2^26 distinct docs (birthday); at 100-TB scale
-    widen the key with a second digest slice (md5_u52 reads hex[0:13];
-    the twin's substr(md5(),14,13) mirrors a tail slice) — a falsely
-    merged pair only slightly lowers both docs' keep odds."""
+    the small-drop cap, one co-shuffle above it). The content key is
+    104 bits (md5 head + tail u52 slices, md5_u52 / md5_u52_tail) —
+    birthday-safe to ~2^52 distinct documents; both slices are
+    engine-portable (DuckDB substr(md5(), 1|17, 13))."""
     from pdf_extractor_ray.ops.dedup import _DROP_ID_SCHEMA, anti_join_ids
-    from pdf_extractor_ray.ops.scrub import md5_u52
+    from pdf_extractor_ray.ops.scrub import md5_u52, md5_u52_tail
 
     def slim(batch: pd.DataFrame) -> pd.DataFrame:
-        key = md5_u52(list(batch[text_col].astype(str))).astype("int64")
+        texts = list(batch[text_col].astype(str))
+        key = md5_u52(texts).astype("int64")
         u = md5_u52([str(v) for v in batch[id_col]]).astype("int64")
         return pd.DataFrame(
             {
                 "_k": key,
+                "_k2": md5_u52_tail(texts).astype("int64"),
                 "_u": u,
                 id_col: batch[id_col].to_numpy(dtype=np.int64),
                 "_part": key % num_partitions,
@@ -671,7 +672,7 @@ def dup_debias_sample(
         )
 
     def rejected(g: pd.DataFrame) -> pa.Table:
-        sz = g["_k"].map(g["_k"].value_counts()).to_numpy(dtype=np.int64)
+        sz = g.groupby(["_k", "_k2"])["_u"].transform("size").to_numpy(dtype=np.int64)
         thr = np.int64(2**52) // sz  # exact integer per-row threshold
         lost = g.loc[g["_u"].to_numpy(dtype=np.int64) >= thr, id_col].to_numpy(dtype=np.int64)
         return pa.table({"drop_id": pa.array(lost, pa.int64())}, schema=_DROP_ID_SCHEMA)
