@@ -55,6 +55,32 @@ def sha1_64(text: str) -> int:
     return int.from_bytes(hashlib.sha1(text.encode("utf-8")).digest()[:8], "big", signed=False)
 
 
+def _md5_128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 128-bit content key as two int64 arrays (the four
+    md5 state words packed pairwise). Exact-membership keys must carry
+    the full 128 bits at the 10^12-doc design scale: a 63-bit key
+    expects ~65k birthday collisions there (n^2/2^64), and every
+    collision in an exact-dedup path silently drops a unique
+    document/paragraph; at 128 bits the expectation is ~2^-25."""
+    from pdf_extractor_ray.ops.scrub import _md5_words
+
+    a, b, c, d = _md5_words(texts)
+    return (
+        ((a << np.uint64(32)) | b).view(np.int64),
+        ((c << np.uint64(32)) | d).view(np.int64),
+    )
+
+
+def _pack128(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(h1, h2) int64 pairs as one structured array so np.isin /
+    np.unique treat the 128-bit key atomically."""
+    return (
+        np.ascontiguousarray(np.stack([h1, h2], axis=1))
+        .view([("a", "<i8"), ("b", "<i8")])
+        .ravel()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -99,15 +125,10 @@ def exact_dedup(
         return d.sort_values(id_col, kind="stable")
 
     def slim_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.sha1(t.encode("utf-8")).digest()[:8], "big") >> 1
-                for t in batch[text_col]
-            ),
-            dtype=np.int64,
-            count=len(batch),
-        )
-        out = pd.DataFrame({"_h": h, id_col: batch[id_col].to_numpy()})
+        # 128-bit vectorized content key — see _md5_128 (also replaces
+        # a per-row hashlib loop with the vectorized kernel)
+        h1, h2 = _md5_128(list(batch[text_col].astype(str)))
+        out = pd.DataFrame({"_h": h1, "_h2": h2, id_col: batch[id_col].to_numpy()})
         if prefer_col is not None:
             out["_p"] = batch[prefer_col].astype("float64").to_numpy()
         out = _rank_sort(out)
@@ -115,8 +136,10 @@ def exact_dedup(
         # forward them flagged (they must reach the drop stream), and
         # forward exactly one candidate pair per hash for the
         # partition-level winner pick (the combiner).
-        out["_lose"] = out.duplicated("_h", keep="first").to_numpy().astype(np.int8)
-        out["_part"] = out["_h"] % num_partitions
+        out["_lose"] = out.duplicated(["_h", "_h2"], keep="first").to_numpy().astype(np.int8)
+        out["_part"] = (
+            out["_h"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int64)
         return out
 
     def losers_in_part(g: pd.DataFrame) -> pa.Table:
@@ -124,7 +147,9 @@ def exact_dedup(
         lost = np.concatenate(
             [
                 g.loc[g["_lose"] == 1, id_col].to_numpy(dtype=np.int64),
-                cand.loc[cand.duplicated("_h", keep="first"), id_col].to_numpy(dtype=np.int64),
+                cand.loc[
+                    cand.duplicated(["_h", "_h2"], keep="first"), id_col
+                ].to_numpy(dtype=np.int64),
             ]
         )
         # explicit Arrow schema: empty pandas blocks lose column names
@@ -1373,8 +1398,8 @@ def paragraph_dedup(
     broadcast once under `broadcast_max_pairs`, else co-shuffle with
     the corpus on hash(id) mod P (the anti_join_ids union idiom).
     Paragraph TEXT never enters an exchange; documents rebuild
-    locally by re-splitting. Same 63-bit sha1-prefix key and collision
-    policy as exact_dedup."""
+    locally by re-splitting. Same 128-bit md5 content key (_md5_128)
+    and collision margin as exact_dedup."""
     if scope not in ("corpus", "doc"):
         raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
     out_schema = pa.schema(
@@ -1429,19 +1454,14 @@ def paragraph_dedup(
         nonblank = np.fromiter(
             (bool(p.strip()) for p in paras), dtype=bool, count=len(paras)
         )
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.sha1(p.encode("utf-8")).digest()[:8], "big") >> 1
-                for p in paras[nonblank]
-            ),
-            dtype=np.int64,
-            count=int(nonblank.sum()),
-        )
+        h1, h2 = _md5_128([str(p) for p in paras[nonblank]])
         out = pd.DataFrame(
-            {"_h": h, id_col: ids[nonblank], "_pidx": pidx[nonblank]}
+            {"_h": h1, "_h2": h2, id_col: ids[nonblank], "_pidx": pidx[nonblank]}
         ).sort_values([id_col, "_pidx"], kind="stable")
-        out["_lose"] = out.duplicated("_h", keep="first").to_numpy().astype(np.int8)
-        out["_part"] = out["_h"] % num_partitions
+        out["_lose"] = out.duplicated(["_h", "_h2"], keep="first").to_numpy().astype(np.int8)
+        out["_part"] = (
+            out["_h"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int64)
         return out
 
     def losers_in_part(g: pd.DataFrame) -> pa.Table:
@@ -1449,7 +1469,7 @@ def paragraph_dedup(
         lost = pd.concat(
             [
                 g.loc[g["_lose"] == 1, [id_col, "_pidx"]],
-                cand.loc[cand.duplicated("_h", keep="first"), [id_col, "_pidx"]],
+                cand.loc[cand.duplicated(["_h", "_h2"], keep="first"), [id_col, "_pidx"]],
             ]
         )
         return _typed_table(
@@ -1607,8 +1627,8 @@ def boilerplate_line_filter(
     with pervasive chrome should lower min_docs pressure by
     pre-stripping with source_prefix_strip), else they co-shuffle
     with the corpus on hash(id) mod P. Line TEXT never enters an
-    exchange; documents rebuild locally by re-splitting. Same 63-bit
-    sha1-prefix key and collision policy as exact_dedup."""
+    exchange; documents rebuild locally by re-splitting. Same 128-bit
+    md5 content key (_md5_128) and collision margin as exact_dedup."""
     out_schema = pa.schema(
         [
             (id_col, pa.int64()),
@@ -1628,24 +1648,22 @@ def boilerplate_line_filter(
         nonblank = np.fromiter(
             (bool(p.strip()) for p in lines), dtype=bool, count=len(lines)
         )
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.sha1(p.encode("utf-8")).digest()[:8], "big") >> 1
-                for p in lines[nonblank]
-            ),
-            dtype=np.int64,
-            count=int(nonblank.sum()),
+        h1, h2 = _md5_128([str(p) for p in lines[nonblank]])
+        out = pd.DataFrame(
+            {"_h": h1, "_h2": h2, id_col: ids[nonblank], "_pidx": pidx[nonblank]}
         )
-        out = pd.DataFrame({"_h": h, id_col: ids[nonblank], "_pidx": pidx[nonblank]})
-        out["_part"] = out["_h"] % num_partitions
+        out["_part"] = (
+            out["_h"].to_numpy().view(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int64)
         return out
 
     def hot_drops(g: pd.DataFrame) -> pa.Table:
         if g.empty or "_h" not in g.columns:
             return _typed_table(_DROP_PAIR_SCHEMA)
-        df = g.groupby("_h", sort=False)[id_col].nunique()
+        df = g.groupby(["_h", "_h2"], sort=False)[id_col].nunique()
         hot = df.index[df.to_numpy() >= min_docs]
-        lost = g[g["_h"].isin(set(hot))]
+        key = pd.MultiIndex.from_arrays([g["_h"], g["_h2"]])
+        lost = g[key.isin(hot)]
         return _typed_table(
             _DROP_PAIR_SCHEMA,
             drop_id=lost[id_col].to_numpy(dtype=np.int64),
@@ -1789,7 +1807,7 @@ def dedup_against(
     purely membership in the existing corpus.
 
     Two tiers, both moving key width only (the exact_dedup
-    discipline; same 63-bit sha1-prefix key and collision policy):
+    discipline; same 128-bit md5 content key and collision margin):
 
     - broadcast tier: the existing side reduces to per-batch-unique
       hash rows (a slim exchange no wider than one int64 per distinct
@@ -1807,14 +1825,8 @@ def dedup_against(
     import pyarrow.compute as pc
 
     def slim_existing(batch: pd.DataFrame) -> pd.DataFrame:
-        hs = np.unique(
-            np.fromiter(
-                (sha1_64(t) >> 1 for t in batch[text_col].astype(str)),
-                dtype=np.int64,
-                count=len(batch),
-            )
-        )
-        return pd.DataFrame({"_h": hs})
+        h1, h2 = _md5_128(list(batch[text_col].astype(str)))
+        return pd.DataFrame({"_h": h1, "_h2": h2}).drop_duplicates()
 
     ex_hashes = existing.map_batches(slim_existing, batch_format="pandas").materialize()
 
@@ -1829,48 +1841,50 @@ def dedup_against(
 
     if ex_hashes.count() <= broadcast_max_hashes:
         tbl = ex_hashes.to_pandas()
-        have = pa.array(np.unique(tbl["_h"].to_numpy(dtype=np.int64)), pa.int64())
+        have = np.unique(
+            _pack128(
+                tbl["_h"].to_numpy(dtype=np.int64), tbl["_h2"].to_numpy(dtype=np.int64)
+            )
+        )
 
         def drop_known(t: pa.Table) -> pa.Table:
-            hs = pa.array(
-                np.fromiter(
-                    (sha1_64(str(v)) >> 1 for v in t.column(text_col).to_pylist()),
-                    dtype=np.int64,
-                    count=t.num_rows,
-                ),
-                pa.int64(),
-            )
-            return t.filter(pc.invert(pc.is_in(hs, value_set=have)))
+            h1, h2 = _md5_128([str(v) for v in t.column(text_col).to_pylist()])
+            hit = np.isin(_pack128(h1, h2), have)
+            return t.filter(pa.array(~hit))
 
         return ds_new.map_batches(drop_known, batch_format="pyarrow")
 
     # ---- co-shuffle tier ----
     pair_schema = pa.schema(
-        [("_h", pa.int64()), (id_col, pa.int64()), ("_side", pa.int8()), ("_part", pa.int64())]
+        [
+            ("_h", pa.int64()),
+            ("_h2", pa.int64()),
+            (id_col, pa.int64()),
+            ("_side", pa.int8()),
+            ("_part", pa.int64()),
+        ]
     )
 
     def slim_new(batch: pd.DataFrame) -> pa.Table:
-        h = np.fromiter(
-            (sha1_64(t) >> 1 for t in batch[text_col].astype(str)),
-            dtype=np.int64,
-            count=len(batch),
-        )
+        h1, h2 = _md5_128(list(batch[text_col].astype(str)))
         return _typed_table(
             pair_schema,
-            _h=h,
+            _h=h1,
+            _h2=h2,
             **{id_col: batch[id_col].to_numpy(dtype=np.int64)},
             _side=np.zeros(len(batch), dtype=np.int8),
-            _part=h % num_partitions,
+            _part=(h1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int64),
         )
 
     def slim_ex_side(batch: pd.DataFrame) -> pa.Table:
-        h = batch["_h"].to_numpy(dtype=np.int64)
+        h1 = batch["_h"].to_numpy(dtype=np.int64)
         return _typed_table(
             pair_schema,
-            _h=h,
+            _h=h1,
+            _h2=batch["_h2"].to_numpy(dtype=np.int64),
             **{id_col: np.zeros(len(batch), dtype=np.int64)},
             _side=np.ones(len(batch), dtype=np.int8),
-            _part=h % num_partitions,
+            _part=(h1.view(np.uint64) % np.uint64(num_partitions)).astype(np.int64),
         )
 
     both = (
@@ -1882,9 +1896,21 @@ def dedup_against(
     def drops_in_part(g: pd.DataFrame) -> pa.Table:
         if g.empty or "_side" not in g.columns:
             return _typed_table(_DROP_ID_SCHEMA)
-        known = np.unique(g.loc[g["_side"] == 1, "_h"].to_numpy(dtype=np.int64))
+        ex_side = g[g["_side"] == 1]
+        known = np.unique(
+            _pack128(
+                ex_side["_h"].to_numpy(dtype=np.int64),
+                ex_side["_h2"].to_numpy(dtype=np.int64),
+            )
+        )
         news = g[g["_side"] == 0]
-        hit = np.isin(news["_h"].to_numpy(dtype=np.int64), known)
+        hit = np.isin(
+            _pack128(
+                news["_h"].to_numpy(dtype=np.int64),
+                news["_h2"].to_numpy(dtype=np.int64),
+            ),
+            known,
+        )
         return _typed_table(
             _DROP_ID_SCHEMA, drop_id=news.loc[hit, id_col].to_numpy(dtype=np.int64)
         )
