@@ -6164,10 +6164,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM w, t
             )
             SELECT source, uniq AS unique_tokens, share AS share_tokens,
-                   floor(CAST(share AS DOUBLE) / CAST(uniq AS DOUBLE) * 1e6 + 0.5)
-                       / 1e6 AS epochs,
+                   floor((CASE WHEN uniq = 0 THEN 0.0
+                               ELSE CAST(share AS DOUBLE) / CAST(uniq AS DOUBLE)
+                          END) * 1e6 + 0.5) / 1e6 AS epochs,
                    floor((least(CAST(share AS DOUBLE), CAST(uniq AS DOUBLE))
-                          + CASE WHEN CAST(share AS DOUBLE) / CAST(uniq AS DOUBLE) > 1.0
+                          + CASE WHEN uniq > 0
+                                  AND CAST(share AS DOUBLE) / CAST(uniq AS DOUBLE) > 1.0
                                  THEN CAST(uniq AS DOUBLE) * 15.4
                                       * (1.0 - exp(-(CAST(share AS DOUBLE)
                                                      / CAST(uniq AS DOUBLE) - 1.0) / 15.4))

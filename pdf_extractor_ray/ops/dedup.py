@@ -2938,7 +2938,12 @@ def near_dedup_against_sigs(
             )
             if g.empty or "_side" not in g.columns:
                 return empty
-            sigs = g[g["_side"] == 0].set_index("_key")["sig_a"]
+            # a persisted index grown by appends can hold the same
+            # doc id twice (retained recrawl / double export) — a
+            # duplicated lookup index makes Series.map raise; keep the
+            # first signature per key (they encode the same document)
+            side0 = g[g["_side"] == 0].drop_duplicates("_key", keep="first")
+            sigs = side0.set_index("_key")["sig_a"]
             pr = g[g["_side"] == 1]
             if pr.empty:
                 return empty

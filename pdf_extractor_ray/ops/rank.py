@@ -164,7 +164,9 @@ def grouped_percent_rank(
         keep_cols=[group_col, value_col, id_col],
         rank_col="_gr",
         num_partitions=num_partitions,
-    )
+    ).materialize()  # consumed twice (stats pass + attach pass): pin
+    # the slim ranked rows once instead of re-running the three-pass
+    # rank machinery and the whole upstream per consumer
 
     def local_stats(b: pd.DataFrame) -> pd.DataFrame:
         if b.empty or group_col not in b.columns:

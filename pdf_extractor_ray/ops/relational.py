@@ -766,40 +766,44 @@ def shuffle_skew_audit(
     from pdf_extractor_ray.ops.scrub import md5_u52
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "part": pd.Series(dtype="int64"),
-                "_key": pd.Series(dtype="int64"),
-                "n": pd.Series(dtype="int64"),
-            }
-        )
+        # key dtype rides through untouched (string sources/terms are
+        # the common shuffle keys here, not just int ids); the typed
+        # empty frame matches non-empty blocks so unions never see a
+        # schema conflict (the join-input rule)
         if len(b) == 0:
-            return empty
+            return pd.DataFrame(
+                {
+                    "part": pd.Series(dtype="int64"),
+                    "_key": pd.Series(dtype=b[key].dtype),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
         c = b.groupby(key, sort=False).size()
         keys = c.index.to_numpy()
         part = (
-            md5_u52([str(int(k)) for k in keys]) % np.uint64(num_partitions)
+            md5_u52([str(k) for k in keys]) % np.uint64(num_partitions)
         ).astype(np.int64)
         return pd.DataFrame(
             {
                 "part": part,
-                "_key": keys.astype(np.int64),
+                "_key": keys,
                 "n": c.to_numpy(dtype=np.int64),
             }
         )
 
     def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "part": pd.Series(dtype="int64"),
-                "n_rows": pd.Series(dtype="int64"),
-                "n_keys": pd.Series(dtype="int64"),
-                "top_key": pd.Series(dtype="int64"),
-                "top_key_rows": pd.Series(dtype="int64"),
-            }
-        )
         if g.empty or "part" not in g.columns:
-            return empty
+            return pd.DataFrame(
+                {
+                    "part": pd.Series(dtype="int64"),
+                    "n_rows": pd.Series(dtype="int64"),
+                    "n_keys": pd.Series(dtype="int64"),
+                    "top_key": pd.Series(
+                        dtype=g["_key"].dtype if "_key" in g.columns else "object"
+                    ),
+                    "top_key_rows": pd.Series(dtype="int64"),
+                }
+            )
         tot = g.groupby(["part", "_key"], sort=False)["n"].sum().reset_index()
         rows = []
         for p, gg in tot.groupby("part", sort=True):
@@ -809,13 +813,16 @@ def shuffle_skew_audit(
                     int(p),
                     int(gg["n"].sum()),
                     int(len(gg)),
-                    int(gg["_key"].iloc[0]),
+                    gg["_key"].iloc[0],
                     int(gg["n"].iloc[0]),
                 )
             )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             rows, columns=["part", "n_rows", "n_keys", "top_key", "top_key_rows"]
-        ).astype("int64")
+        )
+        for col in ("part", "n_rows", "n_keys", "top_key_rows"):
+            out[col] = out[col].astype("int64")
+        return out
 
     out = (
         ds.select_columns([key])
@@ -850,7 +857,7 @@ def schema_contract_check(
     - ``max_nulls``: int — null count must not exceed it
     - ``min`` / ``max``: numeric bounds (violations counted exactly)
     - ``unique``: True — duplicate values counted exactly (the id
-      contract); uses a slim value-hash shuffle, never text
+      contract); uses a slim 104-bit value-hash shuffle, never text
 
     Emits one row per (column, check): (column, check, n_violations,
     passed) — exact integer counts, so the DuckDB twin reproduces the
@@ -903,28 +910,37 @@ def schema_contract_check(
     for col in sorted(c for c, s in contract.items() if s.get("unique")):
 
         def dup_partial(b: pd.DataFrame, col=col) -> pd.DataFrame:
+            # 104-bit value key (md5 head+tail u52 slices): the check
+            # claims EXACT duplicate counts, and a 64-bit key expects
+            # ~27k birthday collisions at the 10^12-doc design scale —
+            # each one a false "uniqueness violation"
+            from pdf_extractor_ray.ops.scrub import md5_u52, md5_u52_tail
+
             if len(b) == 0:
                 return pd.DataFrame(
                     {
                         "_v": pd.Series(dtype="int64"),
+                        "_v2": pd.Series(dtype="int64"),
                         "n": pd.Series(dtype="int64"),
                         "_part": pd.Series(dtype="int64"),
                     }
                 )
             c = b.groupby(col, sort=False).size()
-            h = pd.util.hash_array(c.index.to_numpy())
+            vals = [str(v) for v in c.index]
+            h1 = md5_u52(vals)
             return pd.DataFrame(
                 {
-                    "_v": h.astype(np.int64),
+                    "_v": h1.view(np.int64),
+                    "_v2": md5_u52_tail(vals).view(np.int64),
                     "n": c.to_numpy(dtype=np.int64),
-                    "_part": (h % num_partitions).astype(np.int64),
+                    "_part": (h1 % np.uint64(num_partitions)).astype(np.int64),
                 }
             )
 
         def dup_count(g: pd.DataFrame) -> pd.DataFrame:
             if g.empty or "_v" not in g.columns:
                 return pd.DataFrame({"n_dup": pd.Series(dtype="int64")})
-            tot = g.groupby("_v", sort=False)["n"].sum()
+            tot = g.groupby(["_v", "_v2"], sort=False)["n"].sum()
             return pd.DataFrame({"n_dup": [int((tot - 1).clip(lower=0).sum())]})
 
         dups = (

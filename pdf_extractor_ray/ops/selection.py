@@ -577,7 +577,8 @@ def mixture_plan(
         keep_cols=[group_col, id_col],
         rank_col="_gr",
         num_partitions=num_partitions,
-    )
+    ).materialize()  # consumed twice (group-min pass + stride pass):
+    # pin the slim ranked rows once, don't re-run the rank machinery
 
     def group_mins(b: pd.DataFrame) -> pd.DataFrame:
         if b.empty or group_col not in b.columns:
@@ -726,7 +727,11 @@ def epoch_plan(
     wsum = int(w.sum()) if len(stats) else 1
     uniq = stats[f"sum_{tokens_col}"].to_numpy(dtype="int64")
     share = (np.int64(budget_tokens) * w) // np.int64(wsum)  # exact floor split
-    epochs = share.astype("float64") / uniq.astype("float64")
+    # a zero-token source (broken feed of empty docs) gets epochs = 0,
+    # never inf — the plan row SURFACES the feed instead of poisoning
+    # downstream arithmetic (SQL twin mirrors the guard)
+    safe_uniq = np.maximum(uniq, 1).astype("float64")
+    epochs = np.where(uniq > 0, share.astype("float64") / safe_uniq, 0.0)
     r = np.maximum(epochs - 1.0, 0.0)
     eff = np.minimum(share.astype("float64"), uniq.astype("float64")) + np.where(
         epochs > 1.0, uniq.astype("float64") * r_star * (1.0 - np.exp(-r / r_star)), 0.0

@@ -886,6 +886,14 @@ def truncation_recall(
         lambda b: b[b[id_col] % query_mod == 0], batch_format="pandas"
     ).to_pandas()  # bounded: 1/query_mod of the id space, by contract
     qdf = qdf.sort_values(id_col).reset_index(drop=True)
+    if qdf.empty:  # no id hits the panel (sparse/offset id space)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "n_overlap": pd.Series(dtype="int64"),
+                "recall_at_k": pd.Series(dtype="float64"),
+            }
+        )
     qids = qdf[id_col].to_numpy(dtype=np.int64)
     qmat = np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
     qf = _normalize_rows(qmat)

@@ -5500,3 +5500,40 @@ def test_kmv_overlap(ray_session):
     assert out2.loc[0, "n_union_sketch"] == 64
     assert 300 < out2.loc[0, "union_est"] < 1100  # truth 600, ~13% band + slack
     assert 50 < out2.loc[0, "intersect_est"] < 450  # truth 200
+
+
+def test_shuffle_skew_audit_string_keys(ray_session):
+    """The skew audit must accept STRING shuffle keys (sources, terms
+    — the common case per its own docstring), preserving the key dtype
+    in top_key and counting exactly."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.relational import shuffle_skew_audit
+
+    df = pd.DataFrame({"source": ["srcA"] * 30 + ["srcB"] * 3 + ["srcC"] * 3})
+    out = shuffle_skew_audit(ray.data.from_pandas(df).repartition(3), "source", num_partitions=4)
+    assert int(out["n_rows"].sum()) == 36
+    assert int(out["n_keys"].sum()) == 3
+    hot = out.loc[out["top_key_rows"].idxmax()]
+    assert hot["top_key"] == "srcA" and hot["top_key_rows"] == 30
+
+
+def test_epoch_plan_zero_token_source(ray_session):
+    """A source whose docs are all empty must plan epochs = 0 and
+    effective = 0 (never inf), while healthy sources are unaffected."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.selection import epoch_plan
+
+    df = pd.DataFrame(
+        {"source": ["dead"] * 3 + ["ok"] * 3, "n_ws_tokens": [0, 0, 0, 100, 100, 100]}
+    )
+    out = epoch_plan(
+        ray.data.from_pandas(df), budget_tokens=600, weights={"dead": 1, "ok": 1}
+    )
+    dead = out[out["source"] == "dead"].iloc[0]
+    assert dead["unique_tokens"] == 0 and dead["share_tokens"] == 300
+    assert dead["epochs"] == 0.0 and dead["effective_tokens"] == 0.0
+    assert np.isfinite(out["epochs"]).all() and np.isfinite(out["effective_tokens"]).all()
+    ok = out[out["source"] == "ok"].iloc[0]
+    assert ok["epochs"] == 1.0 and ok["effective_tokens"] == 300.0
