@@ -3695,6 +3695,22 @@ def _events_kmv_overlap(sf_dir: str) -> pd.DataFrame:
     return kmv_overlap(ds, "event_type", "user_id", "click", "purchase", k=64)
 
 
+
+def _embeddings_knn_graph(sf_dir: str) -> pd.DataFrame:
+    """Cosine k-NN graph over the embedding corpus (ops/similarity.
+    knn_graph): per vector its 5 nearest others by (cos DESC, nbr_id)
+    — hard_negatives with label := id, inheriting the exact broadcast
+    tile (this oracle) and the IVF bucketed scale tier (recall pinned
+    in pytest). Fully SQL-oracled against the DuckDB self-join."""
+    from pdf_extractor_ray.ops.similarity import knn_graph
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_graph(ds, k=5)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["nbr_id"] = out["nbr_id"].astype("int64")
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3888,6 +3904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_plan": _docs_epoch_plan,
         "docs_truncation_loss": _docs_truncation_loss,
         "events_kmv_overlap": _events_kmv_overlap,
+        "embeddings_knn_graph": _embeddings_knn_graph,
     }
 
 
@@ -6236,5 +6253,17 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest(n_union, 1) AS DOUBLE) * 1e6 + 0.5) / 1e6
                        AS intersect_est
             FROM st
+        """,
+        "embeddings_knn_graph": """
+            WITH s AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS cos
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, nbr_id, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, nbr_id) AS rank
+            FROM s QUALIFY rank <= 5 ORDER BY vec_id, rank
         """,
     }

@@ -1394,3 +1394,52 @@ def _bitext_mine_bucketed(
             }
         )
     return out.sort_values("src_id", kind="stable").reset_index(drop=True)
+
+
+def knn_graph(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tier: str = "auto",
+    max_broadcast_rows: int = 100_000,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    num_partitions: int = 32,
+    block_rows: int = 2048,
+) -> pd.DataFrame:
+    """Cosine k-nearest-neighbor GRAPH over the embedding corpus —
+    per vector, its k most similar OTHER vectors with rank 1..k by
+    (cos desc, nbr_id) — the substrate for graph-based semantic dedup
+    sweeps, label propagation, and HNSW-style index seeding.
+
+    Implemented as hard_negatives with label := id: the same-label
+    exclusion degenerates to exact self-exclusion, so the k-NN graph
+    inherits both tiers verbatim — the exact broadcast tile (the SQL
+    oracle baseline, auto below `max_broadcast_rows`) and the IVF
+    bucketed co-shuffle (the 100-TB scale path; with
+    n_probe == n_centroids it reproduces the exact tier bitwise,
+    pinned in tests). Emits (id, nbr_id, cos, rank).
+
+    The id is mirrored into a shadow `_knn_lbl` column (duplicate
+    column names break pandas selections inside the shared tiers)."""
+
+    def shadow(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_knn_lbl"] = b[id_col].to_numpy(dtype=np.int64)
+        return b
+
+    out = hard_negatives(
+        ds.map_batches(shadow, batch_format="pandas"),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col="_knn_lbl",
+        tier=tier,
+        max_broadcast_rows=max_broadcast_rows,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        num_partitions=num_partitions,
+        block_rows=block_rows,
+    )
+    return out.rename(columns={"neg_id": "nbr_id"})

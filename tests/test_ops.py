@@ -5537,3 +5537,35 @@ def test_epoch_plan_zero_token_source(ray_session):
     assert np.isfinite(out["epochs"]).all() and np.isfinite(out["effective_tokens"]).all()
     ok = out[out["source"] == "ok"].iloc[0]
     assert ok["epochs"] == 1.0 and ok["effective_tokens"] == 300.0
+
+
+def test_knn_graph(ray_session):
+    """k-NN graph: exact tier matches a numpy brute-force reference
+    (self excluded, ties by nbr_id); full-probe bucketed tier equals
+    the exact tier bitwise (the hard_negatives equivalence, inherited)."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import knn_graph
+
+    rng = np.random.RandomState(11)
+    n, d, k = 60, 8, 3
+    m = rng.randn(n, d).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": list(m)})
+    out = knn_graph(ray.data.from_pandas(df).repartition(3), k=k)
+    # numpy reference
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = mn @ mn.T
+    np.fill_diagonal(s, -np.inf)
+    order = np.lexsort((np.broadcast_to(np.arange(n), s.shape), -s), axis=1)[:, :k]
+    ref = {(i, int(order[i, r])): r + 1 for i in range(n) for r in range(k)}
+    got = {(int(a), int(b)): int(r) for a, b, r in zip(out["vec_id"], out["nbr_id"], out["rank"])}
+    assert got == ref
+    # bucketed tier with full probes reproduces the exact tier
+    full = knn_graph(
+        ray.data.from_pandas(df).repartition(3),
+        k=k, tier="bucketed", n_centroids=4, n_probe=4,
+    )
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True)[["vec_id", "nbr_id", "rank"]],
+        out.reset_index(drop=True)[["vec_id", "nbr_id", "rank"]],
+    )
