@@ -3069,6 +3069,66 @@ def _extract_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _warc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """WARC source through the driver's oracle: shard the committed
+    fixture pages into deterministic WARC files (one gzip member per
+    record, the Common-Crawl layout — `sources/warc.py`), stream them
+    back via `WarcDatasource`, and emit (n_pages, n_bytes, checksum)
+    where checksum is the ORDER-FREE integer sum of a 52-bit md5 over
+    (url, epoch-µs timestamp, payload hex) per record. The DuckDB twin
+    computes the same sum straight from pages.parquet, so any url /
+    timestamp / payload byte the reader loses or alters flips
+    hash_match red. Integer sum < 504·2^52 « 2^63 — exact in BIGINT on
+    both engines (the repo's cross-engine float doctrine)."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    from pdf_extractor_ray.sources import warc as _warc_mod
+    from pdf_extractor_ray.sources.warc import read_warc, write_warc_shards
+
+    pages = os.path.join(_REPO, "tests", "fixtures", "pages.parquet")
+    with open(_warc_mod.__file__, "rb") as f:
+        tag = _hashlib.sha1(f.read()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_warc_{tag}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_warc_shards(pq.read_table(pages, columns=["url", "warc_ts", "html"]), out_dir, 8)
+        open(marker, "w").close()
+    paths = sorted(_glob.glob(os.path.join(out_dir, "*.warc.gz")))
+
+    def partial(b) -> pd.DataFrame:
+        import numpy as np
+
+        urls = b["url"].to_pylist()
+        ts_us = b["warc_ts"].cast("int64").to_pylist()
+        payloads = b["html"].to_pylist()
+        csum = sum(
+            int(
+                _hashlib.md5(
+                    (u + "|" + str(t) + "|" + p.hex().upper()).encode()
+                ).hexdigest()[:13],
+                16,
+            )
+            for u, t, p in zip(urls, ts_us, payloads)
+        )
+        return pd.DataFrame(
+            {
+                "n_pages": [np.int64(len(urls))],
+                "n_bytes": [np.int64(sum(len(p) for p in payloads))],
+                "checksum": [np.int64(csum)],
+            }
+        )
+
+    parts = read_warc(paths).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pages": [int(parts["n_pages"].sum())],
+            "n_bytes": [int(parts["n_bytes"].sum())],
+            "checksum": [int(parts["checksum"].sum())],
+        }
+    )
+
+
 def _extract_golden_match(sf_dir: str) -> pd.DataFrame:
     """Flagship byte-identity through the DRIVER'S oracle (VERDICT r4
     item 6): extract the COMMITTED fixture corpus
@@ -3725,6 +3785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    never-driver-checked r4 addition, then the 11 longest-idle
         #    r3-checked queries -------------------------------------------
         "extract_golden_match": _extract_golden_match,
+        "warc_roundtrip": _warc_roundtrip,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -3915,6 +3976,15 @@ def oracle_sql() -> dict[str, str]:
         # golden row count (extraction can't run in SQL; the oracle
         # encodes its expected outcome — any divergent url makes the
         # Ray side's n_byte_identical smaller and the hash red)
+        "warc_roundtrip": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(octet_length(html)) AS BIGINT) AS n_bytes,
+                   CAST(sum(('0x' || substr(md5(
+                       url || '|' || CAST(epoch_us(warc_ts) AS VARCHAR)
+                           || '|' || hex(html)
+                   ), 1, 13))::UBIGINT) AS BIGINT) AS checksum
+            FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "pages.parquet")}')
+        """,
         "extract_golden_match": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_byte_identical,
