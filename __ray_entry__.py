@@ -3129,6 +3129,69 @@ def _warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _feeds_fixture_parquet() -> str:
+    """Deterministic crawl-frontier corpus (sitemaps + feeds) in /tmp,
+    cache-keyed on the generator source so semantic changes invalidate
+    stale corpora — same discipline as _fixture_pages."""
+    import hashlib as _hashlib
+
+    from pdf_extractor_ray.fixtures import feedgen as _feedgen
+
+    with open(_feedgen.__file__, "rb") as f:
+        tag = _hashlib.sha1(f.read()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_feeds_{tag}")
+    path = os.path.join(out_dir, "feeds.parquet")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(_feedgen.feed_corpus_table(), tmp)
+        os.replace(tmp, path)  # atomic publish
+    return path
+
+
+def _extract_sitemap_entries(sf_dir: str) -> pd.DataFrame:
+    """Sitemap parse (ops/feeds.py): every urlset/sitemapindex entry in
+    the crawl-frontier fixture as (url, order, kind, loc, lastmod,
+    changefreq, priority); malformed payloads become kind='error'
+    rows. The DuckDB twin re-extracts the same fields with non-greedy
+    regexes over the same parquet, so tag scoping, optional-field
+    NULLs, W3C timestamp parsing and error routing are all pinned."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.feeds import sitemap_entries
+
+    path = _feeds_fixture_parquet()
+
+    def keep(b):
+        return b.filter(pc.match_substring(b["url"], "sitemap"))
+
+    pages = ray.data.read_parquet(path).map_batches(keep, batch_format="pyarrow")
+    out = sitemap_entries(pages, xml_col="xml").to_pandas()
+    return out.sort_values(["url", "order"]).reset_index(drop=True)
+
+
+def _extract_feed_items(sf_dir: str) -> pd.DataFrame:
+    """RSS 2.0 / Atom feed parse (ops/feeds.py): every item/entry as
+    (url, order, kind, title, link, pub_ts); RFC-822 pubDate parses
+    through hard-coded English month tables (locale trap, see module
+    docstring) and the DuckDB twin's strptime mirrors both formats."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.feeds import feed_items
+
+    path = _feeds_fixture_parquet()
+
+    def keep(b):
+        m = pc.or_(
+            pc.match_substring(b["url"], "rss.xml"), pc.match_substring(b["url"], "atom.xml")
+        )
+        return b.filter(m)
+
+    pages = ray.data.read_parquet(path).map_batches(keep, batch_format="pyarrow")
+    out = feed_items(pages, xml_col="xml").to_pandas()
+    return out.sort_values(["url", "order"]).reset_index(drop=True)
+
+
 def _extract_golden_match(sf_dir: str) -> pd.DataFrame:
     """Flagship byte-identity through the DRIVER'S oracle (VERDICT r4
     item 6): extract the COMMITTED fixture corpus
@@ -3786,6 +3849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    r3-checked queries -------------------------------------------
         "extract_golden_match": _extract_golden_match,
         "warc_roundtrip": _warc_roundtrip,
+        "extract_sitemap_entries": _extract_sitemap_entries,
+        "extract_feed_items": _extract_feed_items,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -3976,6 +4041,62 @@ def oracle_sql() -> dict[str, str]:
         # golden row count (extraction can't run in SQL; the oracle
         # encodes its expected outcome — any divergent url makes the
         # Ray side's n_byte_identical smaller and the hash red)
+        "extract_sitemap_entries": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_feeds_fixture_parquet()}')
+                       WHERE url LIKE '%sitemap%'),
+            u AS (SELECT url, 'urlset' AS kind,
+                         regexp_extract_all(xml, '(?s)<url>.*?</url>') AS arr
+                  FROM t WHERE xml LIKE '%<urlset%'),
+            s AS (SELECT url, 'sitemapindex' AS kind,
+                         regexp_extract_all(xml, '(?s)<sitemap>.*?</sitemap>') AS arr
+                  FROM t WHERE xml LIKE '%<sitemapindex%'),
+            b AS (SELECT * FROM u UNION ALL SELECT * FROM s),
+            x AS (SELECT url, kind,
+                         unnest(list_zip(arr, range(1, len(arr) + 1))) AS z
+                  FROM b)
+            SELECT url, CAST(z[2] - 1 AS BIGINT) AS "order", kind,
+                   NULLIF(regexp_extract(z[1], '<loc>(.*?)</loc>', 1), '') AS loc,
+                   CASE WHEN kind = 'urlset'
+                        THEN CAST(NULLIF(regexp_extract(z[1], '<lastmod>(.*?)</lastmod>', 1), '') AS TIMESTAMP)
+                        ELSE strptime(NULLIF(regexp_extract(z[1], '<lastmod>(.*?)</lastmod>', 1), ''),
+                                      '%Y-%m-%dT%H:%M:%SZ') END AS lastmod,
+                   NULLIF(regexp_extract(z[1], '<changefreq>(.*?)</changefreq>', 1), '') AS changefreq,
+                   CAST(NULLIF(regexp_extract(z[1], '<priority>(.*?)</priority>', 1), '') AS DOUBLE) AS priority
+            FROM x
+            UNION ALL
+            SELECT url, CAST(0 AS BIGINT), 'error', NULL, NULL, NULL, NULL
+            FROM t WHERE xml NOT LIKE '%<urlset%' AND xml NOT LIKE '%<sitemapindex%'
+            ORDER BY url, "order"
+        """,
+        "extract_feed_items": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_feeds_fixture_parquet()}')
+                       WHERE url LIKE '%rss.xml' OR url LIKE '%atom.xml'),
+            r AS (SELECT url, 'rss' AS kind,
+                         regexp_extract_all(xml, '(?s)<item>.*?</item>') AS arr
+                  FROM t WHERE xml LIKE '%<rss%'),
+            a AS (SELECT url, 'atom' AS kind,
+                         regexp_extract_all(xml, '(?s)<entry>.*?</entry>') AS arr
+                  FROM t WHERE xml LIKE '%<feed%'),
+            b AS (SELECT * FROM r UNION ALL SELECT * FROM a),
+            x AS (SELECT url, kind,
+                         unnest(list_zip(arr, range(1, len(arr) + 1))) AS z
+                  FROM b)
+            SELECT url, CAST(z[2] - 1 AS BIGINT) AS "order", kind,
+                   NULLIF(regexp_extract(z[1], '<title>(.*?)</title>', 1), '') AS title,
+                   CASE WHEN kind = 'rss'
+                        THEN NULLIF(regexp_extract(z[1], '<link>(.*?)</link>', 1), '')
+                        ELSE NULLIF(regexp_extract(z[1], '<link href="(.*?)"', 1), '') END AS link,
+                   CASE WHEN kind = 'rss'
+                        THEN strptime(NULLIF(regexp_extract(z[1], '<pubDate>(.*?)</pubDate>', 1), ''),
+                                      '%a, %d %b %Y %H:%M:%S GMT')
+                        ELSE strptime(NULLIF(regexp_extract(z[1], '<updated>(.*?)</updated>', 1), ''),
+                                      '%Y-%m-%dT%H:%M:%SZ') END AS pub_ts
+            FROM x
+            UNION ALL
+            SELECT url, CAST(0 AS BIGINT), 'error', NULL, NULL, NULL
+            FROM t WHERE xml NOT LIKE '%<rss%' AND xml NOT LIKE '%<feed%'
+            ORDER BY url, "order"
+        """,
         "warc_roundtrip": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_pages,
                    CAST(sum(octet_length(html)) AS BIGINT) AS n_bytes,
