@@ -390,6 +390,109 @@ def _customers_without_big_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def _late_shipped_by_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS decorrelated into an
+    aggregate semi-join: `EXISTS (lineitem l WHERE l.orderkey =
+    o.orderkey AND l.shipdate > o.orderdate)` is exactly
+    `max(l_shipdate) per order > o_orderdate`, so the fact side
+    collapses to ONE (orderkey, max_shipdate) row per order via the
+    pre-aggregate combiner BEFORE the join — the co-shuffle then moves
+    one slim row per order instead of every lineitem. Count per
+    priority is a second (tiny, 5-key) grouped count."""
+    from pdf_extractor_ray.ops.relational import grouped_sum, sized_join
+
+    li_max = grouped_sum(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+        ["l_orderkey"],
+        [],
+        counts=False,
+        maxs=["l_shipdate"],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = sized_join(orders, li_max, on="o_orderkey", right_on="l_orderkey", num_partitions=16)
+
+    def late(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["max_l_shipdate"] > b["o_orderdate"], ["o_orderpriority"]]
+
+    out = grouped_sum(
+        joined.map_batches(late, batch_format="pandas"), ["o_orderpriority"], []
+    ).to_pandas()
+    out = out.rename(columns={"n": "n_late_orders"})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _large_volume_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape — GROUP BY + HAVING, then a dimension join and
+    a global top-k: per-customer exact money sum (scaled-int64,
+    decimal_scale=2) through the combiner, HAVING filter applied to
+    the aggregated rows (tiny), customer names attached via the
+    cost-based sized_join, and the top-50 sort pre-pruned per block."""
+    from pdf_extractor_ray.ops.relational import grouped_sum, sized_join
+
+    spend = grouped_sum(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        ["o_totalprice"],
+        decimal_scale=2,
+    )
+
+    def having(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["sum_o_totalprice"] > 4_500_000.0]
+        return b.rename(columns={"sum_o_totalprice": "total_spend", "n": "n_orders"})
+
+    big = spend.map_batches(having, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = sized_join(big, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+    top = (
+        joined.map_batches(
+            _arrow_partial_top(["total_spend", "c_custkey"], [False, True], 50),
+            batch_format="pyarrow",
+        )
+        .sort(["total_spend", "c_custkey"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+    return top[["c_custkey", "c_name", "n_orders", "total_spend"]].reset_index(drop=True)
+
+
+def _brand_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape — a disjunctive (brand, quantity-band)
+    predicate across a join: the part side filters to the three named
+    brands BEFORE the join (dimension-sized → sized_join broadcasts
+    it), the OR-of-ANDs evaluates vectorized on the joined batches,
+    and revenue is the exact scaled-int64 sum (decimal_scale=4, the
+    price×(1−discount) fixed-point doctrine shared with q3/q6)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.relational import grouped_sum, sized_join
+
+    bands = {"Brand#12": (1.0, 11.0), "Brand#23": (10.0, 20.0), "Brand#3": (20.0, 30.0)}
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["p_brand"], value_set=pa.array(list(bands)))),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    joined = sized_join(li, part, on="l_partkey", right_on="p_partkey", num_partitions=16)
+
+    def matched(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy()
+        keep = np.zeros(len(b), dtype=bool)
+        for brand, (lo, hi) in bands.items():
+            keep |= (b["p_brand"].to_numpy() == brand) & (q >= lo) & (q <= hi)
+        b = b.loc[keep].copy()
+        b["rev"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["_g"] = 0
+        return b[["_g", "rev"]]
+
+    out = grouped_sum(
+        joined.map_batches(matched, batch_format="pandas"), ["_g"], ["rev"], decimal_scale=4
+    ).to_pandas()
+    return pd.DataFrame(
+        {"revenue": [float(out["sum_rev"].iloc[0])], "n_items": [int(out["n"].iloc[0])]}
+    )
+
+
 def _extreme_orders_union(sf_dir: str) -> pd.DataFrame:
     """Dataset.union of two sorted/limited streams (top and bottom 20
     orders by price). Each stream pre-prunes a per-block partial
@@ -3930,6 +4033,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_standard_brands": _parts_standard_brands,
         "orders_price_bands": _orders_price_bands,
         "supplier_balance_by_nation": _supplier_balance_by_nation,
+        "late_shipped_by_priority": _late_shipped_by_priority,
+        "large_volume_customers": _large_volume_customers,
+        "brand_quantity_revenue": _brand_quantity_revenue,
         "customers_without_big_orders": _customers_without_big_orders,
         "users_click_and_purchase": _users_click_and_purchase,
         "topk_orders_per_priority": _topk_orders_per_priority,
@@ -5857,6 +5963,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY a, b
+        """,
+        "late_shipped_by_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "large_volume_customers": """
+            WITH t AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+                FROM orders GROUP BY o_custkey
+                HAVING sum(CAST(o_totalprice AS DECIMAL(18,2))) > 4500000
+            )
+            SELECT c.c_custkey, c.c_name, t.n_orders, t.total_spend
+            FROM t JOIN customer c ON c.c_custkey = t.o_custkey
+            ORDER BY t.total_spend DESC, c.c_custkey LIMIT 50
+        """,
+        "brand_quantity_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE)
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3'  AND l.l_quantity BETWEEN 20 AND 30)
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,
