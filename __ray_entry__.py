@@ -3006,6 +3006,32 @@ def _similarity_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(ds, _query_vec(sf_dir), k=10)[["vec_id", "cos"]]
 
 
+def _embeddings_kcenter(sf_dir: str) -> pd.DataFrame:
+    """k-center (farthest-point) diversity sample over the embedding
+    corpus — Gonzalez-greedy, exact distributed tier (k passes, one
+    broadcast center + one-row-per-block argmax partials per pass);
+    the coreset tier is the scale path (ops/diversity.py). Not
+    SQL-expressible (iterative argmax); pinned instead by pytest
+    equivalence to the in-memory reference and partition invariance."""
+    from pdf_extractor_ray.ops.diversity import kcenter_sample
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kcenter_sample(ds, k=12, tier="exact")
+    return out[["rank", "vec_id", "dist"]]
+
+
+def _embeddings_mmr_topk(sf_dir: str) -> pd.DataFrame:
+    """Maximal-marginal-relevance re-ranked retrieval (Carbonell &
+    Goldstein 1998): distributed brute-force pool retrieval, then the
+    O(pool^2) diversity greedy on the bounded candidate set. lam=1.0
+    degenerates to similarity_topk (pinned in tests)."""
+    from pdf_extractor_ray.ops.diversity import mmr_rerank
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = mmr_rerank(ds, _query_vec(sf_dir), k=10, lam=0.7, pool=50)
+    return out[["rank", "vec_id", "cos", "mmr_score"]]
+
+
 def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Cosine pair detection; threshold 0.4 because the synthetic
     embeddings top out near 0.51 pairwise — the operator is the point,
@@ -3954,6 +3980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _warc_roundtrip,
         "extract_sitemap_entries": _extract_sitemap_entries,
         "extract_feed_items": _extract_feed_items,
+        "embeddings_kcenter": _embeddings_kcenter,
+        "embeddings_mmr_topk": _embeddings_mmr_topk,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,

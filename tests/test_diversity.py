@@ -1,0 +1,107 @@
+"""k-center diversity sampling and MMR re-ranking."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractor_ray.ops.diversity import _greedy_kcenter, kcenter_sample, mmr_rerank
+from pdf_extractor_ray.ops.similarity import _normalize_rows, brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    return ray.data.from_pandas(df).repartition(6), ids, mat.astype(np.float64)
+
+
+def _radius(nm: np.ndarray, ids: np.ndarray, sel_ids: np.ndarray) -> float:
+    smat = nm[np.isin(ids, sel_ids)]
+    return float((1 - (nm @ smat.T).max(axis=1)).max())
+
+
+def test_exact_tier_matches_inmemory_gonzalez(emb_ds):
+    ds, ids, mat = emb_ds
+    got = kcenter_sample(ds, k=8, tier="exact")
+    nm = _normalize_rows(mat)
+    ref_sel, ref_dist = _greedy_kcenter(ids, nm, 8, int(np.argmin(ids)))
+    assert got["vec_id"].tolist() == ref_sel.tolist()
+    assert np.allclose(got["dist"].to_numpy(), ref_dist, atol=1e-9)
+    # selection distances are non-increasing after the seed (greedy
+    # picks the farthest remaining point each round)
+    d = got["dist"].to_numpy()
+    assert (np.diff(d[1:]) <= 1e-12).all()
+
+
+def test_exact_tier_partition_invariant(emb_ds, ray_session):
+    import ray.data
+
+    ds, ids, mat = emb_ds
+    a = kcenter_sample(ds, k=6, tier="exact")
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat.astype(np.float32))})
+    b = kcenter_sample(ray.data.from_pandas(df).repartition(13), k=6, tier="exact")
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
+def test_coreset_tier_within_approximation_bound(emb_ds):
+    ds, ids, mat = emb_ds
+    nm = _normalize_rows(mat)
+    exact = kcenter_sample(ds, k=8, tier="exact")
+    core = kcenter_sample(ds, k=8, tier="coreset", num_partitions=4)
+    assert len(core) == 8 and core["vec_id"].is_unique
+    # composable-coreset guarantee: <= 2 (coreset) x 2 (greedy) x OPT,
+    # and exact-greedy radius >= OPT, so core_radius <= 4 x exact_radius
+    r_exact = _radius(nm, ids, exact["vec_id"].to_numpy())
+    r_core = _radius(nm, ids, core["vec_id"].to_numpy())
+    assert r_core <= 4 * r_exact + 1e-9
+
+
+def test_kcenter_k_greater_than_n(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {"vec_id": [1, 2, 3], "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]}
+    )
+    out = kcenter_sample(ray.data.from_pandas(df), k=10, tier="exact")
+    assert sorted(out["vec_id"].tolist()) == [1, 2, 3]
+
+
+def test_mmr_lambda_one_is_plain_topk(emb_ds):
+    ds, _, _ = emb_ds
+    q = np.arange(16, dtype=np.float64)
+    mm = mmr_rerank(ds, q, k=5, lam=1.0, pool=25)
+    bf = brute_force_topk(ds, q, k=5)
+    assert mm["vec_id"].tolist() == bf["vec_id"].tolist()
+    assert np.allclose(mm["cos"].to_numpy(), bf["cos"].to_numpy())
+
+
+def test_mmr_matches_inmemory_reference(emb_ds):
+    ds, ids, mat = emb_ds
+    q = np.arange(16, dtype=np.float64)
+    lam, k, pool = 0.5, 6, 30
+    got = mmr_rerank(ds, q, k=k, lam=lam, pool=pool)
+
+    nm = _normalize_rows(mat)
+    qs = nm @ (q / np.linalg.norm(q))
+    order = np.lexsort((ids, -qs))[:pool]
+    p_ids, p_sims, p_mat = ids[order], qs[order], nm[order]
+    sel: list[int] = []
+    max_red = np.zeros(pool)
+    active = np.ones(pool, dtype=bool)
+    for r in range(k):
+        score = lam * p_sims - (0.0 if r == 0 else (1 - lam)) * max_red
+        score = np.where(active, score, -np.inf)
+        cand = np.flatnonzero(score >= score.max() - 1e-12)
+        cur = cand[np.argmin(p_ids[cand])]
+        sel.append(int(p_ids[cur]))
+        active[cur] = False
+        max_red = np.maximum(max_red, p_mat @ p_mat[cur])
+    assert got["vec_id"].tolist() == sel
+    # re-ranking diversifies: the MMR set differs from plain top-k here
+    bf = brute_force_topk(ds, q, k=k)
+    assert got["vec_id"].tolist() != bf["vec_id"].tolist()
