@@ -3198,6 +3198,31 @@ def _extract_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _extract_host_cadence(sf_dir: str) -> pd.DataFrame:
+    """Crawl-politeness audit: per-host inter-fetch gap stats over the
+    page corpus (url -> host, warc_ts ordered) through the
+    interarrival LAG machinery (ops/windows.py) — gap sums stay int64
+    microseconds end-to-end (the events_bot_cadence doctrine), the
+    mean is one float division, so the DuckDB twin reproduces every
+    value bitwise. A host fetched faster than its crawl-delay budget
+    shows up directly in avg_gap_us."""
+    from pdf_extractor_ray.ops.windows import interarrival_stats
+
+    pages = os.path.join(_REPO, "tests", "fixtures", "pages.parquet")
+    ds = ray.data.read_parquet(pages, columns=["url", "warc_ts"])
+
+    def add_host(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["host"] = b["url"].str.extract(r"^https?://([^/]+)", expand=False).str.lower()
+        return b
+
+    hosts = ds.map_batches(add_host, batch_format="pandas")
+    out = interarrival_stats(
+        hosts, key="host", ts_col="warc_ts", group_col="host", tiebreak="url"
+    ).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     """WARC source through the driver's oracle: shard the committed
     fixture pages into deterministic WARC files (one gzip member per
@@ -3982,6 +4007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_feed_items": _extract_feed_items,
         "embeddings_kcenter": _embeddings_kcenter,
         "embeddings_mmr_topk": _embeddings_mmr_topk,
+        "extract_host_cadence": _extract_host_cadence,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -4175,6 +4201,25 @@ def oracle_sql() -> dict[str, str]:
         # golden row count (extraction can't run in SQL; the oracle
         # encodes its expected outcome — any divergent url makes the
         # Ray side's n_byte_identical smaller and the hash red)
+        "extract_host_cadence": f"""
+            WITH p AS (
+                SELECT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+                       warc_ts, url
+                FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "pages.parquet")}')
+            ),
+            g AS (
+                SELECT host,
+                       epoch_us(warc_ts) - lag(epoch_us(warc_ts)) OVER (
+                           PARTITION BY host ORDER BY warc_ts, url) AS gap_us
+                FROM p
+            )
+            SELECT host,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY host ORDER BY host
+        """,
         "extract_sitemap_entries": f"""
             WITH t AS (SELECT * FROM read_parquet('{_feeds_fixture_parquet()}')
                        WHERE url LIKE '%sitemap%'),
