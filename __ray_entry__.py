@@ -2972,6 +2972,33 @@ def _doc_chunks(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
 
 
+def _docs_stitch_pairs(sf_dir: str) -> pd.DataFrame:
+    """Boundary-stitch detection over the chunked corpus: every
+    (left, right) pair whose 100-char trailing/leading windows match —
+    run over chunk_documents' own overlapped output, so the TRUE
+    adjacency (chunk k stitches to chunk k+1 of the same doc, plus the
+    cross-doc pairs contributed by exact-duplicate documents) is known
+    and the DuckDB twin reproduces it from substring geometry. Text
+    never crosses the shuffle — only (md5-window, side, id) rows."""
+    from pdf_extractor_ray.ops.chunking import chunk_documents, stitch_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = chunk_documents(ds, max_chars=250, overlap=100)
+
+    def cid(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["chunk_id"] = (
+            b["doc_id"].astype("int64") * 1000 + b["chunk_index"].astype("int64")
+        ).astype("int64")
+        return b[["chunk_id", "chunk_text"]]
+
+    out = stitch_candidates(
+        chunks.map_batches(cid, batch_format="pandas"), id_col="chunk_id", window_chars=100
+    ).to_pandas()
+    out = out.astype({"left_id": "int64", "right_id": "int64"})
+    return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
 def _jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
     from pdf_extractor_ray.ops.dedup import ngram_jaccard_dedup
 
@@ -4008,6 +4035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_kcenter": _embeddings_kcenter,
         "embeddings_mmr_topk": _embeddings_mmr_topk,
         "extract_host_cadence": _extract_host_cadence,
+        "docs_stitch_pairs": _docs_stitch_pairs,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -4201,6 +4229,21 @@ def oracle_sql() -> dict[str, str]:
         # golden row count (extraction can't run in SQL; the oracle
         # encodes its expected outcome — any divergent url makes the
         # Ray side's n_byte_identical smaller and the hash red)
+        "docs_stitch_pairs": """
+            WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+                 ks AS (SELECT unnest(range(0, 1000)) AS k),
+                 c AS (SELECT d.doc_id * 1000 + ks.k AS chunk_id,
+                              substr(d.text, ks.k * 150 + 1, 250) AS ct
+                       FROM d JOIN ks
+                         ON ks.k <= CASE WHEN d.L <= 250 THEN 0
+                                         ELSE CAST(ceil((d.L - 100) / 150.0) AS INT) - 1 END),
+                 w AS (SELECT chunk_id, substr(ct, 1, 100) AS head,
+                              substr(ct, length(ct) - 99, 100) AS tail
+                       FROM c WHERE length(ct) >= 100)
+            SELECT a.chunk_id AS left_id, b.chunk_id AS right_id
+            FROM w a JOIN w b ON a.tail = b.head AND a.chunk_id <> b.chunk_id
+            ORDER BY left_id, right_id
+        """,
         "extract_host_cadence": f"""
             WITH p AS (
                 SELECT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,

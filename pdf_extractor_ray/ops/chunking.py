@@ -265,3 +265,67 @@ def truncation_loss(
         }
     )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def stitch_candidates(
+    ds: ray.data.Dataset,
+    id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    window_chars: int = 200,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Boundary-stitch detection: (left_id, right_id) pairs where the
+    LEFT text's trailing `window_chars` characters equal the RIGHT
+    text's leading window — the reassembly candidates for overlapped
+    chunks, paginated articles and continued-on-next-page crawl
+    fragments (the join-side inverse of chunk_documents' overlap; run
+    over its output it must recover exactly the consecutive-chunk
+    adjacency, which the SQL twin pins).
+
+    Scale shape: each row emits at most two slim (boundary-md5, side,
+    id) rows — the text itself NEVER crosses the exchange; one shuffle
+    on hash(key) mod num_partitions; each partition joins its tails
+    against its heads in one vectorized pandas merge. Rows shorter
+    than the window emit nothing (no truncated-window guessing).
+    ids must be int64 (the repo-wide id contract) — output blocks are
+    Arrow-typed so empty partitions keep their schema."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops.dedup import _typed_table
+
+    out_schema = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64())])
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        sides: list[int] = []
+        hkeys: list[str] = []
+        for rid, t in zip(b[id_col], b[text_col]):
+            t = str(t)
+            if len(t) < window_chars:
+                continue
+            ids.extend([rid, rid])
+            sides.extend([1, 0])  # 1 = my head, 0 = my tail
+            hkeys.append(hashlib.md5(t[:window_chars].encode("utf-8")).hexdigest())
+            hkeys.append(hashlib.md5(t[-window_chars:].encode("utf-8")).hexdigest())
+        out = pd.DataFrame({id_col: ids, "_side": pd.array(sides, dtype="int8"), "_key": hkeys})
+        out["_part"] = (
+            pd.util.hash_array(out["_key"].to_numpy(dtype=object)) % num_partitions
+        ).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> "pa.Table":
+        tails = g[g["_side"] == 0][["_key", id_col]].rename(columns={id_col: "left_id"})
+        heads = g[g["_side"] == 1][["_key", id_col]].rename(columns={id_col: "right_id"})
+        m = tails.merge(heads, on="_key")
+        m = m[m["left_id"] != m["right_id"]]
+        return _typed_table(
+            out_schema,
+            left_id=m["left_id"].to_numpy(dtype=np.int64),
+            right_id=m["right_id"].to_numpy(dtype=np.int64),
+        )
+
+    return ds.map_batches(keys, batch_format="pandas").groupby("_part").map_groups(
+        merge, batch_format="pandas"
+    )

@@ -183,3 +183,26 @@ def test_chunk_documents_by_pages(ray_session):
     assert d0.chunk_text.iloc[0].startswith("page 0") and "page 1" in d0.chunk_text.iloc[0]
     assert "\f" not in d0.chunk_text.iloc[0]  # pages re-joined with blank line
     assert out[out.doc_id == 1].chunk_text.tolist() == ["no delimiter here"]
+
+
+def test_stitch_candidates_recovers_chunk_adjacency(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.ops.chunking import chunk_text, stitch_candidates
+
+    import hashlib
+
+    # non-periodic text (a periodic string genuinely stitches its own
+    # ends — correct but not what this test pins)
+    text = "".join(
+        chr(97 + hashlib.md5(str(i).encode()).digest()[0] % 26) for i in range(1500)
+    )
+    chunks = chunk_text(text, 600, 200)  # 4 chunks, 200-char overlaps
+    rows = [{"chunk_id": 10 + i, "chunk_text": c} for i, c in enumerate(chunks)]
+    rows.append({"chunk_id": 99, "chunk_text": "x" * 50})  # below window: emits nothing
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    got = stitch_candidates(ds, window_chars=200, num_partitions=4).to_pandas()
+    got = got.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    want = [(10 + i, 11 + i) for i in range(len(chunks) - 1)]
+    assert list(map(tuple, got.to_numpy())) == want
