@@ -3373,6 +3373,67 @@ def _extract_feed_items(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "order"]).reset_index(drop=True)
 
 
+def _extract_wet_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """WET export round-trip through the driver's oracle: extract the
+    committed fixture corpus, dedup by url, write the extracted text
+    as Common-Crawl WET-style WARC `conversion` records (one gzip
+    member per record, sources/warc.py), stream the shards back with
+    WarcDatasource, and emit (n_records, n_bytes, checksum) where
+    checksum is the order-free 52-bit-md5 integer sum over (url,
+    utf-8-payload hex). The DuckDB twin computes the identical sum
+    from the COMMITTED GOLDEN parquet — so this one row pins
+    extraction byte-identity AND the WET write/read path together."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    import pyarrow as pa
+
+    from pdf_extractor_ray.pipelines.extract import dedup_by_url
+    from pdf_extractor_ray.sources.warc import read_warc, write_warc_shards
+
+    results = _extraction_results(500)
+    uniq = dedup_by_url(
+        results.select_columns(["url", "warc_ts", "extracted_text"])
+    ).to_pandas()
+    out_dir = os.path.join(tempfile.gettempdir(), "pdfx_wet_export")
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc_shards(
+        pa.Table.from_pandas(uniq, preserve_index=False),
+        out_dir,
+        n_shards=4,
+        payload_col="extracted_text",
+        warc_type="conversion",
+    )
+    paths = sorted(_glob.glob(os.path.join(out_dir, "*.warc.gz")))
+
+    def partial(b) -> pd.DataFrame:
+        urls = b["url"].to_pylist()
+        payloads = b["html"].to_pylist()  # datasource's payload column name
+        csum = sum(
+            int(
+                _hashlib.md5((u + "|" + p.hex().upper()).encode()).hexdigest()[:13], 16
+            )
+            for u, p in zip(urls, payloads)
+        )
+        return pd.DataFrame(
+            {
+                "n_records": [np.int64(len(urls))],
+                "n_bytes": [np.int64(sum(len(p) for p in payloads))],
+                "checksum": [np.int64(csum)],
+            }
+        )
+
+    parts = read_warc(paths).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_records": [int(parts["n_records"].sum())],
+            "n_bytes": [int(parts["n_bytes"].sum())],
+            "checksum": [int(parts["checksum"].sum())],
+        }
+    )
+
+
 def _extract_golden_match(sf_dir: str) -> pd.DataFrame:
     """Flagship byte-identity through the DRIVER'S oracle (VERDICT r4
     item 6): extract the COMMITTED fixture corpus
@@ -4036,6 +4097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_mmr_topk": _embeddings_mmr_topk,
         "extract_host_cadence": _extract_host_cadence,
         "docs_stitch_pairs": _docs_stitch_pairs,
+        "extract_wet_roundtrip": _extract_wet_roundtrip,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -4229,6 +4291,14 @@ def oracle_sql() -> dict[str, str]:
         # golden row count (extraction can't run in SQL; the oracle
         # encodes its expected outcome — any divergent url makes the
         # Ray side's n_byte_identical smaller and the hash red)
+        "extract_wet_roundtrip": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(sum(octet_length(encode(golden_text))) AS BIGINT) AS n_bytes,
+                   CAST(sum(('0x' || substr(md5(
+                       url || '|' || hex(encode(golden_text))
+                   ), 1, 13))::UBIGINT) AS BIGINT) AS checksum
+            FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "golden.parquet")}')
+        """,
         "docs_stitch_pairs": """
             WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
                  ks AS (SELECT unnest(range(0, 1000)) AS k),

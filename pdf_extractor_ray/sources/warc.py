@@ -115,17 +115,20 @@ def warc_record_bytes(
     return head + block + _CRLF + _CRLF
 
 
-def write_warc(path: str, rows, compress: bool = True) -> int:
+def write_warc(path: str, rows, compress: bool = True, warc_type: str = "response") -> int:
     """Write rows of (url, warc_ts, payload[, http_content_type]) as a
     WARC file — one gzip member per record when `compress` (the
     Common-Crawl convention, enabling record-level random access), a
-    plain concatenation otherwise. Returns the record count."""
+    plain concatenation otherwise. warc_type='conversion' with
+    text/plain payloads produces Common-Crawl WET-style files.
+    Returns the record count."""
     n = 0
+    default_ct = "text/plain" if warc_type == "conversion" else "text/html; charset=utf-8"
     with open(path, "wb") as f:
         for row in rows:
             url, ts, payload = row[0], row[1], row[2]
-            ctype = row[3] if len(row) > 3 else "text/html; charset=utf-8"
-            rec = warc_record_bytes(url, ts, payload, ctype)
+            ctype = row[3] if len(row) > 3 else default_ct
+            rec = warc_record_bytes(url, ts, payload, ctype, warc_type=warc_type)
             if compress:
                 # mtime=0 pins gzip header bytes → deterministic files
                 rec = _gzip_member_deterministic(rec)
@@ -151,16 +154,21 @@ def write_warc_shards(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     payload_col: str = "html",
+    warc_type: str = "response",
 ) -> list[str]:
     """Shard a page table into `n_shards` WARC files by md5(url) — the
-    deterministic fixture/export path (used by the warc_roundtrip
-    oracle query and tests)."""
+    deterministic fixture/export path (used by the warc_roundtrip /
+    extract_wet_roundtrip oracle queries and tests). String payload
+    columns are utf-8 encoded (the WET text path)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     urls = table[url_col].to_pylist()
     tss = table[ts_col].to_pylist()
-    payloads = table[payload_col].to_pylist()
+    payloads = [
+        p.encode("utf-8") if isinstance(p, str) else p
+        for p in table[payload_col].to_pylist()
+    ]
     buckets: list[list] = [[] for _ in range(n_shards)]
     for u, t, p in zip(urls, tss, payloads):
         shard = int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % n_shards
@@ -168,7 +176,7 @@ def write_warc_shards(
     paths = []
     for i, rows in enumerate(buckets):
         p = os.path.join(out_dir, f"shard-{i:04d}.warc.gz")
-        write_warc(p, rows, compress=True)
+        write_warc(p, rows, compress=True, warc_type=warc_type)
         paths.append(p)
     return paths
 
@@ -347,7 +355,8 @@ class WarcDatasource(_FBD):
     def _read_stream(self, f, path: str):
         rows: list[dict[str, Any]] = []
         for rec in iter_warc_records(f.read):
-            if rec["type"] not in ("response", "resource") or rec["url"] is None:
+            # conversion = Common-Crawl WET extracted-text records
+            if rec["type"] not in ("response", "resource", "conversion") or rec["url"] is None:
                 continue
             rows.append(rec)
             if len(rows) >= self._batch_rows:
