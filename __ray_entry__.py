@@ -3373,6 +3373,42 @@ def _extract_feed_items(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "order"]).reset_index(drop=True)
 
 
+def _robots_fixture_parquet() -> str:
+    """Deterministic (host, robots_txt) corpus in /tmp, cache-keyed on
+    the generator source (same discipline as _feeds_fixture_parquet)."""
+    import hashlib as _hashlib
+
+    from pdf_extractor_ray.fixtures import feedgen as _feedgen
+
+    with open(_feedgen.__file__, "rb") as f:
+        tag = _hashlib.sha1(f.read()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"pdfx_robots_{tag}")
+    path = os.path.join(out_dir, "robots.parquet")
+    if not os.path.exists(path):
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(_feedgen.robots_corpus_table(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _extract_robots_allow(sf_dir: str) -> pd.DataFrame:
+    """RFC 9309 robots.txt evaluation (ops/robots.py) of every page
+    url against the per-host robots fixture: longest-match rules,
+    allow-wins-ties, default allow for rule-less or robots-less hosts.
+    The DuckDB twin re-parses the same robots parquet line-by-line and
+    reproduces the precedence with a window function; wildcard / '$' /
+    group-selection semantics are pytest-pinned (single-group,
+    wildcard-free oracle fixture by construction)."""
+    from pdf_extractor_ray.ops.robots import robots_allow
+
+    robots = ray.data.read_parquet(_robots_fixture_parquet())
+    pages = os.path.join(_REPO, "tests", "fixtures", "pages.parquet")
+    urls = ray.data.read_parquet(pages, columns=["url"])
+    out = robots_allow(robots, urls, agent="graftbot").to_pandas()
+    return out.sort_values(["url", "matched_rule"], na_position="last").reset_index(drop=True)
+
+
 def _extract_wet_roundtrip(sf_dir: str) -> pd.DataFrame:
     """WET export round-trip through the driver's oracle: extract the
     committed fixture corpus, dedup by url, write the extracted text
@@ -4098,6 +4134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_host_cadence": _extract_host_cadence,
         "docs_stitch_pairs": _docs_stitch_pairs,
         "extract_wet_roundtrip": _extract_wet_roundtrip,
+        "extract_robots_allow": _extract_robots_allow,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -4291,6 +4328,42 @@ def oracle_sql() -> dict[str, str]:
         # golden row count (extraction can't run in SQL; the oracle
         # encodes its expected outcome — any divergent url makes the
         # Ray side's n_byte_identical smaller and the hash red)
+        "extract_robots_allow": f"""
+            WITH lines AS (
+                SELECT host, unnest(regexp_split_to_array(robots_txt, '\n')) AS ln
+                FROM read_parquet('{_robots_fixture_parquet()}')
+            ),
+            rr AS (
+                SELECT * FROM (
+                    SELECT host,
+                           lower(regexp_extract(ln, '^\\s*([A-Za-z-]+)\\s*:', 1)) AS typ,
+                           regexp_extract(ln, '^\\s*[A-Za-z-]+\\s*:\\s*(.*?)\\s*$', 1) AS rule
+                    FROM lines
+                ) WHERE typ IN ('allow', 'disallow') AND rule <> ''
+            ),
+            u AS (
+                SELECT url,
+                       lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+                       COALESCE(NULLIF(regexp_extract(url, '^https?://[^/]+(/.*)$', 1), ''), '/') AS path
+                FROM read_parquet('{os.path.join(_REPO, "tests", "fixtures", "pages.parquet")}')
+            ),
+            m AS (
+                SELECT u.url, rr.typ, rr.rule,
+                       row_number() OVER (
+                           PARTITION BY u.url
+                           ORDER BY length(rr.rule) DESC,
+                                    CASE rr.typ WHEN 'allow' THEN 0 ELSE 1 END,
+                                    rr.rule) AS rk
+                FROM (SELECT DISTINCT url, host, path FROM u) u
+                JOIN rr ON rr.host = u.host AND u.path LIKE rr.rule || '%'
+            )
+            SELECT u.url, u.host,
+                   CAST(CASE WHEN m.typ IS NULL THEN 1
+                             WHEN m.typ = 'allow' THEN 1 ELSE 0 END AS TINYINT) AS allowed,
+                   m.rule AS matched_rule
+            FROM u LEFT JOIN (SELECT * FROM m WHERE rk = 1) m ON m.url = u.url
+            ORDER BY u.url, matched_rule NULLS LAST
+        """,
         "extract_wet_roundtrip": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_records,
                    CAST(sum(octet_length(encode(golden_text))) AS BIGINT) AS n_bytes,

@@ -114,3 +114,37 @@ def feed_corpus_table() -> "pa.Table":
     urls.append("https://bad1.example/rss.xml")
     xmls.append("<html><body>an html page served at a feed url</body></html>")
     return pa.table({"url": pa.array(urls, pa.string()), "xml": pa.array(xmls, pa.string())})
+
+
+def robots_corpus_table(n_hosts: int = 40) -> "pa.Table":
+    """(host, robots_txt) fixture for the SQL-oracled robots query:
+    single-group ('User-agent: *' only), wildcard-free rules so a
+    DuckDB window query can reproduce longest-match + allow-tie +
+    default-allow exactly. Hosts follow the pages fixture's
+    site{i}.example naming; i % 7 == 0 hosts get NO robots row at all
+    (default allow). Group selection / '*' / '$' semantics live in
+    unit-test fixtures instead (ops/robots.py docstring)."""
+    hosts: list[str] = []
+    txts: list[str] = []
+    for i in range(n_hosts):
+        if i % 7 == 0:
+            continue  # no robots.txt for this host
+        lines = ["# synthetic robots fixture", "User-agent: *"]
+        m = i % 7
+        if m == 1:
+            lines.append("Disallow: /")
+        elif m == 2:
+            lines.append("Disallow: /ja")
+        elif m == 3:
+            lines += ["Disallow: /en", f"Allow: /en/doc{i:04d}"]
+        elif m == 4:
+            lines += ["Allow: /", "Disallow: /ja"]
+        elif m == 5:
+            lines += ["Disallow:", "Crawl-delay: 2"]  # empty Disallow = allow all
+        else:  # m == 6: equal-length allow/disallow tie -> allow wins
+            lines += ["Disallow: /ja", "Allow: /ja"]
+        hosts.append(f"site{i}.example")
+        txts.append("\n".join(lines) + "\n")
+    return pa.table(
+        {"host": pa.array(hosts, pa.string()), "robots_txt": pa.array(txts, pa.string())}
+    )

@@ -1,0 +1,106 @@
+"""RFC 9309 robots.txt parsing/evaluation: group selection, wildcard
+and end-anchor rules, precedence, and tier parity."""
+
+import pandas as pd
+import pytest
+
+from pdf_extractor_ray.ops.robots import evaluate, parse_robots, robots_allow, rule_matches
+
+ROBOTS = """# comment line
+User-agent: graftbot-news
+Disallow: /news
+
+User-agent: graftbot
+User-agent: otherbot
+Disallow: /private
+Allow: /private/ok
+
+User-agent: *
+Disallow: /
+"""
+
+
+def test_group_selection_most_specific_agent():
+    # exact product-token prefix: graftbot gets its shared group
+    assert parse_robots(ROBOTS, "graftbot") == [
+        ("disallow", "/private"),
+        ("allow", "/private/ok"),
+    ]
+    # longer token match wins over shorter
+    assert parse_robots(ROBOTS, "graftbot-news") == [("disallow", "/news")]
+    # unknown agent falls back to the * group
+    assert parse_robots(ROBOTS, "elsebot") == [("disallow", "/")]
+
+
+def test_rules_before_any_group_ignored_and_empty_disallow():
+    txt = "Disallow: /orphan\nUser-agent: *\nDisallow:\nCrawl-delay: 5\n"
+    assert parse_robots(txt, "anybot") == []
+    assert evaluate([], "/anything") == (True, None)
+
+
+def test_wildcard_and_end_anchor():
+    assert rule_matches("/a/*/c", "/a/b/c")
+    assert rule_matches("/a/*/c", "/a/x/y/cz")  # prefix semantics after the span
+    assert not rule_matches("/a/*/c", "/a/bc")
+    assert rule_matches("/*.pdf$", "/docs/x.pdf")
+    assert not rule_matches("/*.pdf$", "/docs/x.pdf?dl=1")
+    assert rule_matches("/", "/anything")
+
+
+def test_precedence_longest_then_allow():
+    rules = [("disallow", "/en"), ("allow", "/en/doc0003")]
+    assert evaluate(rules, "/en/doc0003x") == (True, "/en/doc0003")
+    assert evaluate(rules, "/en/other") == (False, "/en")
+    # equal length -> allow wins
+    assert evaluate([("disallow", "/ja"), ("allow", "/ja")], "/ja/x") == (True, "/ja")
+    # no match -> allowed
+    assert evaluate(rules, "/fr/doc") == (True, None)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    robots = pd.DataFrame(
+        {
+            "host": ["a.example", "b.example"],
+            "robots_txt": [
+                "User-agent: *\nDisallow: /x\nAllow: /x/ok\n",
+                "User-agent: *\nDisallow: /*.pdf$\n",
+            ],
+        }
+    )
+    urls = pd.DataFrame(
+        {
+            "url": [
+                "https://a.example/x/no",
+                "https://a.example/x/ok/page",
+                "https://a.example/free",
+                "https://b.example/f.pdf",
+                "https://b.example/f.pdf.html",
+                "https://c.example/anything",  # no robots row -> allowed
+            ]
+        }
+    )
+    return ray.data.from_pandas(robots), ray.data.from_pandas(urls).repartition(3)
+
+
+EXPECT = {
+    "https://a.example/x/no": (0, "/x"),
+    "https://a.example/x/ok/page": (1, "/x/ok"),
+    "https://a.example/free": (1, None),
+    "https://b.example/f.pdf": (0, "/*.pdf$"),
+    "https://b.example/f.pdf.html": (1, None),
+    "https://c.example/anything": (1, None),
+}
+
+
+@pytest.mark.parametrize("tier", ["broadcast", "coshuffle"])
+def test_robots_allow_tiers_agree(corpus, tier):
+    robots, urls = corpus
+    out = robots_allow(robots, urls, tier=tier, num_partitions=4).to_pandas()
+    got = {
+        r.url: (int(r.allowed), None if pd.isna(r.matched_rule) else r.matched_rule)
+        for r in out.itertuples()
+    }
+    assert got == EXPECT
