@@ -2486,6 +2486,19 @@ def _extract_host_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _extract_host_hits(sf_dir: str) -> pd.DataFrame:
+    """Kleinberg HITS hubs/authorities over the corpus host link graph
+    (ops/linkgraph.hits) — the directional complement of
+    extract_host_pagerank. Rows-only; pytest pins the algorithm on a
+    hand-computed star graph and forces local/streamed tier equality."""
+    from pdf_extractor_ray.ops.linkgraph import hits, host_edges, page_links
+
+    pages = ray.data.read_parquet(_fixture_pages(500), columns=["url", "html"])
+    edges = host_edges(page_links(pages))
+    out = hits(edges, n_iters=20).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _docs_length_histogram(sf_dir: str) -> pd.DataFrame:
     """Token-length histogram (64-token buckets) — the sequence-packing
     planning signal (ops/text_analysis.length_histogram); pre-aggregated
@@ -4135,6 +4148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stitch_pairs": _docs_stitch_pairs,
         "extract_wet_roundtrip": _extract_wet_roundtrip,
         "extract_robots_allow": _extract_robots_allow,
+        "extract_host_hits": _extract_host_hits,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,

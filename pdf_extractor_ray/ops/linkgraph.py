@@ -663,3 +663,119 @@ def target_anchor_terms(
         named, key="dst_host", val="n_term", k=k, tiebreak="term",
         num_partitions=num_partitions,
     )
+
+
+_HITS_SCHEMA = pa.schema(
+    [("host", pa.large_string()), ("hub", pa.float64()), ("authority", pa.float64())]
+)
+
+
+def _hits_local(df: pd.DataFrame, n_iters: int) -> pa.Table:
+    """Driver-side Kleinberg HITS power iteration for BOUNDED edge
+    sets — L2-normalized after each half-step, same formulation as the
+    streamed tier (tests force both and assert equality)."""
+    hosts = np.unique(np.concatenate([df["src_host"].to_numpy(), df["dst_host"].to_numpy()]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    src = df["src_host"].map(idx).to_numpy(dtype=np.int64)
+    dst = df["dst_host"].map(idx).to_numpy(dtype=np.int64)
+    wgt = df["n"].to_numpy(dtype=np.float64)
+    n = len(hosts)
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(n_iters):
+        auth = np.zeros(n)
+        np.add.at(auth, dst, hub[src] * wgt)
+        nrm = np.linalg.norm(auth)
+        auth = auth / nrm if nrm > 0 else auth
+        hub = np.zeros(n)
+        np.add.at(hub, src, auth[dst] * wgt)
+        nrm = np.linalg.norm(hub)
+        hub = hub / nrm if nrm > 0 else hub
+    return _typed_table(_HITS_SCHEMA, host=hosts, hub=hub, authority=auth)
+
+
+def hits(
+    edges: ray.data.Dataset,
+    n_iters: int = 20,
+    num_partitions: int = 32,
+    broadcast_max_edges: int = _PR_BROADCAST_MAX_EDGES,
+) -> ray.data.Dataset:
+    """Kleinberg HITS hubs/authorities (Kleinberg 1999) over weighted
+    (src_host, dst_host, n) edges: the directional complement of
+    pagerank — link HUBS (directories, aggregators) vs link
+    AUTHORITIES (heavily referenced content hosts), both useful crawl
+    prioritization signals.
+
+    Tiers: below `broadcast_max_edges` one driver-side numpy power
+    iteration (host graphs are bounded). Above it, the STREAMED tier:
+    the score vector is host-cardinality (same boundedness assumption
+    pagerank's tiers document) and broadcasts via ray.put each
+    half-step, while the EDGES — the unbounded side — are only ever
+    streamed through map_batches producing (host, val) partials that
+    grouped_sum reduces to host-cardinality; edges are never
+    collected. 2*n_iters slim exchanges total; the L2 normalizer is
+    one scalar per half-step from the reduced table."""
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(_typed_table(_HITS_SCHEMA))
+    if n_edges <= broadcast_max_edges:
+        df = edges.to_pandas()
+        if "src_host" not in df.columns:
+            return ray.data.from_arrow(_typed_table(_HITS_SCHEMA))
+        return ray.data.from_arrow(_hits_local(df, n_iters))
+
+    # ---- streamed tier ----
+    def nodes_of(t: pa.Table) -> pa.Table:
+        hs = np.unique(
+            np.concatenate(
+                [
+                    t.column("src_host").to_numpy(zero_copy_only=False),
+                    t.column("dst_host").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"host": pa.array(hs, pa.large_string())})
+
+    hosts = (
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+        .to_pandas()["host"]
+        .to_numpy()
+    )
+    hosts = np.sort(hosts)
+    hub = {h: 1.0 for h in hosts}
+    auth: dict = {}
+
+    def half_step(scores: dict, from_col: str, to_col: str) -> dict:
+        sref = ray.put(scores)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(sref)
+            vals = b[from_col].map(s).fillna(0.0).to_numpy() * b["n"].to_numpy(dtype=np.float64)
+            out = pd.DataFrame({"host": b[to_col].to_numpy(), "val": vals})
+            return out.groupby("host", as_index=False, sort=True)["val"].sum()
+
+        red = grouped_sum(
+            edges.map_batches(contrib, batch_format="pandas"), ["host"], ["val"], counts=False
+        ).to_pandas()
+        nrm = float(np.linalg.norm(red["sum_val"].to_numpy()))
+        if nrm == 0:
+            return {}
+        return dict(zip(red["host"], red["sum_val"].to_numpy() / nrm))
+
+    for _ in range(n_iters):
+        auth = half_step(hub, "src_host", "dst_host")
+        hub = half_step(auth, "dst_host", "src_host")
+    return ray.data.from_arrow(
+        _typed_table(
+            _HITS_SCHEMA,
+            host=hosts,
+            hub=np.array([hub.get(h, 0.0) for h in hosts]),
+            authority=np.array([auth.get(h, 0.0) for h in hosts]),
+        )
+    )

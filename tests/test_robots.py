@@ -104,3 +104,52 @@ def test_robots_allow_tiers_agree(corpus, tier):
         for r in out.itertuples()
     }
     assert got == EXPECT
+
+
+# --- HITS (ops/linkgraph.py) -------------------------------------------------
+
+
+def _edges_ds(ray_session, rows):
+    import pandas as pd
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["src_host", "dst_host", "n"])
+    ).repartition(3)
+
+
+def test_hits_star_graph(ray_session):
+    """Hubs point, authorities are pointed at: in a star with all
+    edges into 'center', spokes are pure hubs and center the pure
+    authority."""
+    from pdf_extractor_ray.ops.linkgraph import hits
+
+    rows = [(f"s{i}", "center", 1) for i in range(4)]
+    out = hits(_edges_ds(ray_session, rows), n_iters=10).to_pandas().set_index("host")
+    assert out.loc["center", "authority"] == pytest.approx(1.0)
+    assert out.loc["center", "hub"] == pytest.approx(0.0)
+    for i in range(4):
+        assert out.loc[f"s{i}", "hub"] == pytest.approx(0.5)  # 4 equal hubs, L2=1
+        assert out.loc[f"s{i}", "authority"] == pytest.approx(0.0)
+
+
+def test_hits_tiers_agree(ray_session):
+    import numpy as np
+
+    from pdf_extractor_ray.ops.linkgraph import hits
+
+    rows = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 3), ("c", "a", 1),
+        ("d", "c", 2), ("d", "b", 1), ("b", "d", 1),
+    ]
+    ds = _edges_ds(ray_session, rows)
+    local = hits(ds, n_iters=15).to_pandas().sort_values("host").reset_index(drop=True)
+    streamed = (
+        hits(ds, n_iters=15, broadcast_max_edges=0)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert local["host"].tolist() == streamed["host"].tolist()
+    assert np.allclose(local["hub"], streamed["hub"], atol=1e-12)
+    assert np.allclose(local["authority"], streamed["authority"], atol=1e-12)
