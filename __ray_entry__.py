@@ -2486,6 +2486,19 @@ def _extract_host_pagerank(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _docs_trigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Jelinek-Mercer-interpolated trigram LM score per document — the
+    top rung of the unigram/bigram quality ladder
+    (ops/text_analysis.trigram_jm_logprob; broadcast + two-hop shuffle
+    tiers, bit-identical, pinned in tests). The DuckDB twin joins the
+    five count tables and evaluates the same interpolation."""
+    from pdf_extractor_ray.ops.text_analysis import trigram_jm_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = trigram_jm_logprob(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _extract_host_hits(sf_dir: str) -> pd.DataFrame:
     """Kleinberg HITS hubs/authorities over the corpus host link graph
     (ops/linkgraph.hits) — the directional complement of
@@ -4149,6 +4162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_wet_roundtrip": _extract_wet_roundtrip,
         "extract_robots_allow": _extract_robots_allow,
         "extract_host_hits": _extract_host_hits,
+        "docs_trigram_logprob": _docs_trigram_logprob,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -5935,6 +5949,38 @@ def oracle_sql() -> dict[str, str]:
                    sum(ln(c2.c2) - ln(c1.c1)) / count(*) AS avg_logprob
             FROM g JOIN c2 USING (gram) JOIN c1 USING (head)
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "docs_trigram_logprob": r"""
+            -- MATERIALIZED: the un-hinted plan re-inlines the lateral
+            -- unnests through the CROSS JOIN and never finishes
+            WITH t AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                       FROM documents WHERE trim(text) <> ''),
+            u AS MATERIALIZED (SELECT doc_id, a[i] AS w
+                  FROM t, UNNEST(range(1, len(a) + 1)) AS r(i)),
+            b AS MATERIALIZED (SELECT doc_id, a[i] AS h, a[i] || ' ' || a[i+1] AS g
+                  FROM t, UNNEST(range(1, len(a))) AS r(i)),
+            e AS MATERIALIZED (SELECT doc_id,
+                         a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g3,
+                         a[i] || ' ' || a[i+1] AS ctx,
+                         a[i+1] || ' ' || a[i+2] AS b2,
+                         a[i+1] AS w2, a[i+2] AS w3
+                  FROM t, UNNEST(range(1, len(a) - 1)) AS r(i)),
+            c3 AS (SELECT g3, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY g3),
+            cc AS (SELECT ctx, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY ctx),
+            c2 AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY g),
+            ch AS (SELECT h, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY h),
+            cu AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY w),
+            nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM u)
+            SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   sum(ln(0.6 * (c3.c / cc.c) + 0.3 * (c2.c / ch.c)
+                          + 0.1 * (cu.c / nn.n))) AS logprob,
+                   sum(ln(0.6 * (c3.c / cc.c) + 0.3 * (c2.c / ch.c)
+                          + 0.1 * (cu.c / nn.n))) / count(*) AS avg_logprob
+            FROM e
+            JOIN c3 USING (g3) JOIN cc USING (ctx)
+            JOIN c2 ON c2.g = e.b2 JOIN ch ON ch.h = e.w2
+            JOIN cu ON cu.w = e.w3 CROSS JOIN nn
+            GROUP BY e.doc_id ORDER BY e.doc_id
         """,
         "top_docs_by_chars": """
             SELECT doc_id, n_chars FROM documents

@@ -1641,3 +1641,342 @@ def mojibake_signals(
         return out
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def _doc_trigram_events(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """(doc_id, g3, ctx, b2, w2, w3, tf) — one row per distinct
+    trigram per document (a doc's text lives in ONE row, so tf is
+    complete here). Vectorized explode + two shifts, no row loop."""
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "g3": pd.Series([], dtype="object"),
+            "ctx": pd.Series([], dtype="object"),
+            "b2": pd.Series([], dtype="object"),
+            "w2": pd.Series([], dtype="object"),
+            "w3": pd.Series([], dtype="object"),
+            "tf": pd.Series([], dtype="int64"),
+        }
+    )
+    toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+    if toks.empty:
+        return empty
+    grp = toks.groupby(level=0)
+    nxt = grp.shift(-1)
+    nxt2 = grp.shift(-2)
+    mask = nxt2.notna()
+    if not mask.any():
+        return empty
+    w1 = toks[mask].astype(str)
+    w2 = nxt[mask].astype(str)
+    w3 = nxt2[mask].astype(str)
+    ev = pd.DataFrame(
+        {
+            "doc_id": w1.index.to_numpy(),
+            "g3": (w1 + " " + w2 + " " + w3).to_numpy(),
+            "ctx": (w1 + " " + w2).to_numpy(),
+            "b2": (w2 + " " + w3).to_numpy(),
+            "w2": w2.to_numpy(),
+            "w3": w3.to_numpy(),
+        }
+    )
+    out = (
+        ev.groupby(["doc_id", "g3"], sort=False)
+        .agg(
+            ctx=("ctx", "first"),
+            b2=("b2", "first"),
+            w2=("w2", "first"),
+            w3=("w3", "first"),
+            tf=("ctx", "size"),
+        )
+        .reset_index()
+    )
+    out["tf"] = out["tf"].astype("int64")
+    return out[["doc_id", "g3", "ctx", "b2", "w2", "w3", "tf"]]
+
+
+def trigram_jm_logprob(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    lambdas: tuple = (0.6, 0.3, 0.1),
+    broadcast_max_terms: int = 1_000_000,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Per-document log-likelihood under a Jelinek-Mercer-interpolated
+    trigram LM trained on the corpus itself — the top rung of the
+    unigram/bigram/trigram quality ladder (Jelinek & Mercer 1980;
+    CCNet scores with a smoothed KenLM the same way). Per trigram
+    event (w1 w2 w3):
+
+        P = l3*c3(w1w2w3)/cc(w1w2) + l2*c2(w2w3)/ch(w2) + l1*cu(w3)/N
+
+    where cc counts TRIGRAM CONTEXTS (not raw bigrams — a doc-final
+    bigram heads no trigram), c2/ch are corpus bigram/bigram-head
+    counts over ALL adjacent pairs, cu unigram counts, N total tokens.
+    Docs with < 3 tokens produce no row.
+
+    Two EXACT tiers (the bigram_logprob shape, one hop deeper):
+
+    - broadcast: one grouped_sum builds all five count tables; entries
+      with count >= 2 broadcast (absence proves count == 1); scoring
+      is shuffle-free.
+    - shuffle: hop 1 co-shuffles trigram events AND slim per-batch
+      bigram-count partials on hash(w2) — every occurrence of a
+      trigram, of its context, of its backoff bigram and of that
+      bigram's head shares w2, so the partition computes the first two
+      interpolation terms exactly; hop 2 co-shuffles the carried
+      events with unigram-count partials on hash(w3) to add the
+      unigram term (N is one exact global scalar); hop 3 reduces per
+      doc on hash(doc_id). Both tiers evaluate the SAME left-to-right
+      float expression per event and sum each doc in (doc_id, g3)
+      order — bit-identical across tiers (pinned in tests)."""
+    import math
+
+    import ray as _ray
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    l3, l2, l1 = (float(x) for x in lambdas)
+
+    def local_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch.set_index("doc_id")[text_col].str.split().explode().dropna()
+        keys: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        if not toks.empty:
+            toks = toks.astype(str)
+            vc = toks.value_counts()
+            keys.append(("u\x1f" + vc.index).to_numpy())
+            ns.append(vc.to_numpy())
+            keys.append(np.array(["N\x1f"], dtype=object))
+            ns.append(np.array([len(toks)], dtype=np.int64))
+            nxt = toks.groupby(level=0).shift(-1)
+            m = nxt.notna()
+            if m.any():
+                head = toks[m]
+                bg = head + " " + nxt[m].astype(str)
+                vb = bg.value_counts()
+                vh = head.value_counts()
+                keys += [("b\x1f" + vb.index).to_numpy(), ("h\x1f" + vh.index).to_numpy()]
+                ns += [vb.to_numpy(), vh.to_numpy()]
+                nxt2 = toks.groupby(level=0).shift(-2)
+                m2 = nxt2.notna()
+                if m2.any():
+                    g3 = toks[m2] + " " + nxt[m2].astype(str) + " " + nxt2[m2].astype(str)
+                    ctx = toks[m2] + " " + nxt[m2].astype(str)
+                    v3 = g3.value_counts()
+                    vcx = ctx.value_counts()
+                    keys += [("t\x1f" + v3.index).to_numpy(), ("c\x1f" + vcx.index).to_numpy()]
+                    ns += [v3.to_numpy(), vcx.to_numpy()]
+        if not keys:
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype="object"), "n": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "key": np.concatenate(keys),
+                "n": np.concatenate(ns).astype("int64"),
+            }
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(local_counts, batch_format="pandas"), ["key"], ["n"], counts=False
+    ).materialize()
+
+    def keep_broadcastable(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b["sum_n"] >= 2) | (b["key"] == "N\x1f")]
+
+    multi = counts.map_batches(keep_broadcastable, batch_format="pandas")
+
+    def per_doc(out: pd.DataFrame) -> pd.DataFrame:
+        out = out.sort_values(["doc_id", "g3"], kind="stable")
+        g = out.groupby("doc_id", sort=True)
+        res = pd.DataFrame(
+            {"n_trigrams": g["tf"].sum().astype("int64"), "logprob": g["_lp"].sum()}
+        ).reset_index()
+        res["avg_logprob"] = res["logprob"] / res["n_trigrams"]
+        return res[["doc_id", "n_trigrams", "logprob", "avg_logprob"]]
+
+    def event_lp(ev: pd.DataFrame, cnt) -> pd.DataFrame:
+        """The ONE shared float expression (both tiers route through
+        here): p = l3*c3/cc + l2*c2/ch + l1*cu/N, lp = tf * ln(p)."""
+        c3 = ev["g3"].map(lambda k: cnt("t\x1f" + k)).to_numpy(dtype=np.float64)
+        cc = ev["ctx"].map(lambda k: cnt("c\x1f" + k)).to_numpy(dtype=np.float64)
+        c2 = ev["b2"].map(lambda k: cnt("b\x1f" + k)).to_numpy(dtype=np.float64)
+        ch = ev["w2"].map(lambda k: cnt("h\x1f" + k)).to_numpy(dtype=np.float64)
+        cu = ev["w3"].map(lambda k: cnt("u\x1f" + k)).to_numpy(dtype=np.float64)
+        nn = float(cnt("N\x1f"))
+        p = l3 * (c3 / cc) + l2 * (c2 / ch) + l1 * (cu / nn)
+        ev = ev.copy()
+        ev["_lp"] = ev["tf"].to_numpy(dtype=np.float64) * np.log(p)
+        return ev
+
+    if multi.count() <= broadcast_max_terms:
+        tbl = multi.to_pandas()
+        cmap = dict(zip(tbl["key"], tbl["sum_n"].astype("int64")))
+        ref = _ray.put(cmap)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            key = ("trigram_jm", ref.hex())
+            m = _ANALYZER_CACHE.get(key)
+            if m is None:
+                m = _ANALYZER_CACHE[key] = _ray.get(ref)
+            ev = _doc_trigram_events(batch, text_col)
+            if not len(ev):
+                return per_doc(ev.assign(_lp=pd.Series([], dtype="float64")))
+            return per_doc(event_lp(ev, lambda k: m.get(k, 1)))
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    # ---- shuffle tier: exact at any vocabulary size ----
+    n_total = int(
+        counts.map_batches(
+            lambda b: b[b["key"] == "N\x1f"], batch_format="pandas"
+        ).to_pandas()["sum_n"].sum()
+    )
+
+    def split_counts(prefixes: tuple) -> ray.data.Dataset:
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["key"].str[0].isin(list(prefixes))]
+
+        return counts.map_batches(f, batch_format="pandas")
+
+    events = ds.map_batches(
+        _doc_trigram_events, fn_kwargs={"text_col": text_col}, batch_format="pandas"
+    )
+
+    # hop 1: by w2 — trigram/context/bigram/head tables are complete
+    # per partition (all share the middle/head token w2)
+    H1_COLS = ["doc_id", "g3", "ctx", "b2", "w2", "w3", "tf", "key", "sum_n", "_side", "_part"]
+
+    def _unify(b: pd.DataFrame, cols: list) -> pd.DataFrame:
+        for c in cols:
+            if c not in b.columns:
+                b[c] = None
+        return b[cols]
+
+    def ev_part1(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_side"] = np.int8(1)
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["w2"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return _unify(b, H1_COLS)
+
+    def cnt_part1(b: pd.DataFrame) -> pd.DataFrame:
+        # count rows keyed by the token that routes them: t/c/b keys'
+        # w2 is the key's second-to-last-gram position; simpler and
+        # exact — route by the embedded token: t:'w1 w2 w3'->w2,
+        # c:'w1 w2'->w2, b:'w2 w3'->w2(first), h:'w2'->itself
+        k = b["key"]
+        body = k.str[2:]
+        pref = k.str[0]
+        tok = pd.Series(np.empty(len(b), dtype=object), index=b.index)
+        sp = body.str.split(" ")
+        tok[pref == "t"] = sp[pref == "t"].str[1]
+        tok[pref == "c"] = sp[pref == "c"].str[1]
+        tok[pref == "b"] = sp[pref == "b"].str[0]
+        tok[pref == "h"] = body[pref == "h"]
+        out = pd.DataFrame({"key": k, "sum_n": b["sum_n"], "_tok": tok})
+        out = out[pref.isin(["t", "c", "b", "h"])]
+        out["_side"] = np.int8(0)
+        out["_part"] = (
+            pd.util.hash_pandas_object(out["_tok"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return _unify(out.drop(columns=["_tok"]), H1_COLS)
+
+    def hop1(g: pd.DataFrame) -> pd.DataFrame:
+        cm = g[g["_side"] == 0]
+        cnt = dict(zip(cm["key"], cm["sum_n"].astype("int64")))
+        ev = g[g["_side"] == 1]
+        if not len(ev):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "g3": pd.Series([], dtype="object"),
+                    "w3": pd.Series([], dtype="object"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "_ab": pd.Series([], dtype="float64"),
+                }
+            )
+        cnt = {k: int(v) for k, v in cnt.items()}
+        get = lambda k: cnt.get(k, 1)  # noqa: E731
+        c3 = ev["g3"].map(lambda k: get("t\x1f" + k)).to_numpy(dtype=np.float64)
+        cc = ev["ctx"].map(lambda k: get("c\x1f" + k)).to_numpy(dtype=np.float64)
+        c2 = ev["b2"].map(lambda k: get("b\x1f" + k)).to_numpy(dtype=np.float64)
+        ch = ev["w2"].map(lambda k: get("h\x1f" + k)).to_numpy(dtype=np.float64)
+        ab = l3 * (c3 / cc) + l2 * (c2 / ch)
+        out = ev[["doc_id", "g3", "w3", "tf"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["tf"] = out["tf"].astype("int64")
+        out["_ab"] = ab
+        return out
+
+    h1 = (
+        events.map_batches(ev_part1, batch_format="pandas")
+        .union(split_counts(("t", "c", "b", "h")).map_batches(cnt_part1, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(hop1, batch_format="pandas")
+    )
+
+    # hop 2: by w3 — attach the unigram term and take the log
+    H2_COLS = ["doc_id", "g3", "w3", "tf", "_ab", "key", "sum_n", "_side", "_part"]
+
+    def ev_part2(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_side"] = np.int8(1)
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["w3"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return _unify(b, H2_COLS)
+
+    def cnt_part2(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["key"].str[0] == "u"].copy()
+        b["_side"] = np.int8(0)
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["key"].str[2:], index=False).to_numpy()
+            % num_partitions
+        ).astype(np.int64)
+        return _unify(b, H2_COLS)
+
+    def hop2(g: pd.DataFrame) -> pd.DataFrame:
+        cm = g[g["_side"] == 0]
+        cnt = dict(zip(cm["key"], cm["sum_n"].astype("int64")))
+        ev = g[g["_side"] == 1]
+        if not len(ev):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "g3": pd.Series([], dtype="object"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "_lp": pd.Series([], dtype="float64"),
+                }
+            )
+        cnt = {k: int(v) for k, v in cnt.items()}
+        cu = ev["w3"].map(lambda k: cnt.get("u\x1f" + k, 1)).to_numpy(dtype=np.float64)
+        p = ev["_ab"].to_numpy(dtype=np.float64) + l1 * (cu / float(n_total))
+        out = ev[["doc_id", "g3", "tf"]].copy()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["tf"] = out["tf"].astype("int64")
+        out["_lp"] = out["tf"].to_numpy(dtype=np.float64) * np.log(p)
+        return out
+
+    h2 = (
+        h1.map_batches(ev_part2, batch_format="pandas")
+        .union(split_counts(("u",)).map_batches(cnt_part2, batch_format="pandas"))
+        .groupby("_part")
+        .map_groups(hop2, batch_format="pandas")
+    )
+
+    # hop 3: per-doc reduce
+    def doc_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (
+            pd.util.hash_pandas_object(b["doc_id"], index=False).to_numpy() % num_partitions
+        ).astype(np.int64)
+        return b
+
+    return (
+        h2.map_batches(doc_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(lambda g: per_doc(g.drop(columns=["_part"])), batch_format="pandas")
+    )

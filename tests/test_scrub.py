@@ -348,3 +348,54 @@ def test_md5_u52_tail_matches_hashlib():
         ]
 
     prop()
+
+
+def test_trigram_jm_tiers_bit_identical(ray_session):
+    """Broadcast and two-hop shuffle tiers of the interpolated trigram
+    LM must agree BITWISE (shared float expression, per-doc sums in
+    (doc_id, g3) order), and match an in-memory reference."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.ops.text_analysis import trigram_jm_logprob
+
+    texts = ["a b c a b c d", "a b", "x y z a b c", "c b a c b a c b a", "", "q r s t q r s"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(3)
+    bc = trigram_jm_logprob(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    sh = (
+        trigram_jm_logprob(ds, broadcast_max_terms=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bc["doc_id"].tolist() == sh["doc_id"].tolist()
+    assert np.array_equal(bc["logprob"].to_numpy(), sh["logprob"].to_numpy())
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    cu = Counter(w for ws in toks.values() for w in ws)
+    n_tot = sum(cu.values())
+    cb = Counter((ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 1))
+    ch = Counter(ws[i] for ws in toks.values() for i in range(len(ws) - 1))
+    c3 = Counter(
+        (ws[i], ws[i + 1], ws[i + 2]) for ws in toks.values() for i in range(len(ws) - 2)
+    )
+    cc = Counter((ws[i], ws[i + 1]) for ws in toks.values() for i in range(len(ws) - 2))
+    for i, ws in toks.items():
+        evs = [(ws[j], ws[j + 1], ws[j + 2]) for j in range(len(ws) - 2)]
+        if not evs:
+            assert i not in set(bc["doc_id"])  # <3 tokens -> no row
+            continue
+        lp = sum(
+            math.log(
+                0.6 * c3[e] / cc[(e[0], e[1])]
+                + 0.3 * cb[(e[1], e[2])] / ch[e[1]]
+                + 0.1 * cu[e[2]] / n_tot
+            )
+            for e in evs
+        )
+        assert abs(bc.loc[bc["doc_id"] == i, "logprob"].iloc[0] - lp) < 1e-9
