@@ -3085,6 +3085,22 @@ def _embeddings_mmr_topk(sf_dir: str) -> pd.DataFrame:
     return out[["rank", "vec_id", "cos", "mmr_score"]]
 
 
+def _embeddings_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantized ANN (Jegou 2011, ops/similarity.py): fit
+    per-subspace codebooks on a deterministic prefix sample, compress
+    the corpus to m uint8 codes (16 bytes/vector here, 16x), score by
+    ADC table lookups. Rows-only; pytest pins an exact-reconstruction
+    equivalence to brute force plus a measured recall floor on the
+    near-uniform fixture (PQ's worst case, like the documented IVF
+    boundary)."""
+    from pdf_extractor_ray.ops.similarity import pq_encode, pq_fit, pq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = pq_fit(ds, m=16, n_codes=64)
+    codes = pq_encode(ds, books)
+    return pq_topk(codes, books, _query_vec(sf_dir), k=10)
+
+
 def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Cosine pair detection; threshold 0.4 because the synthetic
     embeddings top out near 0.51 pairwise — the operator is the point,
@@ -4163,6 +4179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_robots_allow": _extract_robots_allow,
         "extract_host_hits": _extract_host_hits,
         "docs_trigram_logprob": _docs_trigram_logprob,
+        "embeddings_pq_topk": _embeddings_pq_topk,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,

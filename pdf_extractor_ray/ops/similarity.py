@@ -1443,3 +1443,129 @@ def knn_graph(
         block_rows=block_rows,
     )
     return out.rename(columns={"neg_id": "nbr_id"})
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jegou, Douze, Schmid 2011) — the codebook rung
+# of the ANN ladder (brute / IVF / SRP / int8 / PQ): 8x-32x smaller
+# vector storage with table-lookup (ADC) scoring, the standard layout
+# for 100-TB-scale ANN corpora (IVF-PQ).
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    ds: ray.data.Dataset,
+    m: int = 4,
+    n_codes: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Codebooks (m, n_codes, d/m): independent L2 k-means per
+    subspace over a deterministic prefix sample of NORMALIZED vectors
+    (limit(), not random_sample — reproducible, the train_centroids
+    discipline). d must be divisible by m."""
+    sample = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in ds.limit(sample_rows).take_all()]
+    )
+    sample = _normalize_rows(sample)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):
+        s = sample[:, j * sub : (j + 1) * sub]
+        cents = s[:: max(1, len(s) // n_codes)][:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mem = s[a == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books[j, : len(cents)] = cents
+    return books
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(id, codes): nearest sub-centroid index per subspace over the
+    normalized vector — m uint8 codes replace d floats (the compressed
+    corpus tier). Broadcast codebooks, zero shuffle."""
+    import pyarrow as pa
+
+    bref = ray.put(codebooks)
+    m, _, sub = codebooks.shape
+
+    def enc(b: pd.DataFrame) -> pa.Table:
+        books = _QUERY_CACHE.get(bref.hex())
+        if books is None:
+            books = _QUERY_CACHE[bref.hex()] = ray.get(bref)
+        if len(b):
+            mat = _normalize_rows(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+            codes = np.empty((len(b), m), dtype=np.uint8)
+            for j in range(m):
+                s = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((s[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        else:
+            codes = np.empty((0, m), dtype=np.uint8)
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), m
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
+def pq_topk(
+    codes: ray.data.Dataset,
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Asymmetric-distance top-k over the PQ-compressed corpus:
+    LUT[j][c] = q_j . codebook[j][c] computed ONCE per query, each
+    block scores its rows with m table lookups + a sum (no float
+    vector ever read), per-block partial top-k, driver merge — the
+    brute_force_topk shape at 1/8th the bytes. Returns (id, cos_pq)
+    sorted by (-cos_pq, id)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    m, n_codes, sub = codebooks.shape
+    lut = np.stack([codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)])
+    lref = ray.put(lut)
+
+    def score(b) -> pd.DataFrame:
+        t = _QUERY_CACHE.get(lref.hex())
+        if t is None:
+            t = _QUERY_CACHE[lref.hex()] = ray.get(lref)
+        n = len(b)
+        if not n:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"), "cos_pq": []})
+        arr = b["codes"].combine_chunks()
+        cd = arr.values.to_numpy(zero_copy_only=False).reshape(n, m)
+        s = np.zeros(n)
+        for j in range(m):
+            s += t[j][cd[:, j]]
+        out = pd.DataFrame(
+            {id_col: b[id_col].to_numpy(zero_copy_only=False), "cos_pq": s}
+        )
+        return out.sort_values(["cos_pq", id_col], ascending=[False, True]).head(k)
+
+    allp = codes.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        allp.sort_values(["cos_pq", id_col], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -105,3 +105,73 @@ def test_mmr_matches_inmemory_reference(emb_ds):
     # re-ranking diversifies: the MMR set differs from plain top-k here
     bf = brute_force_topk(ds, q, k=k)
     assert got["vec_id"].tolist() != bf["vec_id"].tolist()
+
+
+# --- product quantization (ops/similarity.py) --------------------------------
+
+
+def test_pq_exact_on_reconstructable_corpus(ray_session):
+    """When corpus vectors ARE normalized codebook reconstructions,
+    ADC scoring is exact: pq_topk == brute_force_topk."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    seed = pd.DataFrame(
+        {
+            "vec_id": np.arange(400, dtype=np.int64),
+            "embedding": list(rng.normal(size=(400, 32)).astype(np.float32)),
+        }
+    )
+    seed_ds = ray.data.from_pandas(seed)
+    books = pq_fit(seed_ds, m=4, n_codes=8)
+    cds = rng.integers(0, 8, size=(200, 4))
+    recon = []
+    for i in range(200):
+        v = np.concatenate([books[j, cds[i, j]] for j in range(4)])
+        recon.append((v / np.linalg.norm(v)).astype(np.float32))
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": recon})
+    ds = ray.data.from_pandas(df).repartition(3)
+    # encode with the generating codebooks: each normalized subvector
+    # is a scaled codebook entry, so argmin recovers the true code
+    codes = pq_encode(ds, books)
+    q = rng.normal(size=32)
+    got = pq_topk(codes, books, q, k=10)
+    bf = brute_force_topk(ds, q, k=10)
+    assert set(got["vec_id"]) == set(bf["vec_id"])
+
+
+def test_pq_recall_floor_on_fixture(ray_session, sf_dir="/root/testdata/sf0.001"):
+    """Near-uniform synthetic embeddings are PQ's worst case (the
+    documented IVF-style boundary); still pin a measured floor."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    books = pq_fit(ds, m=16, n_codes=64)
+    assert books.shape == (16, 64, 4)
+    codes_df = pq_encode(ds, books).to_pandas()
+    assert len(codes_df) == ds.count()
+    q = np.arange(64, dtype=np.float64)
+    got = pq_topk(pq_encode(ds, books), books, q, k=10)
+    bf = brute_force_topk(ds, q, k=10)
+    assert len(set(got["vec_id"]) & set(bf["vec_id"])) >= 4
+    # determinism: refit + rescore is identical
+    books2 = pq_fit(ds, m=16, n_codes=64)
+    assert np.array_equal(books, books2)
+    got2 = pq_topk(pq_encode(ds, books2), books2, q, k=10)
+    assert got["vec_id"].tolist() == got2["vec_id"].tolist()
