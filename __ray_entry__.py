@@ -699,6 +699,18 @@ def _order_price_quantiles(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _events_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (ops/windows.transition_counts): exact int64 pair
+    counts through the LAG-pattern shuffle, one float division for
+    each conditional probability — DuckDB window twin."""
+    from pdf_extractor_ray.ops.windows import transition_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    out = transition_counts(ev).to_pandas()
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
 def _events_interarrival(sf_dir: str) -> pd.DataFrame:
     """LAG-family window op: inter-arrival gap stats per event type
     (gap = ts - lag(ts) over user's event stream; exact int64 sums)."""
@@ -4180,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_host_hits": _extract_host_hits,
         "docs_trigram_logprob": _docs_trigram_logprob,
         "embeddings_pq_topk": _embeddings_pq_topk,
+        "events_transitions": _events_transitions,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -5966,6 +5979,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(ln(c2.c2) - ln(c1.c1)) / count(*) AS avg_logprob
             FROM g JOIN c2 USING (gram) JOIN c1 USING (head)
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "events_transitions": """
+            WITH s AS (
+                SELECT event_type AS to_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+                FROM events
+            ),
+            c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                  FROM s WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+            m AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+            SELECT c.from_type, c.to_type, c.n, CAST(c.n AS DOUBLE) / m.tot AS p
+            FROM c JOIN m USING (from_type)
+            ORDER BY c.from_type, c.to_type
         """,
         "docs_trigram_logprob": r"""
             -- MATERIALIZED: the un-hinted plan re-inlines the lateral

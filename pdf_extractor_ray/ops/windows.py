@@ -685,3 +685,65 @@ def user_cadence(
         .groupby("_part")
         .map_groups(profile, batch_format="pandas")
     )
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak: str = "event_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """First-order Markov transition matrix over per-key ordered state
+    sequences: (from_type, to_type, n, p) where p = n / n(from_type) —
+    the behavioral-sequence summary (what follows what) behind funnel
+    design and bot heuristics.
+
+    Scale shape: the interarrival_stats LAG pattern — one shuffle on
+    hash(key) mod num_partitions, one vectorized sort+shift pass per
+    partition emitting (from, to) pair counts, then a tiny grouped_sum
+    over |states|^2 rows; p is ONE float division of exact int64
+    counts (cross-engine float doctrine)."""
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_part"] = (pd.util.hash_array(b[key].to_numpy()) % num_partitions).astype(np.int64)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, ts_col] + ([tiebreak] if tiebreak and tiebreak in g else [])
+        g = g.sort_values(order, kind="stable")
+        same = (g[key] == g[key].shift()).to_numpy()
+        frm = g[state_col].shift().to_numpy()[same]
+        to = g[state_col].to_numpy()[same]
+        out = (
+            pd.DataFrame({"from_type": frm, "to_type": to})
+            .groupby(["from_type", "to_type"], as_index=False, sort=True)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from pdf_extractor_ray.ops.relational import grouped_sum
+
+    counts = grouped_sum(
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pairs, batch_format="pandas"),
+        ["from_type", "to_type"],
+        ["n"],
+        counts=False,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"sum_n": "n"})
+        b["n"] = b["n"].astype("int64")
+        tot = b.groupby("from_type")["n"].transform("sum")
+        b["p"] = b["n"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        return b[["from_type", "to_type", "n", "p"]]
+
+    # the |states|^2 table is tiny by contract — one block for the
+    # marginal division (repartition(1) keeps the transform exact)
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")

@@ -294,3 +294,36 @@ def test_audio_featurize(ray_session):
     assert out["sample_rate"].iloc[0] == 8000 and out["duration_s"].iloc[0] > 0
     out2 = featurize_audio(ray.data.from_arrow(tbl), feat_dim=8).to_pandas().sort_values("media_id")
     assert np.allclose(np.stack(out["feature"].to_numpy()), np.stack(out2["feature"].to_numpy()))
+
+
+def test_transition_counts_reference(ray_session):
+    """Hand-checked Markov transitions with interleaved users and a
+    tie broken by event_id."""
+    import pandas as pd
+
+    import ray.data
+    from pdf_extractor_ray.ops.windows import transition_counts
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: b -> b ; equal-ts tie via event_id
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 2, "2024-01-01 00:00:00", "b"),
+        (5, 2, "2024-01-01 00:00:00", "b"),  # same ts: event_id orders it
+        (6, 3, "2024-01-01 00:00:00", "a"),  # singleton: no transition
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = (
+        transition_counts(ray.data.from_pandas(df).repartition(3), num_partitions=4)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    got = {(r.from_type, r.to_type): (int(r.n), r.p) for r in out.itertuples()}
+    assert got == {
+        ("a", "b"): (1, 1.0),  # the only transition out of 'a'
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
