@@ -3113,6 +3113,17 @@ def _embeddings_pq_topk(sf_dir: str) -> pd.DataFrame:
     return pq_topk(codes, books, _query_vec(sf_dir), k=10)
 
 
+def _embeddings_ivfpq_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-PQ composed ANN (ops/similarity.ivfpq_topk): coarse buckets
+    prune candidates n_probe/n_centroids-fold, PQ codes cut the
+    scanned bytes ~16x — the billion-vector layout. Rows-only; pytest
+    pins full-probe == plain-PQ bitwise."""
+    from pdf_extractor_ray.ops.similarity import ivfpq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivfpq_topk(ds, _query_vec(sf_dir), k=10, n_centroids=16, n_probe=6)
+
+
 def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """Cosine pair detection; threshold 0.4 because the synthetic
     embeddings top out near 0.51 pairwise — the operator is the point,
@@ -4193,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_trigram_logprob": _docs_trigram_logprob,
         "embeddings_pq_topk": _embeddings_pq_topk,
         "events_transitions": _events_transitions,
+        "embeddings_ivfpq_topk": _embeddings_ivfpq_topk,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,

@@ -1569,3 +1569,95 @@ def pq_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def ivfpq_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_codes: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ: the composed 100-TB ANN layout (Jegou 2011 §V) — coarse
+    IVF centroids route each vector to one bucket, vectors are stored
+    only as PQ codes, and a query scans just its `n_probe` nearest
+    buckets with ADC table lookups. At scale this is the standard
+    billion-vector architecture: bucket pruning cuts candidates
+    n_probe/n_centroids-fold and PQ cuts bytes ~16-fold, so a scan
+    touches ~0.4% of the raw corpus bytes here. Recall inherits BOTH
+    documented boundaries (IVF probe misses + PQ distortion); with
+    n_probe == n_centroids it equals pq_topk bitwise (pinned in
+    tests)."""
+    cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
+    books = pq_fit(ds, m=m, n_codes=n_codes, vec_col=vec_col)
+    bucketed = assign_buckets(ds, cents, vec_col=vec_col)
+    # a bucket-carrying variant of pq_encode (which keeps only id+codes)
+    import pyarrow as pa
+
+    bref = ray.put(books)
+
+    def enc(b: pd.DataFrame) -> pa.Table:
+        bk = _QUERY_CACHE.get(("pq", bref.hex()))
+        if bk is None:
+            bk = _QUERY_CACHE[("pq", bref.hex())] = ray.get(bref)
+        mm, _, sub = bk.shape
+        if len(b):
+            mat = _normalize_rows(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+            cd = np.empty((len(b), mm), dtype=np.uint8)
+            for j in range(mm):
+                s = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((s[:, None, :] - bk[j][None, :, :]) ** 2).sum(-1)
+                cd[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        else:
+            cd = np.empty((0, mm), dtype=np.uint8)
+        return pa.table(
+            {
+                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+                "bucket": pa.array(b["bucket"].to_numpy(dtype=np.int32), pa.int32()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(cd.ravel(), pa.uint8()), mm
+                ),
+            }
+        )
+
+    codes = bucketed.map_batches(enc, batch_format="pandas")
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(cents.astype(np.float64) @ qn))[:n_probe].tolist())
+    sub = books.shape[2]
+    lut = np.stack([books[j] @ qn[j * sub : (j + 1) * sub] for j in range(m)])
+    lref = ray.put((lut, probe))
+
+    def score(b) -> pd.DataFrame:
+        cached = _QUERY_CACHE.get(("ivfpq", lref.hex()))
+        if cached is None:
+            cached = _QUERY_CACHE[("ivfpq", lref.hex())] = ray.get(lref)
+        t, pr = cached
+        n = len(b)
+        if not n:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"), "cos_pq": []})
+        keep = np.isin(b["bucket"].to_numpy(zero_copy_only=False), list(pr))
+        b = b.filter(keep)
+        n = len(b)
+        if not n:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"), "cos_pq": []})
+        cd = b["codes"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(n, -1)
+        s = np.zeros(n)
+        for j in range(cd.shape[1]):
+            s += t[j][cd[:, j]]
+        out = pd.DataFrame(
+            {id_col: b[id_col].to_numpy(zero_copy_only=False), "cos_pq": s}
+        )
+        return out.sort_values(["cos_pq", id_col], ascending=[False, True]).head(k)
+
+    allp = codes.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        allp.sort_values(["cos_pq", id_col], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -175,3 +175,27 @@ def test_pq_recall_floor_on_fixture(ray_session, sf_dir="/root/testdata/sf0.001"
     assert np.array_equal(books, books2)
     got2 = pq_topk(pq_encode(ds, books2), books2, q, k=10)
     assert got["vec_id"].tolist() == got2["vec_id"].tolist()
+
+
+def test_ivfpq_full_probe_equals_pq(ray_session):
+    """With n_probe == n_centroids no bucket is pruned, so IVF-PQ must
+    equal plain PQ bitwise; with fewer probes it returns a (possibly
+    weaker) subset-scored top-k of the same length."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import ivfpq_topk, pq_encode, pq_fit, pq_topk
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    q = np.arange(64, dtype=np.float64)
+    books = pq_fit(ds, m=16, n_codes=64)
+    pq = pq_topk(pq_encode(ds, books), books, q, k=10)
+    full = ivfpq_topk(ds, q, k=10, n_centroids=8, n_probe=8, m=16, n_codes=64)
+    assert full["vec_id"].tolist() == pq["vec_id"].tolist()
+    assert np.array_equal(full["cos_pq"].to_numpy(), pq["cos_pq"].to_numpy())
+    pruned = ivfpq_topk(ds, q, k=10, n_centroids=8, n_probe=3, m=16, n_codes=64)
+    assert len(pruned) == 10
+    # pruned candidates score identically where they overlap
+    merged = pruned.merge(full, on="vec_id", suffixes=("_p", "_f"))
+    assert np.allclose(merged["cos_pq_p"], merged["cos_pq_f"])
