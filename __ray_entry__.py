@@ -3474,6 +3474,44 @@ def _extract_robots_allow(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "matched_rule"], na_position="last").reset_index(drop=True)
 
 
+def _extract_crawl_frontier(sf_dir: str) -> pd.DataFrame:
+    """Crawl-frontier COMPOSITION: sitemap-discovered urls evaluated
+    against each host's robots.txt, scheduling hints carried through —
+    the end-to-end discovery step a crawler runs before fetching
+    (sitemap parse -> robots gate -> prioritized frontier). Both
+    component twins compose, so the whole chain is one exact DuckDB
+    oracle: regex re-extraction of <loc>/<priority>/<changefreq> plus
+    the longest-match window query over the same two parquets."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.feeds import sitemap_entries
+    from pdf_extractor_ray.ops.robots import robots_allow
+
+    def keep(b):
+        return b.filter(pc.match_substring(b["url"], "sitemap.xml"))
+
+    pages = ray.data.read_parquet(_feeds_fixture_parquet()).map_batches(
+        keep, batch_format="pyarrow"
+    )
+    sm = sitemap_entries(pages, xml_col="xml")
+
+    def to_urls(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["kind"] == "urlset"]
+        return b[["loc", "priority", "changefreq"]].rename(columns={"loc": "url"})
+
+    locs = sm.map_batches(to_urls, batch_format="pandas").materialize()
+    robots = ray.data.read_parquet(_robots_fixture_parquet())
+    allowed = robots_allow(robots, locs).to_pandas()
+    out = allowed.merge(
+        locs.select_columns(["url", "priority", "changefreq"]).to_pandas(), on="url"
+    )
+    return (
+        out[["url", "host", "allowed", "matched_rule", "priority", "changefreq"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def _extract_wet_roundtrip(sf_dir: str) -> pd.DataFrame:
     """WET export round-trip through the driver's oracle: extract the
     committed fixture corpus, dedup by url, write the extracted text
@@ -4207,6 +4245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pq_topk": _embeddings_pq_topk,
         "events_transitions": _events_transitions,
         "embeddings_ivfpq_topk": _embeddings_ivfpq_topk,
+        "extract_crawl_frontier": _extract_crawl_frontier,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -4400,6 +4439,54 @@ def oracle_sql() -> dict[str, str]:
         # golden row count (extraction can't run in SQL; the oracle
         # encodes its expected outcome — any divergent url makes the
         # Ray side's n_byte_identical smaller and the hash red)
+        "extract_crawl_frontier": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_feeds_fixture_parquet()}')
+                       WHERE url LIKE '%sitemap.xml'),
+            u0 AS (SELECT regexp_extract_all(xml, '(?s)<url>.*?</url>') AS arr
+                   FROM t WHERE xml LIKE '%<urlset%'),
+            x AS (SELECT unnest(arr) AS z FROM u0),
+            locs AS (
+                SELECT NULLIF(regexp_extract(z, '<loc>(.*?)</loc>', 1), '') AS url,
+                       CAST(NULLIF(regexp_extract(z, '<priority>(.*?)</priority>', 1), '') AS DOUBLE) AS priority,
+                       NULLIF(regexp_extract(z, '<changefreq>(.*?)</changefreq>', 1), '') AS changefreq
+                FROM x
+            ),
+            lines AS (
+                SELECT host, unnest(regexp_split_to_array(robots_txt, '\n')) AS ln
+                FROM read_parquet('{_robots_fixture_parquet()}')
+            ),
+            rr AS (
+                SELECT * FROM (
+                    SELECT host,
+                           lower(regexp_extract(ln, '^\\s*([A-Za-z-]+)\\s*:', 1)) AS typ,
+                           regexp_extract(ln, '^\\s*[A-Za-z-]+\\s*:\\s*(.*?)\\s*$', 1) AS rule
+                    FROM lines
+                ) WHERE typ IN ('allow', 'disallow') AND rule <> ''
+            ),
+            u AS (
+                SELECT url,
+                       lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+                       COALESCE(NULLIF(regexp_extract(url, '^https?://[^/]+(/.*)$', 1), ''), '/') AS path,
+                       priority, changefreq
+                FROM locs WHERE url IS NOT NULL
+            ),
+            m AS (
+                SELECT u.url, rr.typ, rr.rule,
+                       row_number() OVER (
+                           PARTITION BY u.url
+                           ORDER BY length(rr.rule) DESC,
+                                    CASE rr.typ WHEN 'allow' THEN 0 ELSE 1 END,
+                                    rr.rule) AS rk
+                FROM (SELECT DISTINCT url, host, path FROM u) u
+                JOIN rr ON rr.host = u.host AND u.path LIKE rr.rule || '%'
+            )
+            SELECT u.url, u.host,
+                   CAST(CASE WHEN m.typ IS NULL THEN 1
+                             WHEN m.typ = 'allow' THEN 1 ELSE 0 END AS TINYINT) AS allowed,
+                   m.rule AS matched_rule, u.priority, u.changefreq
+            FROM u LEFT JOIN (SELECT * FROM m WHERE rk = 1) m ON m.url = u.url
+            ORDER BY u.url
+        """,
         "extract_robots_allow": f"""
             WITH lines AS (
                 SELECT host, unnest(regexp_split_to_array(robots_txt, '\n')) AS ln

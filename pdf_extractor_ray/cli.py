@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -156,7 +157,9 @@ def cmd_gen(args: argparse.Namespace) -> int:
 def cmd_export(args: argparse.Namespace) -> int:
     """Export an extracted corpus as deterministic, resumable training
     shards (pipelines/export): md5(id)-bucketed directories with
-    _SUCCESS markers; prints the per-shard manifest as JSON lines."""
+    _SUCCESS markers; prints the per-shard manifest as JSON lines.
+    --format wet instead writes Common-Crawl WET-style WARC shards of
+    the extracted text through the distributed datasink."""
     ray, owned = _ray_session(args.num_cpus)
     try:
         import ray.data
@@ -164,6 +167,18 @@ def cmd_export(args: argparse.Namespace) -> int:
         from pdf_extractor_ray.pipelines.export import export_training_shards
 
         ds = ray.data.read_parquet(args.input, file_extensions=["parquet"])
+        if getattr(args, "format", "shards") == "wet":
+            from pdf_extractor_ray.sources.warc import write_warc_dataset
+
+            write_warc_dataset(
+                ds.select_columns(["url", "warc_ts", "extracted_text"]),
+                args.output,
+                payload_col="extracted_text",
+                warc_type="conversion",
+            )
+            manifest = json.load(open(os.path.join(args.output, "_SUCCESS")))
+            print(json.dumps(manifest))
+            return 0
         m = export_training_shards(
             ds, args.output, n_shards=args.shards, id_col=args.id_col
         )
@@ -279,6 +294,7 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("-i", "--input", required=True, help="extracted corpus dir")
     xp.add_argument("-o", "--output", required=True, help="shard output dir")
     xp.add_argument("--shards", type=int, default=64)
+    xp.add_argument("--format", choices=["shards", "wet"], default="shards")
     xp.add_argument("--id-col", default="url")
     xp.add_argument("--num-cpus", type=int, default=0)
     xp.set_defaults(fn=cmd_export)

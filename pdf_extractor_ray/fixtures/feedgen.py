@@ -126,6 +126,22 @@ def robots_corpus_table(n_hosts: int = 40) -> "pa.Table":
     unit-test fixtures instead (ops/robots.py docstring)."""
     hosts: list[str] = []
     txts: list[str] = []
+    # host{i}.example groups (the sitemap/feed fixture's hosts) — lets
+    # the crawl-frontier composition query evaluate sitemap locs
+    # against per-host rules; wildcard-free so the composed twin works
+    for i in range(N_HOSTS):
+        m = i % 4
+        if m == 0:
+            continue  # no robots.txt -> default allow
+        lines = ["User-agent: *"]
+        if m == 1:
+            lines.append("Disallow: /")
+        elif m == 2:
+            lines += ["Disallow: /p00", f"Allow: /p00{i % 10}"]
+        else:  # m == 3: empty Disallow -> allow all
+            lines.append("Disallow:")
+        hosts.append(f"host{i}.example")
+        txts.append("\n".join(lines) + "\n")
     for i in range(n_hosts):
         if i % 7 == 0:
             continue  # no robots.txt for this host

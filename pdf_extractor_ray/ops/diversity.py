@@ -50,6 +50,10 @@ def _greedy_kcenter(
         mind = np.minimum(mind, 1.0 - mat @ mat[cur])
         # next pick: max min-distance, ties by ascending id
         m = mind.max()
+        if m <= 1e-15:
+            # every remaining point is already covered (duplicate-heavy
+            # corpus): stop early instead of reselecting chosen ids
+            return sel[: r + 1], sel_dist[: r + 1]
         cand = np.flatnonzero(mind >= m - 1e-12)
         cur = cand[np.argmin(ids[cand])]
     return sel, sel_dist
@@ -185,6 +189,8 @@ def kcenter_sample(
 
             parts = cur.map_batches(partial_argmax, batch_format="pyarrow").to_pandas()
             m = parts["_m"].max()
+            if m <= 1e-15:
+                break  # corpus fully covered — never reselect chosen ids
             cands_ = parts[parts["_m"] >= m - 1e-12]
             win = cands_.loc[cands_["_id"].idxmin()]
             sel_ids.append(int(win["_id"]))

@@ -27,7 +27,6 @@ from __future__ import annotations
 import re
 import xml.etree.ElementTree as ET
 from datetime import datetime
-from typing import Iterable
 
 import numpy as np
 import pandas as pd

@@ -316,6 +316,9 @@ def iter_warc_records(read: Callable[[int], bytes]) -> Iterator[dict[str, Any]]:
         if rtype in ("response", "revisit") and ctype.startswith("application/http"):
             body, http_ct, status = _split_http_payload(block)
             rec["payload"], rec["http_content_type"], rec["http_status"] = body, http_ct, status
+        elif rtype in ("resource", "conversion") and ctype:
+            # no HTTP envelope: surface the record-level Content-Type
+            rec["http_content_type"] = ctype
         yield rec
 
 
@@ -372,3 +375,114 @@ def read_warc(paths, batch_rows: int = 256, **read_args):
     import ray.data
 
     return ray.data.read_datasource(WarcDatasource(paths, batch_rows=batch_rows), **read_args)
+
+
+try:
+    from ray.data import Datasink as _Datasink
+except Exception:  # pragma: no cover
+    _Datasink = object  # type: ignore[assignment,misc]
+
+
+class WarcDatasink(_Datasink):
+    """Distributed WARC/WET sink: `ds.write_datasink(WarcDatasink(dir))`
+    lets every write TASK serialize its blocks into its own
+    member-gzipped shard (named by task index — deterministic under
+    retry), written atomically (tmp + rename) so a killed run never
+    publishes a torn shard; `on_write_complete` publishes a `_SUCCESS`
+    manifest listing (shard, rows) — the same resumable-output
+    discipline as the parquet corpus sink (state/manifest.py). This is
+    the 100-TB write path; the driver-side `write_warc_shards` remains
+    the small-fixture/export convenience.
+
+    String payload columns are utf-8 encoded (WET text);
+    warc_type='conversion' + a text/plain payload produces
+    Common-Crawl WET shards.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        url_col: str = "url",
+        ts_col: str = "warc_ts",
+        payload_col: str = "html",
+        warc_type: str = "response",
+        compress: bool = True,
+    ) -> None:
+        self._out_dir = out_dir
+        self._cols = (url_col, ts_col, payload_col)
+        self._warc_type = warc_type
+        self._compress = compress
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True
+
+    def get_name(self) -> str:
+        return "WARC"
+
+    def on_write_start(self) -> None:
+        import os
+
+        os.makedirs(self._out_dir, exist_ok=True)
+
+    def write(self, blocks, ctx) -> list:
+        import os
+
+        url_col, ts_col, payload_col = self._cols
+        rows: list[tuple] = []
+        for block in blocks:
+            if hasattr(block, "to_pydict"):  # pyarrow.Table
+                d = block.to_pydict()
+            else:  # pandas.DataFrame
+                d = {c: block[c].tolist() for c in (url_col, ts_col, payload_col)}
+            for u, t, p in zip(d[url_col], d[ts_col], d[payload_col]):
+                if isinstance(p, str):
+                    p = p.encode("utf-8")
+                rows.append((u, t, p))
+        ext = ".warc.gz" if self._compress else ".warc"
+        path = os.path.join(self._out_dir, f"shard-{ctx.task_idx:05d}{ext}")
+        tmp = path + ".tmp"
+        n = write_warc(tmp, rows, compress=self._compress, warc_type=self._warc_type)
+        os.replace(tmp, path)  # atomic publish
+        return [(os.path.basename(path), n)]
+
+    def on_write_complete(self, write_result) -> None:
+        import json
+        import os
+
+        shards = sorted(
+            (name, int(n)) for ret in write_result.write_returns for name, n in ret
+        )
+        tmp = os.path.join(self._out_dir, "_SUCCESS.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "num_rows": int(write_result.num_rows),
+                    "shards": [{"file": s, "rows": n} for s, n in shards],
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(self._out_dir, "_SUCCESS"))
+
+
+def write_warc_dataset(
+    ds,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    warc_type: str = "response",
+    compress: bool = True,
+) -> None:
+    """Dataset-native distributed WARC write (one shard per write
+    task; `_SUCCESS` manifest on completion)."""
+    ds.write_datasink(
+        WarcDatasink(
+            out_dir,
+            url_col=url_col,
+            ts_col=ts_col,
+            payload_col=payload_col,
+            warc_type=warc_type,
+            compress=compress,
+        )
+    )

@@ -113,3 +113,36 @@ def test_cli_export(ray_session, tmp_path, capsys):
     assert cli.main(["export", "-i", out, "-o", shards, "--shards", "4"]) == 0
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2 == {"shards_written": 0, "rows": 0}
+
+
+def test_cli_export_wet(ray_session, tmp_path, capsys):
+    """`cli export --format wet` writes WET-style WARC shards of the
+    extracted text through the distributed datasink; records read back
+    byte-identically."""
+    from pdf_extractor_ray import cli
+    from pdf_extractor_ray.fixtures.generator import write_corpus
+    from pdf_extractor_ray.sources.warc import read_warc
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    wet = str(tmp_path / "wet")
+    pages, _ = write_corpus(corpus, 30, seed=9)
+    assert cli.main(["extract", "-i", pages, "-o", out]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["export", "-i", out, "-o", wet, "--format", "wet"]) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["num_rows"] >= 30
+    import glob
+
+    shards = sorted(glob.glob(os.path.join(wet, "*.warc.gz")))
+    assert shards and os.path.exists(os.path.join(wet, "_SUCCESS"))
+    got = read_warc(shards).to_pandas()
+    assert len(got) == manifest["num_rows"]
+    import pandas as pd
+
+    import ray.data
+
+    want = ray.data.read_parquet(out, file_extensions=["parquet"]).to_pandas()
+    m = got.merge(want[["url", "extracted_text"]], on="url")
+    assert (m["html"] == m["extracted_text"].str.encode("utf-8")).all()

@@ -95,3 +95,37 @@ def test_dataset_ops_over_fixture_corpus(ray_session, tmp_path):
     assert (fi["kind"] == "atom").sum() == 8 * 4
     assert fi[fi["kind"] == "rss"]["pub_ts"].notna().all()
     assert fi[fi["kind"] == "atom"]["link"].str.startswith("https://host").all()
+
+
+def test_crawl_frontier_composition(ray_session, tmp_path):
+    """sitemap locs -> robots gate, hints carried: hosts with
+    'Disallow: /' yield allowed=0 for every loc; robots-less hosts
+    default-allow; longer Allow overrides the section Disallow."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.fixtures.feedgen import feed_corpus_table, robots_corpus_table
+    from pdf_extractor_ray.ops.feeds import sitemap_entries
+    from pdf_extractor_ray.ops.robots import robots_allow
+
+    fp = str(tmp_path / "feeds.parquet")
+    rp = str(tmp_path / "robots.parquet")
+    pq.write_table(feed_corpus_table(), fp)
+    pq.write_table(robots_corpus_table(), rp)
+
+    sm = sitemap_entries(ray.data.read_parquet(fp), xml_col="xml").to_pandas()
+    locs = sm[sm["kind"] == "urlset"][["loc"]].rename(columns={"loc": "url"})
+    out = robots_allow(
+        ray.data.read_parquet(rp), ray.data.from_pandas(locs.reset_index(drop=True))
+    ).to_pandas()
+    assert len(out) == len(locs)
+    # host1 (i%4==1): Disallow: / -> everything blocked
+    h1 = out[out["host"] == "host1.example"]
+    assert len(h1) and (h1["allowed"] == 0).all()
+    # host0/host4 (i%4==0): no robots row -> default allow
+    h0 = out[out["host"].isin(["host0.example", "host4.example"])]
+    assert len(h0) and (h0["allowed"] == 1).all() and h0["matched_rule"].isna().all()
+    # host2 (i%4==2): Disallow /p00 with Allow /p002 override
+    h2 = out[out["host"] == "host2.example"].set_index("url")
+    assert h2.loc["https://host2.example/p002", "allowed"] == 1
+    assert h2.loc["https://host2.example/p000", "allowed"] == 0

@@ -63,8 +63,10 @@ def test_non_content_records_parsed_but_typed():
     )
     recs = list(iter_warc_records(io.BytesIO(blob).read))
     assert [r["type"] for r in recs] == ["warcinfo", "request", "resource"]
-    # resource records carry the payload directly, no HTTP envelope
-    assert recs[2]["payload"] == b"payload" and recs[2]["http_content_type"] is None
+    # resource records carry the payload directly (no HTTP envelope);
+    # the record-level Content-Type is surfaced
+    assert recs[2]["payload"] == b"payload"
+    assert recs[2]["http_content_type"] == "text/plain"
 
 
 def test_small_read_chunks_cross_member_boundaries():
@@ -153,3 +155,67 @@ def test_extraction_composes_over_warc(ray_session, pages_path, tmp_path):
     merged = got.merge(want, on="url", suffixes=("_warc", "_pq"))
     assert len(merged) == 40
     assert (merged["extracted_text_warc"] == merged["extracted_text_pq"]).all()
+
+
+def test_distributed_warc_datasink_roundtrip(ray_session, pages_path, tmp_path):
+    """Dataset-native write path: every write task emits one atomic
+    shard, `_SUCCESS` lists (shard, rows), and the datasource reads
+    back byte-identical payloads."""
+    import json
+
+    import ray.data
+
+    from pdf_extractor_ray.sources.warc import read_warc, write_warc_dataset
+
+    out = str(tmp_path / "warcout")
+    ds = ray.data.read_parquet(pages_path, columns=["url", "warc_ts", "html"]).repartition(5)
+    write_warc_dataset(ds, out)
+
+    manifest = json.load(open(f"{out}/_SUCCESS"))
+    assert manifest["num_rows"] == 504
+    assert sum(s["rows"] for s in manifest["shards"]) == 504
+    import glob as _glob
+
+    shards = sorted(_glob.glob(f"{out}/*.warc.gz"))
+    assert {s["file"] for s in manifest["shards"]} == {p.split("/")[-1] for p in shards}
+    assert not _glob.glob(f"{out}/*.tmp")  # atomic publish, no torn files
+
+    got = read_warc(shards).to_pandas()
+    import pyarrow.parquet as pq
+
+    want = pq.read_table(pages_path, columns=["url", "warc_ts", "html"]).to_pandas()
+    key = ["url", "html"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    assert (got["html"] == want["html"]).all()
+    assert (got["warc_ts"] == want["warc_ts"]).all()
+
+
+def test_warc_datasink_wet_mode(ray_session, tmp_path):
+    """warc_type='conversion' + string payloads = WET shards; strings
+    are utf-8 encoded and read back as their exact bytes."""
+    import pandas as pd
+
+    import ray.data
+
+    from pdf_extractor_ray.sources.warc import read_warc, write_warc_dataset
+
+    df = pd.DataFrame(
+        {
+            "url": [f"https://w.example/{i}" for i in range(6)],
+            "warc_ts": pd.to_datetime(["2024-05-01 00:00:01"] * 6),
+            "html": [f"text {i} éł" for i in range(6)],  # non-ascii
+        }
+    )
+    out = str(tmp_path / "wet")
+    write_warc_dataset(
+        ray.data.from_pandas(df).repartition(2), out, warc_type="conversion"
+    )
+    import glob as _glob
+
+    got = read_warc(sorted(_glob.glob(f"{out}/*.warc.gz"))).to_pandas()
+    assert len(got) == 6
+    m = dict(zip(got["url"], got["html"]))
+    for _, r in df.iterrows():
+        assert m[r["url"]] == r["html"].encode("utf-8")
+    assert (got["http_content_type"] == "text/plain").all()
