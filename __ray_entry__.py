@@ -711,6 +711,26 @@ def _events_transitions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
 
 
+def _events_transition_entropy(sf_dir: str) -> pd.DataFrame:
+    """Behavioral-predictability signal: Shannon entropy (nats) of
+    each state's outgoing transition distribution — near-zero entropy
+    at volume is the classic scripted-client signature
+    (events_bot_cadence's sequence-level sibling). Composes
+    transition_counts; the per-state sum has <= |states| ln terms, so
+    the unordered float sum stays within cross-engine rounding."""
+    from pdf_extractor_ray.ops.windows import transition_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    t = transition_counts(ev).to_pandas()
+    t["_h"] = -t["p"].to_numpy() * np.log(t["p"].to_numpy())
+    out = (
+        t.groupby("from_type", as_index=False)
+        .agg(n_out=("n", "sum"), entropy=("_h", "sum"))
+        .astype({"n_out": "int64"})
+    )
+    return out.sort_values("from_type").reset_index(drop=True)
+
+
 def _events_interarrival(sf_dir: str) -> pd.DataFrame:
     """LAG-family window op: inter-arrival gap stats per event type
     (gap = ts - lag(ts) over user's event stream; exact int64 sums)."""
@@ -3474,6 +3494,36 @@ def _extract_robots_allow(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["url", "matched_rule"], na_position="last").reset_index(drop=True)
 
 
+def _extract_sitemap_freshness(sf_dir: str) -> pd.DataFrame:
+    """Crawl-scheduling rollup per sitemap host: how many urls each
+    sitemap advertises, how many carry lastmod, and the newest lastmod
+    — the freshness signal a recrawl scheduler budgets by. Composes
+    sitemap_entries; min/max on timestamps are order-free."""
+    import pyarrow.compute as pc
+
+    from pdf_extractor_ray.ops.feeds import sitemap_entries
+
+    def keep(b):
+        return b.filter(pc.match_substring(b["url"], "sitemap.xml"))
+
+    pages = ray.data.read_parquet(_feeds_fixture_parquet()).map_batches(
+        keep, batch_format="pyarrow"
+    )
+    sm = sitemap_entries(pages, xml_col="xml").to_pandas()
+    sm = sm[sm["kind"] == "urlset"]
+    out = (
+        sm.groupby("url", as_index=False)
+        .agg(
+            n_locs=("loc", "size"),
+            n_with_lastmod=("lastmod", "count"),
+            newest_lastmod=("lastmod", "max"),
+        )
+        .rename(columns={"url": "sitemap_url"})
+        .astype({"n_locs": "int64", "n_with_lastmod": "int64"})
+    )
+    return out.sort_values("sitemap_url").reset_index(drop=True)
+
+
 def _extract_crawl_frontier(sf_dir: str) -> pd.DataFrame:
     """Crawl-frontier COMPOSITION: sitemap-discovered urls evaluated
     against each host's robots.txt, scheduling hints carried through —
@@ -4246,6 +4296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _events_transitions,
         "embeddings_ivfpq_topk": _embeddings_ivfpq_topk,
         "extract_crawl_frontier": _extract_crawl_frontier,
+        "events_transition_entropy": _events_transition_entropy,
+        "extract_sitemap_freshness": _extract_sitemap_freshness,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,
@@ -6080,6 +6132,38 @@ def oracle_sql() -> dict[str, str]:
                    sum(ln(c2.c2) - ln(c1.c1)) / count(*) AS avg_logprob
             FROM g JOIN c2 USING (gram) JOIN c1 USING (head)
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "events_transition_entropy": """
+            WITH s AS (
+                SELECT event_type AS to_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+                FROM events
+            ),
+            c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+                  FROM s WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+            m AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+            SELECT c.from_type, CAST(sum(c.n) AS BIGINT) AS n_out,
+                   sum(-(CAST(c.n AS DOUBLE) / m.tot)
+                       * ln(CAST(c.n AS DOUBLE) / m.tot)) AS entropy
+            FROM c JOIN m USING (from_type)
+            GROUP BY c.from_type ORDER BY c.from_type
+        """,
+        "extract_sitemap_freshness": f"""
+            WITH t AS (SELECT * FROM read_parquet('{_feeds_fixture_parquet()}')
+                       WHERE url LIKE '%sitemap.xml'),
+            u0 AS (SELECT url, regexp_extract_all(xml, '(?s)<url>.*?</url>') AS arr
+                   FROM t WHERE xml LIKE '%<urlset%'),
+            x AS (SELECT url, unnest(arr) AS z FROM u0),
+            e AS (SELECT url AS sitemap_url,
+                         NULLIF(regexp_extract(z, '<loc>(.*?)</loc>', 1), '') AS loc,
+                         CAST(NULLIF(regexp_extract(z, '<lastmod>(.*?)</lastmod>', 1), '') AS TIMESTAMP) AS lastmod
+                  FROM x)
+            SELECT sitemap_url, CAST(count(loc) AS BIGINT) AS n_locs,
+                   CAST(count(lastmod) AS BIGINT) AS n_with_lastmod,
+                   max(lastmod) AS newest_lastmod
+            FROM e WHERE loc IS NOT NULL
+            GROUP BY sitemap_url ORDER BY sitemap_url
         """,
         "events_transitions": """
             WITH s AS (
