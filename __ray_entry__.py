@@ -3117,6 +3117,19 @@ def _embeddings_mmr_topk(sf_dir: str) -> pd.DataFrame:
     return out[["rank", "vec_id", "cos", "mmr_score"]]
 
 
+def _embeddings_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality evaluation: simplified silhouette per
+    k-means cluster + overall (ops/cluster.simplified_silhouette) —
+    the eval rung of the k-means family. Rows-only; pytest pins exact
+    equality to a numpy reference and near-1 scores on separated
+    clusters."""
+    from pdf_extractor_ray.ops.cluster import kmeans_fit, simplified_silhouette
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=8, iters=5)
+    return simplified_silhouette(ds, cents)
+
+
 def _embeddings_pq_topk(sf_dir: str) -> pd.DataFrame:
     """Product-quantized ANN (Jegou 2011, ops/similarity.py): fit
     per-subspace codebooks on a deterministic prefix sample, compress
@@ -4298,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_crawl_frontier": _extract_crawl_frontier,
         "events_transition_entropy": _events_transition_entropy,
         "extract_sitemap_freshness": _extract_sitemap_freshness,
+        "embeddings_silhouette": _embeddings_silhouette,
         "docs_pii_redact": _docs_pii_redact,
         "docs_lang_percentile": _docs_lang_percentile,
         "docs_budget_by_lang": _docs_budget_by_lang,

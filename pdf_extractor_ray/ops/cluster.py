@@ -541,3 +541,65 @@ def cluster_topics(
     out["tf"] = out["tf"].astype("int64")
     out["ft"] = out["ft"].astype("int64")
     return out[["cluster", "rank", "term", "score", "tf", "ft"]]
+
+
+def simplified_silhouette(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Clustering quality per cluster — the SIMPLIFIED silhouette
+    (Hruschka et al. 2004): for each vector, a = cosine distance to
+    its own (nearest) centroid, b = distance to the nearest OTHER
+    centroid, s = (b - a) / max(a, b) in [-1, 1]. Unlike the classic
+    silhouette it needs no pairwise pass — one shuffle-free
+    map_batches against broadcast centroids emits per-batch
+    (cluster, n, sum_s) partials; the driver reduces k rows. The
+    evaluation rung of the k-means family (fit / assign /
+    semantic_dedup / topics / outliers).
+
+    Returns (cluster, n, mean_s) plus an `overall` row (cluster = -1,
+    corpus mean)."""
+    cref = ray.put(_normalize_rows(centroids.astype(np.float64)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series(dtype="int32"),
+                    "n": pd.Series(dtype="int64"),
+                    "sum_s": pd.Series(dtype="float64"),
+                }
+            )
+        c = ray.get(cref)
+        mat = _normalize_rows(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        d = 1.0 - mat @ c.T  # (n, k) cosine distances
+        own = d.argmin(axis=1)
+        a = d[np.arange(len(d)), own]
+        d[np.arange(len(d)), own] = np.inf
+        bb = d.min(axis=1)
+        denom = np.maximum(a, bb)
+        s = np.where(denom > 0, (bb - a) / np.where(denom > 0, denom, 1.0), 0.0)
+        out = pd.DataFrame({"cluster": own.astype(np.int32), "s": s})
+        g = out.groupby("cluster", as_index=False, sort=True).agg(
+            n=("s", "size"), sum_s=("s", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("cluster", as_index=False, sort=True).agg(
+        n=("n", "sum"), sum_s=("sum_s", "sum")
+    )
+    agg["mean_s"] = agg["sum_s"].to_numpy() / agg["n"].to_numpy()
+    overall = pd.DataFrame(
+        {
+            "cluster": np.array([-1], dtype=np.int32),
+            "n": [int(agg["n"].sum())],
+            "mean_s": [float(agg["sum_s"].sum() / agg["n"].sum())],
+        }
+    )
+    out = pd.concat(
+        [agg[["cluster", "n", "mean_s"]], overall], ignore_index=True
+    ).astype({"cluster": "int32", "n": "int64"})
+    return out

@@ -199,3 +199,44 @@ def test_ivfpq_full_probe_equals_pq(ray_session):
     # pruned candidates score identically where they overlap
     merged = pruned.merge(full, on="vec_id", suffixes=("_p", "_f"))
     assert np.allclose(merged["cos_pq_p"], merged["cos_pq_f"])
+
+
+def test_simplified_silhouette(ray_session):
+    """Well-separated clusters score near 1; a reference numpy
+    computation matches exactly; the overall row is the n-weighted
+    mean."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.cluster import simplified_silhouette
+    from pdf_extractor_ray.ops.similarity import _normalize_rows
+
+    rng = np.random.default_rng(11)
+    # three tight clusters around orthogonal axes
+    centers = np.eye(3, 12) * 10
+    pts = np.vstack([c + rng.normal(scale=0.05, size=(50, 12)) for c in centers])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(150, dtype=np.int64),
+            "embedding": list(pts.astype(np.float32)),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = simplified_silhouette(ds, centers)
+    per = out[out["cluster"] >= 0].set_index("cluster")
+    assert (per["n"] == 50).all()
+    assert (per["mean_s"] > 0.9).all()
+    overall = out[out["cluster"] == -1].iloc[0]
+    assert overall["n"] == 150
+    assert abs(overall["mean_s"] - (per["mean_s"] * per["n"]).sum() / 150) < 1e-12
+
+    # exact reference
+    c = _normalize_rows(centers.astype(np.float64))
+    m = _normalize_rows(pts.astype(np.float64))
+    d = 1.0 - m @ c.T
+    own = d.argmin(axis=1)
+    a = d[np.arange(len(d)), own]
+    d[np.arange(len(d)), own] = np.inf
+    b = d.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    for k in range(3):
+        assert abs(per.loc[k, "mean_s"] - s[own == k].mean()) < 1e-9
