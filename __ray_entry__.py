@@ -4034,7 +4034,7 @@ def _extract_flags(sf_dir: str) -> pd.DataFrame:
 
 # NOTE (registry size): the driver's correctness gate records at most
 # 50 queries per round (r1: 42 registered -> 42 rows; r2: 63 -> first
-# 50 in dict order; r3: 57 -> first 50; r4: 130 -> first 50; r5: 195
+# 50 in dict order; r3: 57 -> first 50; r4: 130 -> first 50; r5: 199
 # registered). Ordering is a deliberate ROTATION POLICY, not a name
 # list: queries with the fewest / oldest prior driver rows come first.
 # Round-5 first 50 (final composition):

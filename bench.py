@@ -364,6 +364,10 @@ def run_queries() -> dict[str, float]:
         "embeddings_mmr_topk",
         "embeddings_pq_topk",
         "embeddings_ivfpq_topk",
+        "extract_crawl_frontier",
+        "events_transition_entropy",
+        "extract_sitemap_freshness",
+        "embeddings_silhouette",
     ]
     qs = e.queries()
     # untimed warm-up of the pandas-task worker pool + shuffle path
