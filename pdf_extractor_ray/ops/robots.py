@@ -61,9 +61,12 @@ ALLOW_SCHEMA = pa.schema(
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[str, str]]:
     """The (type, rule) list applying to `agent`: groups are formed per
-    RFC 9309 and the most specific matching User-agent group is
-    selected ('*' as fallback). type is 'allow' or 'disallow'; empty
-    Disallow values are dropped (they mean allow-all)."""
+    RFC 9309 §2.2.1 — the rules of ALL groups matching the most
+    specific User-agent token are COMBINED ('*' groups combine as the
+    fallback), and non-group lines (Crawl-delay, Sitemap, unknown
+    fields) are transparent: they neither end a User-agent run nor
+    split a group. type is 'allow' or 'disallow'; empty Disallow
+    values are dropped (they mean allow-all)."""
     groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, str]] = []
@@ -86,27 +89,27 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, str]]:
                 continue  # rules before any User-agent line are ignored
             if value:
                 cur_rules.append((field, value))
-            elif field == "allow":
-                pass  # empty Allow is meaningless either way
-        else:
-            in_agent_run = False  # crawl-delay / sitemap / unknown
+        # any other field (crawl-delay / sitemap / unknown) is a
+        # non-group line: ignored entirely, group state unchanged
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
     agent = agent.lower()
-    best: list[tuple[str, str]] | None = None
     best_len = -1
-    star: list[tuple[str, str]] | None = None
-    for agents, rules in groups:
+    for agents, _ in groups:
         for a in agents:
-            if a == "*":
-                if star is None:
-                    star = rules
-            elif agent.startswith(a) and len(a) > best_len:
-                best, best_len = rules, len(a)
-    if best is not None:
-        return best
-    return star if star is not None else []
+            if a != "*" and agent.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+    out: list[tuple[str, str]] = []
+    if best_len >= 0:  # combine every group carrying a best-length match
+        for agents, rules in groups:
+            if any(a != "*" and agent.startswith(a) and len(a) == best_len for a in agents):
+                out.extend(rules)
+        return out
+    for agents, rules in groups:  # fallback: combine all '*' groups
+        if "*" in agents:
+            out.extend(rules)
+    return out
 
 
 def rule_matches(rule: str, path: str) -> bool:

@@ -1473,6 +1473,11 @@ def pq_fit(
     if d % m:
         raise ValueError(f"vector dim {d} not divisible by m={m}")
     sub = d // m
+    # a sample smaller than n_codes yields fewer centroids — TRUNCATE
+    # the codebook rather than zero-padding (phantom all-zero
+    # centroids would win argmin for near-origin subvectors and
+    # silently corrupt codes/ADC scores)
+    n_codes = min(n_codes, len(sample))
     books = np.zeros((m, n_codes, sub))
     for j in range(m):
         s = sample[:, j * sub : (j + 1) * sub]
@@ -1484,7 +1489,7 @@ def pq_fit(
                 mem = s[a == c]
                 if len(mem):
                     cents[c] = mem.mean(axis=0)
-        books[j, : len(cents)] = cents
+        books[j] = cents
     return books
 
 
@@ -1493,10 +1498,13 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
-    """(id, codes): nearest sub-centroid index per subspace over the
-    normalized vector — m uint8 codes replace d floats (the compressed
-    corpus tier). Broadcast codebooks, zero shuffle."""
+    """(id, codes[, *keep_cols]): nearest sub-centroid index per
+    subspace over the normalized vector — m uint8 codes replace d
+    floats (the compressed corpus tier). Broadcast codebooks, zero
+    shuffle. `keep_cols` carries extra columns through (e.g. the IVF
+    bucket for ivfpq_topk) so there is exactly ONE encoding path."""
     import pyarrow as pa
 
     bref = ray.put(codebooks)
@@ -1515,14 +1523,15 @@ def pq_encode(
                 codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
         else:
             codes = np.empty((0, m), dtype=np.uint8)
-        return pa.table(
-            {
-                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
-                "codes": pa.FixedSizeListArray.from_arrays(
-                    pa.array(codes.ravel(), pa.uint8()), m
-                ),
-            }
-        )
+        cols = {
+            id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m
+            ),
+        }
+        for c in keep_cols:
+            cols[c] = pa.array(b[c].to_numpy())
+        return pa.table(cols)
 
     return ds.map_batches(enc, batch_format="pandas")
 
@@ -1595,36 +1604,8 @@ def ivfpq_topk(
     cents = train_centroids(ds, n_centroids=n_centroids, vec_col=vec_col)
     books = pq_fit(ds, m=m, n_codes=n_codes, vec_col=vec_col)
     bucketed = assign_buckets(ds, cents, vec_col=vec_col)
-    # a bucket-carrying variant of pq_encode (which keeps only id+codes)
-    import pyarrow as pa
-
-    bref = ray.put(books)
-
-    def enc(b: pd.DataFrame) -> pa.Table:
-        bk = _QUERY_CACHE.get(("pq", bref.hex()))
-        if bk is None:
-            bk = _QUERY_CACHE[("pq", bref.hex())] = ray.get(bref)
-        mm, _, sub = bk.shape
-        if len(b):
-            mat = _normalize_rows(np.stack(b[vec_col].to_numpy()).astype(np.float64))
-            cd = np.empty((len(b), mm), dtype=np.uint8)
-            for j in range(mm):
-                s = mat[:, j * sub : (j + 1) * sub]
-                d2 = ((s[:, None, :] - bk[j][None, :, :]) ** 2).sum(-1)
-                cd[:, j] = d2.argmin(axis=1).astype(np.uint8)
-        else:
-            cd = np.empty((0, mm), dtype=np.uint8)
-        return pa.table(
-            {
-                id_col: pa.array(b[id_col].to_numpy(dtype=np.int64), pa.int64()),
-                "bucket": pa.array(b["bucket"].to_numpy(dtype=np.int32), pa.int32()),
-                "codes": pa.FixedSizeListArray.from_arrays(
-                    pa.array(cd.ravel(), pa.uint8()), mm
-                ),
-            }
-        )
-
-    codes = bucketed.map_batches(enc, batch_format="pandas")
+    codes = pq_encode(bucketed, books, id_col=id_col, vec_col=vec_col, keep_cols=("bucket",))
+    m = books.shape[0]  # pq_fit may truncate n_codes, never m
 
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)

@@ -102,12 +102,20 @@ def warc_record_bytes(
         block, ctype = http, "application/http; msgtype=response"
     else:
         block, ctype = payload, http_content_type
+    try:
+        uri = url.encode("ascii")
+    except UnicodeEncodeError:
+        # IRI -> URI per RFC 3987: percent-encode the non-ASCII bytes
+        # (WARC-Target-URI must be ASCII); ASCII urls pass unchanged
+        from urllib.parse import quote
+
+        uri = quote(url, safe=":/?#[]@!$&'()*+,;=%").encode("ascii")
     head = (
         b"WARC/1.1" + _CRLF
         + b"WARC-Type: " + warc_type.encode("ascii") + _CRLF
         + b"WARC-Record-ID: " + _record_id(url, date).encode("ascii") + _CRLF
         + b"WARC-Date: " + date.encode("ascii") + _CRLF
-        + b"WARC-Target-URI: " + url.encode("ascii") + _CRLF
+        + b"WARC-Target-URI: " + uri + _CRLF
         + b"Content-Type: " + ctype.encode("ascii") + _CRLF
         + b"Content-Length: " + str(len(block)).encode("ascii") + _CRLF
         + _CRLF
@@ -351,7 +359,9 @@ class WarcDatasource(_FBD):
     _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
     def __init__(self, paths, batch_rows: int = 256, **kwargs):
-        kwargs.setdefault("file_extensions", None)
+        # default to WARC extensions so reading a sink's output
+        # DIRECTORY skips its _SUCCESS manifest (and other sidecars)
+        kwargs.setdefault("file_extensions", self._FILE_EXTENSIONS)
         super().__init__(paths, **kwargs)
         self._batch_rows = batch_rows
 

@@ -240,3 +240,26 @@ def test_simplified_silhouette(ray_session):
     s = (b - a) / np.maximum(a, b)
     for k in range(3):
         assert abs(per.loc[k, "mean_s"] - s[own == k].mean()) < 1e-9
+
+
+def test_pq_fit_truncates_small_samples(ray_session):
+    """A training sample smaller than n_codes must TRUNCATE the
+    codebook — zero-padded phantom centroids would corrupt codes."""
+    import ray.data
+
+    from pdf_extractor_ray.ops.similarity import pq_encode, pq_fit
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(20, dtype=np.int64),
+            "embedding": list(rng.normal(size=(20, 8)).astype(np.float32)),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    books = pq_fit(ds, m=2, n_codes=64)
+    assert books.shape[1] <= 20  # truncated, no zero rows
+    assert not np.all(books == 0, axis=2).any()
+    codes = pq_encode(ds, books).to_pandas()
+    flat = np.stack([np.asarray(c) for c in codes["codes"]])
+    assert flat.max() < books.shape[1]

@@ -153,3 +153,18 @@ def test_hits_tiers_agree(ray_session):
     assert local["host"].tolist() == streamed["host"].tolist()
     assert np.allclose(local["hub"], streamed["hub"], atol=1e-12)
     assert np.allclose(local["authority"], streamed["authority"], atol=1e-12)
+
+
+def test_duplicate_groups_combine():
+    """RFC 9309 §2.2.1: rules of ALL matching groups combine."""
+    txt = "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    assert parse_robots(txt, "anybot") == [("disallow", "/a"), ("disallow", "/b")]
+    assert evaluate(parse_robots(txt, "x"), "/b/x") == (False, "/b")
+
+
+def test_nongroup_lines_are_transparent():
+    """Sitemap/Crawl-delay between User-agent lines neither ends the
+    agent run nor splits the group."""
+    txt = "User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots(txt, "a") == [("disallow", "/x")]
+    assert parse_robots(txt, "b") == [("disallow", "/x")]

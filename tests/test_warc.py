@@ -219,3 +219,29 @@ def test_warc_datasink_wet_mode(ray_session, tmp_path):
     for _, r in df.iterrows():
         assert m[r["url"]] == r["html"].encode("utf-8")
     assert (got["http_content_type"] == "text/plain").all()
+
+
+def test_read_warc_directory_skips_sidecars(ray_session, pages_path, tmp_path):
+    """read_warc over the sink's output DIRECTORY must skip the
+    _SUCCESS manifest (file_extensions default)."""
+    import ray.data
+
+    from pdf_extractor_ray.sources.warc import read_warc, write_warc_dataset
+
+    out = str(tmp_path / "dirread")
+    ds = ray.data.read_parquet(pages_path, columns=["url", "warc_ts", "html"]).repartition(3)
+    write_warc_dataset(ds, out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    got = read_warc(out)  # directory, not an explicit shard list
+    assert got.count() == 504
+
+
+def test_unicode_url_percent_encoded(tmp_path):
+    """IRI urls must not crash the writer: non-ASCII percent-encodes
+    (RFC 3987 mapping), ASCII urls pass byte-identical."""
+    path = str(tmp_path / "u.warc")
+    write_warc(path, [("https://example.com/café?q=ü", datetime(2024, 1, 1), b"x")])
+    with open(path, "rb") as f:
+        recs = list(iter_warc_records(f.read))
+    assert recs[0]["url"] == "https://example.com/caf%C3%A9?q=%C3%BC"
+    assert recs[0]["payload"] == b"x"
