@@ -148,7 +148,7 @@ def _run_log(out_dir: str, event: str, **fields) -> None:
 
 
 def run_extraction(
-    input_path: str | list[str],
+    input_path: str | list[str] | ray.data.Dataset,
     out_dir: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     resume: bool = True,
@@ -156,9 +156,16 @@ def run_extraction(
 ) -> dict:
     """Run the flagship pipeline to a partitioned parquet corpus with a
     checkpoint manifest; returns run stats. Re-running after a crash
-    skips every url already recorded in the manifest (idempotent)."""
-    _run_log(out_dir, "run_start", input=str(input_path), resume=resume)
-    ds = read_pages(input_path, num_blocks)
+    skips every url already recorded in the manifest (idempotent).
+    `input_path` may be parquet path(s) or any Dataset with the page
+    schema — e.g. `sources.warc.read_warc_pages(shards)` for
+    WARC-native ingest with the same checkpoint/resume semantics."""
+    if isinstance(input_path, ray.data.Dataset):
+        ds = input_path
+        _run_log(out_dir, "run_start", input="<dataset>", resume=resume)
+    else:
+        _run_log(out_dir, "run_start", input=str(input_path), resume=resume)
+        ds = read_pages(input_path, num_blocks)
     n_skipped = 0
     if resume:
         done = completed_urls(out_dir)

@@ -496,3 +496,21 @@ def write_warc_dataset(
             compress=compress,
         )
     )
+
+
+def read_warc_pages(paths, default_lang: str = "und", batch_rows: int = 256, **read_args):
+    """read_warc projected onto the extraction pipeline's input schema
+    (url, warc_ts, html, lang): the http content-type column drops and
+    lang defaults to BCP-47 'und' (undetermined) — the downstream
+    language-ID operators refine it. `run_extraction(read_warc_pages(
+    shards), out_dir)` is the WARC-native flagship pipeline with the
+    same checkpoint manifest + resume semantics as the parquet path."""
+    import pyarrow as pa
+
+    ds = read_warc(paths, batch_rows=batch_rows, **read_args)
+
+    def proj(t: "pyarrow.Table") -> "pyarrow.Table":
+        t = t.drop_columns(["http_content_type"])
+        return t.append_column("lang", pa.array([default_lang] * len(t), pa.string()))
+
+    return ds.map_batches(proj, batch_format="pyarrow")

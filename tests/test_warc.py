@@ -245,3 +245,24 @@ def test_unicode_url_percent_encoded(tmp_path):
         recs = list(iter_warc_records(f.read))
     assert recs[0]["url"] == "https://example.com/caf%C3%A9?q=%C3%BC"
     assert recs[0]["payload"] == b"x"
+
+
+def test_warc_native_extraction_with_resume(ray_session, pages_path, tmp_path):
+    """The north-rule chain WARC-native: read_warc_pages ->
+    run_extraction writes the checkpointed corpus; a re-run resumes
+    (0 rows written, every url skipped)."""
+    from pdf_extractor_ray.config import DEFAULT_CONFIG
+    from pdf_extractor_ray.pipelines.extract import run_extraction
+    from pdf_extractor_ray.sources.warc import read_warc_pages, write_warc_shards
+
+    table = pq.read_table(pages_path, columns=["url", "warc_ts", "html"])
+    shards = write_warc_shards(table, str(tmp_path / "warc"), n_shards=3)
+    out = str(tmp_path / "corpus")
+    cfg = DEFAULT_CONFIG.with_overrides(concurrency=2)
+
+    stats = run_extraction(read_warc_pages(shards), out, cfg)
+    assert stats["rows_written"] == 504 and stats["urls_skipped_resume"] == 0
+
+    stats2 = run_extraction(read_warc_pages(shards), out, cfg)
+    assert stats2["rows_written"] == 0
+    assert stats2["urls_skipped_resume"] == 502  # unique urls in the manifest
